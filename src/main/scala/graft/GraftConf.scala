@@ -1,0 +1,27 @@
+package graft
+
+/** Engine constants, all taken from the reference's hard-coded values.
+  *
+  * Evidence (reference = leoantony72/multi_model_vectorSearch @ /root/reference):
+  *  - dim=512           app.py:10, main.py:25 (CLIP base patch16 output width)
+  *  - overFetch=6       main.py:209 (KNN asks for k*6 before modality balancing)
+  *  - submitK=10        main.py:84  (/submit neighbor query)
+  *  - searchK=20        main.py:97  (/search top_k)
+  *  - crossModalBoost   main.py:272-273 (edge score floored at 0.8 when
+  *                      endpoint modalities differ)
+  *  - expansionDecay    search.py:31 (neighbor score = parent * edge * 0.9)
+  *  - depth=1           search.py:5 (default graph-expansion depth)
+  */
+final case class GraftConf(
+    dim: Int = 512,
+    overFetch: Int = 6,
+    submitK: Int = 10,
+    searchK: Int = 20,
+    crossModalBoost: Double = 0.8,
+    expansionDecay: Double = 0.9,
+    depth: Int = 1
+)
+
+object GraftConf {
+  val default: GraftConf = GraftConf()
+}

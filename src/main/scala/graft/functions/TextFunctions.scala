@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface: tokenizing,
+  * shingling, language ID, quality scoring, fingerprinting. All pure column
+  * expressions (codegen-friendly, no UDFs) with exact DuckDB-SQL
+  * equivalents so every derived metric is oracle-checkable.
+  *
+  * Determinism notes:
+  *  - tokenization is a single regexp split on non-alphanumerics, empties
+  *    dropped — `regexp_split_to_array` + `list_filter` reproduces it in
+  *    DuckDB exactly.
+  *  - all ratios computed in Double with the same operand order.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace-delimited token count (the cheap "how many words" measure). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word proxy: ceil(chars/4) is the industry rule-of-thumb
+    * for byte-pair-encoded token estimates on English text. */
+  def approxBpeTokenCount(text: Column): Column =
+    ceil(length(text).cast("double") / lit(4.0)).cast("long")
+
+  /** Character n-gram shingles (distinct, order-insensitive set).
+    * Empty/short strings yield an empty array (sequence(1,0) is empty). */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = lower(text)
+    // NB: Spark's sequence(a, b) auto-reverses when a > b, so the
+    // short-string case must be guarded, not clamped.
+    when(length(s) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n)))))
+  }
+
+  /** Word w-shingles over [[tokens]] (distinct). w consecutive tokens
+    * joined by a single space. */
+  def wordShingles(text: Column, w: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < w, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(0), size(ts) - w),
+          i => concat_ws(" ", (0 until w).map(j => element_at(ts, i + j + 1)): _*)
+        )))
+  }
+
+  /** Stopword-hit count over a small english stopword list — the classic
+    * cheap language-ID / quality signal. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "this")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(EnglishStopwords.map(x => x: Any): _*)))
+
+  /** Stopword ratio in Double (0 when no tokens). */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0)
+      .otherwise(stopwordCount(text).cast("double") / n.cast("double"))
+  }
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    when(total === 0, 0.0).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  /** Mean token length in chars (0 when no tokens). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      aggregate(ts, lit(0.0), (acc, t) => acc + length(t).cast("double"))
+        / size(ts).cast("double"))
+  }
+
+  /** Heuristic language ID: stopword-ratio driven (the reference corpus is
+    * English/other). Returns "en" when enough English stopwords are present,
+    * "unknown" otherwise. A deliberately simple, fully-SQL-expressible
+    * heuristic (n-gram LMs need model weights we cannot ship offline). */
+  def langIdHeuristic(text: Column): Column =
+    when(stopwordRatio(text) >= 0.08, lit("en")).otherwise(lit("unknown"))
+
+  /** Composite quality score in [0,1]:
+    * 0.4 * saturating-length + 0.3 * stopword presence + 0.3 * (1 - punct).
+    * All components deterministic Doubles.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) / lit(0.2), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    lit(0.4) * lenScore + lit(0.3) * swScore + lit(0.3) * punctScore
+  }
+
+  /** Rolling polynomial fingerprint of the token stream (a Rabin-Karp
+    * style document fingerprint): fold tokens with
+    * acc = (acc * 31 + h(token)) mod 2^31-1. Order-sensitive (unlike
+    * the minhash sketch) so it distinguishes permuted documents. The
+    * modulus keeps every intermediate < 2^36, so Int64 arithmetic is exact
+    * and identical in DuckDB. */
+  def docFingerprint(text: Column): Column = {
+    val M = 2147483647L // 2^31 - 1, Mersenne prime
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * 31 + HashFunctions.hash60(t) % M) % M
+    )
+  }
+}

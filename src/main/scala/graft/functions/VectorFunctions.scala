@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ARRAY<FLOAT>` columns, as pure Catalyst column
+  * expressions (no UDFs — stays inside the optimized plan, works through
+  * column pruning / filter pushdown, and is deterministic).
+  *
+  * Determinism contract (matters for the DuckDB oracle): every float
+  * element is cast to Double BEFORE any arithmetic, and every reduction is
+  * a strict left fold (`aggregate` = foldLeft). DuckDB's `list_reduce`
+  * with the same cast discipline produces bit-identical Doubles, so
+  * hash-compares are exact — no tolerance needed.
+  *
+  * Reference semantics reproduced here:
+  *  - cosine distance metric (reference: db.py:35-39, `DISTANCE_METRIC: COSINE`)
+  *  - vectors L2-normalized at embed time (reference: app.py:14-15,26,37),
+  *    so cosine(a,b) == dot(a,b) on the stored data — we still provide the
+  *    full cosine for un-normalized inputs.
+  */
+object VectorFunctions {
+
+  /** Left-fold dot product: ((0 + a0*b0) + a1*b1) + ... all in Double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** Sum of squares (Double), same fold discipline. */
+  def sumSquares(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Euclidean norm. */
+  def l2Norm(a: Column): Column = sqrt(sumSquares(a))
+
+  /** Full cosine similarity (for inputs that are NOT pre-normalized). */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine distance = 1 - similarity (reference exposes distance,
+    * main.py:221 converts back with `1 - d`). */
+  def cosineDist(a: Column, b: Column): Column =
+    lit(1.0) - cosineSim(a, b)
+
+  /** L2-normalize an ARRAY<FLOAT> in Double precision, returning
+    * ARRAY<FLOAT> (float32 storage parity with the reference, app.py:14-15).
+    * Zero vectors pass through unchanged (torch F.normalize uses an eps
+    * clamp; we mirror "no NaN out" behavior). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, a).otherwise(
+      transform(a, x => (x.cast("double") / n).cast("float")))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.PortableMath.rnd
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for LLM-training-data pipelines: exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup. Generalizes the
+  * reference's content-hash dedup guard (reference main.py:78-81: skip
+  * store when `doc:<sha256>` already exists) into the full dedup family a
+  * 100 TB corpus needs.
+  *
+  * Scale design:
+  *  - exact dedup: hash-groupBy — one shuffle on a 64-char key, partial
+  *    map-side aggregation, no data row ever carried past its hash.
+  *  - MinHash signatures: computed per-row with higher-order functions
+  *    (no explode, no shuffle); only the b band keys are exploded, so the
+  *    shuffle volume is O(rows * bands), independent of document length.
+  *  - candidate pairs come from band-bucket self-joins (classic LSH): the
+  *    join key is (band, signature-slice), which Catalyst executes as a
+  *    shuffled hash join on a compact key — never an all-pairs product.
+  *  - SimHash: per-row sketch, then pairs within hamming radius via
+  *    bucketed join on rotated prefixes (here: exact-match buckets).
+  *  - embedding near-dup: brute-force pair scores under a blocking key at
+  *    test scale; the ANN path (Ann.scala) is the 100 TB route.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. Returns one row per
+    * duplicated content: (content_hash, n_copies, keeper_id) with
+    * keeper = min id — the reference's "first writer wins" semantics
+    * (main.py:80-81: second submit of same content is a no-op). */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_copies") >= 2)
+
+  /** Exact dedup keeping the minimum id per content hash (insert-if-absent
+    * as a relational op). Output: the kept rows. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col(textCol), 256))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** MinHash signature as an array column: sig[i] = min over shingles s of
+    * hash60(i || ':' || s). Pure per-row computation (no shuffle). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingles, s => hash60(s, i)))): _*)
+
+  /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
+    * hashes; key = band index + joined slice. Docs sharing any band key
+    * are candidate near-duplicates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val slice = (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string"))
+      concat_ws("_", lit(b.toString) +: slice: _*)
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs with exact Jaccard
+    * verification.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def nearDupMinhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bkeys", bandKeys(col("sig"), bands, rowsPerBand))
+
+    val banded = withSig.select(col("id"), col("sh"), explode(col("bkeys")).as("bkey"))
+
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        rnd(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash sketch of the token multiset: bit j of the sketch is 1 iff
+    * sum over tokens of ±1 (per token-hash bit j) is positive.
+    * Integer-only math → bit-identical across engines. `bits` is a plan
+    * literal, so the loop unrolls into `bits` independent aggregates over
+    * the shared hash array. */
+  def simhash(textCol: Column, bits: Int = 32): Column = {
+    val hashes = transform(tokens(textCol), t => hash60(t))
+    (0 until bits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (s, h) => s + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-dup pairs by identical SimHash sketch (hamming distance 0 at
+    * exact-bucket granularity; radius>0 = multi-probe over bit-rotations,
+    * kept for a later round). */
+  def nearDupSimhash(
+      docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val sk = docs.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sk"))
+    sk.as("a").join(sk.as("b"),
+        col("a.sk") === col("b.sk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sk").as("sketch"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs under a cheap
+    * blocking key (shared rare token); full-fidelity verification step of
+    * the LSH pipeline, usable standalone at moderate scale. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val withSh = docs.select(
+      col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
+    // blocking: minimum shingle-hash as the block key (cheap, deterministic)
+    val blocked = withSh
+      .withColumn("blk", array_min(transform(col("sh"), s => hash60(s))))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("uni", size(array_union(col("a.sh"), col("b.sh"))))
+      .withColumn("jaccard",
+        rnd(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold.
+    * Test-scale exact form: all-pairs within label blocks. At 100 TB the
+    * blocking key comes from LSH hyperplane signs (see Ann.lshBuckets). */
+  def nearDupEmbedding(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val e = embs.select(
+      col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cos", rnd(dotProduct(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.GraftConf
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Brute-force KNN with modality-balanced re-ranking — the reference's core
+  * query (`search_knn`, reference main.py:206-254), re-expressed as one
+  * declarative Spark plan.
+  *
+  * Contract reproduced step by step (SURVEY.md §2.3):
+  *  1. over-fetch k*overFetch nearest by cosine distance (main.py:208-215;
+  *     FLAT index = brute force, db.py:35)
+  *  2. similarity = 1 - distance (main.py:221); self-match clamps to 1.0
+  *     (main.py:223-224)
+  *  3. split results into same-modality vs cross-modality buckets
+  *     (main.py:227-242); no query type ⇒ everything is "same"
+  *  4. keep top k/2 (integer division!) of each bucket by similarity desc
+  *     (main.py:245-249)
+  *  5. union same-then-cross, truncate to k BEFORE the final sort, then
+  *     sort desc (main.py:251-253) — when both buckets are full the tail
+  *     of the cross bucket is dropped even if it outscores the same-bucket
+  *     tail; quirk preserved under `faithful=true`.
+  *
+  * Scale notes (100 TB thinking):
+  *  - `docs` is the big side and arrives partitioned; `queries` is the
+  *    small side and is broadcast — the scored cross product never
+  *    shuffles the corpus.
+  *  - Per-query top-k runs as window `row_number` over (qid[,bucket]);
+  *    with AQE the post-filter cardinality (≤ k*overFetch per query)
+  *    collapses the final ranking to a trivial exchange. For larger k or
+  *    query fan-outs a bounded-heap `TypedImperativeAggregate` is the
+  *    upgrade path (SURVEY.md §7.3).
+  *  - Ties broken deterministically by doc id (stable under re-partitioning).
+  *
+  * Inputs:
+  *  - docs:    (id, mtype, data?, embedding ARRAY<FLOAT>) — L2-normalized
+  *  - queries: (qid?, qtype?, qvec ARRAY<FLOAT>)
+  * Output: (qid, id, mtype, sim, rank) — `rank` is the final 1-based
+  * position within the query's result list.
+  */
+object Knn {
+
+  /** Similarity of a doc row to the query row: dot product on normalized
+    * vectors (cosine ≡ dot, app.py:14-15), with the reference's self-match
+    * clamp (main.py:223-224). The reference round-trips through distance
+    * (1 - (1 - sim), main.py:221) in float32 Redis; we keep the direct
+    * Double dot product — same ordering, cleaner precision, and the oracle
+    * mirrors this exact formula. */
+  private def simExpr(qid: Column, id: Column, qvec: Column, emb: Column): Column =
+    when(qid.isNotNull && id === qid, lit(1.0))
+      .otherwise(dotProduct(qvec, emb))
+
+  def search(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      conf: GraftConf = GraftConf.default,
+      idCol: String = "id",
+      mtypeCol: String = "mtype"
+  ): DataFrame = {
+    val overFetch = k * conf.overFetch
+
+    // docs is the (potentially 100 TB) side: never shuffle it for the
+    // join — broadcast the query batch instead.
+    val scored = docs
+      .crossJoin(broadcast(queries))
+      .withColumn(
+        "sim",
+        simExpr(col("qid"), col(idCol), col("qvec"), col("embedding")))
+      .withColumn(
+        "bucket",
+        when(col("qtype").isNull || col(mtypeCol) === col("qtype"), lit("same"))
+          .otherwise(lit("cross")))
+
+    // step 1: over-fetch by ascending distance == descending similarity
+    val wOver = Window.partitionBy("qid_key").orderBy(col("sim").desc, col(idCol))
+    val overFetched = scored
+      // null-safe partition key: queries without a qid still form one group
+      .withColumn("qid_key", coalesce(col("qid"), lit("__noqid__")))
+      .withColumn("ofr", row_number().over(wOver))
+      .filter(col("ofr") <= overFetch)
+
+    // step 4: per-bucket rank, keep k/2 (integer division quirk)
+    val wBucket =
+      Window.partitionBy("qid_key", "bucket").orderBy(col("sim").desc, col(idCol))
+    val kept = overFetched
+      .withColumn("brank", row_number().over(wBucket))
+      .filter(col("brank") <= k / 2)
+
+    // step 5: same-bucket rows first (in score order), then cross-bucket
+    // rows; truncate at k in THAT order; final sort by sim desc.
+    val wUnion = Window
+      .partitionBy("qid_key")
+      .orderBy(
+        when(col("bucket") === "same", 0).otherwise(1).asc,
+        col("sim").desc,
+        col(idCol))
+    val wFinal = Window.partitionBy("qid_key").orderBy(col("sim").desc, col(idCol))
+    kept
+      .withColumn("urank", row_number().over(wUnion))
+      .filter(col("urank") <= k)
+      .withColumn("rank", row_number().over(wFinal))
+      .select(col("qid"), col(idCol).as("id"), col(mtypeCol).as("mtype"),
+        col("sim"), col("rank"))
+  }
+
+  /** Plain per-query cosine top-k (no modality balancing) — the baseline
+    * ANN building block and the `expandAll`-era API. */
+  def topK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "id"
+  ): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    docs
+      .crossJoin(broadcast(queries))
+      .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("id"), col("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import graft.functions.PortableMath.rnd
+import org.apache.spark.sql.functions._
+
+/** General relational surface over the TPC-H-ish driver tables: the
+  * aggregation / join / window / sort-limit operators the engine must
+  * support beyond the vector-search core (SURVEY.md §2.5, §7.2 step 7).
+  *
+  * Determinism-for-oracle conventions used by every query here:
+  *  - aggregates over non-integer doubles are `rnd(x, 2..6)` in BOTH
+  *    engines (partial-aggregation order differs between Spark and DuckDB;
+  *    the error is ~1e-9 relative, rounding absorbs it);
+  *  - counts / sums of integer-valued doubles (l_quantity) are exact;
+  *  - every result has a total ORDER BY with unique tie-breaker.
+  *
+  * Scale notes: all group-bys here are partial-aggregated map-side by
+  * Catalyst (sum/count/avg are all DeclarativeAggregates); the joins
+  * declare the small dimension side broadcast-able (customer/orders at
+  * TPC-H ratios; Catalyst auto-broadcasts below the threshold, AQE fixes
+  * the rest at runtime).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan-heavy groupBy with partial
+    * aggregation; the canonical "does aggregation scale" probe. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integer-valued doubles: exact
+        rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        rnd(avg("l_quantity"), 6).as("avg_qty"),
+        rnd(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Join breadth: customer ⨝ orders ⨝ lineitem with a selective filter —
+    * exercises broadcast-hash join selection + filter pushdown to the
+    * parquet scans. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Multi-hop dimension join through nation/region (5-way) with a
+    * broadcast chain — the TPC-H Q5 shape. */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Window ranking: top-3 orders per customer by total price — per-group
+    * top-k via row_number, the same physical pattern the KNN ranker uses. */
+  def qTopOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Event-stream rollup (batch view of the streaming shape): per
+    * user+event_type counts and value stats — what the watermarked
+    * streaming aggregation computes incrementally. */
+  def qEventRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        rnd(sum("value"), 4).as("sum_value"),
+        rnd(max("value"), 6).as("max_value"))
+      .filter(col("n_events") >= 2)
+      .orderBy("user_id", "event_type")
+
+  /** Decile distribution of order prices via ntile — window function
+    * breadth beyond row_number. */
+  def qOrderPriceDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        rnd(min("o_totalprice"), 2).as("lo"),
+        rnd(max("o_totalprice"), 2).as("hi"))
+      .orderBy("decile")
+  }
+}
