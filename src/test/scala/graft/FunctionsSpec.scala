@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Embed, Ingest}
+import org.apache.spark.sql.functions._
+
+/** Scalar-layer semantics: vector math, normalization, text primitives,
+  * embedder contract, ingest dedup idempotence. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotProduct: exact on axis vectors, symmetric") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val d1 = df.select(VectorFunctions.dotProduct(col("a"), col("b"))).as[Double].head()
+    val d2 = df.select(VectorFunctions.dotProduct(col("b"), col("a"))).as[Double].head()
+    assert(d1 == 32.0 && d2 == 32.0)
+  }
+
+  test("l2Normalize: unit norm out; zero vector passes through") {
+    val df = Seq(Tuple1(Seq(3f, 4f)), Tuple1(Seq(0f, 0f))).toDF("v")
+    val norms = df.select(
+      VectorFunctions.l2Norm(VectorFunctions.l2Normalize(col("v"))).as("n"))
+      .as[Double].collect()
+    assert(math.abs(norms(0) - 1.0) < 1e-7)
+    assert(norms(1) == 0.0) // zero vector unchanged, no NaN
+  }
+
+  test("embedText: deterministic, fixed dim, unit norm (E1 contract)") {
+    val df = Seq("hello world", "hello world", "other").toDF("t")
+      .select(col("t"), Embed.embedText(col("t"), 32).as("v"))
+    val rows = df.select(col("t"), col("v"),
+      VectorFunctions.l2Norm(col("v")).as("n")).collect()
+    val v0 = rows(0).getSeq[Float](1)
+    val v1 = rows(1).getSeq[Float](1)
+    val v2 = rows(2).getSeq[Float](1)
+    assert(v0.length == 32)
+    assert(v0 == v1) // same content → same vector
+    assert(v0 != v2)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("n") - 1.0) < 1e-6))
+  }
+
+  test("tokens/charShingles: empty and short-string edges") {
+    val df = Seq("", "ab", "The quick brown fox!").toDF("text")
+    val res = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      size(TextFunctions.charShingles(col("text"), 3)).as("sh")).collect()
+    assert(res(0).getInt(0) == 0 && res(0).getInt(1) == 0)
+    assert(res(1).getInt(0) == 1 && res(1).getInt(1) == 0) // len 2 < n=3
+    assert(res(2).getInt(0) == 4)
+  }
+
+  test("docFingerprint: order-sensitive, deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val fp = df.select(TextFunctions.docFingerprint(col("text"))).as[Long].collect()
+    assert(fp(0) == fp(2) && fp(0) != fp(1))
+  }
+
+  test("ingest dedup is idempotent: ingest(x ++ x) == ingest(x) (main.py:80-81)") {
+    val batch = Seq(("text", "doc one", 1L), ("text", "doc two", 2L))
+      .toDF("mtype", "data", "seq")
+    val doubled = batch.unionByName(
+      batch.withColumn("seq", col("seq") + 10))
+    val empty = Seq.empty[(String, String)].toDF("id", "mtype")
+    val conf = GraftConf(dim = 8)
+    val once = Ingest.dedupDelta(Ingest.prepare(batch, conf), empty)
+    val twice = Ingest.dedupDelta(Ingest.prepare(doubled, conf), empty)
+    assert(once.select("id", "seq").collect().toSet ==
+      twice.select("id", "seq").collect().toSet)
+  }
+
+  test("minhash LSH: duplicate docs collide in every band; jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinhashLsh(docs, "doc_id", "text",
+      shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical token multisets agree; disjoint vocab differs") {
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "zeta eta theta iota kappa")
+      .toDF("text").select(Dedup.simhash(col("text"), 32).as("s"))
+    val s = df.as[Long].collect()
+    assert(s(0) == s(1))
+    assert(s(0) != s(2))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{GraphBuild, GraphExpand, GraphViews}
+import org.apache.spark.sql.functions._
+
+/** Graph operator semantics: F6 boost, canonical form, latest-wins upsert
+  * (NetworkX add_edge overwrite), faithful single-pop expansion, F7 decay. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("edgeDelta: cross-modal boost floors score at 0.8, same-modal untouched (main.py:272-273)") {
+    val knn = Seq(
+      ("q1", "text", "a", "image", 0.3, 1L), // cross, low → boosted to 0.8
+      ("q1", "text", "b", "image", 0.95, 1L), // cross, high → kept
+      ("q1", "text", "c", "text", 0.3, 1L), // same → kept
+      ("q1", "text", "q1", "text", 1.0, 1L) // self → dropped
+    ).toDF("qid", "qtype", "id", "mtype", "sim", "seq")
+    val edges = GraphBuild.edgeDelta(knn).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Double]("score")).toMap
+    assert(edges.size == 3)
+    assert(edges(("a", "q1")) == 0.8)
+    assert(edges(("b", "q1")) == 0.95)
+    assert(edges(("c", "q1")) == 0.3)
+  }
+
+  test("edgeDelta: canonical src < dst (undirected storage)") {
+    val knn = Seq(("z", "text", "a", "text", 0.5, 1L))
+      .toDF("qid", "qtype", "id", "mtype", "sim", "seq")
+    val e = GraphBuild.edgeDelta(knn).collect().head
+    assert(e.getAs[String]("src") == "a" && e.getAs[String]("dst") == "z")
+  }
+
+  test("upsertEdges: latest seq wins per (src,dst) — NetworkX overwrite (main.py:276)") {
+    val existing = Seq(("a", "b", 0.5, 1L), ("a", "c", 0.6, 1L))
+      .toDF("src", "dst", "score", "seq")
+    val delta = Seq(("a", "b", 0.9, 2L), ("a", "d", 0.7, 2L))
+      .toDF("src", "dst", "score", "seq")
+    val res = GraphBuild.upsertEdges(existing, delta).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Double]("score")).toMap
+    assert(res == Map(("a", "b") -> 0.9, ("a", "c") -> 0.6, ("a", "d") -> 0.7))
+  }
+
+  test("expandFaithful: only the rank-1 seed is expanded (search.py:10-14 single pop)") {
+    // graph: s1 - n1 (0.5), s2 - n2 (0.5). Seeds rank1=s1, rank2=s2.
+    // Faithful depth=1: n1 appears (decayed), n2 must NOT.
+    val seeds = Seq(("q", "s1", 0.9, 1), ("q", "s2", 0.8, 2))
+      .toDF("qid", "id", "sim", "rank")
+    val edges = Seq(("n1", "s1", 0.5, 1L), ("n2", "s2", 0.5, 1L))
+      .toDF("src", "dst", "score", "seq")
+    val res = GraphExpand.expandFaithful(seeds, edges, k = 10)
+    val ids = res.collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("score")).toMap
+    assert(ids.contains("n1") && !ids.contains("n2"))
+    // F7 decay: parent 0.9 * edge 0.5 * 0.9
+    assert(math.abs(ids("n1") - 0.9 * 0.5 * 0.9) < 1e-12)
+  }
+
+  test("expandFaithful: seed scores win on collision (search.py:19)") {
+    // s2 is also a neighbor of s1 with huge edge weight; its seed score
+    // (0.8) must survive, not the decayed-from-parent value.
+    val seeds = Seq(("q", "s1", 0.9, 1), ("q", "s2", 0.8, 2))
+      .toDF("qid", "id", "sim", "rank")
+    val edges = Seq(("s1", "s2", 1.0, 1L)).toDF("src", "dst", "score", "seq")
+    val res = GraphExpand.expandFaithful(seeds, edges, k = 10).collect()
+    val s2 = res.find(_.getAs[String]("id") == "s2").get
+    assert(s2.getAs[Double]("score") == 0.8)
+    assert(s2.getAs[String]("origin") == "seed")
+  }
+
+  test("expandAll: full-frontier BFS reaches depth-2 nodes with compounded decay") {
+    val seeds = Seq(("q", "s1", 1.0, 1)).toDF("qid", "id", "sim", "rank")
+    val edges = Seq(("s1", "n1", 0.5, 1L), ("n1", "n2", 0.4, 1L))
+      .toDF("src", "dst", "score", "seq")
+    val d1 = GraphExpand.expandAll(seeds, edges, k = 10, depth = 1).collect()
+    assert(!d1.map(_.getAs[String]("id")).contains("n2"))
+    val d2 = GraphExpand.expandAll(seeds, edges, k = 10, depth = 2).collect()
+    val n2 = d2.find(_.getAs[String]("id") == "n2").get
+    assert(math.abs(n2.getAs[Double]("score") - 1.0 * 0.5 * 0.9 * 0.4 * 0.9) < 1e-12)
+  }
+
+  test("graph views: nodes, degrees, dangling filter (G3-G5)") {
+    val edges = Seq(("a", "b", 0.5, 1L), ("b", "c", 0.7, 1L))
+      .toDF("src", "dst", "score", "seq")
+    assert(GraphViews.nodes(edges).as[String].collect().toSet == Set("a", "b", "c"))
+    val deg = GraphViews.degrees(edges).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("degree")).toMap
+    assert(deg == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+    // docs store only has a and b → edge (b,c) must be pruned
+    val docs = Seq(("a", "text"), ("b", "text")).toDF("id", "mtype")
+    val (valid, pruned) = GraphViews.validGraph(edges, docs)
+    assert(valid.select("id").as[String].collect().toSet == Set("a", "b"))
+    assert(pruned.collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst"))).toSeq == Seq(("a", "b")))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Knn
+import org.apache.spark.sql.DataFrame
+
+/** Quirk-fidelity tests for the §2.3 KNN contract (SURVEY.md §7.4 risk 1).
+  * Vectors are axis-aligned so cosine similarities are exact by
+  * construction. */
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** doc row: id, mtype, unit vector with given components. */
+  private def docsDf(rows: (String, String, Seq[Float])*): DataFrame =
+    rows.toDF("id", "mtype", "embedding")
+
+  private def queryDf(qid: String, qtype: String, v: Seq[Float]): DataFrame =
+    Seq((qid, qtype, v)).toDF("qid", "qtype", "qvec")
+
+  // similarity of doc d to query [1,0,0,0] is just d(0)
+  private def doc(id: String, mtype: String, sim: Double): (String, String, Seq[Float]) = {
+    val s = sim.toFloat
+    val rest = math.sqrt(math.max(0.0, 1.0 - s * s)).toFloat
+    (id, mtype, Seq(s, rest, 0f, 0f))
+  }
+  private val qv = Seq(1f, 0f, 0f, 0f)
+
+  test("self-match clamps similarity to exactly 1.0 (main.py:223-224)") {
+    val docs = docsDf(doc("q", "text", 0.3), doc("a", "text", 0.9))
+    val res = Knn.search(docs, queryDf("q", "text", qv), k = 4)
+      .orderBy("rank").collect()
+    assert(res.head.getAs[String]("id") == "q")
+    assert(res.head.getAs[Double]("sim") == 1.0)
+  }
+
+  test("k/2 integer division: k=5 keeps at most 2 per bucket (main.py:245-249)") {
+    val docs = docsDf(
+      doc("s1", "text", 0.9), doc("s2", "text", 0.8), doc("s3", "text", 0.7),
+      doc("c1", "image", 0.95), doc("c2", "image", 0.85), doc("c3", "image", 0.75))
+    val res = Knn.search(docs, queryDf("q1", "text", qv), k = 5).collect()
+    // 2 same + 2 cross = 4 rows — fewer than k, the reference's quirk
+    assert(res.length == 4)
+    val byBucket = res.groupBy(_.getAs[String]("mtype")).view.mapValues(_.map(_.getAs[String]("id")).toSet)
+    assert(byBucket("text") == Set("s1", "s2"))
+    assert(byBucket("image") == Set("c1", "c2"))
+  }
+
+  test("union truncate is a no-op (2*(k/2) <= k) and final order is score desc (main.py:251-253)") {
+    // Odd k=3 ⇒ 1 per bucket; the reference's final [:k] can never cut
+    // because len(same_keep)+len(cross_keep) = 2*(k//2) <= k for every k.
+    // Verified here: 4 candidates, k=3 → exactly 2 rows, sorted desc.
+    val docs = docsDf(
+      doc("s1", "text", 0.9), doc("s2", "text", 0.5),
+      doc("c1", "image", 0.8), doc("c2", "image", 0.7))
+    val res = Knn.search(docs, queryDf("q1", "text", qv), k = 3)
+      .orderBy("rank").collect()
+    val ids = res.map(_.getAs[String]("id")).toSeq
+    assert(ids == Seq("s1", "c1"))
+  }
+
+  test("no query type ⇒ single bucket, plain top-k (main.py:229)") {
+    val docs = docsDf(
+      doc("a", "text", 0.9), doc("b", "image", 0.8),
+      doc("c", "text", 0.7), doc("d", "image", 0.6))
+    val q = Seq(("q1", null.asInstanceOf[String], qv)).toDF("qid", "qtype", "qvec")
+    val res = Knn.search(docs, q, k = 4).orderBy("rank").collect()
+    // all "same" bucket → k/2 = 2 kept total
+    assert(res.map(_.getAs[String]("id")).toSeq == Seq("a", "b"))
+  }
+
+  test("over-fetch bound: bucket ranking sees only the global top k*6 (main.py:209)") {
+    // 70 same-modality docs better than the best cross doc; k=10 → fetch 60.
+    // The cross doc is outside the top-60, so the cross bucket is EMPTY
+    // even though cross-quota is 5.
+    val same = (1 to 70).map(i => doc(f"s$i%03d", "text", 0.9 - i * 0.001))
+    val cross = Seq(doc("c1", "image", 0.1))
+    val docs = docsDf(same ++ cross: _*)
+    val res = Knn.search(docs, queryDf("q1", "text", qv), k = 10).collect()
+    assert(res.length == 5) // k/2 same only
+    assert(!res.map(_.getAs[String]("id")).contains("c1"))
+  }
+
+  test("topK: plain per-query ranking, deterministic id tie-break") {
+    val docs = docsDf(doc("b", "x", 0.5), doc("a", "x", 0.5), doc("c", "x", 0.9))
+    val res = Knn.topK(docs, Seq(("q", qv)).toDF("qid", "qvec"), k = 3)
+      .orderBy("rank").collect()
+    assert(res.map(_.getAs[String]("id")).toSeq == Seq("c", "a", "b"))
+  }
+}
