@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.PortableMath.sqlRnd
+import graft.operators.Embed
+
+/** DuckDB-SQL fragment builders mirroring the Spark operators' exact
+  * arithmetic (fold order, Double casts, portable rounding). Shared by
+  * SparkEntry.oracleSql. Every builder mirrors one Spark-side function —
+  * keep them in lockstep when either side changes.
+  */
+object OracleSql {
+
+  /** Mirror of VectorFunctions.dotProduct: element-wise Double products,
+    * strict left fold from 0.0. */
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  /** Mirror of Knn.search (§2.3): CTE chain from `<p>docs`(id, mtype,
+    * embedding) and `<p>q`(qid, qtype, qvec) to `<p>knn`(qid, qtype, id,
+    * mtype, sim, rnk). All intermediate CTE names carry the prefix so two
+    * chains can coexist in one statement. */
+  def knnChain(p: String, k: Int, overFetch: Int = 6): String = {
+    val quota = k / 2
+    s"""${p}scored AS (
+       |  SELECT q.qid, q.qtype, d.id, d.mtype,
+       |    CASE WHEN d.id = q.qid THEN 1.0
+       |         ELSE ${dot("q.qvec", "d.embedding")} END AS sim,
+       |    CASE WHEN q.qtype IS NULL OR d.mtype = q.qtype THEN 'same' ELSE 'cross' END AS bucket
+       |  FROM ${p}q q CROSS JOIN ${p}docs d),
+       |${p}overfetched AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS ofr
+       |    FROM ${p}scored) WHERE ofr <= ${k * overFetch}),
+       |${p}kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid, bucket
+       |                                 ORDER BY sim DESC, id) AS brank
+       |    FROM ${p}overfetched) WHERE brank <= $quota),
+       |${p}knn AS (
+       |  SELECT qid, qtype, id, mtype, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |  FROM ${p}kept)""".stripMargin
+  }
+
+  /** Mirror of GraphBuild.edgeDelta over a knn relation: F6 boost +
+    * canonical undirected form. */
+  def edgeDelta(knnRel: String, simExpr: String, seq: Int, extraWhere: String): String =
+    s"""SELECT least(qid, id) AS src, greatest(qid, id) AS dst,
+       |    CASE WHEN mtype <> qtype THEN greatest($simExpr, 0.8)
+       |         ELSE $simExpr END AS score,
+       |    CAST($seq AS BIGINT) AS seq
+       |  FROM $knnRel WHERE id <> qid$extraWhere""".stripMargin
+
+  /** Mirror of GraphBuild.upsertEdges' dedup applied to one delta. */
+  def edgeDedup(p: String, deltaSql: String): String =
+    s"""${p}ed AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src, dst ORDER BY seq DESC) AS _rn
+       |    FROM ($deltaSql))
+       |  WHERE _rn = 1)""".stripMargin
+
+  /** Mirror of GraphBuild.symmetric. */
+  def symmetric(p: String): String =
+    s"""${p}sym AS (
+       |  SELECT src AS u, dst AS v, score FROM ${p}ed
+       |  UNION ALL SELECT dst, src, score FROM ${p}ed)""".stripMargin
+
+  /** Mirror of GraphExpand.expandFaithful over `<sp>knn` seeds (filtered
+    * by seedWhere) and `<ep>sym` edges, ending in `<sp>fin`. */
+  def expandFaithful(sp: String, ep: String, seedWhere: String): String =
+    s"""${sp}head AS (
+       |  SELECT qid AS h_qid, id AS h_id, sim AS h_sim FROM ${sp}knn WHERE rnk = 1$seedWhere),
+       |${sp}nb AS (
+       |  SELECT h_qid AS qid, v AS id, h_sim * score * 0.9 AS score, 1 AS prio
+       |  FROM ${sp}head JOIN ${ep}sym ON h_id = u),
+       |${sp}sd AS (SELECT qid, id, sim AS score, 0 AS prio FROM ${sp}knn WHERE 1=1$seedWhere),
+       |${sp}ud AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid, id
+       |                                 ORDER BY prio, score DESC) AS _rn
+       |    FROM (SELECT * FROM ${sp}sd UNION ALL SELECT * FROM ${sp}nb))
+       |  WHERE _rn = 1),
+       |${sp}fin AS (
+       |  SELECT qid, id, score,
+       |    CASE WHEN prio = 0 THEN 'seed' ELSE 'expanded' END AS origin,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+       |  FROM ${sp}ud)""".stripMargin
+
+  /** Mirror of Embed.embedText as CTE steps: `<p>emb`(…cols…, embedding)
+    * from a source relation carrying `textExpr`. */
+  def embedCte(p: String, srcRel: String, cols: String, textExpr: String, dim: Int): String =
+    s"""${p}emb AS (
+       |  SELECT $cols, ${Embed.sqlNormalize("vr", "nrm")} AS embedding
+       |  FROM (SELECT *, ${Embed.sqlL2Norm("vr")} AS nrm
+       |        FROM (SELECT $cols, ${Embed.sqlEmbedRaw(textExpr, dim)} AS vr
+       |              FROM $srcRel) _r) _n)""".stripMargin
+
+  /** Portable rounding, re-exported for assembly convenience. */
+  def rnd6(inner: String): String = sqlRnd(inner, 6)
+}

@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.HashFunctions.docId
 import graft.functions.PortableMath.{rnd, sqlRnd}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,8 +11,8 @@ import org.apache.spark.sql.functions._
   * Every entry in [[queries]] is an operator from the SURVEY.md §2
   * inventory (or the LLM-pipeline extension set), expressed Spark-first,
   * with a DuckDB oracle in [[oracleSql]] that mirrors the exact arithmetic
-  * (same fold order, same Double casts, same rounding) so the driver's
-  * hash-compare is exact.
+  * (same fold order, same Double casts, same rounding — see
+  * [[OracleSql]]) so the driver's hash-compare is exact.
   *
   * Conventions:
   *  - counts from Spark `size`/`length`/`row_number` are cast to LONG
@@ -22,6 +23,7 @@ import org.apache.spark.sql.functions._
   *  - every result is totally ordered with a unique tie-breaker.
   */
 object SparkEntry {
+  import OracleSql._
 
   /** Flagship: the reference's /search query (§2.3 KNN with modality
     * balancing) on sf0.001; driver smoke-checks rows>0. */
@@ -53,11 +55,13 @@ object SparkEntry {
     Knn.search(embDocs(s, dir), embQueries(s, dir), k = 10)
       .join(embQueries(s, dir).select("qid", "qtype"), Seq("qid"))
 
-  private def knnModalBalanced(s: SparkSession, dir: String): DataFrame =
-    Knn.search(embDocs(s, dir), embQueries(s, dir), k = 10)
-      .select(col("qid"), col("id"), col("mtype"),
-        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+  private def rankedOut(df: DataFrame): DataFrame =
+    df.select(col("qid"), col("id"), col("mtype"),
+      rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
+
+  private def knnModalBalanced(s: SparkSession, dir: String): DataFrame =
+    rankedOut(Knn.search(embDocs(s, dir), embQueries(s, dir), k = 10))
 
   private def knnTopK(s: SparkSession, dir: String): DataFrame =
     Knn.topK(embDocs(s, dir), embQueries(s, dir).drop("qtype"), k = 5)
@@ -72,7 +76,7 @@ object SparkEntry {
   private def ingestDelta(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val existing = base.filter(col("doc_id") % 10 =!= 0)
-      .select(graft.functions.HashFunctions.docId(col("text")).as("id"))
+      .select(docId(col("text")).as("id"))
     val batch = base.filter(col("doc_id") % 10 === 0)
       .withColumn("seq", col("doc_id"))
       .unionByName(base.filter(col("doc_id") % 7 === 0)
@@ -125,6 +129,49 @@ object SparkEntry {
       .select(col("id"), col("degree"), rnd(col("strength"), 6).as("strength"))
       .orderBy("id")
 
+  // ---- full reference pipelines over documents.parquet ------------------
+
+  private val pipeConf = GraftConf(dim = 16)
+
+  private def docMtype: Column =
+    when(col("lang") === "en", lit("text")).otherwise(lit("image"))
+
+  /** §3.1 /submit parts: existing corpus = doc_id %50 != 0, batch =
+    * %50 == 0, modality from lang (en→text, else→image: cross-modal
+    * balancing + boost get exercised). */
+  private def submitParts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+    val existing = base.filter(col("doc_id") % 50 =!= 0).select(
+      docId(col("text")).as("id"),
+      docMtype.as("mtype"), col("text").as("data"),
+      Embed.embedText(col("text"), pipeConf.dim).as("embedding"))
+    val batch = base.filter(col("doc_id") % 50 === 0).select(
+      docMtype.as("mtype"), col("text").as("data"), col("doc_id").as("seq"))
+    Pipelines.submit(existing, batch, pipeConf)
+  }
+
+  /** §3.1 end-to-end: embed → dedup-ingest → KNN(k=10, self-clamp) —
+    * the /submit response (neighbors of each newly ingested doc). */
+  private def submitPipeline(s: SparkSession, dir: String): DataFrame =
+    rankedOut(submitParts(s, dir)._2)
+
+  /** §3.2 end-to-end: embed query → KNN(k=20, no self-match possible) →
+    * faithful graph expansion over the submit-built edges. */
+  private def searchPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (docs, _, edges) = submitParts(s, dir)
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+    val queries = base.filter(col("doc_id") % 97 === 0).select(
+      concat(lit("q"), col("doc_id").cast("string")).as("qid"),
+      docMtype.as("qtype"),
+      Embed.embedText(
+        concat(lit("find "), substring(col("text"), 1, 40)), pipeConf.dim).as("qvec"))
+    val edgesDedup = GraphBuild.upsertEdges(edges.limit(0), edges)
+    Pipelines.search(docs, queries, edgesDedup, pipeConf)
+      .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
+        col("origin"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   // ---- the registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,6 +192,8 @@ object SparkEntry {
     "q13_edge_upsert" -> ((s, d) => edgeUpsert(s, d)),
     "q14_graph_expand" -> ((s, d) => graphExpand(s, d)),
     "q15_graph_degrees" -> ((s, d) => graphDegrees(s, d)),
+    "q16_submit_pipeline" -> ((s, d) => submitPipeline(s, d)),
+    "q17_search_pipeline" -> ((s, d) => searchPipeline(s, d)),
     "q20_text_analysis" ->
       ((s, d) => TextAnalysis.analyze(Tables.documents(s, d), "doc_id", "text")
         .withColumn("n_tokens", col("n_tokens").cast("long"))
@@ -164,13 +213,6 @@ object SparkEntry {
 
   // ---- oracles ----------------------------------------------------------
 
-  /** DuckDB dot-product mirror of VectorFunctions.dotProduct: element-wise
-    * Double products, strict left fold from 0.0. */
-  private def sqlDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), " +
-      s"(acc, v) -> acc + v)"
-
   private val sqlStopwords: String =
     graft.functions.TextFunctions.EnglishStopwords
       .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -185,53 +227,46 @@ object SparkEntry {
       "+ 0.3 * least(sw_ratio / 0.2, 1.0) " +
       "+ 0.3 * (1.0 - least(p_ratio * 4.0, 1.0))"
 
-  /** Shared §2.3 KNN CTE chain ending in
-    * knn(qid, qtype, id, mtype, sim, rnk) — the SQL mirror of
-    * Knn.search(embDocs, embQueries, k=10) with qtype attached. */
-  private val sqlKnnCtes: String =
-    s"""docs AS (
-       |  SELECT CAST(vec_id AS VARCHAR) AS id,
-       |         'm' || CAST(label % 2 AS VARCHAR) AS mtype, embedding
-       |  FROM embeddings),
-       |q AS (
-       |  SELECT CAST(vec_id AS VARCHAR) AS qid,
-       |         'm' || CAST(label % 2 AS VARCHAR) AS qtype,
-       |         embedding AS qvec
-       |  FROM embeddings WHERE vec_id % 100 = 0),
-       |scored AS (
-       |  SELECT q.qid, q.qtype, d.id, d.mtype,
-       |    CASE WHEN d.id = q.qid THEN 1.0
-       |         ELSE ${sqlDot("q.qvec", "d.embedding")} END AS sim,
-       |    CASE WHEN d.mtype = q.qtype THEN 'same' ELSE 'cross' END AS bucket
-       |  FROM q CROSS JOIN docs d),
-       |overfetched AS (
-       |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS ofr
-       |    FROM scored) WHERE ofr <= 60),
-       |kept AS (
-       |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY qid, bucket
-       |                                 ORDER BY sim DESC, id) AS brank
-       |    FROM overfetched) WHERE brank <= 5),
-       |unioned AS (
-       |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY qid
-       |      ORDER BY (CASE WHEN bucket = 'same' THEN 0 ELSE 1 END), sim DESC, id) AS urank
-       |    FROM kept) WHERE urank <= 10),
-       |knn AS (
-       |  SELECT qid, qtype, id, mtype, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
-       |  FROM unioned)""".stripMargin
+  /** embeddings.parquet docs/queries CTEs feeding the shared KNN chain. */
+  private val sqlEmbCtes: String =
+    """docs AS (
+      |  SELECT CAST(vec_id AS VARCHAR) AS id,
+      |         'm' || CAST(label % 2 AS VARCHAR) AS mtype, embedding
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT CAST(vec_id AS VARCHAR) AS qid,
+      |         'm' || CAST(label % 2 AS VARCHAR) AS qtype,
+      |         embedding AS qvec
+      |  FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin
 
-  /** SQL mirror of GraphBuild.edgeDelta over the `knn` CTE (score boost
-    * F6 + canonical undirected form), parameterized by sim expression,
-    * seq literal and an extra filter. */
-  private def sqlEdgeDelta(simExpr: String, seq: Int, extraWhere: String): String =
-    s"""SELECT least(qid, id) AS src, greatest(qid, id) AS dst,
-       |    CASE WHEN mtype <> qtype THEN greatest($simExpr, 0.8)
-       |         ELSE $simExpr END AS score,
-       |    CAST($seq AS BIGINT) AS seq
-       |  FROM knn WHERE id <> qid$extraWhere""".stripMargin
+  /** documents.parquet §3.1 submit CTEs ending in sdocs/sq + submit knn
+    * chain prefix "s" (mirrors submitParts). */
+  private val sqlSubmitCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN lang = 'en' THEN 'text' ELSE 'image' END AS mt
+       |  FROM documents),
+       |ex0 AS (
+       |  SELECT concat('doc:', sha256(text)) AS id, mt AS mtype, text
+       |  FROM base WHERE doc_id % 50 <> 0),
+       |${embedCte("ex", "ex0", "id, mtype", "text", 16)},
+       |b0 AS (
+       |  SELECT concat('doc:', sha256(text)) AS id, mt AS mtype,
+       |         doc_id AS seq, text
+       |  FROM base WHERE doc_id % 50 = 0),
+       |${embedCte("b", "b0", "id, mtype, seq", "text", 16)},
+       |bfirst AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq) AS _rn
+       |    FROM bemb) WHERE _rn = 1),
+       |delta AS (
+       |  SELECT id, mtype, seq, embedding FROM bfirst
+       |  WHERE id NOT IN (SELECT id FROM exemb)),
+       |sdocs AS (
+       |  SELECT id, mtype, embedding FROM exemb
+       |  UNION ALL SELECT id, mtype, embedding FROM delta),
+       |sq AS (SELECT id AS qid, mtype AS qtype, embedding AS qvec FROM delta),
+       |${knnChain("s", 10)}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -297,18 +332,19 @@ object SparkEntry {
          |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
          |  FROM embeddings WHERE vec_id % 100 = 0),
          |scored AS (
-         |  SELECT q.qid, d.id, ${sqlDot("q.qvec", "d.embedding")} AS sim
+         |  SELECT q.qid, d.id, ${dot("q.qvec", "d.embedding")} AS sim
          |  FROM q CROSS JOIN docs d),
          |ranked AS (
          |  SELECT qid, id, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
          |  FROM scored)
-         |SELECT qid, id, ${sqlRnd("sim", 6)} AS sim, rnk
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
     "q11_knn_modal_balanced" ->
-      s"""WITH $sqlKnnCtes
-         |SELECT qid, id, mtype, ${sqlRnd("sim", 6)} AS sim, rnk
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)}
+         |SELECT qid, id, mtype, ${rnd6("sim")} AS sim, rnk
          |FROM knn
          |ORDER BY qid, rnk""".stripMargin,
     "q12_ingest_dedup_delta" ->
@@ -329,60 +365,57 @@ object SparkEntry {
         |WHERE id NOT IN (SELECT id FROM existing)
         |ORDER BY id""".stripMargin,
     "q13_edge_upsert" ->
-      s"""WITH $sqlKnnCtes,
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
          |ea AS (
-         |  ${sqlEdgeDelta("sim", 1, "")}),
+         |  ${edgeDelta("knn", "sim", 1, "")}),
          |eb AS (
-         |  ${sqlEdgeDelta("sim * 0.9", 2, " AND rnk <= 3")}),
+         |  ${edgeDelta("knn", "sim * 0.9", 2, " AND rnk <= 3")}),
          |upserted AS (
          |  SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY src, dst ORDER BY seq DESC) AS _rn
          |    FROM (SELECT * FROM ea UNION ALL SELECT * FROM eb))
          |  WHERE _rn = 1)
-         |SELECT src, dst, ${sqlRnd("score", 6)} AS score, seq
+         |SELECT src, dst, ${rnd6("score")} AS score, seq
          |FROM upserted ORDER BY src, dst""".stripMargin,
     "q14_graph_expand" ->
-      s"""WITH $sqlKnnCtes,
-         |ed AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY src, dst ORDER BY seq DESC) AS _rn
-         |    FROM (${sqlEdgeDelta("sim", 1, "")}))
-         |  WHERE _rn = 1),
-         |sym AS (
-         |  SELECT src AS u, dst AS v, score FROM ed
-         |  UNION ALL SELECT dst, src, score FROM ed),
-         |head AS (SELECT qid AS h_qid, id AS h_id, sim AS h_sim FROM knn WHERE rnk = 1),
-         |nb AS (
-         |  SELECT h_qid AS qid, v AS id, h_sim * score * 0.9 AS score, 1 AS prio
-         |  FROM head JOIN sym ON h_id = u),
-         |sd AS (SELECT qid, id, sim AS score, 0 AS prio FROM knn WHERE rnk <= 5),
-         |ud AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY qid, id
-         |                                 ORDER BY prio, score DESC) AS _rn
-         |    FROM (SELECT * FROM sd UNION ALL SELECT * FROM nb))
-         |  WHERE _rn = 1),
-         |fin AS (
-         |  SELECT qid, id, score,
-         |    CASE WHEN prio = 0 THEN 'seed' ELSE 'expanded' END AS origin,
-         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
-         |  FROM ud)
-         |SELECT qid, id, ${sqlRnd("score", 6)} AS score, origin, rnk
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |${expandFaithful("", "g", " AND rnk <= 5")}
+         |SELECT qid, id, ${rnd6("score")} AS score, origin, rnk
          |FROM fin WHERE rnk <= 20
          |ORDER BY qid, rnk""".stripMargin,
     "q15_graph_degrees" ->
-      s"""WITH $sqlKnnCtes,
-         |ed AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY src, dst ORDER BY seq DESC) AS _rn
-         |    FROM (${sqlEdgeDelta("sim", 1, "")}))
-         |  WHERE _rn = 1),
-         |sym AS (
-         |  SELECT src AS u, dst AS v, score FROM ed
-         |  UNION ALL SELECT dst, src, score FROM ed)
-         |SELECT u AS id, count(*) AS degree, ${sqlRnd("sum(score)", 6)} AS strength
-         |FROM sym GROUP BY u
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |${symmetric("g")}
+         |SELECT u AS id, count(*) AS degree, ${rnd6("sum(score)")} AS strength
+         |FROM gsym GROUP BY u
          |ORDER BY id""".stripMargin,
+    "q16_submit_pipeline" ->
+      s"""WITH $sqlSubmitCtes
+         |SELECT qid, id, mtype, ${rnd6("sim")} AS sim, rnk
+         |FROM sknn
+         |ORDER BY qid, rnk""".stripMargin,
+    "q17_search_pipeline" ->
+      s"""WITH $sqlSubmitCtes,
+         |${edgeDedup("g", edgeDelta("sknn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |q0 AS (
+         |  SELECT 'q' || CAST(doc_id AS VARCHAR) AS qid, mt AS qtype,
+         |         concat('find ', substr(text, 1, 40)) AS qt
+         |  FROM base WHERE doc_id % 97 = 0),
+         |${embedCte("q", "q0", "qid, qtype", "qt", 16)},
+         |docs AS (SELECT * FROM sdocs),
+         |q AS (SELECT qid, qtype, embedding AS qvec FROM qemb),
+         |${knnChain("", 20)},
+         |${expandFaithful("", "g", "")}
+         |SELECT qid, id, ${rnd6("score")} AS score, origin, rnk
+         |FROM fin WHERE rnk <= 20
+         |ORDER BY qid, rnk""".stripMargin,
     "q20_text_analysis" ->
       s"""WITH t AS (
          |  SELECT doc_id AS id, text, $sqlToks AS toks FROM documents),
@@ -429,7 +462,7 @@ object SparkEntry {
          |  SELECT vec_id AS id, embedding AS v, label AS blk FROM embeddings),
          |pairs AS (
          |  SELECT a.id AS id_a, b.id AS id_b,
-         |    ${sqlRnd(sqlDot("a.v", "b.v"), 6)} AS cos
+         |    ${rnd6(dot("a.v", "b.v"))} AS cos
          |  FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id)
          |SELECT id_a, id_b, cos FROM pairs
          |WHERE cos >= 0.35

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.GraftConf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's two end-to-end flows composed from the operator layer
+  * (SURVEY.md §3.1, §3.2) — each is ONE logical plan: Catalyst sees the
+  * whole embed → dedup → KNN → graph chain and optimizes across the
+  * stages (column pruning drops embeddings from the dedup branch, the
+  * query side broadcasts into the scan, etc).
+  */
+object Pipelines {
+
+  /** `/submit` (main.py:48-87): ingest a batch, then KNN each *new* doc
+    * against the post-ingest corpus (self-clamp active: the new doc is in
+    * the store when searched, main.py:80-84), then derive edge deltas.
+    *
+    * @param existing (id, mtype, data, embedding)
+    * @param batch    (mtype, data, seq)
+    * @return (updated docs, knn neighbors with qtype, edge delta)
+    */
+  def submit(
+      existing: DataFrame,
+      batch: DataFrame,
+      conf: GraftConf = GraftConf.default
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val delta = Ingest.dedupDelta(Ingest.prepare(batch, conf), existing)
+      .select("id", "mtype", "data", "embedding", "seq")
+    val docs = existing.select("id", "mtype", "data", "embedding")
+      .unionByName(delta.drop("seq"))
+    val queries = delta.select(
+      col("id").as("qid"), col("mtype").as("qtype"),
+      col("embedding").as("qvec"), col("seq"))
+    val knn = Knn.search(docs, queries.drop("seq"), conf.submitK, conf)
+      .join(queries.select("qid", "qtype", "seq"), Seq("qid"))
+    val edges = GraphBuild.edgeDelta(knn, conf)
+    (docs, knn, edges)
+  }
+
+  /** `/search` (main.py:90-125): embed the query, KNN WITHOUT self-clamp
+    * (no query_id, main.py:118), then faithful graph expansion
+    * (search.py:5-43) over the supplied edge table. */
+  def search(
+      docs: DataFrame,
+      queries: DataFrame, // (qid, qtype, qvec) with qid not a doc id
+      edges: DataFrame,
+      conf: GraftConf = GraftConf.default
+  ): DataFrame = {
+    val knn = Knn.search(docs, queries, conf.searchK, conf)
+    GraphExpand.expandFaithful(
+      knn.select("qid", "id", "sim", "rank"), edges, conf.searchK, conf)
+  }
+}
