@@ -99,4 +99,60 @@ object OracleSql {
 
   /** Portable rounding, re-exported for assembly convenience. */
   def rnd6(inner: String): String = sqlRnd(inner, 6)
+
+  // ---- sketch fragments (mirror Dedup.* and TextFunctions.*) ------------
+
+  /** Mirror of HashFunctions.hash60. */
+  def hash60(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Mirror of TextFunctions.tokens over an arbitrary text expression. */
+  def toksOf(texpr: String): String =
+    s"list_filter(string_split_regex(lower($texpr), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Mirror of TextFunctions.wordShingles given a token-list expression
+    * (w is unrolled, as in the Spark side). */
+  def wordShingles(toks: String, w: Int): String = {
+    val joined = (0 until w).map(j => s"$toks[i + ${j + 1}]")
+      .mkString("concat(", ", ' ', ", ")")
+    s"CASE WHEN len($toks) < $w THEN [] " +
+      s"ELSE list_distinct(list_transform(range(0, len($toks) - ${w - 1}), i -> $joined)) END"
+  }
+
+  /** Mirror of TextFunctions.charShingles (lowercased input expr). */
+  def charShingles(texpr: String, n: Int): String = {
+    val s = s"lower($texpr)"
+    s"CASE WHEN length($s) < $n THEN [] " +
+      s"ELSE list_distinct(list_transform(range(1, length($s) - ${n - 2}), i -> substr($s, i, $n))) END"
+  }
+
+  /** Mirror of Dedup.minhashSignature over a shingle-list expression. */
+  def minhashSig(sh: String, numHashes: Int): String =
+    s"list_transform(range(0, $numHashes), i -> " +
+      s"list_min(list_transform($sh, s -> ${hash60("CAST(i AS VARCHAR) || ':' || s")})))"
+
+  /** Mirror of Dedup.bandKeys over a signature column name. */
+  def bandKeys(sig: String, bands: Int, rowsPerBand: Int): String = {
+    val keys = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand)
+        .map(r => s"CAST($sig[${b * rowsPerBand + r + 1}] AS VARCHAR)")
+      (s"'$b'" +: slice).mkString("concat_ws('_', ", ", ", ")")
+    }
+    keys.mkString("[", ", ", "]")
+  }
+
+  /** Mirror of Dedup.simhash over a token-hash-list column name
+    * (bits unrolled exactly like the Spark side). */
+  def simhashOf(hs: String, bits: Int): String =
+    (0 until bits).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> " +
+        s"CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Jaccard of two distinct-element list columns (sizes as Doubles,
+    * portable-rounded by the caller). */
+  def jaccard(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE)"
 }

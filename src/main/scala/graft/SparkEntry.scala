@@ -172,6 +172,55 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Near-dup corpus for the sketch queries: every 5th doc plus a
+    * perturbed copy (guaranteed high-Jaccard pairs with deterministic
+    * ids). */
+  private def perturbedDocs(s: SparkSession, dir: String, tail: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(tail)).as("text")))
+  }
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupMinhashLsh(perturbedDocs(s, dir, " graft dedup probe tail"),
+        "doc_id", "text", shingleWidth = 3, numHashes = 12, bands = 4,
+        threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupSimhash(perturbedDocs(s, dir, " the"), "doc_id", "text", bits = 16)
+      .orderBy("id_a", "id_b")
+
+  /** Exact char-3-gram Jaccard with min-hash blocking. Corpus sampled at
+    * 1/17: single-key blocking on a same-vocabulary corpus is
+    * collision-heavy (measured: 78% of docs share one block at sf0.1), so
+    * the exact verifier is quadratic within the block — the scale path
+    * for this job is nearDupMinhashLsh (q23), whose banding prunes
+    * properly. */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 17 === 0)
+          .select("doc_id", "text"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Curation rollup: corpus quality stats per ground-truth lang —
+    * aggregation OVER derived text metrics. */
+  private def qualityByLang(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val m = TextAnalysis.analyze(base, "doc_id", "text")
+      .join(base.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    m.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(avg("quality"), 6).as("avg_quality"),
+        rnd(avg("stopword_ratio"), 6).as("avg_sw_ratio"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)).as("n_pred_match"))
+      .orderBy("lang")
+  }
+
   // ---- the registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,7 +257,11 @@ object SparkEntry {
     "q22_neardup_embedding" -> ((s, d) =>
       Dedup.nearDupEmbedding(
           Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+    "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
+    "q24_neardup_simhash" -> ((s, d) => simhashPairs(s, d)),
+    "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -466,6 +519,88 @@ object SparkEntry {
          |  FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id)
          |SELECT id_a, id_b, cos FROM pairs
          |WHERE cos >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q23_neardup_minhash_lsh" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat(text, ' graft dedup probe tail') FROM d0),
+         |withtoks AS (
+         |  SELECT doc_id AS id, ${toksOf("text")} AS toks FROM all_docs),
+         |withsh AS (
+         |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM withtoks),
+         |withsig AS (
+         |  SELECT id, sh, ${minhashSig("sh", 12)} AS sig
+         |  FROM withsh WHERE len(sh) > 0),
+         |withkeys AS (
+         |  SELECT id, sh, ${bandKeys("sig", 4, 3)} AS bkeys FROM withsig),
+         |banded AS (SELECT id, sh, unnest(bkeys) AS bkey FROM withkeys),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.id < b.id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b, ${rnd6(jaccard("sa.sh", "sb.sh"))} AS jaccard
+         |  FROM cand c
+         |  JOIN withsh sa ON sa.id = c.id_a
+         |  JOIN withsh sb ON sb.id = c.id_b)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q24_neardup_simhash" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat(text, ' the') FROM d0),
+         |withhs AS (
+         |  SELECT doc_id AS id,
+         |         list_transform(${toksOf("text")}, t -> ${hash60("t")}) AS hs
+         |  FROM all_docs),
+         |sk AS (SELECT id, ${simhashOf("hs", 16)} AS sk FROM withhs)
+         |SELECT a.id AS id_a, b.id AS id_b, a.sk AS sketch
+         |FROM sk a JOIN sk b ON a.sk = b.sk AND a.id < b.id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q25_ngram_jaccard" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+         |withsh AS (
+         |  SELECT doc_id AS id, ${charShingles("text", 3)} AS sh FROM d0),
+         |blocked AS (
+         |  SELECT id, sh,
+         |         list_min(list_transform(sh, s -> ${hash60("s")})) AS blk
+         |  FROM withsh),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         ${rnd6(jaccard("a.sh", "b.sh"))} AS jaccard
+         |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q26_quality_by_lang" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, text, lang, $sqlToks AS toks FROM documents),
+         |m AS (
+         |  SELECT id, lang, text,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(toks, x -> list_contains($sqlStopwords, x))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) END AS sw_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(text) AS DOUBLE) END AS p_ratio
+         |  FROM t),
+         |p AS (
+         |  SELECT id, lang,
+         |    ${rnd6(sqlQuality)} AS quality,
+         |    ${rnd6("sw_ratio")} AS stopword_ratio,
+         |    CASE WHEN sw_ratio >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred
+         |  FROM m)
+         |SELECT lang, count(*) AS n_docs,
+         |  ${rnd6("avg(quality)")} AS avg_quality,
+         |  ${rnd6("avg(stopword_ratio)")} AS avg_sw_ratio,
+         |  CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_match
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

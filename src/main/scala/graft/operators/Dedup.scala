@@ -82,23 +82,43 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = docs
+    // Shingle sets are reused twice (banding + jaccard verify via a
+    // self-join): persist so the text is shingled once, not 4x. Plan
+    // shape matters more than it looks: computing the signature as an
+    // array column and then slicing it into band keys DUPLICATES the
+    // whole 12-hash expression tree into every element_at — Catalyst
+    // collapses projections without CSE, a 12x md5 blowup measured at
+    // 400+s on sf0.1. The explode + one-pass partial aggregation below
+    // computes every hash exactly once and map-side-combines the mins —
+    // also the right plan at 100 TB (shuffle carries only
+    // numHashes longs per doc).
+    val withSh = docs
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("bkeys", bandKeys(col("sig"), bands, rowsPerBand))
+      .persist()
 
-    val banded = withSig.select(col("id"), col("sh"), explode(col("bkeys")).as("bkey"))
+    val sigCols = (0 until numHashes).map(i => min(hash60(col("s"), i)).as(s"h$i"))
+    val sig = withSh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(sigCols.head, sigCols.tail: _*)
 
-    val pairs = banded.as("a")
+    val bandKeyCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      concat_ws("_", lit(b.toString) +: slice: _*)
+    }
+    val banded = sig
+      .select(col("id"), explode(array(bandKeyCols: _*)).as("bkey"))
+
+    val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    pairs
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -112,21 +132,32 @@ object Dedup {
     * Integer-only math → bit-identical across engines. `bits` is a plan
     * literal, so the loop unrolls into `bits` independent aggregates over
     * the shared hash array. */
-  def simhash(textCol: Column, bits: Int = 32): Column = {
-    val hashes = transform(tokens(textCol), t => hash60(t))
+  def simhash(textCol: Column, bits: Int = 32): Column =
+    simhashFromHashes(transform(tokens(textCol), t => hash60(t)), bits)
+  // NB: when the input expression is expensive (md5 per token), feed a
+  // MATERIALIZED hash-array column instead — each of the `bits` vote
+  // aggregates embeds its own copy of the input expression tree
+  // (projection collapse has no CSE), a `bits`-fold recompute otherwise.
+
+  /** SimHash from a precomputed token-hash array column. */
+  def simhashFromHashes(hashes: Column, bits: Int): Column =
     (0 until bits).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (s, h) => s + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Near-dup pairs by identical SimHash sketch (hamming distance 0 at
     * exact-bucket granularity; radius>0 = multi-probe over bit-rotations,
     * kept for a later round). */
   def nearDupSimhash(
       docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
-    val sk = docs.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sk"))
+    // materialize token hashes (md5 each) before the bit-vote fan-out,
+    // and the sketch before the self-join — see simhash() note
+    val withHs = docs.select(col(idCol).as("id"),
+      transform(tokens(col(textCol)), t => hash60(t)).as("hs")).persist()
+    val sk = withHs.select(col("id"),
+      simhashFromHashes(col("hs"), bits).as("sk")).persist()
     sk.as("a").join(sk.as("b"),
         col("a.sk") === col("b.sk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sk").as("sketch"))
@@ -142,11 +173,11 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.3
   ): DataFrame = {
-    val withSh = docs.select(
-      col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
-    // blocking: minimum shingle-hash as the block key (cheap, deterministic)
-    val blocked = withSh
+    // persist: the self-join would otherwise re-shingle both sides
+    val blocked = docs
+      .select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
       .withColumn("blk", array_min(transform(col("sh"), s => hash60(s))))
+      .persist()
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
