@@ -172,6 +172,35 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** ANN scale path: hyperplane-LSH bucketed top-k (no cross join — the
+    * query-candidate join is on an 8-bit sign bucket). */
+  private def annLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.topKBucketed(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").cast("string").as("qid"),
+            col("embedding").as("qvec")),
+        k = 5, dim = 64, nPlanes = 8)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+
+  /** Multimodal feature extraction: text bytes as opaque BINARY content
+    * through the mapPartitions per-partition-model path; output scalars
+    * pin the whole vector against the SQL mirror of the stub model. */
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir).select(
+      concat(lit("doc:"), sha2(col("text"), 256)).as("id"),
+      col("text").cast("binary").as("content"))
+    Multimodal.extractFeatures(media, "id", "content", dim = 16)
+      .select(col("id"),
+        rnd(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        rnd(element_at(col("features"), 8).cast("double"), 6).as("f7"),
+        rnd(graft.functions.VectorFunctions.l2Norm(col("features")), 6).as("nrm"))
+      .orderBy("id")
+  }
+
   /** Near-dup corpus for the sketch queries: every 5th doc plus a
     * perturbed copy (guaranteed high-Jaccard pairs with deterministic
     * ids). */
@@ -258,10 +287,12 @@ object SparkEntry {
       Dedup.nearDupEmbedding(
           Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
         .orderBy("id_a", "id_b")),
+    "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q24_neardup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
-    "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d))
+    "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d)),
+    "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -520,6 +551,35 @@ object SparkEntry {
          |SELECT id_a, id_b, cos FROM pairs
          |WHERE cos >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q18_ann_lsh" ->
+      s"""WITH d AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+         |         ${Ann.sqlLshBucket("embedding", 64, 8)} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+         |         ${Ann.sqlLshBucket("embedding", 64, 8)} AS bucket
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, d.id, ${dot("q.qvec", "d.embedding")} AS sim
+         |  FROM q JOIN d ON q.bucket = d.bucket),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+    "q30_multimodal_features" ->
+      s"""WITH b0 AS (
+         |  SELECT concat('doc:', sha256(text)) AS id, sha256(text) AS key
+         |  FROM documents),
+         |${embedCte("f", "b0", "id", "key", 16)}
+         |SELECT id,
+         |  ${rnd6("CAST(embedding[1] AS DOUBLE)")} AS f0,
+         |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
+         |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
+         |FROM femb ORDER BY id""".stripMargin,
     "q23_neardup_minhash_lsh" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

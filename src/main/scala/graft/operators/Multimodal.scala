@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column support: opaque `BINARY` content
+  * with typed metadata, mirroring the reference's upload path
+  * (main.py:59-68: raw bytes hashed and stored; embedding service decodes
+  * them, app.py:31-40). The reference's audio path is degenerate — audio
+  * bytes are sent down the image branch (vec.py:16-22) — preserved here
+  * by routing every modality through the same byte pipeline.
+  *
+  * STUBBED DECODE: no image/audio codecs exist in this offline
+  * environment, so `decodeMeta` and the per-partition "model" inside
+  * [[extractFeatures]] are DETERMINISTIC FAKES (hash-derived). The
+  * Spark-side plumbing — binaryFile source, schema, partitioning,
+  * per-partition handle lifecycle, batch shape — is real and tested; swap
+  * `StubMediaModel` for a real codec/model to go live.
+  *
+  * Scale: content bytes never shuffle — metadata and features are derived
+  * per-row (map-only); `binaryFile` splits by file, so parallelism = file
+  * count; feature extraction holds ONE model per partition (the standard
+  * Spark model-inference pattern, SURVEY.md §2.6 E1/E2).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("mtype", StringType, nullable = false),
+    StructField("path", StringType, nullable = true),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** Ingest a directory of binary files (S2): content-addressed id +
+    * extension-derived modality tag. */
+  def fromBinaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        concat(lit("doc:"), sha2(col("content"), 256)).as("id"),
+        when(lower(col("path")).rlike("\\.(png|jpe?g|gif|bmp)$"), "image")
+          .when(lower(col("path")).rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
+          .when(lower(col("path")).rlike("\\.(mp4|avi|mkv|webm)$"), "video")
+          .otherwise("binary").as("mtype"),
+        col("path"),
+        col("content"))
+
+  /** STUB metadata decode — deterministic fake dimensions from the
+    * content hash (a real build decodes headers here). Column-level, so
+    * it composes with pruning/pushdown like any projection. */
+  def decodeMeta(content: Column): Column = {
+    val h = HashFunctions.hash60(sha2(content, 256))
+    struct(
+      (h % 1920).cast("int").as("width"),
+      ((h / 1920) % 1080).cast("int").as("height"),
+      lit(3).as("channels"),
+      (h % 600000).cast("int").as("duration_ms"))
+  }
+
+  /** Pseudo frame sampling: n equal byte slices of the content (a real
+    * build decodes + samples frames; the slicing plumbing — one row in,
+    * array of n binary chunks out — is what the pipeline needs).
+    * call_function reaches the Substring expression with non-literal
+    * pos/len (the Scala `substring` wrapper only takes Ints). */
+  def frameSample(content: Column, n: Int): Column = {
+    val chunk = greatest(length(content) / n, lit(1))
+    transform(sequence(lit(0), lit(n - 1)),
+      i => call_function("substring", content, i * chunk + 1, chunk))
+  }
+
+  /** The per-partition "model": deterministic fake producing the same
+    * vector as Embed.embedBinary (embedText of the sha256 hex digest), so
+    * the imperative JVM path is bit-checkable against the SQL oracle. */
+  private final class StubMediaModel(dim: Int) {
+    private val md5 = java.security.MessageDigest.getInstance("MD5")
+    private val sha = java.security.MessageDigest.getInstance("SHA-256")
+
+    private def hex(bytes: Array[Byte]): String =
+      bytes.map("%02x".format(_)).mkString
+
+    /** Mirror of HashFunctions.hash60 (first 15 md5 hex chars, base 16). */
+    private def hash60(s: String): Long = {
+      md5.reset()
+      val h = hex(md5.digest(s.getBytes("UTF-8")))
+      java.lang.Long.parseLong(h.substring(0, 15), 16)
+    }
+
+    /** Mirror of Embed.embedText(sha256Hex(content), dim). */
+    def embed(content: Array[Byte]): Array[Float] = {
+      sha.reset()
+      val key = hex(sha.digest(content))
+      val raw = Array.tabulate(dim) { i =>
+        ((hash60(s"$key#$i") % 2000001L - 1000000L).toDouble / 1000000.0).toFloat
+      }
+      var ss = 0.0
+      var i = 0
+      while (i < dim) { ss += raw(i).toDouble * raw(i).toDouble; i += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm == 0.0) raw
+      else raw.map(x => (x.toDouble / nrm).toFloat)
+    }
+  }
+
+  /** Feature extraction over binary content via mapPartitions: ONE model
+    * instance per partition (the real-model pattern — amortizes load
+    * cost), rows streamed through it. Output: (id, features ARRAY<FLOAT>).
+    */
+  def extractFeatures(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      dim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col(idCol), col(contentCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        val model = new StubMediaModel(dim) // per-partition handle
+        rows.map { case (id, content) => (id, model.embed(content)) }
+      }
+    out.toDF(idCol, "features")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.GraftConf
+import graft.operators.{GraphBuild, Ingest, Knn}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming form of the reference's ingest loop. The reference handles
+  * one document per `/submit` request (main.py:48-87) — request/response,
+  * no stream processor. The Spark-native generalization is a Structured
+  * Streaming micro-batch pipeline: each batch of arriving documents is
+  * embedded, deduped against the store, appended, KNN'd against the
+  * post-ingest corpus, and its edge deltas appended — exactly the §3.1
+  * flow, incrementally (SURVEY.md §1.1 closing note).
+  *
+  * Scale notes: all per-batch work is the same declarative plan as batch
+  * Pipelines.submit, so Catalyst/AQE treatment is identical; state lives
+  * in parquet dirs (docs/edges), not executor memory; the only streaming
+  * state is Spark's own offset tracking (checkpointed).
+  */
+object StreamingIngest {
+
+  /** Wire a streaming (mtype, data, seq) source into the ingest loop.
+    * Returns a started-ready writer; caller sets checkpoint/trigger and
+    * starts it.
+    *
+    * @param docsDir  parquet dir holding the doc store (created on first
+    *                 batch if absent)
+    * @param edgesDir parquet dir for edge deltas (append-only; compact
+    *                 with GraphBuild.upsertEdges on read)
+    */
+  def ingestWriter(
+      stream: DataFrame,
+      docsDir: String,
+      edgesDir: String,
+      conf: GraftConf = GraftConf.default): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId, docsDir, edgesDir, conf)
+    }
+
+  /** One micro-batch of the ingest loop (factored out for direct batch
+    * testing — the semantics are identical by construction). */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      docsDir: String,
+      edgesDir: String,
+      conf: GraftConf): Unit = {
+    val existing: DataFrame =
+      if (new java.io.File(docsDir).exists())
+        spark.read.parquet(docsDir)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id STRING, mtype STRING, data STRING, embedding ARRAY<FLOAT>"))
+
+    val delta = Ingest.dedupDelta(Ingest.prepare(batch, conf), existing)
+      .select("id", "mtype", "data", "embedding", "seq")
+      .persist() // reused 3x below; tiny (one micro-batch)
+
+    if (!delta.isEmpty) {
+      delta.drop("seq").write.mode("append").parquet(docsDir)
+      val docs = spark.read.parquet(docsDir)
+      val queries = delta.select(
+        col("id").as("qid"), col("mtype").as("qtype"),
+        col("embedding").as("qvec"), col("seq"))
+      val knn = Knn.search(docs, queries.drop("seq"), conf.submitK, conf)
+        .join(queries.select("qid", "qtype", "seq"), Seq("qid"))
+      GraphBuild.edgeDelta(knn, conf)
+        .write.mode("append").parquet(edgesDir)
+    }
+    delta.unpersist()
+  }
+
+  /** Watermarked sliding-window event rollup — the streaming counterpart
+    * of Relational.qEventRollup: counts + sums per (window, event_type)
+    * with late data bounded by the watermark. */
+  def windowedEventCounts(
+      events: DataFrame, // streaming (ts TIMESTAMP, event_type STRING, value DOUBLE)
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user running totals via mapGroupsWithState — the custom-state
+    * primitive (KeyValueGroupedDataset) the engine exposes for logic that
+    * windowed aggregation can't express (running counters, sessionization,
+    * online dedup caches). */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Double, (Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[Double]) =>
+          val prev = state.getOption.getOrElse(0.0)
+          val total = prev + rows.map(_._2).sum
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "running_total")
+  }
+}
