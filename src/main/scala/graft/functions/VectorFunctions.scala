@@ -21,8 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Left-fold dot product: ((0 + a0*b0) + a1*b1) + ... all in Double. */
+  /** Left-fold dot product: ((0 + a0*b0) + a1*b1) + ... all in Double.
+    * Backed by the codegen expression [[graft.expressions.DotProductF]]
+    * (tight loop inside whole-stage codegen); [[dotProductHof]] is the
+    * pure-public-API form with identical bit-level semantics on dense
+    * equal-length arrays. */
   def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.DotProductF(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** Higher-order-function dot product (no custom expression involved) —
+    * kept as the reference implementation the codegen path must match. */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

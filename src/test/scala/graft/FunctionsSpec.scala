@@ -88,4 +88,15 @@ class FunctionsSpec extends SparkSpec {
     assert(s(0) == s(1))
     assert(s(0) != s(2))
   }
+
+  test("codegen DotProductF == HOF dot product, bit for bit, on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(2000)
+    val both = pairs.select(
+      VectorFunctions.dotProduct(col("a.embedding"), col("b.embedding")).as("native"),
+      VectorFunctions.dotProductHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
 }
