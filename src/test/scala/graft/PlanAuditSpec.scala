@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Knn, Relational}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits — the "would this survive 100×" checks
+  * (builder prompt: pushdown reaches the scan, small sides broadcast,
+  * the big side never shuffles for KNN, hot expressions stay inside
+  * WholeStageCodegen). These assert on plan STRUCTURE, not timing, so
+  * they hold at any scale factor. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def analyzedPlan(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("q03: mktsegment filter is pushed down to the customer parquet scan") {
+    val p = planString(Relational.q3ShippingPriority(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.contains("IsNotNull(c_mktsegment)") || p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"missing pushdown in:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine before the exchange)") {
+    val p = planString(Relational.q1PricingSummary(spark, sf))
+    // two HashAggregate levels around one shuffle = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("q05: dimension joins are broadcast (no shuffle of lineitem for the join)") {
+    val p = planString(Relational.q5LocalSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  /** Execute, then return the FINAL (post-AQE) plan string — AQE plans
+    * print isFinalPlan=false (no codegen stages, wrapper hides the tree
+    * from collect) until the query actually runs. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // NB: count() would spawn a separate QueryExecution and
+    // leave THIS df's AQE plan unfinalized
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("KNN: the docs side streams straight from the scan (queries broadcast, no exchange below the join)") {
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), lit("m").as("mtype"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).limit(3)
+      .select(col("vec_id").cast("string").as("qid"), lit("m").as("qtype"),
+        col("embedding").as("qvec"))
+    val p = finalPlan(Knn.search(docs, queries, k = 5))
+      .split("== Initial Plan ==").head // AQE appends the pre-adaptive plan
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(joinIdx >= 0, s"expected broadcast NL join:\n$p")
+    // streamed (docs) side prints first, until the BroadcastQueryStage /
+    // BroadcastExchange that starts the build side: it must hold no
+    // shuffle — the corpus flows scan → score without an exchange
+    val afterJoin = p.substring(joinIdx)
+    val buildIdx = afterJoin.indexOf("Broadcast", "BroadcastNestedLoopJoin".length)
+    val streamedSide = afterJoin.substring(0, math.max(buildIdx, 0))
+    assert(!streamedSide.contains("Exchange"),
+      s"docs side must stream from the scan, found exchange:\n$streamedSide")
+    // Spark 4 WindowGroupLimit: top-k is pre-filtered map-side BEFORE the
+    // ranking exchange, so the shuffle carries <= k*overFetch rows per
+    // query per partition — the property that keeps this plan viable at
+    // 100 TB corpus size
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
+  test("column pruning: q12 ingest delta reads only doc_id + text from documents") {
+    val df = SparkEntry.queries("q12_ingest_dedup_delta")(spark, sf)
+    val p = finalPlan(df)
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty, p)
+    readSchemas.foreach { s =>
+      assert(!s.contains("lang") && !s.contains("source") && !s.contains("n_chars"),
+        s"unused columns must be pruned from the scan: $s")
+    }
+  }
+
+  test("vector scoring runs inside WholeStageCodegen (no interpreted hot path)") {
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).limit(3)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    val p = finalPlan(Knn.topK(docs, queries, k = 5))
+      .split("== Initial Plan ==").head
+    assert(p.contains("graft_dot"), p)
+    // codegen'd operators print as "*(n) Op" in the final AQE plan: the
+    // scoring Project containing graft_dot must carry the star
+    val scoringLine = p.linesIterator.find(_.contains("graft_dot")).get
+    assert(scoringLine.contains("*("),
+      s"scoring project not codegen'd: $scoringLine")
+  }
+}
