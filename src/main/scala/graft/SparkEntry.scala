@@ -123,6 +123,17 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Scalable BFS expansion (expandAll, depth=2): full-frontier hops with
+    * compounded decay, max-score dedup — the documented generalization of
+    * the reference's single-pop loop. */
+  private def graphExpandAll(s: SparkSession, dir: String): DataFrame = {
+    val seeds = knnWithQtype(s, dir).select("qid", "id", "sim", "rank")
+    GraphExpand.expandAll(seeds, knnEdges(s, dir), k = 20, depth = 2)
+      .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Graph views (G3-G5): per-node degree + strength. */
   private def graphDegrees(s: SparkSession, dir: String): DataFrame =
     GraphViews.degrees(knnEdges(s, dir))
@@ -270,6 +281,7 @@ object SparkEntry {
     "q13_edge_upsert" -> ((s, d) => edgeUpsert(s, d)),
     "q14_graph_expand" -> ((s, d) => graphExpand(s, d)),
     "q15_graph_degrees" -> ((s, d) => graphDegrees(s, d)),
+    "q19_graph_expand_all" -> ((s, d) => graphExpandAll(s, d)),
     "q16_submit_pipeline" -> ((s, d) => submitPipeline(s, d)),
     "q17_search_pipeline" -> ((s, d) => searchPipeline(s, d)),
     "q20_text_analysis" ->
@@ -479,6 +491,36 @@ object SparkEntry {
          |SELECT u AS id, count(*) AS degree, ${rnd6("sum(score)")} AS strength
          |FROM gsym GROUP BY u
          |ORDER BY id""".stripMargin,
+    "q19_graph_expand_all" ->
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |sd AS (SELECT qid, id, sim AS score FROM knn),
+         |n1 AS (
+         |  SELECT f.qid, e.v AS id, f.score * e.score * 0.9 AS score
+         |  FROM sd f JOIN gsym e ON f.id = e.u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM sd a WHERE a.qid = f.qid AND a.id = e.v)),
+         |a1 AS (SELECT * FROM sd UNION ALL SELECT * FROM n1),
+         |n2 AS (
+         |  SELECT f.qid, e.v AS id, f.score * e.score * 0.9 AS score
+         |  FROM n1 f JOIN gsym e ON f.id = e.u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM a1 a WHERE a.qid = f.qid AND a.id = e.v)),
+         |a2 AS (SELECT * FROM a1 UNION ALL SELECT * FROM n2),
+         |dd AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid, id
+         |                                 ORDER BY score DESC) AS _rn
+         |    FROM a2) WHERE _rn = 1),
+         |fin AS (
+         |  SELECT qid, id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+         |  FROM dd)
+         |SELECT qid, id, ${rnd6("score")} AS score, rnk
+         |FROM fin WHERE rnk <= 20
+         |ORDER BY qid, rnk""".stripMargin,
     "q16_submit_pipeline" ->
       s"""WITH $sqlSubmitCtes
          |SELECT qid, id, mtype, ${rnd6("sim")} AS sim, rnk

@@ -32,4 +32,10 @@ object HashFunctions {
     * (h_i(s) = hash60(i || ':' || s)). */
   def hash60(s: Column, seed: Int): Column =
     hash60(concat(lit(seed.toString), lit(":"), s))
+
+  /** F10 (main.py:64): file-extension extraction, `os.path.splitext`
+    * semantics for the common case (last dot-suffix incl. the dot; empty
+    * when none). */
+  def fileExt(path: Column): Column =
+    regexp_extract(path, "(\\.[^./\\\\]+)$", 1)
 }

@@ -57,6 +57,33 @@ object VectorFunctions {
   def cosineDist(a: Column, b: Column): Column =
     lit(1.0) - cosineSim(a, b)
 
+  /** F3 (db.py:21-22, main.py:290-291): little-endian float32 packing —
+    * the reference's Redis wire format. Storage-edge parity only;
+    * ArrayType is the native in-engine representation. */
+  private val vecToBytesUdf =
+    org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val bb = java.nio.ByteBuffer.allocate(v.length * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        v.foreach(bb.putFloat)
+        bb.array()
+      }
+    }
+
+  private val bytesToVecUdf =
+    org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val bb = java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Array.fill(b.length / 4)(bb.getFloat())
+      }
+    }
+
+  def vecToBytes(v: Column): Column = vecToBytesUdf(v)
+  def bytesToVec(b: Column): Column = bytesToVecUdf(b)
+
   /** L2-normalize an ARRAY<FLOAT> in Double precision, returning
     * ARRAY<FLOAT> (float32 storage parity with the reference, app.py:14-15).
     * Zero vectors pass through unchanged (torch F.normalize uses an eps

@@ -89,6 +89,23 @@ class FunctionsSpec extends SparkSpec {
     assert(s(0) != s(2))
   }
 
+  test("F3: float32 little-endian pack/unpack round-trips (db.py:21-22 wire parity)") {
+    val df = Seq(Tuple1(Seq(1.5f, -2.25f, 3.125f))).toDF("v")
+    val back = df.select(
+      VectorFunctions.bytesToVec(VectorFunctions.vecToBytes(col("v"))).as("r"),
+      VectorFunctions.vecToBytes(col("v")).as("b")).collect().head
+    assert(back.getSeq[Float](0) == Seq(1.5f, -2.25f, 3.125f))
+    // 1.5f little-endian = 00 00 C0 3F
+    assert(back.getAs[Array[Byte]](1).take(4).toSeq ==
+      Seq(0x00.toByte, 0x00.toByte, 0xC0.toByte, 0x3F.toByte))
+  }
+
+  test("F10: file extension extraction (os.path.splitext semantics)") {
+    val df = Seq("uploads/a.png", "x.tar.gz", "noext", "dir.d/file").toDF("p")
+    val ext = df.select(graft.functions.HashFunctions.fileExt(col("p"))).as[String].collect()
+    assert(ext.toSeq == Seq(".png", ".gz", "", ""))
+  }
+
   test("codegen DotProductF == HOF dot product, bit for bit, on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
