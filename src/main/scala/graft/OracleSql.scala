@@ -126,10 +126,20 @@ object OracleSql {
       s"ELSE list_distinct(list_transform(range(1, length($s) - ${n - 2}), i -> substr($s, i, $n))) END"
   }
 
-  /** Mirror of Dedup.minhashSignature over a shingle-list expression. */
-  def minhashSig(sh: String, numHashes: Int): String =
-    s"list_transform(range(0, $numHashes), i -> " +
-      s"list_min(list_transform($sh, s -> ${hash60("CAST(i AS VARCHAR) || ':' || s")})))"
+  /** Mirror of the MinHash affine family base: one md5 per shingle. */
+  def minhashBases(sh: String): String = {
+    val p = graft.functions.HashFunctions.MinhashP
+    s"list_transform($sh, s -> ${hash60("s")} % $p)"
+  }
+
+  /** Mirror of Dedup's signature over a precomputed base-hash list
+    * column: i-th element = min of the i-th affine mix. */
+  def minhashSigFromBases(hb: String, numHashes: Int): String = {
+    import graft.functions.HashFunctions.{minhashA, minhashB, MinhashP}
+    (0 until numHashes).map { i =>
+      s"list_min(list_transform($hb, b -> (${minhashA(i)} * b + ${minhashB(i)}) % $MinhashP))"
+    }.mkString("[", ", ", "]")
+  }
 
   /** Mirror of Dedup.bandKeys over a signature column name. */
   def bandKeys(sig: String, bands: Int, rowsPerBand: Int): String = {

@@ -275,6 +275,7 @@ object SparkEntry {
       ((s, d) => Relational.qOrderPriceDeciles(s, d)
         .withColumn("decile", col("decile").cast("long"))
         .select("decile", "n_orders", "lo", "hi")),
+    "q09_event_sessionize" -> ((s, d) => Relational.qSessionize(s, d)),
     "q10_knn_topk" -> ((s, d) => knnTopK(s, d)),
     "q11_knn_modal_balanced" -> ((s, d) => knnModalBalanced(s, d)),
     "q12_ingest_dedup_delta" -> ((s, d) => ingestDelta(s, d)),
@@ -421,6 +422,29 @@ object SparkEntry {
         |    ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey) AS decile
         |  FROM orders)
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q09_event_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_id, tus,
+        |    lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |  FROM ev),
+        |s2 AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |                                ORDER BY tus, event_id) AS sess_id
+        |  FROM s2),
+        |sess AS (
+        |  SELECT user_id, sess_id, count(*) AS n_events,
+        |    min(tus) AS start_us, max(tus) AS end_us
+        |  FROM s3 GROUP BY user_id, sess_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_events,
+        |  max(end_us - start_us) AS max_dur_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q10_knn_topk" ->
       s"""WITH docs AS (
          |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
@@ -633,9 +657,12 @@ object SparkEntry {
          |  SELECT doc_id AS id, ${toksOf("text")} AS toks FROM all_docs),
          |withsh AS (
          |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM withtoks),
-         |withsig AS (
-         |  SELECT id, sh, ${minhashSig("sh", 12)} AS sig
+         |withhb AS (
+         |  SELECT id, sh, ${minhashBases("sh")} AS hb
          |  FROM withsh WHERE len(sh) > 0),
+         |withsig AS (
+         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig
+         |  FROM withhb),
          |withkeys AS (
          |  SELECT id, sh, ${bandKeys("sig", 4, 3)} AS bkeys FROM withsig),
          |banded AS (SELECT id, sh, unnest(bkeys) AS bkey FROM withkeys),

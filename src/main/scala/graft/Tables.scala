@@ -22,10 +22,12 @@ object Tables {
     * timestamp column (micros precision) alongside. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000`, NOT `ts / 1000`: the latter is Double division and
+    // epoch-nanos (~1.7e18) exceed 2^53, so it silently loses ~µs
+    // precision; integer div matches DuckDB's epoch_ns(ts) // 1000.
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros((org.apache.spark.sql.functions.col("ts") / 1000L)
-          .cast("long")))
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

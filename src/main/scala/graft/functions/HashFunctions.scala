@@ -33,6 +33,23 @@ object HashFunctions {
   def hash60(s: Column, seed: Int): Column =
     hash60(concat(lit(seed.toString), lit(":"), s))
 
+  /** MinHash affine family (classic (a·h + b) mod p construction): ONE
+    * md5 per shingle, then numHashes cheap integer mixes — 12× less
+    * hashing than independent seeded md5s, identical independence
+    * properties for sketching. p = 2^31-1 keeps every intermediate below
+    * 2^46 (exact in Int64 on any engine). */
+  val MinhashP: Long = 2147483647L
+
+  def minhashA(i: Int): Long = 2L * i + 1
+  def minhashB(i: Int): Long = (i.toLong * 1013904223L) % MinhashP
+
+  /** Base hash for the affine family. */
+  def minhashBase(s: Column): Column = hash60(s) % MinhashP
+
+  /** i-th family member over a precomputed base-hash column. */
+  def minhashMix(base: Column, i: Int): Column =
+    (lit(minhashA(i)) * base + lit(minhashB(i))) % MinhashP
+
   /** F10 (main.py:64): file-extension extraction, `os.path.splitext`
     * semantics for the common case (last dot-suffix incl. the dot; empty
     * when none). */

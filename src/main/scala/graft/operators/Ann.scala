@@ -36,14 +36,18 @@ object Ann {
     (h % 2001L - 1000L).toDouble / 1000.0
   }
 
-  /** Bucket id: sign bit per plane, packed into a LONG. The projection
-    * is an unrolled literal-weighted sum (left fold i=0..dim-1) so the
-    * oracle can reproduce it term for term. */
+  /** Plane j as a float vector (float so the projection can ride the
+    * codegen DotProductF fast path; the float rounding is mirrored in the
+    * oracle via CAST(... AS FLOAT)). */
+  def planeVector(j: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim)(i => planeComponent(j, i).toFloat)
+
+  /** Bucket id: sign bit per plane, packed into a LONG. Each projection
+    * is a codegen dot product against a literal plane array — a tight
+    * loop per row, not a dim-wide unrolled expression tree. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { j =>
-      val proj = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * lit(planeComponent(j, i))
-      }.reduce(_ + _)
+      val proj = dotProduct(vec, typedLit(planeVector(j, dim)))
       when(proj >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -66,12 +70,12 @@ object Ann {
       .select("qid", "id", "sim", "rank")
   }
 
-  /** SQL mirror of [[lshBucket]] over a list column expression. */
+  /** SQL mirror of [[lshBucket]]: dot against the same float plane
+    * literals with the same left fold. */
   def sqlLshBucket(vec: String, dim: Int, nPlanes: Int): String =
     (0 until nPlanes).map { j =>
-      val proj = (0 until dim).map { i =>
-        s"CAST($vec[${i + 1}] AS DOUBLE) * (${planeComponent(j, i)})"
-      }.mkString(" + ")
+      val lits = planeVector(j, dim).map(_.toString).mkString("[", ", ", "]")
+      val proj = graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
       s"(CASE WHEN ($proj) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 }

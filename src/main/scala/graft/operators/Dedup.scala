@@ -51,11 +51,16 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** MinHash signature as an array column: sig[i] = min over shingles s of
-    * hash60(i || ':' || s). Pure per-row computation (no shuffle). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** MinHash signature as an array column: sig[i] = min over shingles of
+    * the i-th affine mix of ONE base md5 hash per shingle. Pure per-row
+    * computation (no shuffle). Prefer the explode+agg form (see
+    * nearDupMinhashLsh) when the signature feeds further per-element
+    * slicing — array slicing duplicates this whole tree per slice. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val bases = transform(shingles, s => minhashBase(s))
     array((0 until numHashes).map(i =>
-      array_min(transform(shingles, s => hash60(s, i)))): _*)
+      array_min(transform(bases, b => (lit(minhashA(i)) * b + lit(minhashB(i))) % MinhashP))): _*)
+  }
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
     * hashes; key = band index + joined slice. Docs sharing any band key
@@ -97,9 +102,13 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist()
 
-    val sigCols = (0 until numHashes).map(i => min(hash60(col("s"), i)).as(s"h$i"))
+    // one md5 per shingle (projected ONCE, below the aggregate), then
+    // numHashes affine mixes aggregated min in a single pass
+    val sigCols = (0 until numHashes)
+      .map(i => min(minhashMix(col("h"), i)).as(s"h$i"))
     val sig = withSh
       .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), minhashBase(col("s")).as("h"))
       .groupBy("id")
       .agg(sigCols.head, sigCols.tail: _*)
 

@@ -101,6 +101,32 @@ object Relational {
       .filter(col("n_events") >= 2)
       .orderBy("user_id", "event_type")
 
+  /** Batch sessionization over the event stream: lag-gap session
+    * boundaries (30 min), cumulative-sum session ids, per-user session
+    * stats — the lag/cumulative-window pattern every behavioral pipeline
+    * needs. Timestamps handled as exact micros (see Tables.events). */
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val s1 = ev
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(w))
+    s1.groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("tus").as("start_us"), max("tus").as("end_us"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_events"),
+        max(col("end_us") - col("start_us")).as("max_dur_us"))
+      .orderBy("user_id")
+  }
+
   /** Decile distribution of order prices via ntile — window function
     * breadth beyond row_number. */
   def qOrderPriceDeciles(spark: SparkSession, sfDir: String): DataFrame = {

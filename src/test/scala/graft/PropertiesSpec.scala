@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Ingest, Knn}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2), using raw ScalaCheck
+  * generators with FIXED seeds (deterministic runs; the scalatest-plus
+  * bridge isn't on the offline classpath). Each property runs the REAL
+  * operators on generated corpora. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f)).map(_.toSeq)
+
+  private val corpusGen: Gen[List[(String, String, Seq[Float])]] = for {
+    n <- Gen.chooseNum(1, 12)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.identifier.map(_.take(8))
+      mt <- Gen.oneOf("text", "image")
+      v <- vecGen
+    } yield (id, mt, v))
+  } yield rows.distinctBy(_._1)
+
+  test("KNN invariants: |results| <= k, <= k/2 per bucket, scores in [-1-eps, 1]") {
+    for ((rows, k) <- samples(Gen.zip(corpusGen, Gen.chooseNum(2, 8)), 8)
+         if rows.nonEmpty) {
+      val docs = rows.toDF("id", "mtype", "embedding")
+        .withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+      val q = Seq(("qq", "text", Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+        .toDF("qid", "qtype", "qvec")
+      val res = Knn.search(docs, q, k).collect()
+      assert(res.length <= k)
+      res.groupBy(_.getAs[String]("mtype")).foreach { case (_, g) =>
+        assert(g.length <= math.max(k / 2, 1))
+      }
+      assert(res.forall { r =>
+        val s = r.getAs[Double]("sim"); s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9
+      })
+    }
+  }
+
+  test("l2Normalize is idempotent (up to float ulp)") {
+    for (v <- samples(vecGen, 10)) {
+      val df = Seq(Tuple1(v)).toDF("v")
+      val r = df.select(VectorFunctions.l2Normalize(col("v")).as("n1"))
+        .select(VectorFunctions.l2Normalize(col("n1")).as("n2"), col("n1"))
+        .collect().head
+      val n1 = r.getSeq[Float](1)
+      val n2 = r.getSeq[Float](0)
+      assert(n1.zip(n2).forall { case (a, b) => math.abs(a - b) <= 2e-7 })
+    }
+  }
+
+  test("ingest dedup idempotent under arbitrary duplication") {
+    val textsGen = Gen.listOfN(6, Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12)))
+    for (texts <- samples(textsGen, 6) if texts.nonEmpty) {
+      val batch = texts.zipWithIndex
+        .map { case (t, i) => ("text", t, i.toLong) }
+        .toDF("mtype", "data", "seq")
+      val doubled = batch.unionByName(batch.withColumn("seq", col("seq") + 100))
+      val empty = Seq.empty[(String, String)].toDF("id", "mtype")
+      val conf = GraftConf(dim = 4)
+      val a = Ingest.dedupDelta(Ingest.prepare(batch, conf), empty)
+        .select("id").as[String].collect().toSet
+      val b = Ingest.dedupDelta(Ingest.prepare(doubled, conf), empty)
+        .select("id").as[String].collect().toSet
+      assert(a == b)
+    }
+  }
+
+  test("exact dedup: unique contents out, min id kept") {
+    val textsGen = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd"))
+    for (texts <- samples(textsGen, 8) if texts.nonEmpty) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kept = Dedup.dedupExact(docs, "doc_id", "text").collect()
+      assert(kept.groupBy(_.getAs[String]("text")).values.forall(_.length == 1))
+      val minIds = texts.zipWithIndex.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).min).toMap
+      kept.foreach { r =>
+        assert(r.getAs[Long]("doc_id") == minIds(r.getAs[String]("text")))
+      }
+    }
+  }
+
+  test("minhash pairs report EXACT jaccard in [0,1]; identical docs give 1.0") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    for (cut <- 0 to 8) {
+      val words = base.split(" ")
+      val docs = Seq((1L, words.mkString(" ")), (2L, words.drop(cut).mkString(" ")))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.nearDupMinhashLsh(docs, "doc_id", "text",
+        shingleWidth = 2, numHashes = 16, bands = 8, threshold = 0.0)
+      pairs.collect().foreach { r =>
+        val j = r.getAs[Double]("jaccard")
+        assert(j >= 0.0 && j <= 1.0)
+        if (cut == 0) assert(j == 1.0)
+      }
+    }
+  }
+}
