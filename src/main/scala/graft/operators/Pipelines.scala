@@ -27,8 +27,13 @@ object Pipelines {
   ): (DataFrame, DataFrame, DataFrame) = {
     val delta = Ingest.dedupDelta(Ingest.prepare(batch, conf), existing)
       .select("id", "mtype", "data", "embedding", "seq")
+    // materialize the post-ingest store: embeddings are STORED state in
+    // the reference (Redis hashes, db.py:11-15) — every downstream
+    // consumer (KNN docs side, edge building, later searches) reads the
+    // store rather than re-running the embedder
     val docs = existing.select("id", "mtype", "data", "embedding")
       .unionByName(delta.drop("seq"))
+      .persist()
     val queries = delta.select(
       col("id").as("qid"), col("mtype").as("qtype"),
       col("embedding").as("qvec"), col("seq"))

@@ -101,4 +101,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(scoringLine.contains("*("),
       s"scoring project not codegen'd: $scoringLine")
   }
+
+  test("salted skew join: results equal plain join; hot key spreads across salts") {
+    import spark.implicits._
+    // one hot key (90% of rows) + uniform tail
+    val large = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("key", "v")
+    val small = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).map((_, "dim"))
+      .toDF("key", "label")
+    val plain = large.join(small, Seq("key")).groupBy("key").count()
+    val salted = graft.operators.SkewJoin.saltedJoin(large, small, "key", 8)
+      .groupBy("key").count()
+    assert(plain.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      salted.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // the hot key's rows really do carry multiple distinct salts
+    val salts = graft.operators.SkewJoin.saltedJoin(large, small, "key", 8)
+      .filter($"key" === "hot").select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"v", $"label"), 
+        org.apache.spark.sql.functions.lit(8))).distinct().count()
+    assert(salts > 1)
+  }
 }

@@ -14,6 +14,8 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[32]")
       .appName("graft-test")
+      // static conf — must be set when the context is created
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
