@@ -31,12 +31,18 @@ object TextFunctions {
   /** Character n-gram shingles (distinct, order-insensitive set).
     * Empty/short strings yield an empty array (sequence(1,0) is empty). */
   def charShingles(text: Column, n: Int): Column = {
-    val s = lower(text)
-    // NB: Spark's sequence(a, b) auto-reverses when a > b, so the
-    // short-string case must be guarded, not clamped.
-    when(length(s) < n, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n)))))
+    // Same lambda-recompute hazard as wordShingles: `s.substr(i, n)`
+    // inside a transform lambda would re-lowercase the whole string per
+    // element (O(len²) per row). Split to a char array once, then zip
+    // shifted slices — lambda touches only its struct variable.
+    // split("", -1) keeps a trailing empty string — slice to exactly
+    // length(text) chars
+    val chars = slice(split(lower(text), ""), lit(1), length(text))
+    val m = greatest(size(chars) - (n - 1), lit(0))
+    val zipped = arrays_zip((0 until n).map(j => slice(chars, lit(j + 1), m)): _*)
+    array_distinct(
+      transform(zipped, s =>
+        concat((0 until n).map(j => s.getField(j.toString)): _*)))
   }
 
   /** Word w-shingles over [[tokens]] (distinct). w consecutive tokens

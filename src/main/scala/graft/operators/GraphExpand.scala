@@ -84,11 +84,16 @@ object GraphExpand {
 
   private def expandAllImpl(
       seeds: DataFrame,
-      sym: DataFrame,
+      sym0: DataFrame,
       k: Int,
       depth: Int,
       conf: GraftConf): DataFrame = {
-    var acc = seeds.select(col("qid"), col("id"), col("sim").as("score"))
+    // Iterative-join hygiene: the symmetric edge view is probed every hop
+    // and the accumulator is anti-joined every hop — persist both so the
+    // upstream plan (often a full KNN) isn't re-executed per hop. This is
+    // the standard iterative-algorithm pattern (GraphX does the same).
+    val sym = sym0.persist()
+    var acc = seeds.select(col("qid"), col("id"), col("sim").as("score")).persist()
     var frontier = acc
     for (_ <- 1 to depth) {
       val next = frontier.as("f")
@@ -101,7 +106,8 @@ object GraphExpand {
         // pruning here keeps the frontier bounded)
         .join(acc.select(col("qid").as("aq"), col("id").as("ai")),
           col("qid") === col("aq") && col("id") === col("ai"), "left_anti")
-      acc = acc.unionByName(next)
+        .persist()
+      acc = acc.unionByName(next).persist()
       frontier = next
     }
     val wDedup = Window.partitionBy("qid", "id").orderBy(col("score").desc)

@@ -121,4 +121,29 @@ class PlanAuditSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(8))).distinct().count()
     assert(salts > 1)
   }
+
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_wh").toString
+    // (warehouse.dir is static; explicit external-table paths suffice)
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/li_b").saveAsTable("li_b")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/ord_b").saveAsTable("ord_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val p = finalPlan(joined).split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
 }
