@@ -27,6 +27,10 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries: operators persist intermediates they reuse
+      // within one query; dropping them between queries keeps timings
+      // independent of execution order (and of each other's GC pressure)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   import OracleSql._
 
-  /** Flagship: the reference's /search query (§2.3 KNN with modality
-    * balancing) on sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's full /search flow (§3.2 — embed → ingest →
+    * KNN → graph expansion) end-to-end on sf0.001; driver smoke-checks
+    * rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    knnModalBalanced(spark, "/root/testdata/sf0.001")
+    searchPipeline(spark, "/root/testdata/sf0.001")
 
   // ---- shared Spark fragments -------------------------------------------
 
@@ -50,10 +51,13 @@ object SparkEntry {
         col("embedding").as("qvec"))
 
   /** §2.3 KNN with the query's modality tag re-attached (graph building
-    * needs qtype for the cross-modal boost). */
+    * needs qtype for the cross-modal boost). Persisted: the graph queries
+    * derive BOTH seeds and edges from this result — without the barrier
+    * each derivation re-executes the whole KNN. */
   private def knnWithQtype(s: SparkSession, dir: String): DataFrame =
     Knn.search(embDocs(s, dir), embQueries(s, dir), k = 10)
       .join(embQueries(s, dir).select("qid", "qtype"), Seq("qid"))
+      .persist()
 
   private def rankedOut(df: DataFrame): DataFrame =
     df.select(col("qid"), col("id"), col("mtype"),
@@ -104,20 +108,20 @@ object SparkEntry {
       .orderBy("src", "dst")
   }
 
-  /** Canonical deduped edge table from the KNN run (shared by q14/q15). */
-  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
-    val delta = GraphBuild.edgeDelta(
-      knnWithQtype(s, dir).withColumn("seq", lit(1L)))
+  /** Canonical deduped edge table derived from a shared KNN result. */
+  private def knnEdges(knn: DataFrame): DataFrame = {
+    val delta = GraphBuild.edgeDelta(knn.withColumn("seq", lit(1L)))
     GraphBuild.upsertEdges(delta.limit(0), delta)
   }
 
   /** Faithful G2 expansion (depth=1 single-pop quirk) over the KNN graph.
     * Seeds = top-5 only (edges come from the full k=10 KNN), so the
-    * expansion step genuinely contributes non-seed nodes. */
+    * expansion step genuinely contributes non-seed nodes. Seeds and edges
+    * share ONE persisted KNN instance. */
   private def graphExpand(s: SparkSession, dir: String): DataFrame = {
-    val seeds = knnWithQtype(s, dir)
-      .filter(col("rank") <= 5).select("qid", "id", "sim", "rank")
-    GraphExpand.expandFaithful(seeds, knnEdges(s, dir), k = 20)
+    val knn = knnWithQtype(s, dir)
+    val seeds = knn.filter(col("rank") <= 5).select("qid", "id", "sim", "rank")
+    GraphExpand.expandFaithful(seeds, knnEdges(knn), k = 20)
       .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
         col("origin"), col("rnk").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
@@ -127,8 +131,9 @@ object SparkEntry {
     * compounded decay, max-score dedup — the documented generalization of
     * the reference's single-pop loop. */
   private def graphExpandAll(s: SparkSession, dir: String): DataFrame = {
-    val seeds = knnWithQtype(s, dir).select("qid", "id", "sim", "rank")
-    GraphExpand.expandAll(seeds, knnEdges(s, dir), k = 20, depth = 2)
+    val knn = knnWithQtype(s, dir)
+    val seeds = knn.select("qid", "id", "sim", "rank")
+    GraphExpand.expandAll(seeds, knnEdges(knn), k = 20, depth = 2)
       .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
         col("rnk").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
@@ -136,7 +141,7 @@ object SparkEntry {
 
   /** Graph views (G3-G5): per-node degree + strength. */
   private def graphDegrees(s: SparkSession, dir: String): DataFrame =
-    GraphViews.degrees(knnEdges(s, dir))
+    GraphViews.degrees(knnEdges(knnWithQtype(s, dir)))
       .select(col("id"), col("degree"), rnd(col("strength"), 6).as("strength"))
       .orderBy("id")
 
