@@ -202,6 +202,33 @@ object SparkEntry {
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
 
+  /** Multi-probe variant of q18: 4 probes (home bucket + 3 bit-flips)
+    * recover neighbors that fell across a hyperplane. */
+  private def annMultiProbe(s: SparkSession, dir: String): DataFrame =
+    Ann.topKBucketed(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").cast("string").as("qid"),
+            col("embedding").as("qvec")),
+        k = 5, dim = 64, nPlanes = 8, probes = 4)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+
+  /** Exact percentiles per order priority (the exact path; SCALE.md
+    * documents approx_percentile as the 100 TB default). */
+  private def orderPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        rnd(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        rnd(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        rnd(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        rnd(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Multimodal feature extraction: text bytes as opaque BINARY content
     * through the mapPartitions per-partition-model path; output scalars
     * pin the whole vector against the SQL mirror of the stub model. */
@@ -310,6 +337,8 @@ object SparkEntry {
     "q24_neardup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d)),
+    "q27_order_percentiles" -> ((s, d) => orderPercentiles(s, d)),
+    "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
     "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d))
   )
 
@@ -631,6 +660,40 @@ object SparkEntry {
          |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
          |         ${Ann.sqlLshBucket("embedding", 64, 8)} AS bucket
          |  FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, d.id, ${dot("q.qvec", "d.embedding")} AS sim
+         |  FROM q JOIN d ON q.bucket = d.bucket),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+    "q27_order_percentiles" ->
+      s"""SELECT o_orderpriority,
+         |  ${sqlRnd("quantile_cont(o_totalprice, 0.25)", 4)} AS p25,
+         |  ${sqlRnd("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+         |  ${sqlRnd("quantile_cont(o_totalprice, 0.75)", 4)} AS p75,
+         |  ${sqlRnd("quantile_cont(o_totalprice, 0.99)", 4)} AS p99,
+         |  count(*) AS n
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "q28_ann_multiprobe" ->
+      s"""WITH d AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+         |         ${Ann.sqlLshBucket("embedding", 64, 8)} AS bucket
+         |  FROM embeddings),
+         |q0 AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+         |         ${Ann.sqlLshBucket("embedding", 64, 8)} AS b
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |q AS (
+         |  SELECT qid, qvec,
+         |         unnest([b, xor(b, CAST(1 AS BIGINT)), xor(b, CAST(2 AS BIGINT)),
+         |                 xor(b, CAST(4 AS BIGINT))]) AS bucket
+         |  FROM q0),
          |scored AS (
          |  SELECT q.qid, d.id, ${dot("q.qvec", "d.embedding")} AS sim
          |  FROM q JOIN d ON q.bucket = d.bucket),

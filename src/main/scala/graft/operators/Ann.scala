@@ -51,17 +51,31 @@ object Ann {
       when(proj >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Bucketed top-k: score ONLY candidates sharing the query's bucket.
-    * @return (qid, id, sim, rank) — queries whose bucket holds no
+  /** Bucketed top-k: score ONLY candidates sharing one of the query's
+    * probe buckets. probes=1 is the plain LSH join; probes=p>1 also
+    * probes the p-1 single-bit-flipped buckets (multi-probe LSH — the
+    * recall knob; each extra probe adds one bucket's worth of candidates,
+    * still never a cross join). A doc matches at most one probe (probe
+    * bucket ids are distinct), so no dedup is needed.
+    * @return (qid, id, sim, rank) — queries whose probe buckets hold no
     *         candidate return no rows (the ANN recall trade-off). */
   def topKBucketed(
       docs: DataFrame, // (id, embedding)
       queries: DataFrame, // (qid, qvec)
       k: Int,
       dim: Int,
-      nPlanes: Int): DataFrame = {
+      nPlanes: Int,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nPlanes + 1)
     val d = docs.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
-    val q = queries.withColumn("bucket", lshBucket(col("qvec"), dim, nPlanes))
+    val probeCols = (0 until probes).map { p =>
+      val mask = if (p == 0) 0L else 1L << (p - 1)
+      col("_b").bitwiseXOR(lit(mask))
+    }
+    val q = queries
+      .withColumn("_b", lshBucket(col("qvec"), dim, nPlanes))
+      .withColumn("bucket", explode(array(probeCols: _*)))
+      .drop("_b")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     d.join(broadcast(q), Seq("bucket"))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))

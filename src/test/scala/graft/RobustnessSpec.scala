@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Dedup, GraphExpand, Ingest, Knn}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: every operator must return an EMPTY (or
+  * seeds-only) result on empty inputs — not throw. At 100 TB, empty
+  * partitions, empty deltas, and queries matching nothing are the normal
+  * case, not the exception. */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs =
+    Seq.empty[(String, String, Seq[Float])].toDF("id", "mtype", "embedding")
+  private val oneQuery =
+    Seq(("q1", "text", Seq(1f, 0f))).toDF("qid", "qtype", "qvec")
+
+  test("KNN over an empty corpus returns no rows") {
+    assert(Knn.search(emptyDocs, oneQuery, k = 5).count() == 0)
+  }
+
+  test("KNN with an empty query batch returns no rows") {
+    val docs = Seq(("a", "text", Seq(1f, 0f))).toDF("id", "mtype", "embedding")
+    val noQueries = Seq.empty[(String, String, Seq[Float])].toDF("qid", "qtype", "qvec")
+    assert(Knn.search(docs, noQueries, k = 5).count() == 0)
+  }
+
+  test("expansion with an empty edge table returns exactly the seeds") {
+    val seeds = Seq(("q", "s1", 0.9, 1)).toDF("qid", "id", "sim", "rank")
+    val noEdges = Seq.empty[(String, String, Double, Long)]
+      .toDF("src", "dst", "score", "seq")
+    val faithful = GraphExpand.expandFaithful(seeds, noEdges, k = 5).collect()
+    assert(faithful.map(_.getAs[String]("id")).toSeq == Seq("s1"))
+    val all = GraphExpand.expandAll(seeds, noEdges, k = 5, depth = 2).collect()
+    assert(all.map(_.getAs[String]("id")).toSeq == Seq("s1"))
+  }
+
+  test("ingest of an empty batch is a no-op delta") {
+    val empty = Seq.empty[(String, String, Long)].toDF("mtype", "data", "seq")
+    val existing = Seq(("doc:x", "text")).toDF("id", "mtype")
+    assert(Ingest.dedupDelta(
+      Ingest.prepare(empty, GraftConf(dim = 4)), existing).count() == 0)
+  }
+
+  test("sketch dedup over empty / whitespace-only docs yields no pairs") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "!!!")).toDF("doc_id", "text")
+    assert(Dedup.nearDupMinhashLsh(docs, "doc_id", "text").count() == 0)
+    // simhash of token-less docs is 0 for all three -> they pair with
+    // each other (identical empty token multisets) - documented behavior
+    val sk = Dedup.nearDupSimhash(docs, "doc_id", "text", bits = 8)
+    assert(sk.count() == 3) // C(3,2) pairs, all sketch 0
+    assert(sk.select("sketch").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("empty-string text analysis: zeros, not NaNs") {
+    val m = graft.operators.TextAnalysis
+      .analyze(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(m.getAs[Int]("n_tokens") == 0)
+    assert(m.getAs[Double]("stopword_ratio") == 0.0)
+    assert(m.getAs[Double]("punct_ratio") == 0.0)
+    assert(m.getAs[Long]("fingerprint") == 0L)
+    assert(!m.getAs[Double]("quality").isNaN)
+  }
+}
