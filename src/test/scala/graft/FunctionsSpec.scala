@@ -116,4 +116,16 @@ class FunctionsSpec extends SparkSpec {
       VectorFunctions.dotProductHof(col("a.embedding"), col("b.embedding")).as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
+
+  test("typed Dataset[Doc]/Dataset[Edge] views round-trip (SURVEY §1.3 model)") {
+    implicit val s = spark
+    val docsDf = Seq(("doc:a", "text", "hello", Seq(1f, 0f)))
+      .toDF("id", "mtype", "data", "embedding")
+    val ds = graft.model.Model.asDocs(docsDf)
+    val doc = ds.collect().head
+    assert(doc.id == "doc:a" && doc.embedding.toSeq == Seq(1f, 0f))
+    val edgesDf = Seq(("a", "b", 0.5, 1L)).toDF("src", "dst", "score", "seq")
+    val e = graft.model.Model.asEdges(edgesDf).collect().head
+    assert(e.src == "a" && e.score == 0.5 && e.seq == 1L)
+  }
 }
