@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source/sink breadth: JSON/CSV ingestion with corrupt-row quarantine,
+  * partitioned sinks with partition pruning verified IN THE PLAN, and
+  * edge-log compaction. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JSON-lines batch source: valid rows parsed, corrupt rows quarantined not fatal") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/batch.jsonl"),
+      ("""{"mtype":"text","data":"hello json","seq":1}""" + "\n" +
+        """{"mtype":"image","data":"beef","seq":2}""" + "\n" +
+        """{this is not json""" + "\n").getBytes)
+    // Spark refuses corrupt-column-only queries on raw JSON; cache the
+    // parse first (the documented pattern)
+    val raw = Sources.readJsonBatch(spark, s"$dir/batch.jsonl").cache()
+    val valid = Sources.validRows(raw)
+    assert(valid.count() == 2)
+    assert(raw.filter(col("_corrupt").isNotNull).count() == 1)
+    // flows straight into the ingest contract
+    val prepared = graft.operators.Ingest.prepare(valid, GraftConf(dim = 4))
+    assert(prepared.select("id").distinct().count() == 2)
+  }
+
+  test("CSV batch source with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/batch.csv"),
+      "mtype,data,seq\ntext,hello csv,1\ntext,more text,2\n".getBytes)
+    val batch = Sources.validRows(Sources.readCsvBatch(spark, s"$dir/batch.csv"))
+    assert(batch.count() == 2)
+    assert(batch.schema.fieldNames.toSeq == Seq("mtype", "data", "seq"))
+  }
+
+  test("partitioned sink: reads with a partition filter scan only matching directories") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/docs"
+    val docs = Seq(
+      ("doc:a", "text", "t1"), ("doc:b", "text", "t2"), ("doc:c", "image", "i1"))
+      .toDF("id", "mtype", "data")
+    Sinks.writePartitioned(docs, dir, "mtype")
+    val read = spark.read.parquet(dir).filter(col("mtype") === "text")
+    read.collect()
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("mtype"), plan)
+    assert(read.count() == 2)
+    // physical layout really is one directory per modality
+    assert(new java.io.File(dir).listFiles().map(_.getName).count(_.startsWith("mtype=")) == 2)
+  }
+
+  test("edge-log compaction: latest seq wins, one row per canonical edge") {
+    val dir = Files.createTempDirectory("graft_edges").toString
+    val (log, out) = (s"$dir/log", s"$dir/compact")
+    Sinks.appendEdgeDelta(
+      Seq(("a", "b", 0.5, 1L), ("a", "c", 0.6, 1L)).toDF("src", "dst", "score", "seq"), log)
+    Sinks.appendEdgeDelta(
+      Seq(("a", "b", 0.9, 2L)).toDF("src", "dst", "score", "seq"), log)
+    Sinks.compactEdges(spark, log, out)
+    val res = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Double]("score"))
+      .toMap
+    assert(res == Map(("a", "b") -> 0.9, ("a", "c") -> 0.6))
+  }
+}
