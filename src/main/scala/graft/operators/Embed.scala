@@ -24,14 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object Embed {
 
-  /** Embed a string column into a dim-dimensional unit vector. */
-  def embedText(content: Column, dim: Int): Column =
+  /** Embed a string column into a dim-dimensional unit vector.
+    *
+    * ONE md5 per row: component i is an affine mix
+    * (key·(2i+1) + b_i) mod p of a single base hash (the same
+    * (a·h+b) mod p family as MinHash). The base key rides in via
+    * `array_repeat` — putting `hash60(content)` inside the transform
+    * lambda would re-run the md5 once per component (projection collapse
+    * has no CSE; the same hazard fixed in MinHash/SimHash/shingles). */
+  def embedText(content: Column, dim: Int): Column = {
+    val M = 2147483647L // 2^31-1; keeps every intermediate < 2^41
+    val keyArr = array_repeat(hash60(content) % M, dim)
     l2Normalize(
-      transform(
-        sequence(lit(0), lit(dim - 1)),
-        i => ((hash60(concat(content, lit("#"), i.cast("string"))) % 2000001L
-          - lit(1000000L)).cast("double") / lit(1000000.0)).cast("float")
-      ))
+      transform(keyArr, (k, i) => {
+        val mix = (k * (i * 2 + 1) + (i * lit(1013904223L)) % M) % M
+        ((mix % 2000001L - lit(1000000L)).cast("double") / lit(1000000.0))
+          .cast("float")
+      }))
+  }
 
   /** Binary content path (reference E2/E4: images and audio both go
     * through the byte branch, vec.py:16-22): embed the hex digest of the
@@ -42,10 +52,14 @@ object Embed {
 
   /** DuckDB mirror of the pre-normalization hash projection (compose with
     * [[sqlNormalize]] in a CTE for the full [[embedText]]). */
-  def sqlEmbedRaw(content: String, dim: Int): String =
+  def sqlEmbedRaw(content: String, dim: Int): String = {
+    // same base key + affine mix + range mapping as embedText, identical
+    // integer arithmetic order
+    val key = s"(CAST(concat('0x', substr(md5($content), 1, 15)) AS BIGINT) % 2147483647)"
     s"list_transform(range(0, $dim), i -> " +
-      s"CAST(CAST(CAST(concat('0x', substr(md5(concat($content, '#', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) " +
+      s"CAST(CAST((($key * (i * 2 + 1) + (i * 1013904223) % 2147483647) % 2147483647) " +
       s"% 2000001 - 1000000 AS DOUBLE) / 1000000.0 AS FLOAT))"
+  }
 
   /** DuckDB mirror of VectorFunctions.l2Norm on a list column name. */
   def sqlL2Norm(v: String): String =

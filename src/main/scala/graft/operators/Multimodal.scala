@@ -85,12 +85,15 @@ object Multimodal {
       java.lang.Long.parseLong(h.substring(0, 15), 16)
     }
 
-    /** Mirror of Embed.embedText(sha256Hex(content), dim). */
+    /** Mirror of Embed.embedText(sha256Hex(content), dim): one md5 base
+      * key, affine component mixes — identical integer arithmetic. */
     def embed(content: Array[Byte]): Array[Float] = {
       sha.reset()
-      val key = hex(sha.digest(content))
+      val M = 2147483647L
+      val key = hash60(hex(sha.digest(content))) % M
       val raw = Array.tabulate(dim) { i =>
-        ((hash60(s"$key#$i") % 2000001L - 1000000L).toDouble / 1000000.0).toFloat
+        val mix = (key * (i * 2 + 1) + (i * 1013904223L) % M) % M
+        ((mix % 2000001L - 1000000L).toDouble / 1000000.0).toFloat
       }
       var ss = 0.0
       var i = 0
