@@ -77,4 +77,36 @@ class StreamingSpec extends SparkSpec {
       assert(last == Map(1L -> 17.0, 2L -> 5.0))
     } finally q.stop()
   }
+
+  test("ingest recovers from checkpoint across restarts without duplicating docs") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    val (srcDir, docsDir, edgesDir, ckpt) =
+      (s"$dir/src", s"$dir/docs", s"$dir/edges", s"$dir/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(String, String, Long)]): Unit = {
+      val tmp = java.nio.file.Paths.get(dir, name + ".tmp")
+      java.nio.file.Files.write(tmp, rows.map { case (m, d, s) =>
+        s"""{"mtype":"$m","data":"$d","seq":$s}"""
+      }.mkString("\n").getBytes)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(srcDir, name))
+    }
+    def startQuery() = StreamingIngest.ingestWriter(
+        spark.readStream.schema(graft.sources.Sources.batchSchema).json(srcDir),
+        docsDir, edgesDir, GraftConf(dim = 8))
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    writeBatch("b1.json", Seq(("text", "first doc", 1L), ("text", "second doc", 2L)))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(docsDir).count() == 2)
+
+    // new file: one duplicate of batch 1 + one genuinely new doc
+    writeBatch("b2.json", Seq(("text", "first doc", 3L), ("image", "third doc", 4L)))
+    val q2 = startQuery() // fresh query object, SAME checkpoint
+    q2.processAllAvailable(); q2.stop()
+    val docs = spark.read.parquet(docsDir)
+    assert(docs.count() == 3) // b1 not reprocessed, duplicate dropped
+    assert(docs.select("id").distinct().count() == 3)
+  }
 }
