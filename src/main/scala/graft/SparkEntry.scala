@@ -337,7 +337,16 @@ object SparkEntry {
     "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d)),
     "q27_order_percentiles" -> ((s, d) => orderPercentiles(s, d)),
     "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
-    "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d))
+    "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
+    "q31_revenue_rollup" ->
+      ((s, d) => Relational.qRevenueRollup(s, d)),
+    "q32_nation_set_ops" ->
+      ((s, d) => Relational.qNationSetOps(s, d)),
+    "q33_orders_by_month" ->
+      ((s, d) => Relational.qOrdersByMonth(s, d)
+        .withColumn("y", col("y").cast("long"))
+        .withColumn("q", col("q").cast("long"))
+        .withColumn("m", col("m").cast("long")))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -702,6 +711,41 @@ object SparkEntry {
          |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    "q31_revenue_rollup" ->
+      s"""SELECT region, nation,
+         |  ${sqlRnd("sum(rev)", 2)} AS revenue,
+         |  count(*) AS n_items
+         |FROM (
+         |  SELECT r_name AS region, n_name AS nation,
+         |         l_extendedprice * (1.0 - l_discount) AS rev
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey)
+         |GROUP BY ROLLUP (region, nation)
+         |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin,
+    "q32_nation_set_ops" ->
+      """WITH rich AS (
+        |  SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 7000),
+        |building AS (
+        |  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |both_sets AS (
+        |  SELECT c_nationkey, 'both' AS which
+        |  FROM (SELECT c_nationkey FROM rich INTERSECT SELECT c_nationkey FROM building)),
+        |rich_only AS (
+        |  SELECT c_nationkey, 'rich_only' AS which
+        |  FROM (SELECT c_nationkey FROM rich EXCEPT SELECT c_nationkey FROM building))
+        |SELECT c_nationkey, which FROM both_sets
+        |UNION ALL SELECT c_nationkey, which FROM rich_only
+        |ORDER BY which, c_nationkey""".stripMargin,
+    "q33_orders_by_month" ->
+      s"""SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+         |  month(o_orderdate) AS m,
+         |  count(*) AS n_orders,
+         |  ${sqlRnd("sum(o_totalprice)", 2)} AS revenue
+         |FROM orders
+         |GROUP BY 1, 2, 3
+         |ORDER BY y, m""".stripMargin,
     "q30_multimodal_features" ->
       s"""WITH b0 AS (
          |  SELECT concat('doc:', sha256(text)) AS id, sha256(text) AS key

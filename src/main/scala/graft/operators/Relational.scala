@@ -127,6 +127,50 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Hierarchical totals via ROLLUP(region, nation) — grouping-sets
+    * breadth (subtotal + grand-total rows). */
+  def qRevenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      // fresh aliases: rollup's nullable grouping outputs would otherwise
+      // clash with the join-side attributes of the same name
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .rollup("region", "nation")
+      .agg(rnd(sum("rev"), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+  }
+
+  /** Set operations: nations that have BOTH a high-balance customer and a
+    * BUILDING-segment customer (INTERSECT), and those with high-balance
+    * only (EXCEPT). */
+  def qNationSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val rich = c.filter(col("c_acctbal") > 7000).select("c_nationkey").distinct()
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_nationkey").distinct()
+    rich.intersect(building).withColumn("which", lit("both"))
+      .unionByName(rich.except(building).withColumn("which", lit("rich_only")))
+      .orderBy("which", "c_nationkey")
+  }
+
+  /** Calendar rollup over order dates — date-function breadth
+    * (year/month/quarter extraction on timestamp columns). */
+  def qOrdersByMonth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        rnd(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("y", "m")
+
   /** Decile distribution of order prices via ntile — window function
     * breadth beyond row_number. */
   def qOrderPriceDeciles(spark: SparkSession, sfDir: String): DataFrame = {
