@@ -137,13 +137,19 @@ object Relational {
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      // fresh aliases: rollup's nullable grouping outputs would otherwise
-      // clash with the join-side attributes of the same name
       .select(col("r_name").as("region"), col("n_name").as("nation"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-      .rollup("region", "nation")
-      .agg(rnd(sum("rev"), 2).as("revenue"), count(lit(1)).as("n_items"))
-      .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+      .createOrReplaceTempView("rev_src_q31")
+    // the rollup runs through the SQL parser: Spark's DataFrame resolver
+    // flags post-rollup references to grouping columns as ambiguous
+    // (the nullable grouping output shadows the input attribute)
+    spark.sql(
+      """SELECT region, nation,
+        |  floor(sum(rev) * 100.0D + 0.5D) / 100.0D AS revenue,
+        |  count(*) AS n_items
+        |FROM rev_src_q31
+        |GROUP BY ROLLUP (region, nation)
+        |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)
   }
 
   /** Set operations: nations that have BOTH a high-balance customer and a
