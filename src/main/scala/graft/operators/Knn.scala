@@ -107,6 +107,30 @@ object Knn {
         col("sim"), col("rank"))
   }
 
+  /** topK via the bounded-heap aggregate (SURVEY §7.3): identical results
+    * to [[topK]] (same score-desc/id-asc contract, spec-verified); the
+    * partial aggregation state crossing the shuffle is at most k pairs
+    * per query per partition. */
+  def topKViaAgg(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val scored = docs
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col(idCol).as("id"),
+        dotProduct(col("qvec"), col("embedding")).as("sim"))
+    val topCol = Bridge.column(
+      graft.expressions.TopKAgg(
+        Bridge.expression(col("sim")), Bridge.expression(col("id")), k)
+        .toAggregateExpression())
+    scored.groupBy("qid").agg(topCol.as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Plain per-query cosine top-k (no modality balancing) — the baseline
     * ANN building block and the `expandAll`-era API. */
   def topK(

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Knn
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Quirk-fidelity tests for the §2.3 KNN contract (SURVEY.md §7.4 risk 1).
   * Vectors are axis-aligned so cosine similarities are exact by
@@ -84,5 +85,19 @@ class KnnSpec extends SparkSpec {
     val res = Knn.topK(docs, Seq(("q", qv)).toDF("qid", "qvec"), k = 3)
       .orderBy("rank").collect()
     assert(res.map(_.getAs[String]("id")).toSeq == Seq("c", "a", "b"))
+  }
+
+  test("topKViaAgg (bounded-heap aggregate) == window topK, exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = emb.select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaWindow = rows(Knn.topK(docs, queries, k = 7))
+    val viaAgg = rows(Knn.topKViaAgg(docs, queries, k = 7))
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
   }
 }
