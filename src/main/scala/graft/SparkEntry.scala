@@ -67,8 +67,10 @@ object SparkEntry {
   private def knnModalBalanced(s: SparkSession, dir: String): DataFrame =
     rankedOut(Knn.search(embDocs(s, dir), embQueries(s, dir), k = 10))
 
+  /** Runs through the bounded-heap TopKAgg (spec-equal to the window
+    * form) so the custom aggregate sits inside the correctness gate. */
   private def knnTopK(s: SparkSession, dir: String): DataFrame =
-    Knn.topK(embDocs(s, dir), embQueries(s, dir).drop("qtype"), k = 5)
+    Knn.topKViaAgg(embDocs(s, dir), embQueries(s, dir).drop("qtype"), k = 5)
       .select(col("qid"), col("id"),
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
