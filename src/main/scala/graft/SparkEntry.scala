@@ -147,6 +147,28 @@ object SparkEntry {
       .select(col("id"), col("degree"), rnd(col("strength"), 6).as("strength"))
       .orderBy("id")
 
+  /** Salted skew join in the gate: results must equal the plain join
+    * (the oracle IS the plain join — salting is a physical rewrite). */
+  private def skewJoinRollup(s: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedJoin(
+        Tables.lineitem(s, dir).select("l_suppkey", "l_quantity"),
+        Tables.supplier(s, dir).select("s_suppkey", "s_name")
+          .withColumnRenamed("s_suppkey", "l_suppkey"),
+        "l_suppkey", saltFactor = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .orderBy("s_name")
+
+  /** G5 dangling-node filter in the gate: docs = only even vec_ids, so
+    * edges touching odd-id nodes must be pruned. */
+  private def validGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(knnWithQtype(s, dir))
+    val docs = embDocs(s, dir).filter(col("id").cast("long") % 2 === 0)
+    val (_, pruned) = GraphViews.validGraph(edges, docs)
+    pruned.select(col("src"), col("dst"), rnd(col("score"), 6).as("score"))
+      .orderBy("src", "dst")
+  }
+
   // ---- full reference pipelines over documents.parquet ------------------
 
   private val pipeConf = GraftConf(dim = 16)
@@ -348,7 +370,9 @@ object SparkEntry {
       ((s, d) => Relational.qOrdersByMonth(s, d)
         .withColumn("y", col("y").cast("long"))
         .withColumn("q", col("q").cast("long"))
-        .withColumn("m", col("m").cast("long")))
+        .withColumn("m", col("m").cast("long"))),
+    "q34_skew_join_rollup" -> ((s, d) => skewJoinRollup(s, d)),
+    "q35_valid_graph" -> ((s, d) => validGraphEdges(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -748,6 +772,22 @@ object SparkEntry {
          |FROM orders
          |GROUP BY 1, 2, 3
          |ORDER BY y, m""".stripMargin,
+    "q34_skew_join_rollup" ->
+      """SELECT s_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
+    "q35_valid_graph" ->
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |valid AS (
+         |  SELECT id FROM docs WHERE CAST(id AS BIGINT) % 2 = 0)
+         |SELECT src, dst, ${rnd6("score")} AS score
+         |FROM ged
+         |WHERE src IN (SELECT id FROM valid)
+         |  AND dst IN (SELECT id FROM valid)
+         |ORDER BY src, dst""".stripMargin,
     "q30_multimodal_features" ->
       s"""WITH b0 AS (
          |  SELECT concat('doc:', sha256(text)) AS id, sha256(text) AS key
