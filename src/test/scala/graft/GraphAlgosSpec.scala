@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Dedup, GraphAlgos}
+import org.apache.spark.sql.functions._
+
+/** Connected components + dedup-cluster resolution. */
+class GraphAlgosSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: two chains and a singleton-free graph resolve to min labels") {
+    // components: {a,b,c,d} (chain) and {x,y}
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val cc = GraphAlgos.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("connectedComponents: converges on a cycle and a long path within maxIter") {
+    val cycle = Seq(("1", "2"), ("2", "3"), ("3", "1")).toDF("src", "dst")
+    val cc = GraphAlgos.connectedComponents(cycle).collect()
+      .map(_.getString(1)).distinct
+    assert(cc.toSeq == Seq("1"))
+    // path of length 9: diameter > default label hops per iteration
+    val path = (1 to 9).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("src", "dst")
+    val cc2 = GraphAlgos.connectedComponents(path, maxIter = 12).collect()
+    assert(cc2.map(_.getString(1)).distinct.toSeq == Seq("n01"))
+  }
+
+  test("dedupClusters: transitive near-dup groups keep exactly one doc (min id)") {
+    // pairs: (1,2), (2,3) transitively one cluster; (7,8) another
+    val pairs = Seq(("1", "2"), ("2", "3"), ("7", "8")).toDF("id_a", "id_b")
+    val res = GraphAlgos.dedupClusters(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(res.toSet == Set(
+      ("1", "1", true), ("2", "1", false), ("3", "1", false),
+      ("7", "7", true), ("8", "7", false)))
+  }
+
+  test("end to end: minhash pairs -> clusters -> keepers on a corpus with transitive dups") {
+    // doc 1 ~ doc 2 ~ doc 3 (chain of small edits); doc 4 unrelated
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tonight"),
+      (3L, base + " tonight again"),
+      (4L, "completely different content about databases and distributed query engines at scale")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinhashLsh(docs, "doc_id", "text",
+        shingleWidth = 2, numHashes = 16, bands = 8, threshold = 0.5)
+      .select(col("id_a").cast("string").as("id_a"),
+        col("id_b").cast("string").as("id_b"))
+    val clusters = GraphAlgos.dedupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // all three near-dups collapse to keeper "1"; doc 4 absent (no pairs)
+    assert(clusters.values.toSet == Set("1"))
+    assert(clusters.keySet == Set("1", "2", "3"))
+  }
+}
