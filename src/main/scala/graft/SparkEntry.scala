@@ -372,7 +372,12 @@ object SparkEntry {
         .withColumn("q", col("q").cast("long"))
         .withColumn("m", col("m").cast("long"))),
     "q34_skew_join_rollup" -> ((s, d) => skewJoinRollup(s, d)),
-    "q35_valid_graph" -> ((s, d) => validGraphEdges(s, d))
+    "q35_valid_graph" -> ((s, d) => validGraphEdges(s, d)),
+    "q36_customer_order_summary" ->
+      ((s, d) => Relational.qCustomerOrderSummary(s, d)),
+    "q37_order_cube" -> ((s, d) => Relational.qOrderCube(s, d)),
+    "q38_event_moving_stats" ->
+      ((s, d) => Relational.qEventMovingStats(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -788,6 +793,36 @@ object SparkEntry {
          |WHERE src IN (SELECT id FROM valid)
          |  AND dst IN (SELECT id FROM valid)
          |ORDER BY src, dst""".stripMargin,
+    "q36_customer_order_summary" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |  count(o_orderkey) AS n_orders,
+         |  ${sqlRnd("coalesce(sum(o_totalprice), 0.0)", 2)} AS total_spend
+         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_mktsegment
+         |ORDER BY c_custkey""".stripMargin,
+    "q37_order_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+         |  count(*) AS n,
+         |  ${sqlRnd("sum(o_totalprice)", 2)} AS revenue
+         |FROM orders
+         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q38_event_moving_stats" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus
+         |  FROM events WHERE user_id % 10 = 0),
+         |m AS (
+         |  SELECT user_id, event_id,
+         |    avg(value) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma,
+         |    sum(value) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+         |  FROM ev)
+         |SELECT user_id, event_id,
+         |  ${sqlRnd("ma", 6)} AS moving_avg,
+         |  ${sqlRnd("rs", 4)} AS running_sum
+         |FROM m ORDER BY user_id, event_id""".stripMargin,
     "q30_multimodal_features" ->
       s"""WITH b0 AS (
          |  SELECT concat('doc:', sha256(text)) AS id, sha256(text) AS key

@@ -177,6 +177,54 @@ object Relational {
         rnd(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("y", "m")
 
+  /** Outer-join breadth: every customer with their order count and total
+    * — zero-order customers kept with coalesced zeros (the only join
+    * family the rest of the suite doesn't exercise). */
+  def qCustomerOrderSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"), // count(col): nulls not counted
+        rnd(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+      .orderBy("c_custkey")
+
+  /** CUBE with grouping_id over order priority × status — all four
+    * grouping-set combinations in one pass (SQL-parser route: same
+    * resolver quirk as ROLLUP). */
+  def qOrderCube(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_q37")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  floor(sum(o_totalprice) * 100.0D + 0.5D) / 100.0D AS revenue
+        |FROM orders_q37
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+        |         o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Explicit window frames: 3-row moving average and running sum of
+    * event values per user (ROWS BETWEEN framing — the suite otherwise
+    * only uses default frames). Sampled to one user in ten. */
+  def qEventMovingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("moving_avg",
+        rnd(avg("value").over(w.rowsBetween(-2, 0)), 6))
+      .withColumn("running_sum",
+        rnd(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .select("user_id", "event_id", "moving_avg", "running_sum")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Decile distribution of order prices via ntile — window function
     * breadth beyond row_number. */
   def qOrderPriceDeciles(spark: SparkSession, sfDir: String): DataFrame = {
