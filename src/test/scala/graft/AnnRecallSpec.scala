@@ -39,4 +39,27 @@ class AnnRecallSpec extends SparkSpec {
     // every query finds at least its self-match across 4 probes
     assert(lsh4.size == truth.size)
   }
+
+  test("recall-vs-planes sweep: fewer planes -> bigger buckets -> higher recall (cost trade)") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    def recall(nPlanes: Int): Double = {
+      val approx = resultSet(Ann.topKBucketed(docs, queries, 5, 64, nPlanes))
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val sweep = Seq(4, 6, 8, 10).map(n => n -> recall(n))
+    info(sweep.map { case (n, r) => f"planes=$n -> $r%.3f" }.mkString(", "))
+    // monotone trend modulo hash noise: min planes must beat max planes
+    assert(sweep.head._2 >= sweep.last._2)
+  }
 }
