@@ -33,10 +33,13 @@ def canon(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -60,9 +63,14 @@ def main():
         tmism = {c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]}
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if a == b:
-            extra = f" [TYPE MISMATCH {tmism}]" if tmism else ""
-            print(f"PASS {name}: {len(a)} rows{extra}")
-            n_pass += 1
+            if tmism:
+                # the driver's gate compares schemas strictly — a type
+                # drift that passes here would fail there
+                print(f"FAIL {name}: TYPE MISMATCH {tmism}")
+                n_fail += 1
+            else:
+                print(f"PASS {name}: {len(a)} rows")
+                n_pass += 1
         else:
             n_fail += 1
             print(f"FAIL {name}: spark {len(a)} rows vs duck {len(b)} rows")

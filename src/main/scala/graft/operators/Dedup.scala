@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   *    bucketed join on rotated prefixes (here: exact-match buckets).
   *  - embedding near-dup: brute-force pair scores under a blocking key at
   *    test scale; the ANN path (Ann.scala) is the 100 TB route.
+  *
+  * CACHE CONTRACT: operators here persist() intermediates that are both
+  * (a) reused by several branches of the returned lazy plan and (b) CSE
+  * barriers against Catalyst's projection collapse. They cannot unpersist
+  * eagerly — the returned DataFrame has not run yet. Callers that compose
+  * many operators in one long-lived session must drop the blocks after
+  * materializing results: `spark.catalog.clearCache()` (what Bench/Verify
+  * do per query) or `df.unpersist()` on the operator's inputs.
   */
 object Dedup {
 

@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * small (≤ k·fanout) and broadcast; the edge table is the big side and
   * only ever probed by join key.
   */
+/** CACHE CONTRACT: methods here persist() intermediates reused by the
+  * returned lazy plan and cannot unpersist them eagerly; long-lived
+  * sessions must `spark.catalog.clearCache()` (or unpersist inputs)
+  * after materializing results — Bench/Verify do this per query. */
 object GraphExpand {
 
   /** Faithful depth-1 expansion.

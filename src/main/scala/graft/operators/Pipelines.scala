@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * stages (column pruning drops embeddings from the dedup branch, the
   * query side broadcasts into the scan, etc).
   */
+/** CACHE CONTRACT: methods here persist() intermediates reused by the
+  * returned lazy plan and cannot unpersist them eagerly; long-lived
+  * sessions must `spark.catalog.clearCache()` (or unpersist inputs)
+  * after materializing results — Bench/Verify do this per query. */
 object Pipelines {
 
   /** `/submit` (main.py:48-87): ingest a batch, then KNN each *new* doc

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.functions.PortableMath.rnd
 import org.apache.spark.sql.functions._
@@ -225,12 +225,55 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
-  /** Decile distribution of order prices via ntile — window function
-    * breadth beyond row_number. */
+  /** Decile distribution of order prices — exact `ntile(10)` semantics
+    * WITHOUT the global single-partition window (`Window.orderBy` with no
+    * partition moves the whole table to one task — a scale killer).
+    *
+    * Partition-parallel global rank instead:
+    *  1. `repartitionByRange` on the total sort key — range partitioner
+    *     puts partition i's keys entirely before partition i+1's, so
+    *     partition ids are ordered by key;
+    *  2. `row_number` WITHIN each range partition (parallel window);
+    *  3. global rank = local rank + prefix-sum of partition counts (a
+    *     window over #partitions rows — metadata-sized at any scale);
+    *  4. exact ntile arithmetic: with N rows in n tiles, the first
+    *     N mod n tiles get ceil(N/n) rows, the rest floor(N/n).
+    * The only broadcast sides are the 32-row offset table and the 1-row
+    * total — this plan survives any table size. */
   def qOrderPriceDeciles(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey"))
-    Tables.orders(spark, sfDir)
-      .withColumn("decile", ntile(10).over(w))
+    val sortKeys = Seq(col("o_totalprice").asc, col("o_orderkey").asc)
+    // persisted because both the ranked rows and the per-partition counts
+    // read it; without the barrier the range shuffle runs twice
+    val parts = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(32, sortKeys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val ranked = parts.withColumn("_lrn",
+      row_number().over(Window.partitionBy("_pid").orderBy(sortKeys: _*)))
+    // prefix sum over the #partitions-row count table via a triangular
+    // self-join, not a global window (even a metadata-sized
+    // Window.orderBy would emit the single-partition WindowExec warning)
+    val counts = parts.groupBy("_pid").agg(count(lit(1)).as("_pcnt"))
+    val offsets = counts.as("ca")
+      .join(counts.as("cb"), col("cb._pid") < col("ca._pid"), "left")
+      .groupBy(col("ca._pid").as("_pid"))
+      .agg(coalesce(sum(col("cb._pcnt")), lit(0L)).as("_off"))
+    val total = parts.agg(count(lit(1)).as("_n"))
+    // integral divide via floor: every quotient here is <= 10 (tile
+    // index), so the double rounding error (~1e-15 abs) cannot cross an
+    // integer boundary
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val n = lit(10L)
+    val rn = col("_lrn").cast("long") + col("_off")
+    val szSmall = idiv(col("_n"), n)
+    val szBig = szSmall + lit(1L) // tiles 1..r are one row larger
+    val r = col("_n") % n
+    val decile = when(rn <= szBig * r, idiv(rn - 1, szBig) + 1)
+      .otherwise(r + idiv(rn - 1 - szBig * r, szSmall) + 1)
+    ranked.join(broadcast(offsets), Seq("_pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("decile", decile)
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_orders"),

@@ -49,8 +49,14 @@ object StreamingIngest {
       docsDir: String,
       edgesDir: String,
       conf: GraftConf): Unit = {
+    // probe through the Hadoop FileSystem API, not java.io.File: the
+    // store dir can live on any supported filesystem (HDFS/S3/...) where
+    // a local-FS check would always say "absent" and silently skip the
+    // dedup-against-store guard
+    val docsPath = new org.apache.hadoop.fs.Path(docsDir)
+    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: DataFrame =
-      if (new java.io.File(docsDir).exists())
+      if (fs.exists(docsPath))
         spark.read.parquet(docsDir)
       else
         spark.createDataFrame(

@@ -117,6 +117,19 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("DotProductF: length mismatch yields NULL (matches HOF), equal lengths don't") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 1f)),      // mismatched dims
+      (Seq(1f, 2f), Seq(3f, 4f))            // matched dims
+    ).toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("native"),
+      VectorFunctions.dotProductHof(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1)) // both forms: null
+    assert(out(1).getDouble(0) == 11.0 && out(1).getDouble(1) == 11.0)
+  }
+
   test("typed Dataset[Doc]/Dataset[Edge] views round-trip (SURVEY §1.3 model)") {
     implicit val s = spark
     val docsDf = Seq(("doc:a", "text", "hello", Seq(1f, 0f)))
