@@ -240,6 +240,21 @@ object SparkEntry {
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
 
+  /** OR-construction multi-table LSH (the recall-bearing ANN path): 8
+    * independent 4-plane families, candidates = bucket match in ANY
+    * family, deduped then exactly scored. */
+  private def annMultiTable(s: SparkSession, dir: String): DataFrame =
+    Ann.topKMultiTable(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").cast("string").as("qid"),
+            col("embedding").as("qvec")),
+        k = 5, dim = 64, nPlanes = 4, nTables = 8)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+
   /** Exact percentiles per order priority (the exact path; SCALE.md
     * documents approx_percentile as the 100 TB default). */
   private def orderPercentiles(s: SparkSession, dir: String): DataFrame =
@@ -361,6 +376,7 @@ object SparkEntry {
     "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d)),
     "q27_order_percentiles" -> ((s, d) => orderPercentiles(s, d)),
     "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
+    "q29_ann_multitable" -> ((s, d) => annMultiTable(s, d)),
     "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
     "q31_revenue_rollup" ->
       ((s, d) => Relational.qRevenueRollup(s, d)),
@@ -742,6 +758,34 @@ object SparkEntry {
          |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    "q29_ann_multitable" -> {
+      // OR-construction mirror: per-table (tbl, bucket) rows via UNION ALL,
+      // DISTINCT candidate pairs, exact scoring, rank
+      val dTables = (0 until 8).map(t =>
+        s"""  SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+      val qTables = (0 until 8).map(t =>
+        s"""  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+           |  FROM embeddings WHERE vec_id % 100 = 0""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH d AS (
+         |$dTables),
+         |q AS (
+         |$qTables),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, q.qvec, d.id, d.embedding
+         |  FROM q JOIN d ON q.tbl = d.tbl AND q.bucket = d.bucket),
+         |scored AS (
+         |  SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM cand),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
     "q31_revenue_rollup" ->
       s"""SELECT region, nation,
          |  ${sqlRnd("sum(rev)", 2)} AS revenue,

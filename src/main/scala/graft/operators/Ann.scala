@@ -92,4 +92,98 @@ object Ann {
       val proj = graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
       s"(CASE WHEN ($proj) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+
+  // ---- multi-table OR-construction LSH ----------------------------------
+  // Single-table LSH (above) trades recall for bucket size: any true
+  // neighbor split from its query by even ONE of the nPlanes hyperplanes
+  // is lost, and bit-flip multi-probe only recovers 1-bit escapes. The
+  // standard fix is L INDEPENDENT tables (fresh hyperplanes per table):
+  // a neighbor is found if it shares a bucket in ANY table —
+  // recall = 1-(1-p^b)^L instead of p^b. Cost: the bucket index carries
+  // each row L times (still O(L·rows) — never a cross join), and
+  // candidate lists are deduped before scoring.
+
+  /** Plane component for table `t` — an independent deterministic plane
+    * family per table (table 0 is NOT the single-table family: seeds
+    * differ by construction, which is fine — tables only need mutual
+    * independence). */
+  def planeComponentT(t: Int, j: Int, i: Int): Double = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val hex = md5.digest(s"plane:$t:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % 2001L - 1000L).toDouble / 1000.0
+  }
+
+  def planeVectorT(t: Int, j: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim)(i => planeComponentT(t, j, i).toFloat)
+
+  /** Bucket id in table `t`: sign bit per plane of family `t`. */
+  def lshBucketT(vec: Column, dim: Int, nPlanes: Int, t: Int): Column =
+    (0 until nPlanes).map { j =>
+      val proj = dotProduct(vec, typedLit(planeVectorT(t, j, dim)))
+      when(proj >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Deduped candidate set of the OR-construction: docs sharing the
+    * query's bucket in ANY of `nTables` independent plane families.
+    * Exposed separately so callers can audit candidate-set size (the
+    * cost knob: expected fraction scanned = 1-(1-2^-nPlanes)^nTables for
+    * uniformly spread buckets).
+    * @return (qid, id, qvec, embedding), one row per candidate pair. */
+  def multiTableCandidates(
+      docs: DataFrame, // (id, embedding)
+      queries: DataFrame, // (qid, qvec)
+      dim: Int,
+      nPlanes: Int,
+      nTables: Int): DataFrame = {
+    require(nTables >= 1)
+    def buckets(vec: Column) =
+      array((0 until nTables).map(t => lshBucketT(vec, dim, nPlanes, t)): _*)
+    // posexplode evaluates the bucket array ONCE per row inside Generate —
+    // no per-table recompute of the nPlanes projections (CSE hazard note
+    // in Dedup.scala applies to slicing, not to explode)
+    val d = docs.select(col("id"), col("embedding"),
+      posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+    val q = queries.select(col("qid"), col("qvec"),
+      posexplode(buckets(col("qvec"))).as(Seq("tbl", "bucket")))
+    d.join(broadcast(q), Seq("tbl", "bucket"))
+      .select("qid", "id", "qvec", "embedding")
+      .dropDuplicates("qid", "id") // same pair from several tables
+  }
+
+  /** OR-construction top-k: [[multiTableCandidates]] scored exactly and
+    * ranked. The (table, bucket) join key keeps every join a hash join on
+    * a compact key; the dedup is a shuffle on (qid, id) — both scale
+    * linearly in rows × nTables, never a cross join.
+    *
+    * Parameter guidance: recall per true neighbor ≈ 1-(1-p^nPlanes)^nTables
+    * where p = 1 - angle/π. On CLUSTERED embeddings (p ≈ 0.9) use
+    * nPlanes 8-16 for sublinear candidate sets; on weakly-structured
+    * corpora p ≈ 0.6 forces small nPlanes / many tables and the candidate
+    * set approaches a full scan — a property of the data geometry, not of
+    * the construction (see AnnRecallSpec's two corpora).
+    * @return (qid, id, sim, rank) like [[topKBucketed]]. */
+  def topKMultiTable(
+      docs: DataFrame, // (id, embedding)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      dim: Int,
+      nPlanes: Int,
+      nTables: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    multiTableCandidates(docs, queries, dim, nPlanes, nTables)
+      .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+
+  /** SQL mirror of [[lshBucketT]]. */
+  def sqlLshBucketT(vec: String, dim: Int, nPlanes: Int, t: Int): String =
+    (0 until nPlanes).map { j =>
+      val lits = planeVectorT(t, j, dim).map(_.toString).mkString("[", ", ", "]")
+      val proj = graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
+      s"(CASE WHEN ($proj) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
 }
