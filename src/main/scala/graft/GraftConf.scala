@@ -19,7 +19,12 @@ final case class GraftConf(
     searchK: Int = 20,
     crossModalBoost: Double = 0.8,
     expansionDecay: Double = 0.9,
-    depth: Int = 1
+    depth: Int = 1,
+    /** KNN broadcasts the query batch only when Catalyst's size estimate
+      * is at or below this cap (bytes); larger batches fall back to a
+      * non-broadcast join instead of OOMing the driver. 64 MiB default ~
+      * a few hundred thousand 512-dim float queries. */
+    broadcastQueryCapBytes: Long = 64L << 20
 )
 
 object GraftConf {

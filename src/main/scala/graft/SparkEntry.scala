@@ -147,6 +147,14 @@ object SparkEntry {
       .select(col("id"), col("degree"), rnd(col("strength"), 6).as("strength"))
       .orderBy("id")
 
+  /** G3 degree-0 parity (main.py:259 add_node): every ingested id is a
+    * node; ids untouched by any KNN edge report degree 0. */
+  private def graphDegreesAll(s: SparkSession, dir: String): DataFrame =
+    GraphViews.degreesAll(
+        knnEdges(knnWithQtype(s, dir)), embDocs(s, dir).select("id"))
+      .select(col("id"), col("degree"), rnd(col("strength"), 6).as("strength"))
+      .orderBy("id")
+
   /** Salted skew join in the gate: results must equal the plain join
     * (the oracle IS the plain join — salting is a physical rewrite). */
   private def skewJoinRollup(s: SparkSession, dir: String): DataFrame =
@@ -191,9 +199,13 @@ object SparkEntry {
   }
 
   /** §3.1 end-to-end: embed → dedup-ingest → KNN(k=10, self-clamp) —
-    * the /submit response (neighbors of each newly ingested doc). */
+    * the /submit response (neighbors of each newly ingested doc,
+    * WITH the stored payload like main.py:230-242). */
   private def submitPipeline(s: SparkSession, dir: String): DataFrame =
-    rankedOut(submitParts(s, dir)._2)
+    submitParts(s, dir)._2
+      .select(col("qid"), col("id"), col("mtype"), col("data"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
 
   /** §3.2 end-to-end: embed query → KNN(k=20, no self-match possible) →
     * faithful graph expansion over the submit-built edges. */
@@ -207,7 +219,8 @@ object SparkEntry {
         concat(lit("find "), substring(col("text"), 1, 40)), pipeConf.dim).as("qvec"))
     val edgesDedup = GraphBuild.upsertEdges(edges.limit(0), edges)
     Pipelines.search(docs, queries, edgesDedup, pipeConf)
-      .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
+      .select(col("qid"), col("id"), col("mtype"), col("data"),
+        rnd(col("score"), 6).as("score"),
         col("origin"), col("rnk").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
   }
@@ -304,6 +317,14 @@ object SparkEntry {
     Dedup.nearDupSimhash(perturbedDocs(s, dir, " the"), "doc_id", "text", bits = 16)
       .orderBy("id_a", "id_b")
 
+  /** Radius variant of q24: a 3-token perturbation flips a few sketch
+    * bits, so exact-bucket SimHash misses those pairs; pigeonhole banding
+    * at hamming radius 3 (32-bit sketch, 8-bit blocks) recovers them. */
+  private def simhashRadiusPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupSimhashRadius(perturbedDocs(s, dir, " the quick fox"),
+        "doc_id", "text", bits = 32, radius = 3)
+      .orderBy("id_a", "id_b")
+
   /** Exact char-3-gram Jaccard under 2-key min-hash blocking (the pair
     * of smallest shingle hashes; a single global min collapsed 78% of
     * this shared-vocabulary corpus into one block and went quadratic).
@@ -351,6 +372,7 @@ object SparkEntry {
     "q13_edge_upsert" -> ((s, d) => edgeUpsert(s, d)),
     "q14_graph_expand" -> ((s, d) => graphExpand(s, d)),
     "q15_graph_degrees" -> ((s, d) => graphDegrees(s, d)),
+    "q40_graph_degrees_all" -> ((s, d) => graphDegreesAll(s, d)),
     "q19_graph_expand_all" -> ((s, d) => graphExpandAll(s, d)),
     "q16_submit_pipeline" -> ((s, d) => submitPipeline(s, d)),
     "q17_search_pipeline" -> ((s, d) => searchPipeline(s, d)),
@@ -378,6 +400,7 @@ object SparkEntry {
     "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
     "q29_ann_multitable" -> ((s, d) => annMultiTable(s, d)),
     "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
+    "q39_simhash_radius" -> ((s, d) => simhashRadiusPairs(s, d)),
     "q31_revenue_rollup" ->
       ((s, d) => Relational.qRevenueRollup(s, d)),
     "q32_nation_set_ops" ->
@@ -434,22 +457,22 @@ object SparkEntry {
        |ex0 AS (
        |  SELECT concat('doc:', sha256(text)) AS id, mt AS mtype, text
        |  FROM base WHERE doc_id % 50 <> 0),
-       |${embedCte("ex", "ex0", "id, mtype", "text", 16)},
+       |${embedCte("ex", "ex0", "id, mtype, text", "text", 16)},
        |b0 AS (
        |  SELECT concat('doc:', sha256(text)) AS id, mt AS mtype,
        |         doc_id AS seq, text
        |  FROM base WHERE doc_id % 50 = 0),
-       |${embedCte("b", "b0", "id, mtype, seq", "text", 16)},
+       |${embedCte("b", "b0", "id, mtype, seq, text", "text", 16)},
        |bfirst AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq) AS _rn
        |    FROM bemb) WHERE _rn = 1),
        |delta AS (
-       |  SELECT id, mtype, seq, embedding FROM bfirst
+       |  SELECT id, mtype, seq, text, embedding FROM bfirst
        |  WHERE id NOT IN (SELECT id FROM exemb)),
        |sdocs AS (
-       |  SELECT id, mtype, embedding FROM exemb
-       |  UNION ALL SELECT id, mtype, embedding FROM delta),
+       |  SELECT id, mtype, text AS data, embedding FROM exemb
+       |  UNION ALL SELECT id, mtype, text AS data, embedding FROM delta),
        |sq AS (SELECT id AS qid, mtype AS qtype, embedding AS qvec FROM delta),
        |${knnChain("s", 10)}""".stripMargin
 
@@ -603,6 +626,19 @@ object SparkEntry {
          |SELECT u AS id, count(*) AS degree, ${rnd6("sum(score)")} AS strength
          |FROM gsym GROUP BY u
          |ORDER BY id""".stripMargin,
+    "q40_graph_degrees_all" ->
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |deg AS (
+         |  SELECT u AS id, count(*) AS degree, sum(score) AS strength
+         |  FROM gsym GROUP BY u)
+         |SELECT d.id,
+         |  coalesce(g.degree, CAST(0 AS BIGINT)) AS degree,
+         |  ${rnd6("coalesce(g.strength, 0.0)")} AS strength
+         |FROM docs d LEFT JOIN deg g ON d.id = g.id
+         |ORDER BY d.id""".stripMargin,
     "q19_graph_expand_all" ->
       s"""WITH $sqlEmbCtes,
          |${knnChain("", 10)},
@@ -635,9 +671,9 @@ object SparkEntry {
          |ORDER BY qid, rnk""".stripMargin,
     "q16_submit_pipeline" ->
       s"""WITH $sqlSubmitCtes
-         |SELECT qid, id, mtype, ${rnd6("sim")} AS sim, rnk
-         |FROM sknn
-         |ORDER BY qid, rnk""".stripMargin,
+         |SELECT k.qid, k.id, k.mtype, d.data, ${rnd6("k.sim")} AS sim, k.rnk
+         |FROM sknn k LEFT JOIN sdocs d ON k.id = d.id
+         |ORDER BY k.qid, k.rnk""".stripMargin,
     "q17_search_pipeline" ->
       s"""WITH $sqlSubmitCtes,
          |${edgeDedup("g", edgeDelta("sknn", "sim", 1, ""))},
@@ -651,9 +687,11 @@ object SparkEntry {
          |q AS (SELECT qid, qtype, embedding AS qvec FROM qemb),
          |${knnChain("", 20)},
          |${expandFaithful("", "g", "")}
-         |SELECT qid, id, ${rnd6("score")} AS score, origin, rnk
-         |FROM fin WHERE rnk <= 20
-         |ORDER BY qid, rnk""".stripMargin,
+         |SELECT f.qid, f.id, d.mtype, d.data, ${rnd6("f.score")} AS score,
+         |       f.origin, f.rnk
+         |FROM fin f LEFT JOIN sdocs d ON f.id = d.id
+         |WHERE f.rnk <= 20
+         |ORDER BY f.qid, f.rnk""".stripMargin,
     "q20_text_analysis" ->
       s"""WITH t AS (
          |  SELECT doc_id AS id, text, $sqlToks AS toks FROM documents),
@@ -923,6 +961,37 @@ object SparkEntry {
          |SELECT a.id AS id_a, b.id AS id_b, a.sk AS sketch
          |FROM sk a JOIN sk b ON a.sk = b.sk AND a.id < b.id
          |ORDER BY id_a, id_b""".stripMargin,
+    "q39_simhash_radius" -> {
+      // pigeonhole banding mirror: 16-bit sketch, radius 3 -> 4 blocks of
+      // 4 bits; candidates share any (block, value); exact popcount verify
+      val banded = (0 until 4).map(b =>
+        s"""  SELECT id, sk, $b AS blk, (sk >> ${b * 8}) & 255 AS bval FROM sk""")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat(text, ' the quick fox') FROM d0),
+         |withhs AS (
+         |  SELECT doc_id AS id,
+         |         list_transform(${toksOf("text")}, t -> ${hash60("t")}) AS hs
+         |  FROM all_docs),
+         |sk AS (SELECT id, ${simhashOf("hs", 32)} AS sk FROM withhs),
+         |banded AS (
+         |$banded),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sk AS sk_a, b.sk AS sk_b
+         |  FROM banded a JOIN banded b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.id < b.id),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |         CAST(bit_count(xor(sk_a, sk_b)) AS BIGINT) AS hamming
+         |  FROM cand)
+         |SELECT id_a, id_b, hamming FROM verified
+         |WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q25_ngram_jaccard" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

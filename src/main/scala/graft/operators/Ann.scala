@@ -77,7 +77,8 @@ object Ann {
       .withColumn("bucket", explode(array(probeCols: _*)))
       .drop("_b")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    d.join(broadcast(q), Seq("bucket"))
+    d.join(Knn.maybeBroadcast(q, graft.GraftConf.default.broadcastQueryCapBytes),
+        Seq("bucket"))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -147,7 +148,8 @@ object Ann {
       posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val q = queries.select(col("qid"), col("qvec"),
       posexplode(buckets(col("qvec"))).as(Seq("tbl", "bucket")))
-    d.join(broadcast(q), Seq("tbl", "bucket"))
+    d.join(Knn.maybeBroadcast(q, graft.GraftConf.default.broadcastQueryCapBytes),
+        Seq("tbl", "bucket"))
       .select("qid", "id", "qvec", "embedding")
       .dropDuplicates("qid", "id") // same pair from several tables
   }

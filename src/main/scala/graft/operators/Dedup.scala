@@ -180,6 +180,53 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sk").as("sketch"))
   }
 
+  /** Near-dup pairs within hamming radius `radius` of the SimHash sketch
+    * — the real near-dup setting ([[nearDupSimhash]] radius 0 only finds
+    * near-identical token multisets).
+    *
+    * Pigeonhole banding: split the `bits`-bit sketch into radius+1
+    * blocks; two sketches within hamming distance `radius` differ in at
+    * most `radius` blocks, so they AGREE exactly on at least one block.
+    * Candidates = pairs sharing any (block index, block value); verify
+    * with an exact popcount on the XOR. Same scale shape as MinHash-LSH
+    * banding: the join key is a compact (int, long) pair, shuffle volume
+    * O(rows × (radius+1)), never all-pairs.
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming <= radius */
+  def nearDupSimhashRadius(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 32,
+      radius: Int = 3): DataFrame = {
+    require(radius >= 1 && radius < bits, s"radius $radius out of (0, $bits)")
+    val nBlocks = radius + 1
+    val w = bits / nBlocks
+    // materialize hashes then the sketch (projection-collapse CSE hazard,
+    // see simhash()), and the sketch before banding + the verify join
+    val withHs = docs.select(col(idCol).as("id"),
+      transform(tokens(col(textCol)), t => hash60(t)).as("hs")).persist()
+    val sk = withHs.select(col("id"),
+      simhashFromHashes(col("hs"), bits).as("sk")).persist()
+    val blockCols = (0 until nBlocks).map { b =>
+      val lo = b * w
+      val width = if (b == nBlocks - 1) bits - lo else w
+      shiftright(col("sk"), lo).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val banded = sk.select(col("id"), col("sk"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "bval")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      .dropDuplicates("id_a", "id_b") // pair can collide in several blocks
+      .withColumn("hamming",
+        bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs under a cheap
     * blocking key (shared rare token); full-fidelity verification step of
     * the LSH pipeline, usable standalone at moderate scale. */

@@ -36,9 +36,10 @@ object Ingest {
   // E3 failure guard (vec.py:29-44: embed RPC failure → drop row): the
   // deterministic stub embedder cannot return null, and a filter on the
   // computed column would clone the whole embed tree into the Filter
-  // predicate (2x embed per row — projection collapse has no CSE). A
-  // real model integration should null-guard INSIDE its mapPartitions
-  // batch (see Multimodal.extractFeatures) and emit no row on failure.
+  // predicate (2x embed per row — projection collapse has no CSE). The
+  // guard is IMPLEMENTED on the model path: Multimodal.extractFeatures
+  // flatMaps embedOpt, so an undecodable row emits nothing
+  // (MultimodalSpec proves poisoned rows drop).
 
   /** New-docs-only delta vs the existing corpus (both keyed by `id`):
     * within-batch first-wins, then anti-join against existing ids. */

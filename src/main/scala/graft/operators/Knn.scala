@@ -43,6 +43,18 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  /** Broadcast the query batch only while it is plausibly driver-sized:
+    * gate on Catalyst's optimized-plan size estimate (free — no job) vs
+    * the configured cap. An un-gated hint OOMs the driver the day someone
+    * feeds a million-query batch; past the cap the cross join runs as a
+    * partition-local CartesianProduct, which is the correct degradation
+    * (still no shuffle of the corpus side). */
+  private[operators] def maybeBroadcast(
+      queries: DataFrame, capBytes: Long): DataFrame = {
+    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= capBytes) broadcast(queries) else queries
+  }
+
   /** Similarity of a doc row to the query row: dot product on normalized
     * vectors (cosine ≡ dot, app.py:14-15), with the reference's self-match
     * clamp (main.py:223-224). The reference round-trips through distance
@@ -64,9 +76,9 @@ object Knn {
     val overFetch = k * conf.overFetch
 
     // docs is the (potentially 100 TB) side: never shuffle it for the
-    // join — broadcast the query batch instead.
+    // join — broadcast the query batch instead (size-gated).
     val scored = docs
-      .crossJoin(broadcast(queries))
+      .crossJoin(maybeBroadcast(queries, conf.broadcastQueryCapBytes))
       .withColumn(
         "sim",
         simExpr(col("qid"), col(idCol), col("qvec"), col("embedding")))
@@ -118,7 +130,7 @@ object Knn {
       idCol: String = "id"): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val scored = docs
-      .crossJoin(broadcast(queries))
+      .crossJoin(maybeBroadcast(queries, GraftConf.default.broadcastQueryCapBytes))
       .select(col("qid"), col(idCol).as("id"),
         dotProduct(col("qvec"), col("embedding")).as("sim"))
     val topCol = Bridge.column(
@@ -141,7 +153,7 @@ object Knn {
   ): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     docs
-      .crossJoin(broadcast(queries))
+      .crossJoin(maybeBroadcast(queries, GraftConf.default.broadcastQueryCapBytes))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

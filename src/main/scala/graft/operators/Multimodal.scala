@@ -85,6 +85,14 @@ object Multimodal {
       java.lang.Long.parseLong(h.substring(0, 15), 16)
     }
 
+    /** E3 failure contract (reference main.py:74-75: embed failure drops
+      * the row): None on undecodable input. For the stub, "undecodable"
+      * = null/empty content — the deterministic stand-in for a real
+      * codec's decode exception, and what the spec poisons. */
+    def embedOpt(content: Array[Byte]): Option[Array[Float]] =
+      if (content == null || content.isEmpty) None
+      else Some(embed(content))
+
     /** Mirror of Embed.embedText(sha256Hex(content), dim): one md5 base
       * key, affine component mixes — identical integer arithmetic. */
     def embed(content: Array[Byte]): Array[Float] = {
@@ -107,7 +115,12 @@ object Multimodal {
   /** Feature extraction over binary content via mapPartitions: ONE model
     * instance per partition (the real-model pattern — amortizes load
     * cost), rows streamed through it. Output: (id, features ARRAY<FLOAT>).
-    */
+    *
+    * E3: a row whose content cannot be embedded (null/empty here; decode
+    * exception with a real model) emits NO output row — the reference
+    * drops the document on embed failure (main.py:74-75) instead of
+    * storing a poisoned vector. flatMap, not map: the guard is part of
+    * the operator, not caller policy. */
   def extractFeatures(
       media: DataFrame,
       idCol: String,
@@ -119,7 +132,12 @@ object Multimodal {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         val model = new StubMediaModel(dim) // per-partition handle
-        rows.map { case (id, content) => (id, model.embed(content)) }
+        rows.flatMap { case (id, content) =>
+          val feats =
+            try model.embedOpt(content)
+            catch { case scala.util.control.NonFatal(_) => None }
+          feats.map(v => (id, v))
+        }
       }
     out.toDF(idCol, "features")
   }

@@ -41,8 +41,12 @@ object Pipelines {
     val queries = delta.select(
       col("id").as("qid"), col("mtype").as("qtype"),
       col("embedding").as("qvec"), col("seq"))
+    // neighbors carry the stored payload (`data`), like the reference's
+    // /submit response rows {id, data, type, score} (main.py:230-242 via
+    // search.py:33-38) — the hit is useless to a caller without it
     val knn = Knn.search(docs, queries.drop("seq"), conf.submitK, conf)
       .join(queries.select("qid", "qtype", "seq"), Seq("qid"))
+      .join(docs.select(col("id"), col("data")), Seq("id"), "left")
     val edges = GraphBuild.edgeDelta(knn, conf)
     (docs, knn, edges)
   }
@@ -57,7 +61,13 @@ object Pipelines {
       conf: GraftConf = GraftConf.default
   ): DataFrame = {
     val knn = Knn.search(docs, queries, conf.searchK, conf)
+    // hits carry the stored payload + modality like the reference's
+    // /search response {id, data, type, score} (main.py:230-242): one
+    // broadcast-able join against the store at the pipeline tail. Left
+    // join: an expanded node missing from the store still surfaces (the
+    // reference returns empty fields for it rather than dropping the hit).
     GraphExpand.expandFaithful(
-      knn.select("qid", "id", "sim", "rank"), edges, conf.searchK, conf)
+        knn.select("qid", "id", "sim", "rank"), edges, conf.searchK, conf)
+      .join(docs.select(col("id"), col("mtype"), col("data")), Seq("id"), "left")
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Knn
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Quirk-fidelity tests for the §2.3 KNN contract (SURVEY.md §7.4 risk 1).
   * Vectors are axis-aligned so cosine similarities are exact by
@@ -99,5 +99,27 @@ class KnnSpec extends SparkSpec {
     val viaAgg = rows(Knn.topKViaAgg(docs, queries, k = 7))
     assert(viaAgg == viaWindow)
     assert(viaAgg.nonEmpty)
+  }
+
+  test("broadcast size gate: big query batches don't get the broadcast hint; results identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = emb.select(col("vec_id").cast("string").as("id"),
+      lit("x").as("mtype"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").cast("string").as("qid"),
+        lit("x").as("qtype"), col("embedding").as("qvec"))
+    val gatedOff = Knn.search(docs, queries, k = 3,
+      graft.GraftConf(dim = 64, broadcastQueryCapBytes = 1L))
+    val gatedOn = Knn.search(docs, queries, k = 3,
+      graft.GraftConf(dim = 64)) // default 64 MiB cap: hint applies
+    val pOff = gatedOff.queryExecution.executedPlan.toString
+    val pOn = gatedOn.queryExecution.executedPlan.toString
+    assert(!pOff.contains("BroadcastNestedLoopJoin"),
+      s"1-byte cap must suppress the broadcast hint:\n$pOff")
+    assert(pOn.contains("BroadcastNestedLoopJoin"),
+      s"small batch under default cap must broadcast:\n$pOn")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(4))).toSet
+    assert(rows(gatedOff) == rows(gatedOn)) // the gate is physical-only
   }
 }

@@ -65,4 +65,16 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b) // exact Float equality — same hash, same fold, same casts
     assert(a.values.forall(_.length == 16))
   }
+
+  test("E3: a row the model cannot embed emits NO output row (main.py:74-75)") {
+    import spark.implicits._
+    val media = Seq(
+      ("doc:good", "payload bytes".getBytes("UTF-8")),
+      ("doc:poisoned-empty", Array.empty[Byte]),
+      ("doc:poisoned-null", null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "content")
+    val out = Multimodal.extractFeatures(media, "id", "content", dim = 16)
+    val ids = out.collect().map(_.getString(0)).toSet
+    assert(ids == Set("doc:good"), s"poisoned rows must drop, got $ids")
+  }
 }

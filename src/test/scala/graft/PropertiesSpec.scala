@@ -90,6 +90,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("simhash radius banding recovers flipped-bit pairs the exact bucket misses") {
+    // doc 2 = doc 1 plus a few tokens: sketches differ in >=1 bit for
+    // these texts, so radius-0 (exact bucket) misses the pair while the
+    // pigeonhole banding at radius 3 must find it; doc 3 is unrelated
+    // and must stay outside the radius.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the old river bank dog"),
+      (3L, "completely different subject matter entirely unrelated vocabulary zone")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.nearDupSimhash(docs, "doc_id", "text", bits = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val radius = Dedup.nearDupSimhashRadius(docs, "doc_id", "text", bits = 32, radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!exact.contains((1L, 2L)), s"perturbation did not flip any bit: $exact")
+    val found = radius.find(p => p._1 == 1L && p._2 == 2L)
+    assert(found.isDefined, s"radius banding missed the near-pair: ${radius.toSeq}")
+    assert(found.get._3 >= 1 && found.get._3 <= 3)
+    assert(!radius.exists(p => p._2 == 3L || p._1 == 3L),
+      s"unrelated doc inside radius: ${radius.toSeq}")
+  }
+
   test("minhash pairs report EXACT jaccard in [0,1]; identical docs give 1.0") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     for (cut <- 0 to 8) {
