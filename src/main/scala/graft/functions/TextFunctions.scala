@@ -67,15 +67,23 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "was", "at", "by", "this")
 
-  def stopwordCount(text: Column): Column =
-    size(filter(tokens(text), t => t.isin(EnglishStopwords.map(x => x: Any): _*)))
+  def stopwordCount(text: Column): Column = stopwordCountFromTokens(tokens(text))
+
+  /** Stopword hits over a PRE-TOKENIZED array column — use this (and the
+    * other `FromTokens` variants) whenever several metrics share one
+    * document: Catalyst's projection collapse has no CSE, so each
+    * text-based variant re-runs the regexp tokenization per reference
+    * (the measured ~12x recompute in the round-2 q20 plan). */
+  def stopwordCountFromTokens(ts: Column): Column =
+    size(filter(ts, t => t.isin(EnglishStopwords.map(x => x: Any): _*)))
 
   /** Stopword ratio in Double (0 when no tokens). */
-  def stopwordRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n === 0, 0.0)
-      .otherwise(stopwordCount(text).cast("double") / n.cast("double"))
-  }
+  def stopwordRatio(text: Column): Column = stopwordRatioFromTokens(tokens(text))
+
+  /** Stopword ratio from a pre-tokenized array (0 when no tokens). */
+  def stopwordRatioFromTokens(ts: Column): Column =
+    when(size(ts) === 0, 0.0)
+      .otherwise(stopwordCountFromTokens(ts).cast("double") / size(ts).cast("double"))
 
   /** Ratio of non-alphanumeric, non-space chars to total chars. */
   def punctRatio(text: Column): Column = {
@@ -85,28 +93,38 @@ object TextFunctions {
   }
 
   /** Mean token length in chars (0 when no tokens). */
-  def meanTokenLen(text: Column): Column = {
-    val ts = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenFromTokens(tokens(text))
+
+  /** Mean token length from a pre-tokenized array (0 when no tokens). */
+  def meanTokenLenFromTokens(ts: Column): Column =
     when(size(ts) === 0, 0.0).otherwise(
       aggregate(ts, lit(0.0), (acc, t) => acc + length(t).cast("double"))
         / size(ts).cast("double"))
-  }
 
   /** Heuristic language ID: stopword-ratio driven (the reference corpus is
     * English/other). Returns "en" when enough English stopwords are present,
     * "unknown" otherwise. A deliberately simple, fully-SQL-expressible
     * heuristic (n-gram LMs need model weights we cannot ship offline). */
-  def langIdHeuristic(text: Column): Column =
-    when(stopwordRatio(text) >= 0.08, lit("en")).otherwise(lit("unknown"))
+  def langIdHeuristic(text: Column): Column = langIdFromRatio(stopwordRatio(text))
+
+  /** Language ID from a precomputed (UNROUNDED) stopword ratio. */
+  def langIdFromRatio(swr: Column): Column =
+    when(swr >= 0.08, lit("en")).otherwise(lit("unknown"))
 
   /** Composite quality score in [0,1]:
     * 0.4 * saturating-length + 0.3 * stopword presence + 0.3 * (1 - punct).
     * All components deterministic Doubles.
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val swScore = least(stopwordRatio(text) / lit(0.2), lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(length(text), stopwordRatio(text), punctRatio(text))
+
+  /** Quality score from precomputed components: char count, UNROUNDED
+    * stopword ratio, UNROUNDED punct ratio — same formula, same operand
+    * order, so the result is bit-identical to [[qualityScore]]. */
+  def qualityScoreFrom(nChars: Column, swr: Column, punct: Column): Column = {
+    val lenScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
+    val swScore = least(swr / lit(0.2), lit(1.0))
+    val punctScore = lit(1.0) - least(punct * lit(4.0), lit(1.0))
     lit(0.4) * lenScore + lit(0.3) * swScore + lit(0.3) * punctScore
   }
 
@@ -116,10 +134,13 @@ object TextFunctions {
     * the minhash sketch) so it distinguishes permuted documents. The
     * modulus keeps every intermediate < 2^36, so Int64 arithmetic is exact
     * and identical in DuckDB. */
-  def docFingerprint(text: Column): Column = {
+  def docFingerprint(text: Column): Column = docFingerprintFromTokens(tokens(text))
+
+  /** Fingerprint from a pre-tokenized array — same fold, same modulus. */
+  def docFingerprintFromTokens(ts: Column): Column = {
     val M = 2147483647L // 2^31 - 1, Mersenne prime
     aggregate(
-      tokens(text),
+      ts,
       lit(0L),
       (acc, t) => (acc * 31 + HashFunctions.hash60(t) % M) % M
     )

@@ -65,7 +65,8 @@ object Ann {
       k: Int,
       dim: Int,
       nPlanes: Int,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
     require(probes >= 1 && probes <= nPlanes + 1)
     val d = docs.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
     val probeCols = (0 until probes).map { p =>
@@ -77,8 +78,7 @@ object Ann {
       .withColumn("bucket", explode(array(probeCols: _*)))
       .drop("_b")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    d.join(Knn.maybeBroadcast(q, graft.GraftConf.default.broadcastQueryCapBytes),
-        Seq("bucket"))
+    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("bucket"))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -137,7 +137,8 @@ object Ann {
       queries: DataFrame, // (qid, qvec)
       dim: Int,
       nPlanes: Int,
-      nTables: Int): DataFrame = {
+      nTables: Int,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
     require(nTables >= 1)
     def buckets(vec: Column) =
       array((0 until nTables).map(t => lshBucketT(vec, dim, nPlanes, t)): _*)
@@ -148,8 +149,7 @@ object Ann {
       posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val q = queries.select(col("qid"), col("qvec"),
       posexplode(buckets(col("qvec"))).as(Seq("tbl", "bucket")))
-    d.join(Knn.maybeBroadcast(q, graft.GraftConf.default.broadcastQueryCapBytes),
-        Seq("tbl", "bucket"))
+    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("tbl", "bucket"))
       .select("qid", "id", "qvec", "embedding")
       .dropDuplicates("qid", "id") // same pair from several tables
   }
@@ -172,9 +172,10 @@ object Ann {
       k: Int,
       dim: Int,
       nPlanes: Int,
-      nTables: Int): DataFrame = {
+      nTables: Int,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    multiTableCandidates(docs, queries, dim, nPlanes, nTables)
+    multiTableCandidates(docs, queries, dim, nPlanes, nTables, conf)
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -43,16 +43,26 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Broadcast the query batch only while it is plausibly driver-sized:
     * gate on Catalyst's optimized-plan size estimate (free — no job) vs
     * the configured cap. An un-gated hint OOMs the driver the day someone
-    * feeds a million-query batch; past the cap the cross join runs as a
-    * partition-local CartesianProduct, which is the correct degradation
-    * (still no shuffle of the corpus side). */
+    * feeds a million-query batch. Past the cap we only REMOVE the hint;
+    * the planner may still broadcast by its own size estimate
+    * (autoBroadcastJoinThreshold) — the degradation to a partition-local
+    * CartesianProduct happens only when the planner also can't broadcast,
+    * which is exactly the big-batch case the gate exists for. The chosen
+    * path is logged (INFO) so a size-estimate misfire is diagnosable:
+    * an underestimate re-broadcasts a huge batch, an overestimate
+    * silently degrades a tiny one. */
   private[operators] def maybeBroadcast(
       queries: DataFrame, capBytes: Long): DataFrame = {
     val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= capBytes) broadcast(queries) else queries
+    val hinted = est <= capBytes
+    log.info(s"query-batch broadcast gate: sizeEstimate=$est capBytes=$capBytes " +
+      s"=> ${if (hinted) "broadcast hint applied" else "hint withheld (planner decides)"}")
+    if (hinted) broadcast(queries) else queries
   }
 
   /** Similarity of a doc row to the query row: dot product on normalized
@@ -127,10 +137,11 @@ object Knn {
       docs: DataFrame,
       queries: DataFrame,
       k: Int,
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id",
+      conf: GraftConf = GraftConf.default): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val scored = docs
-      .crossJoin(maybeBroadcast(queries, GraftConf.default.broadcastQueryCapBytes))
+      .crossJoin(maybeBroadcast(queries, conf.broadcastQueryCapBytes))
       .select(col("qid"), col(idCol).as("id"),
         dotProduct(col("qvec"), col("embedding")).as("sim"))
     val topCol = Bridge.column(
@@ -149,11 +160,12 @@ object Knn {
       docs: DataFrame,
       queries: DataFrame,
       k: Int,
-      idCol: String = "id"
+      idCol: String = "id",
+      conf: GraftConf = GraftConf.default
   ): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     docs
-      .crossJoin(maybeBroadcast(queries, GraftConf.default.broadcastQueryCapBytes))
+      .crossJoin(maybeBroadcast(queries, conf.broadcastQueryCapBytes))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -6,23 +6,54 @@ import graft.functions.PortableMath.rnd
 import org.apache.spark.sql.functions._
 
 /** Per-document text-analysis columns for training-data curation: token
-  * counts, language ID, quality score, fingerprint. Single narrow
-  * projection over the corpus — no shuffle at all; the whole operator is
-  * one codegen'd map stage, which is exactly what you want when the input
-  * is 100 TB of text. */
+  * counts, language ID, quality score, fingerprint. No shuffle at all —
+  * the operator is two map stages over the corpus, which is exactly what
+  * you want when the input is 100 TB of text.
+  */
 object TextAnalysis {
 
-  /** All metrics at once (single pass). */
-  def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+  /** All metrics at once, with the text tokenized exactly ONCE per row.
+    *
+    * Plan shape matters: the naive single projection calling each
+    * text-based metric embeds its own copy of the tokenization tree —
+    * `tokens(text)` was evaluated ~12x per row (guard + numerator +
+    * denominator of every ratio; the measured round-2 q20 cost). Here the
+    * token array (plus the other shared scalars: char count, unrounded
+    * punct ratio) is computed in a FIRST projection, and every metric
+    * derives from those columns via the `FromTokens` variants in a
+    * SECOND. CollapseProject leaves the two projections separate (a
+    * non-cheap alias referenced more than once is not inlined —
+    * `collapseProjectAlwaysInline` is off), so each row tokenizes once;
+    * no persist barrier is needed, which keeps column pruning alive for
+    * callers that use only a few metrics (q26 reads 3 of the 9). The
+    * remaining duplication (stopword ratio referenced by 3 outputs) is a
+    * filter scan over the already-built array — cheap, not a
+    * re-tokenization.
+    */
+  def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Par.ensureMapParallelism(docs).select(
       col(idCol).as("id"),
-      tokenCount(col(textCol)).as("n_tokens"),
-      approxBpeTokenCount(col(textCol)).as("n_bpe_tokens"),
       length(col(textCol)).as("n_chars"),
-      rnd(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
-      rnd(punctRatio(col(textCol)), 6).as("punct_ratio"),
-      rnd(meanTokenLen(col(textCol)), 6).as("mean_token_len"),
-      langIdHeuristic(col(textCol)).as("lang_pred"),
-      rnd(qualityScore(col(textCol)), 6).as("quality"),
-      docFingerprint(col(textCol)).as("fingerprint"))
+      approxBpeTokenCount(col(textCol)).as("n_bpe_tokens"),
+      punctRatio(col(textCol)).as("_punct"), // unrounded; rounded at output
+      tokens(col(textCol)).as("_toks")
+    )
+    // middle projection: the stopword ratio feeds 3 outputs — also kept
+    // out of the final projection so it is built once per row
+    val swr = toks.select(col("id"), col("n_chars"), col("n_bpe_tokens"),
+      col("_punct"), col("_toks"),
+      stopwordRatioFromTokens(col("_toks")).as("_swr"))
+    swr.select(
+      col("id"),
+      size(col("_toks")).as("n_tokens"),
+      col("n_bpe_tokens"),
+      col("n_chars"),
+      rnd(col("_swr"), 6).as("stopword_ratio"),
+      rnd(col("_punct"), 6).as("punct_ratio"),
+      rnd(meanTokenLenFromTokens(col("_toks")), 6).as("mean_token_len"),
+      langIdFromRatio(col("_swr")).as("lang_pred"),
+      rnd(qualityScoreFrom(col("n_chars"), col("_swr"), col("_punct")), 6)
+        .as("quality"),
+      docFingerprintFromTokens(col("_toks")).as("fingerprint"))
+  }
 }

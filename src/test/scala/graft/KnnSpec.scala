@@ -102,24 +102,37 @@ class KnnSpec extends SparkSpec {
   }
 
   test("broadcast size gate: big query batches don't get the broadcast hint; results identical") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val docs = emb.select(col("vec_id").cast("string").as("id"),
-      lit("x").as("mtype"), col("embedding"))
-    val queries = emb.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").cast("string").as("qid"),
-        lit("x").as("qtype"), col("embedding").as("qvec"))
-    val gatedOff = Knn.search(docs, queries, k = 3,
-      graft.GraftConf(dim = 64, broadcastQueryCapBytes = 1L))
-    val gatedOn = Knn.search(docs, queries, k = 3,
-      graft.GraftConf(dim = 64)) // default 64 MiB cap: hint applies
-    val pOff = gatedOff.queryExecution.executedPlan.toString
-    val pOn = gatedOn.queryExecution.executedPlan.toString
-    assert(!pOff.contains("BroadcastNestedLoopJoin"),
-      s"1-byte cap must suppress the broadcast hint:\n$pOff")
-    assert(pOn.contains("BroadcastNestedLoopJoin"),
-      s"small batch under default cap must broadcast:\n$pOn")
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(4))).toSet
-    assert(rows(gatedOff) == rows(gatedOn)) // the gate is physical-only
+    // The gate only withholds the HINT; JoinSelection may still broadcast
+    // a small batch by its own size estimate (autoBroadcastJoinThreshold).
+    // Disable size-based auto-broadcast for this test so the ungated side
+    // genuinely degrades to a partition-local CartesianProduct — the plan
+    // shape the gate produces when the batch really is too big to
+    // broadcast (at which point the planner can't pick BNLJ either).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val docs = emb.select(col("vec_id").cast("string").as("id"),
+        lit("x").as("mtype"), col("embedding"))
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").cast("string").as("qid"),
+          lit("x").as("qtype"), col("embedding").as("qvec"))
+      val gatedOff = Knn.search(docs, queries, k = 3,
+        graft.GraftConf(dim = 64, broadcastQueryCapBytes = 1L))
+      val gatedOn = Knn.search(docs, queries, k = 3,
+        graft.GraftConf(dim = 64)) // default 64 MiB cap: hint applies
+      val pOff = gatedOff.queryExecution.executedPlan.toString
+      val pOn = gatedOn.queryExecution.executedPlan.toString
+      assert(!pOff.contains("BroadcastNestedLoopJoin"),
+        s"1-byte cap must suppress the broadcast hint:\n$pOff")
+      assert(pOff.contains("CartesianProduct"),
+        s"ungated big batch must degrade to a partition-local cartesian:\n$pOff")
+      assert(pOn.contains("BroadcastNestedLoopJoin"),
+        s"hinted batch must broadcast even with auto-broadcast off:\n$pOn")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(4))).toSet
+      assert(rows(gatedOff) == rows(gatedOn)) // the gate is physical-only
+    } finally spark.conf.set(key, saved)
   }
 }
