@@ -962,8 +962,8 @@ object SparkEntry {
          |FROM sk a JOIN sk b ON a.sk = b.sk AND a.id < b.id
          |ORDER BY id_a, id_b""".stripMargin,
     "q39_simhash_radius" -> {
-      // pigeonhole banding mirror: 16-bit sketch, radius 3 -> 4 blocks of
-      // 4 bits; candidates share any (block, value); exact popcount verify
+      // pigeonhole banding mirror: 32-bit sketch, radius 3 -> 4 blocks of
+      // 8 bits; candidates share any (block, value); exact popcount verify
       val banded = (0 until 4).map(b =>
         s"""  SELECT id, sk, $b AS blk, (sk >> ${b * 8}) & 255 AS bval FROM sk""")
         .mkString("\n  UNION ALL\n")
