@@ -296,6 +296,29 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** S2/E2/E3/E4 end-to-end through a REAL file tree: materialize a
+    * deterministic binary fixture from documents.parquet
+    * (BinaryFixture — one file per doc, extension cycles
+    * png/wav/dat by doc_id), ingest via the `binaryFile` source,
+    * tag modality from the extension, embed through the per-partition
+    * stub model. The poisoned (empty) files MUST vanish (E3: embed
+    * failure drops the row, main.py:74-75) — the oracle never includes
+    * them, so the driver's hash-compare pins the drop. */
+  private def binaryIngest(s: SparkSession, dir: String): DataFrame = {
+    val fix = "target/binfixture/" + new java.io.File(dir).getName
+    graft.sources.BinaryFixture.materialize(s, dir, fix)
+    val media = Multimodal.fromBinaryFiles(s, fix)
+      .withColumn("doc_key", regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1))
+    val feats = Multimodal.extractFeatures(
+      media.select("doc_key", "content"), "doc_key", "content", dim = 16)
+    feats.join(media.select("doc_key", "id", "mtype"), Seq("doc_key"))
+      .select(col("doc_key").cast("long").as("doc_id"), col("id"), col("mtype"),
+        rnd(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        rnd(element_at(col("features"), 8).cast("double"), 6).as("f7"),
+        rnd(graft.functions.VectorFunctions.l2Norm(col("features")), 6).as("nrm"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup corpus for the sketch queries: every 5th doc plus a
     * perturbed copy (guaranteed high-Jaccard pairs with deterministic
     * ids). */
@@ -400,6 +423,7 @@ object SparkEntry {
     "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
     "q29_ann_multitable" -> ((s, d) => annMultiTable(s, d)),
     "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
+    "q41_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
     "q39_simhash_radius" -> ((s, d) => simhashRadiusPairs(s, d)),
     "q31_revenue_rollup" ->
       ((s, d) => Relational.qRevenueRollup(s, d)),
@@ -915,6 +939,24 @@ object SparkEntry {
          |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
          |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
          |FROM femb ORDER BY id""".stripMargin,
+    "q41_binary_ingest" ->
+      // mirror of the binary fixture pipeline: file content = text bytes,
+      // so sha256(text) = sha256(content); modality cycles by doc_id % 3
+      // (png/wav/dat); empty-text docs and the poison files never appear
+      // (E3 drop). Keep the WHERE in lockstep with BinaryFixture.
+      s"""WITH b0 AS (
+         |  SELECT doc_id, concat('doc:', sha256(text)) AS id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'binary' END AS mtype,
+         |    sha256(text) AS key
+         |  FROM documents
+         |  WHERE doc_id % 5 = 0 AND text IS NOT NULL AND length(text) > 0),
+         |${embedCte("f", "b0", "doc_id, id, mtype", "key", 16)}
+         |SELECT doc_id, id, mtype,
+         |  ${rnd6("CAST(embedding[1] AS DOUBLE)")} AS f0,
+         |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
+         |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
+         |FROM femb ORDER BY doc_id""".stripMargin,
     "q23_neardup_minhash_lsh" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

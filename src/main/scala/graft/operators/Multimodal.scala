@@ -87,10 +87,12 @@ object Multimodal {
 
     /** E3 failure contract (reference main.py:74-75: embed failure drops
       * the row): None on undecodable input. For the stub, "undecodable"
-      * = null/empty content — the deterministic stand-in for a real
-      * codec's decode exception, and what the spec poisons. */
+      * = null/empty content, or content that is ALL zero bytes (the
+      * stand-in for a corrupt header: file sources skip zero-LENGTH
+      * files at split planning, so an on-disk poison fixture needs a
+      * non-empty undecodable form; UTF-8 text is never all-NUL). */
     def embedOpt(content: Array[Byte]): Option[Array[Float]] =
-      if (content == null || content.isEmpty) None
+      if (content == null || content.isEmpty || content.forall(_ == 0)) None
       else Some(embed(content))
 
     /** Mirror of Embed.embedText(sha256Hex(content), dim): one md5 base

@@ -66,12 +66,34 @@ class MultimodalSpec extends SparkSpec {
     assert(a.values.forall(_.length == 16))
   }
 
+  test("BinaryFixture: deterministic tree from documents.parquet; poison files drop (E3)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val fix = Files.createTempDirectory("graft_binfix").toString
+    graft.sources.BinaryFixture.materialize(spark, sfDir, fix, nPoison = 2)
+    val nDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull && length(col("text")) > 0)
+      .count()
+    val files = new java.io.File(fix).listFiles()
+    assert(files.length == nDocs + 2, "one file per selected doc + poison")
+    // re-materializing is byte-identical (content derives only from parquet)
+    val before = files.map(f => f.getName -> f.length()).toMap
+    graft.sources.BinaryFixture.materialize(spark, sfDir, fix, nPoison = 2)
+    val after = new java.io.File(fix).listFiles().map(f => f.getName -> f.length()).toMap
+    assert(before == after)
+    // full pipeline: poison (empty) files never reach the feature output
+    val media = Multimodal.fromBinaryFiles(spark, fix)
+    val feats = Multimodal.extractFeatures(media, "id", "content", dim = 16)
+    assert(media.count() == nDocs + 2)
+    assert(feats.count() == nDocs)
+  }
+
   test("E3: a row the model cannot embed emits NO output row (main.py:74-75)") {
     import spark.implicits._
     val media = Seq(
       ("doc:good", "payload bytes".getBytes("UTF-8")),
       ("doc:poisoned-empty", Array.empty[Byte]),
-      ("doc:poisoned-null", null.asInstanceOf[Array[Byte]])
+      ("doc:poisoned-null", null.asInstanceOf[Array[Byte]]),
+      ("doc:poisoned-allzero", Array[Byte](0, 0, 0))
     ).toDF("id", "content")
     val out = Multimodal.extractFeatures(media, "id", "content", dim = 16)
     val ids = out.collect().map(_.getString(0)).toSet
