@@ -353,10 +353,14 @@ object SparkEntry {
     * this shared-vocabulary corpus into one block and went quadratic).
     * The full-recall scale path is still nearDupMinhashLsh (q23). */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    // persist before the global sort: the range partitioner's sampling
+    // pass otherwise re-executes the whole candidate+verify pipeline
+    // above the operator's internal cache barriers (measured 2x)
     Dedup.ngramJaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
           .select("doc_id", "text"),
         "doc_id", "text", n = 3, threshold = 0.5)
+      .persist()
       .orderBy("id_a", "id_b")
 
   /** Curation rollup: corpus quality stats per ground-truth lang —
@@ -1035,6 +1039,9 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin
     },
     "q25_ngram_jaccard" ->
+      // two-route mirror of Dedup.ngramJaccardPairs: blocks <= 64 pair
+      // all-vs-all; members of oversized blocks go through the MinHash
+      // band keys (12 hashes, 6 bands of 2); exact Jaccard verifies both
       s"""WITH d0 AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
          |withsh AS (
@@ -1045,10 +1052,33 @@ object SparkEntry {
          |           list_sort(list_transform(sh, s -> ${hash60("s")}))[1:2],
          |           h -> CAST(h AS VARCHAR)), '_') AS blk
          |  FROM withsh),
+         |sized AS (
+         |  SELECT id, sh, blk, count(*) OVER (PARTITION BY blk) AS bn
+         |  FROM blocked),
+         |small_cand AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sized a JOIN sized b ON a.blk = b.blk AND a.id < b.id
+         |  WHERE a.bn <= 64),
+         |bighb AS (
+         |  SELECT id, ${minhashBases("sh")} AS hb
+         |  FROM sized WHERE bn > 64 AND len(sh) > 0),
+         |bigsig AS (
+         |  SELECT id, ${minhashSigFromBases("hb", 12)} AS sig FROM bighb),
+         |bigkeys AS (
+         |  SELECT id, ${bandKeys("sig", 6, 2)} AS bkeys FROM bigsig),
+         |bigband AS (SELECT id, unnest(bkeys) AS bkey FROM bigkeys),
+         |big_cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bigband a JOIN bigband b ON a.bkey = b.bkey AND a.id < b.id),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT * FROM small_cand UNION ALL SELECT * FROM big_cand)),
          |pairs AS (
-         |  SELECT a.id AS id_a, b.id AS id_b,
-         |         ${rnd6(jaccard("a.sh", "b.sh"))} AS jaccard
-         |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id)
+         |  SELECT c.id_a, c.id_b,
+         |         ${rnd6(jaccard("sa.sh", "sb.sh"))} AS jaccard
+         |  FROM cand c
+         |  JOIN withsh sa ON sa.id = c.id_a
+         |  JOIN withsh sb ON sb.id = c.id_b)
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,

@@ -228,39 +228,113 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs under a cheap
-    * blocking key (shared rare token); full-fidelity verification step of
-    * the LSH pipeline, usable standalone at moderate scale. */
+    * blocking key (shared rare shingles) with a HARD block-size cap:
+    * blocks larger than `maxBlock` never pair all-vs-all — their members
+    * are rerouted through a MinHash-banded candidate generator (the q23
+    * pipeline shape), so a pathological corpus where thousands of
+    * dissimilar docs share their two rarest shingles stays O(rows ×
+    * bands) instead of O(block²). Candidates from either route are
+    * verified with EXACT Jaccard; rerouting trades a little recall on
+    * mid-similarity pairs inside oversized blocks (banding probability
+    * 1-(1-j^rows)^bands), never precision. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.3
+      threshold: Double = 0.3,
+      maxBlock: Int = 64,
+      numHashes: Int = 12,
+      bands: Int = 6
   ): DataFrame = {
-    // persist: the self-join would otherwise re-shingle both sides.
+    // Shingle ONCE into a persisted relation (Par BEFORE the projection:
+    // a small parquet scan is one split, and a repartition placed after
+    // the select would still evaluate the shingling below the exchange —
+    // serially). The block key is then derived from the MATERIALIZED
+    // array; deriving it in the same projection as `sh` would re-run the
+    // whole charShingles tree inside the blk expression (projection
+    // collapse has no CSE).
     // Block key = the TWO smallest shingle hashes (joined): one global
     // min collapses a shared-vocabulary corpus into a single block
     // (measured 78% of docs), the pair cuts the quadratic verify down
     // while still co-blocking any pair sharing its two rarest shingles.
-    val blocked = docs
+    val withSh = Par.ensureMapParallelism(docs)
       .select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
-      .withColumn("blk",
+      .persist()
+    // slim (id, blk, bn) relation: the window count rides the same
+    // shuffle the small-block self-join needs anyway, and keeping the
+    // shingle arrays out of it keeps that shuffle metadata-sized
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy("blk")
+    val blocked = withSh
+      .select(col("id"),
         array_join(
           transform(
             slice(array_sort(transform(col("sh"), s => hash60(s))), 1, 2),
             h => h.cast("string")),
-          "_"))
+          "_").as("blk"))
+      .withColumn("bn", count(lit(1)).over(bw))
       .persist()
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
-      .withColumn("uni", size(array_union(col("a.sh"), col("b.sh"))))
-      .withColumn("jaccard",
-        rnd(col("inter").cast("double") / col("uni").cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+    val cand = ngramCandidates(blocked, withSh, maxBlock, numHashes, bands)
+    verifyJaccard(cand, withSh, threshold)
   }
+
+  /** Candidate pairs (id_a < id_b) from the two-route blocking:
+    * within-block all-pairs when the block is small, MinHash-banded keys
+    * for members of oversized blocks. `blocked` = (id, blk, bn);
+    * `withSh` = (id, sh) for the banded route's signatures.
+    * Package-private so specs can pin the no-quadratic-block guarantee
+    * on an adversarial corpus directly. */
+  private[graft] def ngramCandidates(
+      blocked: DataFrame, withSh: DataFrame,
+      maxBlock: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rowsPerBand = numHashes / bands
+    val small = blocked.filter(col("bn") <= maxBlock)
+    val smallCand = small.as("a")
+      .join(small.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // oversized blocks: q23-shaped banded generation — one md5 per
+    // shingle below a one-pass partial aggregation, band keys joined on
+    // a compact string key. Shuffle O(members × bands), NEVER block².
+    val sigCols = (0 until numHashes)
+      .map(i => min(minhashMix(col("h"), i)).as(s"h$i"))
+    val sig = blocked.filter(col("bn") > maxBlock).select("id")
+      .join(withSh, Seq("id"))
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), minhashBase(col("s")).as("h"))
+      .groupBy("id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandKeyCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      concat_ws("_", lit(b.toString) +: slice: _*)
+    }
+    val banded = sig.select(col("id"), explode(array(bandKeyCols: _*)).as("bkey"))
+    val bigCand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    smallCand.unionByName(bigCand).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verify of id pairs against the shingled relation.
+    * Joins BY ID (not inside the block join): candidate verification is
+    * then hash-distributed over all partitions instead of skewed onto
+    * whichever task owns the biggest block. |a ∪ b| is computed as
+    * |a|+|b|-|a ∩ b| — shingle sets are distinct, and array_union would
+    * build a throwaway array per pair just to take its size. */
+  private def verifyJaccard(
+      cand: DataFrame, withSh: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        rnd(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Test-scale exact form: all-pairs within label blocks. At 100 TB the

@@ -112,6 +112,58 @@ class PropertiesSpec extends SparkSpec {
       s"unrelated doc inside radius: ${radius.toSeq}")
   }
 
+  test("ngram block cap: an adversarial shared-rare-shingle block never goes quadratic") {
+    // 200 mutually-DISSIMILAR docs forced into ONE block (the premise of
+    // the attack: they share their two rarest shingles, here by fiat on
+    // the pre-blocked relation). The capped candidate generator must
+    // reroute them through MinHash banding, where dissimilar docs almost
+    // never share a band — candidates stay O(rows), not block².
+    val nDocs = 200
+    val rnd = new scala.util.Random(7)
+    def gibberish(i: Int): Seq[String] =
+      Seq.fill(30)(rnd.alphanumeric.take(6).mkString) :+ s"doc$i"
+    val rows = (1 to nDocs).map { i =>
+      (i.toLong, gibberish(i), "sharedblock", nDocs.toLong)
+    }
+    val blocked = rows.map { case (id, _, blk, bn) => (id, blk, bn) }
+      .toDF("id", "blk", "bn")
+    val withSh = rows.map { case (id, sh, _, _) => (id, sh) }.toDF("id", "sh")
+    val cand = Dedup.ngramCandidates(blocked, withSh,
+      maxBlock = 64, numHashes = 12, bands = 6)
+    val nCand = cand.count()
+    val quadratic = nDocs.toLong * (nDocs - 1) / 2
+    assert(nCand < quadratic / 10,
+      s"cap failed: $nCand candidates ~ quadratic $quadratic")
+    // planted near-identical pair inside the oversized block IS found,
+    // and with its exact jaccard, by the full operator
+    val twin = Seq(
+      (1000L, rows.head._2.mkString(" ")),
+      (1001L, (rows.head._2 :+ "tail").mkString(" ")))
+    val docs = rows.map { case (id, sh, _, _) => (id, sh.mkString(" ")) }
+      .++(twin).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxBlock = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1000L, 1001L)),
+      s"planted near-dup pair missed: ${pairs.toSeq.take(20)}")
+  }
+
+  test("ngram small blocks keep EXACT within-block recall (capped route untouched)") {
+    // below the cap the operator must behave like plain blocking:
+    // every within-block pair is verified exactly. Identical texts have
+    // identical shingle sets, hence identical two-min-hash block keys —
+    // co-blocking is guaranteed, not probabilistic.
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd"),
+      (2L, "aaaa bbbb cccc dddd"),
+      (3L, "aaaa bbbb cccc dddd")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.1, maxBlock = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)), pairs.toString)
+  }
+
   test("minhash pairs report EXACT jaccard in [0,1]; identical docs give 1.0") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     for (cut <- 0 to 8) {
