@@ -85,6 +85,65 @@ object Ann {
       .select("qid", "id", "sim", "rank")
   }
 
+  /** Driver-side mirror of [[lshBucket]] for ONE vector — same float
+    * plane components, same Double left fold as DotProductF, so the
+    * bucket id is bit-identical to the column expression's. Lets a
+    * point lookup turn its probe buckets into PLAN LITERALS, which is
+    * what makes a bucket-partitioned corpus prune at the SCAN. */
+  def bucketOf(vec: Array[Float], dim: Int, nPlanes: Int): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val p = planeVector(j, dim)
+      var acc = 0.0
+      var i = 0
+      while (i < vec.length) { acc += vec(i).toDouble * p(i).toDouble; i += 1 }
+      if (acc >= 0.0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Write the corpus PARTITIONED BY BUCKET: one directory per bucket
+    * id. This is the 100 TB layout claim (SCALE.md): a probe query then
+    * prunes the scan itself — the difference between "filters 1/2^nPlanes
+    * of the rows after reading them" and "never opens the other
+    * directories". PlanAuditSpec asserts PartitionFilters is non-empty
+    * for the probe. */
+  def writeBucketedCorpus(
+      docs: DataFrame, // (id, embedding)
+      dir: String,
+      dim: Int,
+      nPlanes: Int): Unit =
+    graft.sources.Sinks.writePartitioned(
+      docs.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes)),
+      dir, "bucket")
+
+  /** Multi-probe top-k point lookup against a bucket-partitioned corpus:
+    * probe bucket ids (home bucket + single-bit flips, same family as
+    * [[topKBucketed]]) are computed driver-side via [[bucketOf]] and
+    * become an `isin` partition filter; orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition top-k, no global sort). */
+  def topKFromBucketedCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      qvec: Array[Float],
+      k: Int,
+      dim: Int,
+      nPlanes: Int,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nPlanes + 1)
+    val home = bucketOf(qvec, dim, nPlanes)
+    val probeIds = (0 until probes)
+      .map(p => if (p == 0) home else home ^ (1L << (p - 1)))
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(probeIds: _*))
+      .withColumn("sim", dotProduct(col("embedding"), typedLit(qvec)))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+      .select("id", "sim")
+  }
+
   /** SQL mirror of [[lshBucket]]: dot against the same float plane
     * literals with the same left fold. */
   def sqlLshBucket(vec: String, dim: Int, nPlanes: Int): String =

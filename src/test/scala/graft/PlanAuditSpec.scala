@@ -122,6 +122,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(salts > 1)
   }
 
+  test("ANN bucket-partitioned corpus: probe query prunes the SCAN (PartitionFilters non-empty)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_annpart").toString + "/corpus"
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    graft.operators.Ann.writeBucketedCorpus(docs, dir, dim = 64, nPlanes = 4)
+    // physical layout really is one directory per bucket
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .map(_.getName).count(_.startsWith("bucket="))
+    assert(bucketDirs > 1, s"expected multiple bucket dirs, got $bucketDirs")
+    val qvec = docs.limit(1).collect().head.getSeq[Float](1).toArray
+    val probe = graft.operators.Ann.topKFromBucketedCorpus(
+      spark, dir, qvec, k = 5, dim = 64, nPlanes = 4, probes = 2)
+    val rows = probe.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val p = planString(probe)
+    // the probe ids must land in PartitionFilters (scan prunes whole
+    // directories), NOT PushedFilters (row-level filtering after read)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"no bucket partition filter in scan:\n$p")
+    assert(!pf.matches(".*PartitionFilters: \\[\\].*"),
+      s"PartitionFilters is empty:\n$pf")
+    // top-k is per-partition (TakeOrderedAndProject), not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // pruned correctness: identical to filtering the same buckets post-read
+    val home = graft.operators.Ann.bucketOf(qvec, 64, 4)
+    val expected = docs
+      .withColumn("bucket", graft.operators.Ann.lshBucket(col("embedding"), 64, 4))
+      .filter(col("bucket").isin(home, home ^ 1L))
+      .withColumn("sim", graft.functions.VectorFunctions
+        .dotProduct(col("embedding"), typedLit(qvec)))
+      .orderBy(col("sim").desc, col("id")).limit(5)
+      .select("id", "sim").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq == expected.toSeq)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh").toString
