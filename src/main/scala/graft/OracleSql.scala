@@ -88,6 +88,37 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
        |  FROM ${sp}ud)""".stripMargin
 
+  /** Mirror of GraphExpand.expandFaithfulDepth: unrolled
+    * pop-one-per-step over `<sp>knn` seeds (filtered by seedWhere) and
+    * `<ep>sym` edges, ending in `<sp>fin`. Step i's parent is the seed
+    * with rnk = i; discoveries are first-writer-wins against the
+    * accumulator of all earlier steps (NOT EXISTS), exactly the
+    * reference's dict guard. */
+  def expandFaithfulDepth(sp: String, ep: String, seedWhere: String, depth: Int): String = {
+    val sd =
+      s"""${sp}sd AS (
+         |  SELECT qid, id, sim AS score, rnk, 0 AS prio
+         |  FROM ${sp}knn WHERE 1=1$seedWhere),
+         |${sp}a0 AS (SELECT qid, id, score, prio FROM ${sp}sd)""".stripMargin
+    val steps = (1 to depth).map { i =>
+      s"""${sp}n$i AS (
+         |  SELECT f.qid, e.v AS id, f.score * e.score * 0.9 AS score, $i AS prio
+         |  FROM (SELECT qid, id, score FROM ${sp}sd WHERE rnk = $i) f
+         |  JOIN ${ep}sym e ON f.id = e.u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ${sp}a${i - 1} a WHERE a.qid = f.qid AND a.id = e.v)),
+         |${sp}a$i AS (
+         |  SELECT * FROM ${sp}a${i - 1} UNION ALL SELECT * FROM ${sp}n$i)""".stripMargin
+    }
+    val fin =
+      s"""${sp}fin AS (
+         |  SELECT qid, id, score,
+         |    CASE WHEN prio = 0 THEN 'seed' ELSE 'expanded' END AS origin,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+         |  FROM ${sp}a$depth)""".stripMargin
+    (Seq(sd) ++ steps :+ fin).mkString(",\n")
+  }
+
   /** Mirror of Embed.embedText as CTE steps: `<p>emb`(…cols…, embedding)
     * from a source relation carrying `textExpr`. */
   def embedCte(p: String, srcRel: String, cols: String, textExpr: String, dim: Int): String =

@@ -129,6 +129,30 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Faithful multi-step expansion (G2 full parity beyond the API's
+    * depth=1 default): depth=3 pop-one-per-step — pops are seed ranks
+    * 1..3, since a pop's discoveries queue BEHIND the remaining seeds.
+    * Edges come from a WIDER submit history (every 10th vector has run
+    * its own KNN) than the seed queries — the reference's graph is the
+    * accumulation of every past submit (main.py:262-276), so depth-2/3
+    * pops genuinely discover nodes depth 1 cannot reach. */
+  private def graphExpandDepth(s: SparkSession, dir: String): DataFrame = {
+    val knn = knnWithQtype(s, dir)
+    val seeds = knn.filter(col("rank") <= 5).select("qid", "id", "sim", "rank")
+    val widerQ = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select(
+        col("vec_id").cast("string").as("qid"),
+        concat(lit("m"), (col("label") % 2).cast("string")).as("qtype"),
+        col("embedding").as("qvec"))
+    val wknn = Knn.search(embDocs(s, dir), widerQ, k = 10)
+      .join(widerQ.select("qid", "qtype"), Seq("qid"))
+    GraphExpand.expandFaithfulDepth(seeds, knnEdges(wknn), k = 20, depth = 3)
+      .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
+        col("origin"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Scalable BFS expansion (expandAll, depth=2): full-frontier hops with
     * compounded decay, max-score dedup — the documented generalization of
     * the reference's single-pop loop. */
@@ -401,6 +425,7 @@ object SparkEntry {
     "q15_graph_degrees" -> ((s, d) => graphDegrees(s, d)),
     "q40_graph_degrees_all" -> ((s, d) => graphDegreesAll(s, d)),
     "q19_graph_expand_all" -> ((s, d) => graphExpandAll(s, d)),
+    "q42_graph_expand_depth" -> ((s, d) => graphExpandDepth(s, d)),
     "q16_submit_pipeline" -> ((s, d) => submitPipeline(s, d)),
     "q17_search_pipeline" -> ((s, d) => searchPipeline(s, d)),
     "q20_text_analysis" ->
@@ -667,6 +692,24 @@ object SparkEntry {
          |  ${rnd6("coalesce(g.strength, 0.0)")} AS strength
          |FROM docs d LEFT JOIN deg g ON d.id = g.id
          |ORDER BY d.id""".stripMargin,
+    "q42_graph_expand_depth" ->
+      // edges from the wider (every-10th) submit history's KNN chain
+      // (prefix w); seeds from the standard every-100th chain
+      s"""WITH $sqlEmbCtes,
+         |wdocs AS (SELECT * FROM docs),
+         |wq AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid,
+         |         'm' || CAST(label % 2 AS VARCHAR) AS qtype,
+         |         embedding AS qvec
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |${knnChain("w", 10)},
+         |${edgeDedup("g", edgeDelta("wknn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |${knnChain("", 10)},
+         |${expandFaithfulDepth("", "g", " AND rnk <= 5", 3)}
+         |SELECT qid, id, ${rnd6("score")} AS score, origin, rnk
+         |FROM fin WHERE rnk <= 20
+         |ORDER BY qid, rnk""".stripMargin,
     "q19_graph_expand_all" ->
       s"""WITH $sqlEmbCtes,
          |${knnChain("", 10)},

@@ -76,6 +76,58 @@ object GraphExpand {
       .select("qid", "id", "score", "origin", "rnk")
   }
 
+  /** Faithful expansion at depth D > 1: unrolls the reference's
+    * pop-one-per-step FIFO loop (search.py:10-14). Seeds enter the queue
+    * in rank order and a pop's discoveries are APPENDED — behind the
+    * remaining seeds — so as long as every query has >= depth seeds, the
+    * first `depth` pops are exactly seed ranks 1..depth, and the loop
+    * unrolls into `depth` parent-neighbor joins. Each step's discoveries
+    * are first-writer-wins against everything seen before (the dict
+    * guard, search.py:19): an id found at step 1 is never re-added or
+    * re-scored by step 2, even at a higher score.
+    *
+    * Contract: queries with FEWER than `depth` seeds would have the
+    * reference popping appended neighbors, whose order depends on
+    * NetworkX adjacency-insertion order — not observable relationally;
+    * such queries here expand only their existing seed pops. The shipped
+    * oracle harness gives every query exactly 5 seeds with depth 3.
+    *
+    * Scale: per step, parent is ONE row per query (tiny, broadcast);
+    * the symmetric edge table is probed by join key and persisted once
+    * across steps; the accumulator anti-join keeps discoveries unique,
+    * so no dedup pass is needed at the end. depth is a plan literal —
+    * no driver-side data iteration. */
+  def expandFaithfulDepth(
+      seeds: DataFrame,
+      edges: DataFrame,
+      k: Int,
+      depth: Int,
+      conf: GraftConf = GraftConf.default): DataFrame = {
+    require(depth >= 1, s"depth $depth must be >= 1")
+    val sym = GraphBuild.symmetric(edges).persist()
+    var acc = seeds
+      .select(col("qid"), col("id"), col("sim").as("score"), lit(0).as("prio"))
+      .persist()
+    for (i <- 1 to depth) {
+      val parent = seeds.filter(col("rank") === i)
+        .select(col("qid").as("h_qid"), col("id").as("h_id"), col("sim").as("h_sim"))
+      val fresh = parent.join(sym, col("h_id") === col("u"))
+        .select(col("h_qid").as("qid"), col("v").as("id"),
+          (col("h_sim") * col("score") * lit(conf.expansionDecay)).as("score"),
+          lit(i).as("prio"))
+        .join(acc.select(col("qid").as("aq"), col("id").as("ai")),
+          col("qid") === col("aq") && col("id") === col("ai"), "left_anti")
+        .persist()
+      acc = acc.unionByName(fresh).persist()
+    }
+    val wRank = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    acc
+      .withColumn("origin", when(col("prio") === 0, "seed").otherwise("expanded"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select("qid", "id", "score", "origin", "rnk")
+  }
+
   /** Scalable BFS expansion: expand the ENTIRE frontier each hop,
     * keep max score per (qid, id), never revisit. */
   def expandAll(

@@ -66,6 +66,34 @@ class GraphSpec extends SparkSpec {
     assert(s2.getAs[String]("origin") == "seed")
   }
 
+  test("expandFaithfulDepth: pops follow seed rank order; first writer wins across pops") {
+    // graph: s1-c (0.5), s2-c (0.9), s2-d (0.5). depth=2:
+    //  pop1 = s1 discovers c at 0.9*0.5*0.9 = 0.405
+    //  pop2 = s2 sees c ALREADY CLAIMED (search.py:19 dict guard — even
+    //  though its path would score higher, 0.8*0.9*0.9 = 0.648) and only
+    //  adds d at 0.8*0.5*0.9 = 0.36
+    val seeds = Seq(("q", "s1", 0.9, 1), ("q", "s2", 0.8, 2))
+      .toDF("qid", "id", "sim", "rank")
+    val edges = Seq(("c", "s1", 0.5, 1L), ("c", "s2", 0.9, 1L), ("d", "s2", 0.5, 1L))
+      .toDF("src", "dst", "score", "seq")
+    val d1 = GraphExpand.expandFaithfulDepth(seeds, edges, k = 10, depth = 1)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(!d1.contains("d"), "depth 1 must not expand the rank-2 seed")
+    val d2 = GraphExpand.expandFaithfulDepth(seeds, edges, k = 10, depth = 2)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Double]("score"), r.getAs[String]("origin"))).toMap
+    assert(math.abs(d2("c")._1 - 0.405) < 1e-12,
+      s"first-writer-wins violated: ${d2("c")}")
+    assert(math.abs(d2("d")._1 - 0.36) < 1e-12)
+    assert(d2("c")._2 == "expanded" && d2("d")._2 == "expanded")
+    // depth=1 must equal expandFaithful (same single-pop quirk)
+    val faithful = GraphExpand.expandFaithful(seeds, edges, k = 10)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("score"))).toSet
+    val depth1 = GraphExpand.expandFaithfulDepth(seeds, edges, k = 10, depth = 1)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("score"))).toSet
+    assert(faithful == depth1)
+  }
+
   test("expandAll: full-frontier BFS reaches depth-2 nodes with compounded decay") {
     val seeds = Seq(("q", "s1", 1.0, 1)).toDF("qid", "id", "sim", "rank")
     val edges = Seq(("s1", "n1", 0.5, 1L), ("n1", "n2", 0.4, 1L))
