@@ -31,16 +31,19 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      // isolate queries: operators persist intermediates they reuse
-      // within one query; dropping them between queries keeps timings
-      // independent of execution order (and of each other's GC pressure)
-      spark.catalog.clearCache()
+      // isolate queries: operators pin intermediates they reuse within
+      // one query; the release scope drops exactly those pins after the
+      // terminal write, keeping timings independent of execution order
+      // without the blanket clearCache hammer
       val t0 = System.nanoTime()
       // noop sink, not count(): a count() lets Catalyst prune every
       // unreferenced projection (map-shaped queries measured near-zero)
       // and drop final sorts; the noop sink consumes all columns.
       val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        CacheScope.materializeAndRelease(fn(spark, sfDir)) { df =>
+          df.write.format("noop").mode("overwrite").save()
+        }
+        true
       } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }

@@ -57,7 +57,7 @@ object SparkEntry {
   private def knnWithQtype(s: SparkSession, dir: String): DataFrame =
     Knn.search(embDocs(s, dir), embQueries(s, dir), k = 10)
       .join(embQueries(s, dir).select("qid", "qtype"), Seq("qid"))
-      .persist()
+      .transform(graft.CacheScope.pin)
 
   private def rankedOut(df: DataFrame): DataFrame =
     df.select(col("qid"), col("id"), col("mtype"),
@@ -384,7 +384,7 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
           .select("doc_id", "text"),
         "doc_id", "text", n = 3, threshold = 0.5)
-      .persist()
+      .transform(graft.CacheScope.pin)
       .orderBy("id_a", "id_b")
 
   /** Curation rollup: corpus quality stats per ground-truth lang —

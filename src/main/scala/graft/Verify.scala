@@ -20,9 +20,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      spark.catalog.clearCache() // per-query isolation (see Bench)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scoped release, not clearCache: each query's operator pins are
+      // dropped after its terminal write — per-query isolation without
+      // evicting blocks a composing caller would still own
+      try CacheScope.materializeAndRelease(fn(spark, sfDir)) { df =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -27,13 +27,14 @@ import org.apache.spark.sql.functions._
   *  - embedding near-dup: brute-force pair scores under a blocking key at
   *    test scale; the ANN path (Ann.scala) is the 100 TB route.
   *
-  * CACHE CONTRACT: operators here persist() intermediates that are both
-  * (a) reused by several branches of the returned lazy plan and (b) CSE
-  * barriers against Catalyst's projection collapse. They cannot unpersist
-  * eagerly — the returned DataFrame has not run yet. Callers that compose
-  * many operators in one long-lived session must drop the blocks after
-  * materializing results: `spark.catalog.clearCache()` (what Bench/Verify
-  * do per query) or `df.unpersist()` on the operator's inputs.
+  * CACHE CONTRACT: operators here pin (persist) intermediates that are
+  * both (a) reused by several branches of the returned lazy plan and
+  * (b) CSE barriers against Catalyst's projection collapse. They cannot
+  * unpersist eagerly — the returned DataFrame has not run yet. Pins are
+  * routed through [[graft.CacheScope.pin]]: callers wrap build+consume
+  * in `CacheScope.materializeAndRelease` (what Bench/Verify do per
+  * query) and exactly these pins are dropped after the terminal action;
+  * without a scope, pins are plain persists the caller must release.
   */
 object Dedup {
 
@@ -108,7 +109,7 @@ object Dedup {
     val withSh = docs
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .transform(graft.CacheScope.pin)
 
     // one md5 per shingle (projected ONCE, below the aggregate), then
     // numHashes affine mixes aggregated min in a single pass
@@ -172,9 +173,9 @@ object Dedup {
     // materialize token hashes (md5 each) before the bit-vote fan-out,
     // and the sketch before the self-join — see simhash() note
     val withHs = docs.select(col(idCol).as("id"),
-      transform(tokens(col(textCol)), t => hash60(t)).as("hs")).persist()
+      transform(tokens(col(textCol)), t => hash60(t)).as("hs")).transform(graft.CacheScope.pin)
     val sk = withHs.select(col("id"),
-      simhashFromHashes(col("hs"), bits).as("sk")).persist()
+      simhashFromHashes(col("hs"), bits).as("sk")).transform(graft.CacheScope.pin)
     sk.as("a").join(sk.as("b"),
         col("a.sk") === col("b.sk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sk").as("sketch"))
@@ -204,9 +205,9 @@ object Dedup {
     // materialize hashes then the sketch (projection-collapse CSE hazard,
     // see simhash()), and the sketch before banding + the verify join
     val withHs = docs.select(col(idCol).as("id"),
-      transform(tokens(col(textCol)), t => hash60(t)).as("hs")).persist()
+      transform(tokens(col(textCol)), t => hash60(t)).as("hs")).transform(graft.CacheScope.pin)
     val sk = withHs.select(col("id"),
-      simhashFromHashes(col("hs"), bits).as("sk")).persist()
+      simhashFromHashes(col("hs"), bits).as("sk")).transform(graft.CacheScope.pin)
     val blockCols = (0 until nBlocks).map { b =>
       val lo = b * w
       val width = if (b == nBlocks - 1) bits - lo else w
@@ -260,7 +261,7 @@ object Dedup {
     // while still co-blocking any pair sharing its two rarest shingles.
     val withSh = Par.ensureMapParallelism(docs)
       .select(col(idCol).as("id"), charShingles(col(textCol), n).as("sh"))
-      .persist()
+      .transform(graft.CacheScope.pin)
     // slim (id, blk, bn) relation: the window count rides the same
     // shuffle the small-block self-join needs anyway, and keeping the
     // shingle arrays out of it keeps that shuffle metadata-sized
@@ -273,7 +274,7 @@ object Dedup {
             h => h.cast("string")),
           "_").as("blk"))
       .withColumn("bn", count(lit(1)).over(bw))
-      .persist()
+      .transform(graft.CacheScope.pin)
     val cand = ngramCandidates(blocked, withSh, maxBlock, numHashes, bands)
     verifyJaccard(cand, withSh, threshold)
   }

@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   * small (≤ k·fanout) and broadcast; the edge table is the big side and
   * only ever probed by join key.
   */
-/** CACHE CONTRACT: methods here persist() intermediates reused by the
-  * returned lazy plan and cannot unpersist them eagerly; long-lived
-  * sessions must `spark.catalog.clearCache()` (or unpersist inputs)
-  * after materializing results — Bench/Verify do this per query. */
+/** CACHE CONTRACT: methods here pin intermediates reused by the
+  * returned lazy plan and cannot unpersist them eagerly; pins go
+  * through [[graft.CacheScope.pin]], so callers release them with
+  * `CacheScope.materializeAndRelease` (Bench/Verify do, per query);
+  * without a scope they are plain persists the caller must drop. */
 object GraphExpand {
 
   /** Faithful depth-1 expansion.
@@ -104,10 +105,10 @@ object GraphExpand {
       depth: Int,
       conf: GraftConf = GraftConf.default): DataFrame = {
     require(depth >= 1, s"depth $depth must be >= 1")
-    val sym = GraphBuild.symmetric(edges).persist()
+    val sym = GraphBuild.symmetric(edges).transform(graft.CacheScope.pin)
     var acc = seeds
       .select(col("qid"), col("id"), col("sim").as("score"), lit(0).as("prio"))
-      .persist()
+      .transform(graft.CacheScope.pin)
     for (i <- 1 to depth) {
       val parent = seeds.filter(col("rank") === i)
         .select(col("qid").as("h_qid"), col("id").as("h_id"), col("sim").as("h_sim"))
@@ -117,8 +118,8 @@ object GraphExpand {
           lit(i).as("prio"))
         .join(acc.select(col("qid").as("aq"), col("id").as("ai")),
           col("qid") === col("aq") && col("id") === col("ai"), "left_anti")
-        .persist()
-      acc = acc.unionByName(fresh).persist()
+        .transform(graft.CacheScope.pin)
+      acc = acc.unionByName(fresh).transform(graft.CacheScope.pin)
     }
     val wRank = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     acc
@@ -148,8 +149,8 @@ object GraphExpand {
     // and the accumulator is anti-joined every hop — persist both so the
     // upstream plan (often a full KNN) isn't re-executed per hop. This is
     // the standard iterative-algorithm pattern (GraphX does the same).
-    val sym = sym0.persist()
-    var acc = seeds.select(col("qid"), col("id"), col("sim").as("score")).persist()
+    val sym = sym0.transform(graft.CacheScope.pin)
+    var acc = seeds.select(col("qid"), col("id"), col("sim").as("score")).transform(graft.CacheScope.pin)
     var frontier = acc
     for (_ <- 1 to depth) {
       val next = frontier.as("f")
@@ -162,8 +163,8 @@ object GraphExpand {
         // pruning here keeps the frontier bounded)
         .join(acc.select(col("qid").as("aq"), col("id").as("ai")),
           col("qid") === col("aq") && col("id") === col("ai"), "left_anti")
-        .persist()
-      acc = acc.unionByName(next).persist()
+        .transform(graft.CacheScope.pin)
+      acc = acc.unionByName(next).transform(graft.CacheScope.pin)
       frontier = next
     }
     val wDedup = Window.partitionBy("qid", "id").orderBy(col("score").desc)

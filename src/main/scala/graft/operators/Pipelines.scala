@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * stages (column pruning drops embeddings from the dedup branch, the
   * query side broadcasts into the scan, etc).
   */
-/** CACHE CONTRACT: methods here persist() intermediates reused by the
-  * returned lazy plan and cannot unpersist them eagerly; long-lived
-  * sessions must `spark.catalog.clearCache()` (or unpersist inputs)
-  * after materializing results — Bench/Verify do this per query. */
+/** CACHE CONTRACT: methods here pin intermediates reused by the
+  * returned lazy plan and cannot unpersist them eagerly; pins go
+  * through [[graft.CacheScope.pin]], so callers release them with
+  * `CacheScope.materializeAndRelease` (Bench/Verify do, per query);
+  * without a scope they are plain persists the caller must drop. */
 object Pipelines {
 
   /** `/submit` (main.py:48-87): ingest a batch, then KNN each *new* doc
@@ -37,7 +38,7 @@ object Pipelines {
     // store rather than re-running the embedder
     val docs = existing.select("id", "mtype", "data", "embedding")
       .unionByName(delta.drop("seq"))
-      .persist()
+      .transform(graft.CacheScope.pin)
     val queries = delta.select(
       col("id").as("qid"), col("mtype").as("qtype"),
       col("embedding").as("qvec"), col("seq"))

@@ -248,7 +248,7 @@ object Relational {
       .select("o_orderkey", "o_totalprice")
       .repartitionByRange(32, sortKeys: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist()
+      .transform(graft.CacheScope.pin)
     val ranked = parts.withColumn("_lrn",
       row_number().over(Window.partitionBy("_pid").orderBy(sortKeys: _*)))
     // prefix sum over the #partitions-row count table via a triangular
