@@ -64,9 +64,18 @@ object StreamingIngest {
           org.apache.spark.sql.types.StructType.fromDDL(
             "id STRING, mtype STRING, data STRING, embedding ARRAY<FLOAT>"))
 
+    // localCheckpoint, NOT persist: delta is an anti-join against the
+    // docsDir scan, and appending delta to docsDir RECACHES every cached
+    // plan that reads that path (CacheManager.recacheByPath refreshes
+    // the file listing) — a persisted delta would silently re-evaluate
+    // to EMPTY after its own append, losing the edge delta of every
+    // batch after the first (caught by StreamDemo; the r2 spec's
+    // "edges > 0" was satisfied by batch 1 alone). Checkpointing
+    // materializes the micro-batch (tiny) and CUTS the lineage, so the
+    // append cannot invalidate it.
     val delta = Ingest.dedupDelta(Ingest.prepare(batch, conf), existing)
       .select("id", "mtype", "data", "embedding", "seq")
-      .persist() // reused 3x below; tiny (one micro-batch)
+      .localCheckpoint()
 
     if (!delta.isEmpty) {
       delta.drop("seq").write.mode("append").parquet(docsDir)

@@ -25,6 +25,8 @@ class StreamingSpec extends SparkSpec {
       src.addData(("text", "alpha doc", 1L), ("text", "beta doc", 2L))
       q.processAllAvailable()
       assert(spark.read.parquet(docsDir).count() == 2)
+      val edgesAfterB1 = spark.read.parquet(edgesDir).count()
+      assert(edgesAfterB1 > 0)
       // second batch: one duplicate (dropped), one new
       src.addData(("text", "alpha doc", 3L), ("image", "gamma doc", 4L))
       q.processAllAvailable()
@@ -32,7 +34,11 @@ class StreamingSpec extends SparkSpec {
       assert(docs.count() == 3)
       assert(docs.select("id").distinct().count() == 3)
       val edges = spark.read.parquet(edgesDir)
-      assert(edges.count() > 0)
+      // batches AFTER the first must also land their edge deltas: a
+      // plain "edges > 0" was satisfied by batch 1 alone and masked the
+      // recacheByPath empty-delta bug StreamDemo caught
+      assert(edges.count() > edgesAfterB1,
+        s"batch 2 wrote no edges (still $edgesAfterB1)")
       // canonical form holds on appended deltas
       assert(edges.filter(col("src") >= col("dst")).count() == 0)
     } finally q.stop()
