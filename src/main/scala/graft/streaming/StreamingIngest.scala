@@ -105,6 +105,44 @@ object StreamingIngest {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming-native exact dedup: the FIRST occurrence of each content
+    * id passes, every later one (same batch or any later batch) drops —
+    * without re-probing the doc store per batch. State = one boolean per
+    * id in Spark's state store, checkpointed with the query, so the
+    * cache survives restarts with exactly-once semantics. Use upstream
+    * of the ingest loop: the store anti-join in [[processBatch]] then
+    * only guards against PRE-STREAM history, not a growing re-read of
+    * everything the stream itself wrote.
+    *
+    * Dedup runs BEFORE embedding (key = sha256 of the raw data), so
+    * dropped duplicates never cost an embed — at 100 TB the embed is the
+    * dominant cost and this ordering is the point of the cache.
+    *
+    * @param raw streaming (mtype, data, seq)
+    * @return streaming (id, mtype, data, seq), id-unique across the
+    *         stream's lifetime; within a batch the lowest seq wins
+    *         (reference first-writer-wins, main.py:80-81) */
+  def dedupStreamFirstSeen(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw
+      .select(
+        graft.functions.HashFunctions.docId(col("data")).as("id"),
+        col("mtype"), col("data"), col("seq"))
+      .as[(String, String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_._4))
+          }
+      }
+      .toDF("id", "mtype", "data", "seq")
+  }
+
   /** Per-user running totals via mapGroupsWithState — the custom-state
     * primitive (KeyValueGroupedDataset) the engine exposes for logic that
     * windowed aggregation can't express (running counters, sessionization,
