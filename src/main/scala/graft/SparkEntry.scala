@@ -343,6 +343,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Multimodal metadata path (decode + frame sampling plumbing): stub
+    * header decode (hash-derived dims) and n-slice frame sampling over
+    * text-as-binary content. The ASCII guard (char length == byte
+    * length) keeps the DuckDB text mirror byte-exact; the driver corpus
+    * is pure ASCII, so the filter is a no-op today and a safety net if
+    * that ever changes. */
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = 4
+    val media = Tables.documents(s, dir)
+      .filter(length(col("text")) === length(col("text").cast("binary")))
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    media.select(
+        col("doc_id"),
+        Multimodal.decodeMeta(col("content")).as("m"),
+        Multimodal.frameSample(col("content"), nFrames).as("frames"))
+      .select(
+        col("doc_id"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.duration_ms").cast("long").as("duration_ms"),
+        size(col("frames")).cast("long").as("n_frames"),
+        length(element_at(col("frames"), 1)).cast("long").as("f0_len"),
+        length(element_at(col("frames"), nFrames)).cast("long").as("flast_len"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup corpus for the sketch queries: every 5th doc plus a
     * perturbed copy (guaranteed high-Jaccard pairs with deterministic
     * ids). */
@@ -453,6 +479,7 @@ object SparkEntry {
     "q29_ann_multitable" -> ((s, d) => annMultiTable(s, d)),
     "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
     "q41_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
+    "q43_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
     "q39_simhash_radius" -> ((s, d) => simhashRadiusPairs(s, d)),
     "q31_revenue_rollup" ->
       ((s, d) => Relational.qRevenueRollup(s, d)),
@@ -1004,6 +1031,27 @@ object SparkEntry {
          |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
          |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
          |FROM femb ORDER BY doc_id""".stripMargin,
+    "q43_multimodal_meta" ->
+      // decodeMeta + frameSample mirror: hash60 of the sha256 hex, pure
+      // integer arithmetic (shift/mod); char slicing == byte slicing
+      // under the ASCII guard (length = octet_length)
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE length(text) = octet_length(encode(text))),
+         |m AS (
+         |  SELECT doc_id, ${hash60("sha256(text)")} AS h,
+         |         length(text) AS len
+         |  FROM d0),
+         |f AS (
+         |  SELECT doc_id, h, len, greatest(len // 4, 1) AS chunk FROM m)
+         |SELECT doc_id,
+         |  CAST(h % 1920 AS BIGINT) AS width,
+         |  CAST((h >> 16) % 1080 AS BIGINT) AS height,
+         |  CAST(h % 600000 AS BIGINT) AS duration_ms,
+         |  CAST(4 AS BIGINT) AS n_frames,
+         |  CAST(least(chunk, len) AS BIGINT) AS f0_len,
+         |  CAST(greatest(least(chunk, len - 3 * chunk), 0) AS BIGINT) AS flast_len
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q23_neardup_minhash_lsh" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

@@ -47,12 +47,15 @@ object Multimodal {
 
   /** STUB metadata decode — deterministic fake dimensions from the
     * content hash (a real build decodes headers here). Column-level, so
-    * it composes with pruning/pushdown like any projection. */
+    * it composes with pruning/pushdown like any projection.
+    * Integer-only arithmetic (shift, not division — `/` on a Long column
+    * is DOUBLE division, whose rounding no other engine reproduces
+    * bit-for-bit), so the q43 oracle mirrors it exactly. */
   def decodeMeta(content: Column): Column = {
     val h = HashFunctions.hash60(sha2(content, 256))
     struct(
       (h % 1920).cast("int").as("width"),
-      ((h / 1920) % 1080).cast("int").as("height"),
+      (shiftright(h, 16) % 1080).cast("int").as("height"),
       lit(3).as("channels"),
       (h % 600000).cast("int").as("duration_ms"))
   }
@@ -63,7 +66,9 @@ object Multimodal {
     * call_function reaches the Substring expression with non-literal
     * pos/len (the Scala `substring` wrapper only takes Ints). */
   def frameSample(content: Column, n: Int): Column = {
-    val chunk = greatest(length(content) / n, lit(1))
+    // floor + cast: `/` on columns is Double division; the floor keeps
+    // chunk integral so slice offsets are exact (and SQL-mirrorable)
+    val chunk = greatest(floor(length(content) / n), lit(1)).cast("int")
     transform(sequence(lit(0), lit(n - 1)),
       i => call_function("substring", content, i * chunk + 1, chunk))
   }
