@@ -496,7 +496,9 @@ object SparkEntry {
       ((s, d) => Relational.qCustomerOrderSummary(s, d)),
     "q37_order_cube" -> ((s, d) => Relational.qOrderCube(s, d)),
     "q38_event_moving_stats" ->
-      ((s, d) => Relational.qEventMovingStats(s, d))
+      ((s, d) => Relational.qEventMovingStats(s, d)),
+    "q44_order_returns" -> ((s, d) => Relational.qOrderReturns(s, d)),
+    "q45_revenue_pivot" -> ((s, d) => Relational.qRevenuePivot(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1013,6 +1015,32 @@ object SparkEntry {
          |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
          |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
          |FROM femb ORDER BY id""".stripMargin,
+    "q44_order_returns" ->
+      """WITH returned AS (
+        |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |w AS (
+        |  SELECT o_orderpriority, count(*) AS n_with_returns
+        |  FROM orders o
+        |  WHERE EXISTS (SELECT 1 FROM returned r WHERE r.l_orderkey = o.o_orderkey)
+        |  GROUP BY o_orderpriority),
+        |wo AS (
+        |  SELECT o_orderpriority, count(*) AS n_without_returns
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM returned r WHERE r.l_orderkey = o.o_orderkey)
+        |  GROUP BY o_orderpriority)
+        |SELECT coalesce(w.o_orderpriority, wo.o_orderpriority) AS o_orderpriority,
+        |  coalesce(w.n_with_returns, 0) AS n_with_returns,
+        |  coalesce(wo.n_without_returns, 0) AS n_without_returns
+        |FROM w FULL OUTER JOIN wo ON w.o_orderpriority = wo.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q45_revenue_pivot" ->
+      s"""SELECT o_orderpriority,
+         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)} AS rev_f,
+         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)} AS rev_o,
+         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)} AS rev_p
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q41_binary_ingest" ->
       // mirror of the binary fixture pipeline: file content = text bytes,
       // so sha256(text) = sha256(content); modality cycles by doc_id % 3

@@ -281,4 +281,41 @@ object Relational {
         rnd(max("o_totalprice"), 2).as("hi"))
       .orderBy("decile")
   }
+
+  /** TPC-H Q4-shaped semi/anti probe: per priority, how many orders
+    * have at least one returned line (EXISTS → left-semi) and how many
+    * have none (NOT EXISTS → left-anti). Both legs plan as hash joins
+    * on the order key with the DISTINCT key set broadcast — the probe
+    * side (orders) never shuffles. */
+  def qOrderReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    val withRet = orders.join(returned, Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_with_returns"))
+    val without = orders.join(returned, Seq("o_orderkey"), "left_anti")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_without_returns"))
+    withRet.join(without, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_with_returns"), lit(0L)).as("n_with_returns"),
+        coalesce(col("n_without_returns"), lit(0L)).as("n_without_returns"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Pivot: revenue matrix priority × status. Pivot values are DECLARED
+    * (not discovered) — at scale the two-pass distinct-then-pivot is a
+    * full extra scan, and a declared domain keeps the output schema
+    * stable for downstream consumers. */
+  def qRevenuePivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      // no coalesce: an absent (priority, status) combo is a NULL cell in
+      // pivot AND a NULL SUM in the oracle's CASE mirror — exact match
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(rnd(sum("o_totalprice"), 2))
+      .withColumnsRenamed(Map(
+        "F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+      .orderBy("o_orderpriority")
 }

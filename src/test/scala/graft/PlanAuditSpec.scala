@@ -122,6 +122,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(salts > 1)
   }
 
+  test("q44: EXISTS/NOT EXISTS plan as semi/anti hash joins, orders side un-shuffled") {
+    val df = Relational.qOrderReturns(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    // the distinct returned-key set broadcasts; orders probes it in place
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("ANN bucket-partitioned corpus: probe query prunes the SCAN (PartitionFilters non-empty)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_annpart").toString + "/corpus"
