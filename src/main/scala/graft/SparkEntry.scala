@@ -305,6 +305,28 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Approx-vs-exact percentile contract: approx_percentile (the 100 TB
+    * default — mergeable sketch, no global sort) against the exact
+    * value. The sketch algorithm is engine-specific and NOT mirrorable,
+    * but its ACCURACY CONTRACT is: the oracle mirrors the exact
+    * percentile and a literal TRUE for the within-tolerance flag, so an
+    * approx result drifting past 2% of exact hash-fails the gate. */
+  private def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        rnd(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("_ap50"),
+        rnd(expr("percentile(o_totalprice, 0.99)"), 4).as("exact_p99"),
+        expr("approx_percentile(o_totalprice, 0.99, 1000)").as("_ap99"))
+      .select(
+        col("o_orderpriority"), col("exact_p50"), col("exact_p99"),
+        (abs(col("_ap50") - col("exact_p50")) <= col("exact_p50") * 0.02)
+          .as("p50_within_2pct"),
+        (abs(col("_ap99") - col("exact_p99")) <= col("exact_p99") * 0.02)
+          .as("p99_within_2pct"))
+      .orderBy("o_orderpriority")
+
   /** Multimodal feature extraction: text bytes as opaque BINARY content
     * through the mapPartitions per-partition-model path; output scalars
     * pin the whole vector against the SQL mirror of the stub model. */
@@ -498,7 +520,8 @@ object SparkEntry {
     "q38_event_moving_stats" ->
       ((s, d) => Relational.qEventMovingStats(s, d)),
     "q44_order_returns" -> ((s, d) => Relational.qOrderReturns(s, d)),
-    "q45_revenue_pivot" -> ((s, d) => Relational.qRevenuePivot(s, d))
+    "q45_revenue_pivot" -> ((s, d) => Relational.qRevenuePivot(s, d)),
+    "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1015,6 +1038,15 @@ object SparkEntry {
          |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
          |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
          |FROM femb ORDER BY id""".stripMargin,
+    "q46_approx_percentiles" ->
+      s"""SELECT o_orderpriority,
+         |  ${sqlRnd("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)", 4)} AS exact_p50,
+         |  ${sqlRnd("percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice)", 4)} AS exact_p99,
+         |  TRUE AS p50_within_2pct,
+         |  TRUE AS p99_within_2pct
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q44_order_returns" ->
       """WITH returned AS (
         |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
