@@ -327,6 +327,21 @@ object SparkEntry {
           .as("p99_within_2pct"))
       .orderBy("o_orderpriority")
 
+  /** IVF-flat ANN (q47): nearest-of-16 coarse centroids as the inverted
+    * list, probe the query's 2 nearest lists. The second ANN family next
+    * to hyperplane LSH (q18/q28/q29). */
+  private def annIvf(s: SparkSession, dir: String): DataFrame =
+    Ann.topKIvf(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").cast("string").as("qid"),
+            col("embedding").as("qvec")),
+        k = 5, dim = 64, nCentroids = 16, nprobe = 2)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+
   /** Multimodal feature extraction: text bytes as opaque BINARY content
     * through the mapPartitions per-partition-model path; output scalars
     * pin the whole vector against the SQL mirror of the stub model. */
@@ -499,6 +514,7 @@ object SparkEntry {
     "q27_order_percentiles" -> ((s, d) => orderPercentiles(s, d)),
     "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
     "q29_ann_multitable" -> ((s, d) => annMultiTable(s, d)),
+    "q47_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
     "q41_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
     "q43_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
@@ -1038,6 +1054,47 @@ object SparkEntry {
          |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
          |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
          |FROM femb ORDER BY id""".stripMargin,
+    "q47_ann_ivf" -> {
+      val dots = graft.operators.Ann.sqlCentroidDots("embedding", 64, 16)
+      val qdots = graft.operators.Ann.sqlCentroidDots("qvec", 64, 16)
+      // masked second argmax via range-indexing (DuckDB list_transform
+      // has no index-aware lambda); -2.0 is below any unit-vector dot
+      s"""WITH docs AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+         |q0 AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |dbkt AS (
+         |  SELECT id, embedding,
+         |    CAST(list_position(dots, list_max(dots)) AS INT) AS bucket
+         |  FROM (SELECT id, embedding, $dots AS dots FROM docs)),
+         |qp1 AS (
+         |  SELECT qid, qvec, dots,
+         |    CAST(list_position(dots, list_max(dots)) AS INT) AS b1
+         |  FROM (SELECT qid, qvec, $qdots AS dots FROM q0)),
+         |qp2 AS (
+         |  SELECT qid, qvec, b1,
+         |    CAST(list_position(masked, list_max(masked)) AS INT) AS b2
+         |  FROM (
+         |    SELECT qid, qvec, b1,
+         |      list_transform(range(1, 17),
+         |        j -> CASE WHEN j = b1 THEN -2.0 ELSE dots[j] END) AS masked
+         |    FROM qp1)),
+         |probes AS (
+         |  SELECT qid, qvec, b1 AS bucket FROM qp2
+         |  UNION ALL
+         |  SELECT qid, qvec, b2 FROM qp2),
+         |scored AS (
+         |  SELECT p.qid, d.id, ${dot("p.qvec", "d.embedding")} AS sim
+         |  FROM dbkt d JOIN probes p ON d.bucket = p.bucket),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
     "q46_approx_percentiles" ->
       s"""SELECT o_orderpriority,
          |  ${sqlRnd("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)", 4)} AS exact_p50,

@@ -241,6 +241,86 @@ object Ann {
       .select("qid", "id", "sim", "rank")
   }
 
+  // ---- IVF-flat (coarse quantizer + inverted lists) ---------------------
+  // The OTHER standard ANN family besides hyperplane LSH: assign every
+  // vector to its nearest coarse centroid (bucket = inverted list), probe
+  // the query's nprobe nearest centroids. Centroids here are DETERMINISTIC
+  // pseudo-random unit vectors from the same md5 scheme as the LSH planes
+  // (no training step, no broadcast: plan literals) — a real deployment
+  // would swap in k-means centroids, changing ONLY these literals; the
+  // bucket/probe/score plumbing (what Spark executes) is identical.
+
+  /** Coarse centroid j as a unit float vector (deterministic). */
+  def centroidVector(j: Int, dim: Int): Array[Float] = {
+    val raw = Array.tabulate(dim)(i => planeComponent(1000 + j, i))
+    val nrm = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(x => (x / nrm).toFloat)
+  }
+
+  /** Dot products against all `nCentroids` centroid literals, as an
+    * array column (evaluated once; downstream argmax/probe logic slices
+    * the MATERIALIZED array, not the dot-product tree). */
+  private def centroidDots(vec: Column, dim: Int, nCentroids: Int): Column =
+    array((0 until nCentroids).map(j =>
+      dotProduct(vec, typedLit(centroidVector(j, dim)))): _*)
+
+  /** IVF bucket id: 1-based index of the nearest centroid (max dot —
+    * vectors are normalized). First-max tie-break, identical in the SQL
+    * mirror. */
+  def ivfBucket(vec: Column, dim: Int, nCentroids: Int): Column = {
+    val dots = centroidDots(vec, dim, nCentroids)
+    array_position(dots, array_max(dots)).cast("int")
+  }
+
+  /** The query's probe buckets: indices of the `nprobe` largest centroid
+    * dots. Sort-of-structs, NOT repeated masked argmax: masking re-embeds
+    * the whole dot tree per probe (O(nprobe²) expression growth — blew
+    * the analyzer's resolution budget at nprobe=8). Each dot is computed
+    * once; ties break toward the smaller index (same as a first-max
+    * argmax chain, so the oracle's masked mirror yields the same SET). */
+  def ivfProbeBuckets(vec: Column, dim: Int, nCentroids: Int, nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= nCentroids)
+    val entries = array((0 until nCentroids).map { j =>
+      struct(
+        (-dotProduct(vec, typedLit(centroidVector(j, dim)))).as("d"),
+        lit(j + 1).as("b"))
+    }: _*)
+    transform(slice(sort_array(entries), 1, nprobe), e => e.getField("b"))
+  }
+
+  /** IVF-flat top-k: score ONLY candidates in the query's nprobe nearest
+    * inverted lists. Same scale shape as [[topKBucketed]]: the corpus
+    * carries a 4-byte bucket id, the join is a hash join on it, never a
+    * cross join; recall/cost tuned by nCentroids (list count) and nprobe.
+    * @return (qid, id, sim, rank) */
+  def topKIvf(
+      docs: DataFrame, // (id, embedding)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      dim: Int,
+      nCentroids: Int,
+      nprobe: Int = 1,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    val d = docs.withColumn("bucket", ivfBucket(col("embedding"), dim, nCentroids))
+    val q = queries
+      .withColumn("bucket",
+        explode(ivfProbeBuckets(col("qvec"), dim, nCentroids, nprobe)))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("bucket"))
+      .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+
+  /** SQL mirror of [[ivfBucket]] / [[ivfProbeBuckets]] building blocks:
+    * the centroid-dot list for a vector expression. */
+  def sqlCentroidDots(vec: String, dim: Int, nCentroids: Int): String =
+    (0 until nCentroids).map { j =>
+      val lits = centroidVector(j, dim).map(_.toString).mkString("[", ", ", "]")
+      graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
+    }.mkString("[", ",\n       ", "]")
+
   /** SQL mirror of [[lshBucketT]]. */
   def sqlLshBucketT(vec: String, dim: Int, nPlanes: Int, t: Int): String =
     (0 until nPlanes).map { j =>

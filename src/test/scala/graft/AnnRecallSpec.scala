@@ -40,6 +40,38 @@ class AnnRecallSpec extends SparkSpec {
     assert(lsh4.size == truth.size)
   }
 
+  test("IVF-flat: recall@5 grows with nprobe; candidate fraction stays bounded") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    def recallAt(nprobe: Int): Double = {
+      val approx = resultSet(Ann.topKIvf(docs, queries, 5, 64, 16, nprobe))
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val sweep = Seq(1, 2, 4, 8).map(p => p -> recallAt(p))
+    info(sweep.map { case (p, r) => f"nprobe=$p -> $r%.3f" }.mkString(", "))
+    assert(sweep.map(_._2) == sweep.map(_._2).sorted,
+      s"recall must be monotone in nprobe: $sweep")
+    assert(sweep.last._2 >= 0.5, s"IVF recall degenerate at nprobe=8: $sweep")
+    // probing half the lists is still half the corpus scanned, not all:
+    // mean inverted-list occupancy must be ~1/nCentroids of the corpus
+    val occ = docs
+      .withColumn("bucket", Ann.ivfBucket(col("embedding"), 64, 16))
+      .groupBy("bucket").count().collect().map(_.getAs[Long]("count"))
+    assert(occ.length > 8, s"degenerate quantizer: ${occ.length} non-empty lists")
+    assert(occ.max < docs.count() / 2,
+      s"one inverted list holds most of the corpus: max=${occ.max}")
+  }
+
   test("multi-table OR-construction: recall@5 >= 0.8 on the driver corpus") {
     // The driver embeddings are near-isotropic (mean pairwise cos 0.00,
     // true-neighbor cos ~0.32 -> per-bit agreement p ~ 0.61), so high
