@@ -52,6 +52,35 @@ class RobustnessSpec extends SparkSpec {
     assert(sk.select("sketch").distinct().as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("round-3 operators degrade to empty on empty inputs") {
+    val emptyTexts = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(emptyTexts, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupSimhashRadius(emptyTexts, "doc_id", "text").count() == 0)
+    val emptySeeds = Seq.empty[(String, String, Double, Int)]
+      .toDF("qid", "id", "sim", "rank")
+    val edges = Seq(("a", "b", 0.5, 1L)).toDF("src", "dst", "score", "seq")
+    assert(GraphExpand.expandFaithfulDepth(emptySeeds, edges, k = 5, depth = 3)
+      .count() == 0)
+    assert(graft.operators.Ann.topKIvf(
+      emptyDocs.drop("mtype"), oneQuery.select(col("qid"), col("qvec")),
+      k = 5, dim = 2, nCentroids = 4, nprobe = 2).count() == 0)
+  }
+
+  test("IVF probe buckets are distinct and in range for any vector") {
+    val vecs = Seq(
+      ("a", Seq(1f, 0f, 0f, 0f)),
+      ("b", Seq(0f, 0f, 0f, 0f)), // zero vector: every dot ties at 0
+      ("c", Seq(-0.5f, 0.5f, -0.5f, 0.5f))).toDF("id", "v")
+    val rows = vecs.select(col("id"),
+      graft.operators.Ann.ivfProbeBuckets(col("v"), 4, 8, 3).as("probes"))
+      .collect()
+    rows.foreach { r =>
+      val ps = r.getSeq[Int](1)
+      assert(ps.length == 3 && ps.distinct.length == 3, s"$r")
+      assert(ps.forall(p => p >= 1 && p <= 8), s"$r")
+    }
+  }
+
   test("empty-string text analysis: zeros, not NaNs") {
     val m = graft.operators.TextAnalysis
       .analyze(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
