@@ -119,6 +119,24 @@ object OracleSql {
     (Seq(sd) ++ steps :+ fin).mkString(",\n")
   }
 
+  /** Mirror of GraphAlgos.connectedComponents as UNROLLED min-label
+    * propagation: from `<p>sym`(u, v) to `<p>l<steps>`(id, component).
+    * Safe against the Scala side's early-convergence stop — converged
+    * labels are a fixed point of the propagation step. */
+  def ccUnrolled(p: String, steps: Int): String = {
+    val init = s"${p}l0 AS (SELECT DISTINCT u AS id, u AS component FROM ${p}sym)"
+    val stepCtes = (1 to steps).map { k =>
+      s"""${p}l$k AS (
+         |  SELECT id, min(component) AS component FROM (
+         |    SELECT id, component FROM ${p}l${k - 1}
+         |    UNION ALL
+         |    SELECT e.v AS id, l.component
+         |    FROM ${p}sym e JOIN ${p}l${k - 1} l ON e.u = l.id)
+         |  GROUP BY id)""".stripMargin
+    }
+    (init +: stepCtes).mkString(",\n")
+  }
+
   /** Mirror of Embed.embedText as CTE steps: `<p>emb`(…cols…, embedding)
     * from a source relation carrying `textExpr`. */
   def embedCte(p: String, srcRel: String, cols: String, textExpr: String, dim: Int): String =

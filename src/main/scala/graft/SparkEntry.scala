@@ -423,6 +423,19 @@ object SparkEntry {
         threshold = 0.6)
       .orderBy("id_a", "id_b")
 
+  /** Transitive dedup clusters (q48): connected components over the q23
+    * near-dup pairs, 4 supersteps (mirrored UNROLLED in the oracle; the
+    * early-convergence stop is idempotent-safe — see dedupClusters). */
+  private def dedupClustersQ(s: SparkSession, dir: String): DataFrame =
+    GraphAlgos.dedupClusters(
+        Dedup.nearDupMinhashLsh(perturbedDocs(s, dir, " graft dedup probe tail"),
+          "doc_id", "text", shingleWidth = 3, numHashes = 12, bands = 4,
+          threshold = 0.6),
+        maxIter = 4)
+      .select(col("id").cast("long").as("id"),
+        col("keeper").cast("long").as("keeper"), col("is_keeper"))
+      .orderBy("id")
+
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupSimhash(perturbedDocs(s, dir, " the"), "doc_id", "text", bits = 16)
       .orderBy("id_a", "id_b")
@@ -508,6 +521,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
+    "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
     "q24_neardup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d)),
@@ -1200,6 +1214,41 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q48_dedup_clusters" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat(text, ' graft dedup probe tail') FROM d0),
+         |withtoks AS (
+         |  SELECT doc_id AS id, ${toksOf("text")} AS toks FROM all_docs),
+         |withsh AS (
+         |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM withtoks),
+         |withhb AS (
+         |  SELECT id, sh, ${minhashBases("sh")} AS hb
+         |  FROM withsh WHERE len(sh) > 0),
+         |withsig AS (
+         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig
+         |  FROM withhb),
+         |withkeys AS (
+         |  SELECT id, sh, ${bandKeys("sig", 4, 3)} AS bkeys FROM withsig),
+         |banded AS (SELECT id, sh, unnest(bkeys) AS bkey FROM withkeys),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.id < b.id),
+         |fpairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN withsh sa ON sa.id = c.id_a
+         |  JOIN withsh sb ON sb.id = c.id_b
+         |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.6),
+         |csym AS (
+         |  SELECT id_a AS u, id_b AS v FROM fpairs
+         |  UNION ALL SELECT id_b, id_a FROM fpairs),
+         |${ccUnrolled("c", 4)}
+         |SELECT id, component AS keeper, id = component AS is_keeper
+         |FROM cl4 ORDER BY id""".stripMargin,
     "q24_neardup_simhash" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

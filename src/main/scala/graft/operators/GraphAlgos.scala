@@ -62,10 +62,17 @@ object GraphAlgos {
 
   /** Dedup-cluster resolution: near-dup pairs (id_a, id_b) → one keeper
     * per connected component (min id — the reference's first-wins rule
-    * generalized transitively). Returns (id, keeper, is_keeper). */
-  def dedupClusters(pairs: DataFrame): DataFrame =
+    * generalized transitively). Returns (id, keeper, is_keeper).
+    *
+    * Oracle note (q48): the early-convergence stop is safe to mirror
+    * with a FIXED unrolled superstep count — min-propagation is
+    * idempotent once converged, so "stopped early at convergence" and
+    * "ran all maxIter steps" produce identical labels whenever
+    * convergence happens within maxIter, and byte-identical stepwise
+    * labels otherwise. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame =
     connectedComponents(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")), maxIter)
       .select(col("id"), col("component").as("keeper"),
         (col("id") === col("component")).as("is_keeper"))
 }
