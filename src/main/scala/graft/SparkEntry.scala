@@ -137,8 +137,6 @@ object SparkEntry {
     * accumulation of every past submit (main.py:262-276), so depth-2/3
     * pops genuinely discover nodes depth 1 cannot reach. */
   private def graphExpandDepth(s: SparkSession, dir: String): DataFrame = {
-    val knn = knnWithQtype(s, dir)
-    val seeds = knn.filter(col("rank") <= 5).select("qid", "id", "sim", "rank")
     val widerQ = Tables.embeddings(s, dir)
       .filter(col("vec_id") % 10 === 0)
       .select(
@@ -147,6 +145,14 @@ object SparkEntry {
         col("embedding").as("qvec"))
     val wknn = Knn.search(embDocs(s, dir), widerQ, k = 10)
       .join(widerQ.select("qid", "qtype"), Seq("qid"))
+      .transform(graft.CacheScope.pin) // seeds AND edges derive from it
+    // KNN is per-query independent, so the %100 seed queries — a subset
+    // of the %10 edge-building batch — are a FILTER of the same result,
+    // not a second KNN (the oracle's separate seed chain is identical
+    // row-for-row by that independence)
+    val seeds = wknn
+      .filter(col("qid").cast("long") % 100 === 0 && col("rank") <= 5)
+      .select("qid", "id", "sim", "rank")
     GraphExpand.expandFaithfulDepth(seeds, knnEdges(wknn), k = 20, depth = 3)
       .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
         col("origin"), col("rnk").cast("long").as("rnk"))

@@ -122,6 +122,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(salts > 1)
   }
 
+  test("IVF top-k: candidate join is a hash join on the list id, never a cross join") {
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    val df = graft.operators.Ann.topKIvf(docs, queries, 5, 64, 16, nprobe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF must never degrade to an all-pairs join:\n$p")
+    assert(p.contains("HashJoin"), p)
+  }
+
   test("q44: EXISTS/NOT EXISTS plan as semi/anti hash joins, orders side un-shuffled") {
     val df = Relational.qOrderReturns(spark, sf)
     df.collect()
