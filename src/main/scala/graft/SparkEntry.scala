@@ -531,6 +531,10 @@ object SparkEntry {
     "q24_neardup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d)),
+    "q49_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(
+          Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 3)
+        .orderBy("id")),
     "q27_order_percentiles" -> ((s, d) => orderPercentiles(s, d)),
     "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
     "q29_ann_multitable" -> ((s, d) => annMultiTable(s, d)),
@@ -1220,6 +1224,33 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q49_repetition" ->
+      // non-distinct word 3-grams; max-share repetition signal
+      s"""WITH wt AS (
+         |  SELECT doc_id AS id, ${toksOf("text")} AS toks FROM documents),
+         |wg AS (
+         |  SELECT id,
+         |    CASE WHEN len(toks) < 3 THEN []
+         |         ELSE list_transform(range(0, len(toks) - 2),
+         |                i -> concat(toks[i + 1], ' ', toks[i + 2], ' ', toks[i + 3])) END
+         |      AS grams
+         |  FROM wt),
+         |pg AS (
+         |  SELECT id, g, count(*) AS c
+         |  FROM (SELECT id, unnest(grams) AS g FROM wg)
+         |  GROUP BY id, g),
+         |st AS (
+         |  SELECT id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |         max(c) AS max_gram_count
+         |  FROM pg GROUP BY id)
+         |SELECT w.id,
+         |  coalesce(st.n_grams, 0) AS n_grams,
+         |  coalesce(st.max_gram_count, 0) AS max_gram_count,
+         |  ${rnd6("CASE WHEN st.n_grams IS NULL THEN 0.0 " +
+                "ELSE CAST(st.max_gram_count AS DOUBLE) / CAST(st.n_grams AS DOUBLE) END")}
+         |    AS rep_ratio
+         |FROM wg w LEFT JOIN st ON w.id = st.id
+         |ORDER BY w.id""".stripMargin,
     "q48_dedup_clusters" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

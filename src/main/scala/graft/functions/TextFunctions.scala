@@ -61,6 +61,17 @@ object TextFunctions {
         concat_ws(" ", (0 until w).map(j => s.getField(j.toString)): _*)))
   }
 
+  /** Word w-shingles WITH duplicates (occurrence list, not a set) —
+    * the input to repetition statistics, where multiplicity is the
+    * signal. Same zip-of-slices shape as [[wordShingles]]. */
+  def wordShinglesAll(text: Column, w: Int): Column = {
+    val ts = tokens(text)
+    val n = greatest(size(ts) - (w - 1), lit(0))
+    val zipped = arrays_zip((0 until w).map(j => slice(ts, lit(j + 1), n)): _*)
+    transform(zipped, s =>
+      concat_ws(" ", (0 until w).map(j => s.getField(j.toString)): _*))
+  }
+
   /** Stopword-hit count over a small english stopword list — the classic
     * cheap language-ID / quality signal. */
   val EnglishStopwords: Seq[String] = Seq(

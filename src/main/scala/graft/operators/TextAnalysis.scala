@@ -56,4 +56,40 @@ object TextAnalysis {
         .as("quality"),
       docFingerprintFromTokens(col("_toks")).as("fingerprint"))
   }
+
+  /** Repetition statistics (Gopher-style curation signal): the share of
+    * a document's word n-gram OCCURRENCES taken by its single most
+    * repeated n-gram. Boilerplate, keyword-stuffed, and
+    * degenerate-generation text scores high; diverse prose scores
+    * ~1/n_grams.
+    *
+    * Relational shape, not a per-row array fold: explode n-grams →
+    * count per (doc, gram) → max/sum per doc. Both aggregations combine
+    * map-side; the shuffle key (doc, gram) is what bounds skew — a
+    * pathological single-document corpus still distributes across its
+    * distinct grams. Docs with fewer than n tokens yield no grams and
+    * are reported with n_grams = 0 and ratio 0.0 (left join back).
+    *
+    * @return (id, n_grams, max_gram_count, rep_ratio) */
+  def repetitionStats(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val base = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), wordShinglesAll(col(textCol), n).as("grams"))
+      .transform(graft.CacheScope.pin) // exploded counts + left-join base
+    val perGram = base
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+    val stats = perGram.groupBy("id").agg(
+      sum("c").as("n_grams"),
+      max("c").as("max_gram_count"))
+    base.select("id").join(stats, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("max_gram_count"), lit(0L)).as("max_gram_count"),
+        rnd(
+          when(col("n_grams").isNull, 0.0)
+            .otherwise(col("max_gram_count").cast("double") /
+              col("n_grams").cast("double")), 6).as("rep_ratio"))
+  }
 }

@@ -81,6 +81,22 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats: degenerate repeated text scores ~1, diverse prose low, short text 0") {
+    val docs = Seq(
+      (1L, Seq.fill(50)("buy cheap tokens now").mkString(" ")), // stuffed
+      (2L, "the quick brown fox jumps over a lazy dog while rain falls softly tonight"),
+      (3L, "too short")) // < 3 tokens -> no grams
+      .toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis
+      .repetitionStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L)._3 > 0.2, s"keyword stuffing must score high: ${m(1L)}")
+    assert(m(2L)._3 < 0.15, s"diverse prose must score low: ${m(2L)}")
+    assert(m(2L)._2 == 1L, "no repeated 3-gram in diverse prose")
+    assert(m(3L) == ((0L, 0L, 0.0)), s"short doc reports zeros: ${m(3L)}")
+  }
+
   test("empty-string text analysis: zeros, not NaNs") {
     val m = graft.operators.TextAnalysis
       .analyze(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
