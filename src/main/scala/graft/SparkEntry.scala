@@ -535,6 +535,24 @@ object SparkEntry {
       TextAnalysis.repetitionStats(
           Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 3)
         .orderBy("id")),
+    "q50_text_cleaning" -> ((s, d) => {
+      // deterministic boilerplate injection (mirrored in the oracle):
+      // the driver corpus is clean, so q50 plants URLs/tags on a subset
+      // to prove removal, not just no-ops
+      val dirty = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(lit("<div class=x> "), col("text"),
+              lit(" see https://example.com/a?b=1 now </div>")))
+          .when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("  visit http://x.org/p ")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.cleanStats(dirty, "doc_id", "text")
+        .select(col("id"), col("n_urls"), col("n_tags"),
+          col("n_chars_raw"), col("n_chars_clean"),
+          substring(col("clean_text"), 1, 40).as("clean_prefix"))
+        .orderBy("id")
+    }),
     "q27_order_percentiles" -> ((s, d) => orderPercentiles(s, d)),
     "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
     "q29_ann_multitable" -> ((s, d) => annMultiTable(s, d)),
@@ -1224,6 +1242,34 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q50_text_cleaning" ->
+      // same injection + same regex subset (Java and RE2 agree on these
+      // patterns: no backrefs/lookaround); replace-with-space, collapse,
+      // trim — fragment-for-fragment mirror of TextAnalysis.cleanText
+      s"""WITH dirty AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 7 = 0
+         |           THEN concat('<div class=x> ', text,
+         |                       ' see https://example.com/a?b=1 now </div>')
+         |         WHEN doc_id % 5 = 0
+         |           THEN concat(text, '  visit http://x.org/p ')
+         |         ELSE text END AS text
+         |  FROM documents),
+         |cleaned AS (
+         |  SELECT id, text,
+         |    trim(regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text, 'https?://[^ \\t\\n]+', ' ', 'g'),
+         |        '<[^<>]+>', ' ', 'g'),
+         |      '[ \\t\\n]+', ' ', 'g')) AS ct
+         |  FROM dirty)
+         |SELECT id,
+         |  CAST(len(regexp_extract_all(text, 'https?://[^ \\t\\n]+')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '<[^<>]+>')) AS BIGINT) AS n_tags,
+         |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(ct) AS BIGINT) AS n_chars_clean,
+         |  substr(ct, 1, 40) AS clean_prefix
+         |FROM cleaned ORDER BY id""".stripMargin,
     "q49_repetition" ->
       // non-distinct word 3-grams; max-share repetition signal
       s"""WITH wt AS (

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import graft.functions.PortableMath.rnd
 import org.apache.spark.sql.functions._
 
@@ -92,4 +92,32 @@ object TextAnalysis {
             .otherwise(col("max_gram_count").cast("double") /
               col("n_grams").cast("double")), 6).as("rep_ratio"))
   }
+
+  /** Boilerplate patterns for [[cleanText]]. Deliberately within the
+    * regex subset Java and RE2 evaluate identically (no backrefs, no
+    * lookaround, greedy character classes only) so the cleaning is
+    * oracle-mirrorable. */
+  val UrlPattern = "https?://[^ \\t\\n]+"
+  val TagPattern = "<[^<>]+>"
+
+  /** Text cleaning for training-data pipelines: strip URLs and markup
+    * tags (replaced by a single space so token boundaries survive),
+    * collapse whitespace runs, trim. Pure map stage — composes with
+    * [[analyze]]/[[repetitionStats]] downstream of the same scan. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(text, UrlPattern, " "), TagPattern, " "),
+      "[ \\t\\n]+", " "))
+
+  /** Cleaning report per document: counts of removed artifacts and the
+    * before/after sizes. @return (id, n_urls, n_tags, n_chars_raw,
+    * n_chars_clean, clean_text) */
+  def cleanStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.ensureMapParallelism(docs).select(
+      col(idCol).as("id"),
+      regexp_count(col(textCol), lit(UrlPattern)).cast("long").as("n_urls"),
+      regexp_count(col(textCol), lit(TagPattern)).cast("long").as("n_tags"),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      length(cleanText(col(textCol))).cast("long").as("n_chars_clean"),
+      cleanText(col(textCol)).as("clean_text"))
 }
