@@ -348,6 +348,30 @@ object SparkEntry {
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
 
+  /** As-of join (q51): each event annotated with the customer's latest
+    * order at-or-before the event. The two tables' real time ranges do
+    * not overlap (events 2024, orders 1995-2001), so both are mapped
+    * onto a deterministic 30-day modulo ring — integer micros, mirrored
+    * exactly — which interleaves them and makes the temporal dimension
+    * discriminating instead of degenerate. */
+  private def asOfOrders(s: SparkSession, dir: String): DataFrame = {
+    val Ring = 2592000000000L // 30 days in microseconds
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) % Ring).as("tus"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) % Ring).as("ots"))
+    AsOfJoin.asOf(
+        ev, "user_id", "tus",
+        ord, "o_custkey", "ots",
+        rTieBreak = "o_orderkey", rPayload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        col("o_orderkey"), rnd(col("o_totalprice"), 2).as("asof_price"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Multimodal feature extraction: text bytes as opaque BINARY content
     * through the mapPartitions per-partition-model path; output scalars
     * pin the whole vector against the SQL mirror of the stub model. */
@@ -579,7 +603,8 @@ object SparkEntry {
       ((s, d) => Relational.qEventMovingStats(s, d)),
     "q44_order_returns" -> ((s, d) => Relational.qOrderReturns(s, d)),
     "q45_revenue_pivot" -> ((s, d) => Relational.qRevenuePivot(s, d)),
-    "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d))
+    "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d)),
+    "q51_asof_join" -> ((s, d) => asOfOrders(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1242,6 +1267,28 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q51_asof_join" ->
+      // correlated mirror of the union-merge as-of join: latest order
+      // at-or-before each event on the same 30-day modulo ring; ties at
+      // equal time resolve to the largest o_orderkey; LEFT keeps
+      // order-less events with NULL payload (single NULL row -> rn = 1)
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000) % 2592000000000 AS tus
+        |  FROM events WHERE user_id % 10 = 0),
+        |ord AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         epoch_us(o_orderdate) % 2592000000000 AS ots
+        |  FROM orders),
+        |cand AS (
+        |  SELECT e.user_id, e.event_id, e.tus, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.user_id, e.event_id
+        |                       ORDER BY o.ots DESC, o.o_orderkey DESC) AS rn
+        |  FROM ev e LEFT JOIN ord o
+        |    ON o.o_custkey = e.user_id AND o.ots <= e.tus)
+        |SELECT user_id, event_id, tus, o_orderkey,
+        |  ${sqlRnd("o_totalprice", 2)} AS asof_price
+        |FROM cand WHERE rn = 1
+        |ORDER BY user_id, event_id""".stripMargin,
     "q50_text_cleaning" ->
       // same injection + same regex subset (Java and RE2 agree on these
       // patterns: no backrefs/lookaround); replace-with-space, collapse,
