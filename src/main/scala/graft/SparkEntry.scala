@@ -372,6 +372,30 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Range join (q52): events falling inside each order's 2-day window
+    * on the same modulo-ring timeline as q51 — bucketized equi-join,
+    * never an inequality-only nested loop. Output: per matched order,
+    * the count and value sum of covered events. */
+  private def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val Ring = 2592000000000L
+    val TwoDays = 172800000000L
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"), col("value"),
+        (unix_micros(col("ts")) % Ring).as("tus"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) % Ring).as("olo"))
+      .withColumn("ohi", col("olo") + TwoDays)
+    RangeJoin.pointInInterval(
+        ev, "user_id", "tus", ord, "o_custkey", "olo", "ohi",
+        iPayload = Seq("o_orderkey"), bucketWidth = TwoDays)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 4).as("sum_value"))
+      .orderBy("o_orderkey")
+  }
+
   /** Multimodal feature extraction: text bytes as opaque BINARY content
     * through the mapPartitions per-partition-model path; output scalars
     * pin the whole vector against the SQL mirror of the stub model. */
@@ -604,7 +628,8 @@ object SparkEntry {
     "q44_order_returns" -> ((s, d) => Relational.qOrderReturns(s, d)),
     "q45_revenue_pivot" -> ((s, d) => Relational.qRevenuePivot(s, d)),
     "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d)),
-    "q51_asof_join" -> ((s, d) => asOfOrders(s, d))
+    "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
+    "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1267,6 +1292,23 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q52_range_join" ->
+      // direct inequality mirror of the bucketized interval join
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, value,
+         |         (epoch_ns(ts) // 1000) % 2592000000000 AS tus
+         |  FROM events WHERE user_id % 10 = 0),
+         |ord AS (
+         |  SELECT o_custkey, o_orderkey,
+         |         epoch_us(o_orderdate) % 2592000000000 AS olo
+         |  FROM orders WHERE o_custkey % 10 = 0)
+         |SELECT o.o_orderkey, count(*) AS n_events,
+         |  ${sqlRnd("sum(e.value)", 4)} AS sum_value
+         |FROM ord o JOIN ev e
+         |  ON e.user_id = o.o_custkey
+         |  AND e.tus >= o.olo AND e.tus <= o.olo + 172800000000
+         |GROUP BY o.o_orderkey
+         |ORDER BY o_orderkey""".stripMargin,
     "q51_asof_join" ->
       // correlated mirror of the union-merge as-of join: latest order
       // at-or-before each event on the same 30-day modulo ring; ties at
