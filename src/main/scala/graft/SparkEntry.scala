@@ -396,6 +396,25 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Curation sampling (q53): stratified deterministic sample by lang
+    * (different permille per stratum) + per-lang quota cap, reported as
+    * per-lang counts at each stage — reproducible on any engine, which
+    * is the whole point vs RNG sampling. */
+  private def curationSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang")
+    val rates = Map("en" -> 800, "de" -> 500, "fr" -> 500, "es" -> 250, "zh" -> 250)
+    val sampled = Curation.sampleStratified(docs, "doc_id", "lang", rates)
+    val capped = Curation.capPerGroup(sampled, "doc_id", "lang", quota = 40)
+    val base = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val samp = sampled.groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    val capd = capped.groupBy("lang").agg(count(lit(1)).as("n_capped"))
+    base.join(samp, Seq("lang"), "left").join(capd, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+      .orderBy("lang")
+  }
+
   /** Multimodal feature extraction: text bytes as opaque BINARY content
     * through the mapPartitions per-partition-model path; output scalars
     * pin the whole vector against the SQL mirror of the stub model. */
@@ -629,7 +648,8 @@ object SparkEntry {
     "q45_revenue_pivot" -> ((s, d) => Relational.qRevenuePivot(s, d)),
     "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
-    "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d))
+    "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
+    "q53_curation_sample" -> ((s, d) => curationSample(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1292,6 +1312,31 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q53_curation_sample" ->
+      // mirror of hash-based stratified sampling + per-lang quota
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         ${hash60("CAST(doc_id AS VARCHAR)")} % 1000 AS score
+         |  FROM documents),
+         |samp AS (
+         |  SELECT * FROM d WHERE score <
+         |    CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+         |              WHEN 'fr' THEN 500 WHEN 'es' THEN 250
+         |              WHEN 'zh' THEN 250 ELSE 0 END),
+         |capd AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY lang
+         |                                 ORDER BY score, doc_id) AS rn
+         |    FROM samp) WHERE rn <= 40),
+         |b AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |s2 AS (SELECT lang, count(*) AS n_sampled FROM samp GROUP BY lang),
+         |c2 AS (SELECT lang, count(*) AS n_capped FROM capd GROUP BY lang)
+         |SELECT b.lang, b.n_docs,
+         |  coalesce(s2.n_sampled, 0) AS n_sampled,
+         |  coalesce(c2.n_capped, 0) AS n_capped
+         |FROM b LEFT JOIN s2 ON b.lang = s2.lang
+         |LEFT JOIN c2 ON b.lang = c2.lang
+         |ORDER BY b.lang""".stripMargin,
     "q52_range_join" ->
       // direct inequality mirror of the bucketized interval join
       s"""WITH ev AS (

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Hash-based curation sampling: the property RNG sampling cannot give —
+  * the SAME selected set under any partitioning — plus rate accuracy,
+  * quota enforcement, and the map-side WindowGroupLimit plan shape. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 2000L).map(i =>
+    (i, if (i % 3 == 0) "en" else "de")).toDF("doc_id", "lang")
+
+  test("sample set is identical under repartitioning (reproducibility)") {
+    val a = Curation.sampleByHash(docs, "doc_id", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleByHash(docs.repartition(17), "doc_id", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val c = Curation.sampleByHash(docs.coalesce(1), "doc_id", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && b == c, "selection must not depend on partitioning")
+    // uniform hash: 30% +- a few points on 2000 rows
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"rate off: ${a.size}")
+    // the complement predicate is the holdout: disjoint and exhaustive
+    val holdout = docs.filter(Curation.hashScore(col("doc_id")) >= 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((a & holdout).isEmpty && a.size + holdout.size == 2000)
+  }
+
+  test("per-group quota caps each group; plan uses WindowGroupLimit") {
+    val capped = Curation.capPerGroup(docs, "doc_id", "lang", quota = 50)
+    val byLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 50L, "de" -> 50L), byLang.toString)
+    // deterministic: same 50 under different partitioning
+    val again = Curation.capPerGroup(docs.repartition(13), "doc_id", "lang", 50)
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val p = capped.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"quota filter should prune map-side:\n$p")
+  }
+}
