@@ -415,6 +415,36 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Bloom-filter membership pre-filter (q54): the cheap first pass of
+    * a 100 TB dedup — build a bloom filter over the existing store's
+    * ids, probe the incoming batch, and only anti-join the rows the
+    * filter flags. Bloom internals are engine-specific, so the oracle
+    * pins the CONTRACT (q46-style): zero false negatives (every true
+    * member flagged) as a literal-TRUE boolean, a bounded false-positive
+    * rate as another, plus the exact member/new counts which ARE
+    * mirrorable. */
+  private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val existing = base.filter(col("doc_id") % 3 =!= 0)
+      .select(docId(col("text")).as("id"))
+    val batch = base.select(docId(col("text")).as("id"),
+      (col("doc_id") % 3 === 0).as("is_new"))
+    // public sketch API: built distributed (treeAggregate), held driver
+    // side like any broadcast dimension; executors probe their local copy
+    val bf = existing.stat.bloomFilter("id", expectedNumItems = 2000L, fpp = 0.03)
+    val mightContain = udf((id: String) => bf.mightContainString(id))
+    val probed = batch.withColumn("hit", mightContain(col("id")))
+    val stats = probed.agg(
+      sum(when(!col("is_new") && !col("hit"), 1L).otherwise(0L)).as("n_false_neg"),
+      sum(when(col("is_new") && col("hit"), 1L).otherwise(0L)).as("n_false_pos"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_members"))
+    stats.select(
+      col("n_members"), col("n_new"),
+      (col("n_false_neg") === 0L).as("no_false_negatives"),
+      (col("n_false_pos") <= col("n_new") * 0.05).as("fp_rate_below_5pct"))
+  }
+
   /** Multimodal feature extraction: text bytes as opaque BINARY content
     * through the mapPartitions per-partition-model path; output scalars
     * pin the whole vector against the SQL mirror of the stub model. */
@@ -649,7 +679,8 @@ object SparkEntry {
     "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
-    "q53_curation_sample" -> ((s, d) => curationSample(s, d))
+    "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
+    "q54_bloom_prefilter" -> ((s, d) => bloomPrefilter(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1312,6 +1343,16 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q54_bloom_prefilter" ->
+      // contract mirror: exact member/new counts + literal TRUE for the
+      // bloom guarantees (no false negatives; FP rate under the sized
+      // bound) — an engine drifting past either hash-fails the gate
+      """SELECT
+        |  CAST(count(*) FILTER (doc_id % 3 <> 0) AS BIGINT) AS n_members,
+        |  CAST(count(*) FILTER (doc_id % 3 = 0) AS BIGINT) AS n_new,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fp_rate_below_5pct
+        |FROM documents""".stripMargin,
     "q53_curation_sample" ->
       // mirror of hash-based stratified sampling + per-lang quota
       s"""WITH d AS (
