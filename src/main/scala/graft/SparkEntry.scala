@@ -232,9 +232,12 @@ object SparkEntry {
     * the /submit response (neighbors of each newly ingested doc,
     * WITH the stored payload like main.py:230-242). */
   private def submitPipeline(s: SparkSession, dir: String): DataFrame =
+    // pin before the global sort: the range partitioner's sampling pass
+    // otherwise re-executes the whole embed+KNN chain above the store pin
     submitParts(s, dir)._2
       .select(col("qid"), col("id"), col("mtype"), col("data"),
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
   /** §3.2 end-to-end: embed query → KNN(k=20, no self-match possible) →
@@ -248,10 +251,14 @@ object SparkEntry {
       Embed.embedText(
         concat(lit("find "), substring(col("text"), 1, 40)), pipeConf.dim).as("qvec"))
     val edgesDedup = GraphBuild.upsertEdges(edges.limit(0), edges)
+    // pin before the global sort (see submitPipeline): the tail above
+    // the store pin includes BOTH KNNs and the expansion — sampling
+    // would run them twice
     Pipelines.search(docs, queries, edgesDedup, pipeConf)
       .select(col("qid"), col("id"), col("mtype"), col("data"),
         rnd(col("score"), 6).as("score"),
         col("origin"), col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
   }
 
