@@ -62,6 +62,7 @@ object SparkEntry {
   private def rankedOut(df: DataFrame): DataFrame =
     df.select(col("qid"), col("id"), col("mtype"),
       rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
   private def knnModalBalanced(s: SparkSession, dir: String): DataFrame =
@@ -73,6 +74,7 @@ object SparkEntry {
     Knn.topKViaAgg(embDocs(s, dir), embQueries(s, dir).drop("qtype"), k = 5)
       .select(col("qid"), col("id"),
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
   /** Ingest dedup delta (S3/S8/O6): existing corpus = doc_id %10 != 0;
@@ -92,6 +94,7 @@ object SparkEntry {
     val prepared = Ingest.prepare(batch, GraftConf(dim = 16))
     Ingest.dedupDelta(prepared, existing)
       .select("id", "seq", "mtype")
+      .transform(graft.CacheScope.pin)
       .orderBy("id")
   }
 
@@ -107,6 +110,7 @@ object SparkEntry {
         .withColumn("seq", lit(2L)))
     GraphBuild.upsertEdges(deltaA, deltaB)
       .select(col("src"), col("dst"), rnd(col("score"), 6).as("score"), col("seq"))
+      .transform(graft.CacheScope.pin)
       .orderBy("src", "dst")
   }
 
@@ -126,6 +130,7 @@ object SparkEntry {
     GraphExpand.expandFaithful(seeds, knnEdges(knn), k = 20)
       .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
         col("origin"), col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
   }
 
@@ -156,6 +161,7 @@ object SparkEntry {
     GraphExpand.expandFaithfulDepth(seeds, knnEdges(wknn), k = 20, depth = 3)
       .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
         col("origin"), col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
   }
 
@@ -168,6 +174,7 @@ object SparkEntry {
     GraphExpand.expandAll(seeds, knnEdges(knn), k = 20, depth = 2)
       .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
         col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
   }
 
@@ -175,6 +182,7 @@ object SparkEntry {
   private def graphDegrees(s: SparkSession, dir: String): DataFrame =
     GraphViews.degrees(knnEdges(knnWithQtype(s, dir)))
       .select(col("id"), col("degree"), rnd(col("strength"), 6).as("strength"))
+      .transform(graft.CacheScope.pin)
       .orderBy("id")
 
   /** G3 degree-0 parity (main.py:259 add_node): every ingested id is a
@@ -183,6 +191,7 @@ object SparkEntry {
     GraphViews.degreesAll(
         knnEdges(knnWithQtype(s, dir)), embDocs(s, dir).select("id"))
       .select(col("id"), col("degree"), rnd(col("strength"), 6).as("strength"))
+      .transform(graft.CacheScope.pin)
       .orderBy("id")
 
   /** Salted skew join in the gate: results must equal the plain join
@@ -195,6 +204,7 @@ object SparkEntry {
         "l_suppkey", saltFactor = 8)
       .groupBy("s_name")
       .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .transform(graft.CacheScope.pin)
       .orderBy("s_name")
 
   /** G5 dangling-node filter in the gate: docs = only even vec_ids, so
@@ -204,6 +214,7 @@ object SparkEntry {
     val docs = embDocs(s, dir).filter(col("id").cast("long") % 2 === 0)
     val (_, pruned) = GraphViews.validGraph(edges, docs)
     pruned.select(col("src"), col("dst"), rnd(col("score"), 6).as("score"))
+      .transform(graft.CacheScope.pin)
       .orderBy("src", "dst")
   }
 
@@ -274,6 +285,7 @@ object SparkEntry {
         k = 5, dim = 64, nPlanes = 8)
       .select(col("qid"), col("id"),
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
   /** Multi-probe variant of q18: 4 probes (home bucket + 3 bit-flips)
@@ -288,6 +300,7 @@ object SparkEntry {
         k = 5, dim = 64, nPlanes = 8, probes = 4)
       .select(col("qid"), col("id"),
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
   /** OR-construction multi-table LSH (the recall-bearing ANN path): 8
@@ -303,6 +316,7 @@ object SparkEntry {
         k = 5, dim = 64, nPlanes = 4, nTables = 8)
       .select(col("qid"), col("id"),
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
   /** Exact percentiles per order priority (the exact path; SCALE.md
@@ -316,6 +330,7 @@ object SparkEntry {
         rnd(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
         rnd(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
         count(lit(1)).as("n"))
+      .transform(graft.CacheScope.pin)
       .orderBy("o_orderpriority")
 
   /** Approx-vs-exact percentile contract: approx_percentile (the 100 TB
@@ -338,6 +353,7 @@ object SparkEntry {
           .as("p50_within_2pct"),
         (abs(col("_ap99") - col("exact_p99")) <= col("exact_p99") * 0.02)
           .as("p99_within_2pct"))
+      .transform(graft.CacheScope.pin)
       .orderBy("o_orderpriority")
 
   /** IVF-flat ANN (q47): nearest-of-16 coarse centroids as the inverted
@@ -353,6 +369,7 @@ object SparkEntry {
         k = 5, dim = 64, nCentroids = 16, nprobe = 2)
       .select(col("qid"), col("id"),
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
   /** As-of join (q51): each event annotated with the customer's latest
@@ -376,6 +393,7 @@ object SparkEntry {
         rTieBreak = "o_orderkey", rPayload = Seq("o_orderkey", "o_totalprice"))
       .select(col("user_id"), col("event_id"), col("tus"),
         col("o_orderkey"), rnd(col("o_totalprice"), 2).as("asof_price"))
+      .transform(graft.CacheScope.pin)
       .orderBy("user_id", "event_id")
   }
 
@@ -400,6 +418,7 @@ object SparkEntry {
         iPayload = Seq("o_orderkey"), bucketWidth = TwoDays)
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 4).as("sum_value"))
+      .transform(graft.CacheScope.pin)
       .orderBy("o_orderkey")
   }
 
@@ -419,6 +438,7 @@ object SparkEntry {
       .select(col("lang"), col("n_docs"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+      .transform(graft.CacheScope.pin)
       .orderBy("lang")
   }
 
@@ -464,6 +484,7 @@ object SparkEntry {
         rnd(element_at(col("features"), 1).cast("double"), 6).as("f0"),
         rnd(element_at(col("features"), 8).cast("double"), 6).as("f7"),
         rnd(graft.functions.VectorFunctions.l2Norm(col("features")), 6).as("nrm"))
+      .transform(graft.CacheScope.pin)
       .orderBy("id")
   }
 
@@ -487,6 +508,7 @@ object SparkEntry {
         rnd(element_at(col("features"), 1).cast("double"), 6).as("f0"),
         rnd(element_at(col("features"), 8).cast("double"), 6).as("f7"),
         rnd(graft.functions.VectorFunctions.l2Norm(col("features")), 6).as("nrm"))
+      .transform(graft.CacheScope.pin)
       .orderBy("doc_id")
   }
 
@@ -513,6 +535,7 @@ object SparkEntry {
         size(col("frames")).cast("long").as("n_frames"),
         length(element_at(col("frames"), 1)).cast("long").as("f0_len"),
         length(element_at(col("frames"), nFrames)).cast("long").as("flast_len"))
+      .transform(graft.CacheScope.pin)
       .orderBy("doc_id")
   }
 
@@ -531,6 +554,7 @@ object SparkEntry {
     Dedup.nearDupMinhashLsh(perturbedDocs(s, dir, " graft dedup probe tail"),
         "doc_id", "text", shingleWidth = 3, numHashes = 12, bands = 4,
         threshold = 0.6)
+      .transform(graft.CacheScope.pin)
       .orderBy("id_a", "id_b")
 
   /** Transitive dedup clusters (q48): connected components over the q23
@@ -544,10 +568,12 @@ object SparkEntry {
         maxIter = 4)
       .select(col("id").cast("long").as("id"),
         col("keeper").cast("long").as("keeper"), col("is_keeper"))
+      .transform(graft.CacheScope.pin)
       .orderBy("id")
 
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupSimhash(perturbedDocs(s, dir, " the"), "doc_id", "text", bits = 16)
+      .transform(graft.CacheScope.pin)
       .orderBy("id_a", "id_b")
 
   /** Radius variant of q24: a 3-token perturbation flips a few sketch
@@ -556,6 +582,7 @@ object SparkEntry {
   private def simhashRadiusPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupSimhashRadius(perturbedDocs(s, dir, " the quick fox"),
         "doc_id", "text", bits = 32, radius = 3)
+      .transform(graft.CacheScope.pin)
       .orderBy("id_a", "id_b")
 
   /** Exact char-3-gram Jaccard under 2-key min-hash blocking (the pair
@@ -585,6 +612,7 @@ object SparkEntry {
         rnd(avg("quality"), 6).as("avg_quality"),
         rnd(avg("stopword_ratio"), 6).as("avg_sw_ratio"),
         sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)).as("n_pred_match"))
+      .transform(graft.CacheScope.pin)
       .orderBy("lang")
   }
 
@@ -618,6 +646,7 @@ object SparkEntry {
       ((s, d) => TextAnalysis.analyze(Tables.documents(s, d), "doc_id", "text")
         .withColumn("n_tokens", col("n_tokens").cast("long"))
         .withColumn("n_chars", col("n_chars").cast("long"))
+        .transform(graft.CacheScope.pin)
         .orderBy("id")),
     "q21_dedup_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -628,6 +657,7 @@ object SparkEntry {
     "q22_neardup_embedding" -> ((s, d) =>
       Dedup.nearDupEmbedding(
           Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
+        .transform(graft.CacheScope.pin)
         .orderBy("id_a", "id_b")),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
@@ -638,6 +668,7 @@ object SparkEntry {
     "q49_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(
           Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 3)
+        .transform(graft.CacheScope.pin)
         .orderBy("id")),
     "q50_text_cleaning" -> ((s, d) => {
       // deterministic boilerplate injection (mirrored in the oracle):
@@ -655,6 +686,7 @@ object SparkEntry {
         .select(col("id"), col("n_urls"), col("n_tags"),
           col("n_chars_raw"), col("n_chars_clean"),
           substring(col("clean_text"), 1, 40).as("clean_prefix"))
+        .transform(graft.CacheScope.pin)
         .orderBy("id")
     }),
     "q27_order_percentiles" -> ((s, d) => orderPercentiles(s, d)),
