@@ -442,6 +442,72 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** PQ two-stage retrieval (q55): ADC over 8-byte codes shortlists 50
+    * candidates per query, exact dots re-score only those. */
+  private def annPqRerank(s: SparkSession, dir: String): DataFrame =
+    Pq.topKPqRerank(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").cast("string").as("qid"),
+            col("embedding").as("qvec")),
+        k = 5, dim = 64, nSub = 8, nCodes = 16, shortlist = 50)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+
+  /** Oracle text for q55 — assembled by loops (8 subspaces × 16 codes of
+    * literal centroid arrays); kept out of the inline map for length. */
+  private def q55Sql: String = {
+    val (dim, nSub, nCodes) = (64, 8, 16)
+    val subDim = dim / nSub
+    def sub(vecExpr: String, s: Int) =
+      s"$vecExpr[${s * subDim + 1}:${(s + 1) * subDim}]"
+    def codeExpr(s: Int): String = {
+      val scores = (0 until nCodes).map { j =>
+        val c = Pq.centroid(s, j, subDim, nSub)
+        val c2 = c.map(x => x.toDouble * x.toDouble).sum
+        val lits = c.map(_.toString).mkString("[", ", ", "]")
+        s"${dot(sub("embedding", s), s"CAST($lits AS FLOAT[])")} * 2.0 - $c2"
+      }.mkString("[", ",\n     ", "]")
+      s"CAST(list_position($scores, list_max($scores)) AS INT)"
+    }
+    val adcTerms = (0 until nSub).map { s =>
+      val cb = (0 until nCodes)
+        .map(j => Pq.centroid(s, j, subDim, nSub).map(_.toString)
+          .mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      dot(sub("q.qvec", s), s"(CAST($cb AS FLOAT[][]))[d.code[${s + 1}]]")
+    }.mkString("(", " + ", ")")
+    s"""WITH docs AS (
+       |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+       |q AS (
+       |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |dcode AS (
+       |  SELECT id, embedding,
+       |    [${(0 until nSub).map(codeExpr).mkString(",\n     ")}] AS code
+       |  FROM docs),
+       |adc AS (
+       |  SELECT q.qid, d.id, d.embedding, q.qvec, $adcTerms AS adc
+       |  FROM q CROSS JOIN dcode d),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY adc DESC, id) AS ar
+       |    FROM adc) WHERE ar <= 50),
+       |exact AS (
+       |  SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM short),
+       |ranked AS (
+       |  SELECT qid, id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |  FROM exact)
+       |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Bloom-filter membership pre-filter (q54): the cheap first pass of
     * a 100 TB dedup — build a bloom filter over the existing store's
     * ids, probe the incoming batch, and only anti-join the rows the
@@ -719,7 +785,8 @@ object SparkEntry {
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
-    "q54_bloom_prefilter" -> ((s, d) => bloomPrefilter(s, d))
+    "q54_bloom_prefilter" -> ((s, d) => bloomPrefilter(s, d)),
+    "q55_ann_pq_rerank" -> ((s, d) => annPqRerank(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1382,6 +1449,7 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q55_ann_pq_rerank" -> q55Sql,
     "q54_bloom_prefilter" ->
       // contract mirror: exact member/new counts + literal TRUE for the
       // bloom guarantees (no false negatives; FP rate under the sized

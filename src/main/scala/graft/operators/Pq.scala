@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.dotProduct
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) with asymmetric-distance scoring — the
+  * MEMORY side of the 100 TB ANN story. LSH/IVF bound how many vectors a
+  * query scores; PQ bounds how many bytes each vector costs: the dim-64
+  * float embedding (256 B) compresses to one byte per subspace (8 B
+  * here), and queries score candidates from the codebook WITHOUT
+  * decompressing (ADC: the query keeps full precision, the doc side is
+  * its code word — the standard IVF-PQ pairing).
+  *
+  * Codebooks are DETERMINISTIC stand-ins (md5-derived vectors scaled to
+  * the expected subvector shell, ||x_s|| ≈ 1/√nSub for unit embeddings)
+  * exactly like the LSH planes / IVF centroids: a real deployment swaps
+  * in k-means codebooks, changing only these literals; assignment,
+  * storage, and ADC scoring — what Spark executes — are identical.
+  * Random codebooks quantize coarsely, so ADC here is a candidate
+  * RANKER to be followed by exact re-scoring of a shortlist (the
+  * standard two-stage retrieval; see [[topKPqRerank]]), not a drop-in
+  * similarity.
+  */
+object Pq {
+
+  /** Codebook centroid: subspace `s`, code `j`, of `subDim` floats, on
+    * the shell where unit-vector subvectors live. */
+  def centroid(s: Int, j: Int, subDim: Int, nSub: Int): Array[Float] = {
+    val raw = Array.tabulate(subDim)(i => Ann.planeComponentT(9000 + s, j, i))
+    val nrm = math.sqrt(raw.map(x => x * x).sum)
+    val scale = 1.0 / math.sqrt(nSub.toDouble)
+    raw.map(x => (x / nrm * scale).toFloat)
+  }
+
+  private def codebook(s: Int, subDim: Int, nSub: Int, nCodes: Int): Array[Array[Float]] =
+    Array.tabulate(nCodes)(j => centroid(s, j, subDim, nSub))
+
+  /** Code for subspace `s`: 1-based index of the nearest centroid by
+    * squared distance, computed as argmax(2·<x_s,c> − ||c||²) — one dot
+    * per code over the MATERIALIZED subvector, first-max tie-break. */
+  def subCode(vec: Column, s: Int, subDim: Int, nSub: Int, nCodes: Int): Column = {
+    val sub = slice(vec, s * subDim + 1, subDim)
+    val scores = array((0 until nCodes).map { j =>
+      val c = centroid(s, j, subDim, nSub)
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      dotProduct(sub, typedLit(c)) * 2.0 - lit(c2)
+    }: _*)
+    array_position(scores, array_max(scores)).cast("int")
+  }
+
+  /** Full PQ code as an array of `nSub` small ints — the 8-byte row the
+    * store keeps instead of the 256-byte embedding. */
+  def encode(vec: Column, dim: Int, nSub: Int, nCodes: Int): Column = {
+    require(dim % nSub == 0)
+    val subDim = dim / nSub
+    array((0 until nSub).map(s => subCode(vec, s, subDim, nSub, nCodes)): _*)
+  }
+
+  /** ADC score of a full-precision query against a code column:
+    * Σ_s <q_s, centroid(s, code_s)> — codebook lookups against plan
+    * literals, no decompression of the doc side. */
+  def adcScore(qvec: Column, code: Column, dim: Int, nSub: Int, nCodes: Int): Column = {
+    val subDim = dim / nSub
+    (0 until nSub).map { s =>
+      val cb = typedLit(codebook(s, subDim, nSub, nCodes))
+      dotProduct(slice(qvec, s * subDim + 1, subDim),
+        element_at(cb, element_at(code, s + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Two-stage retrieval: ADC over the CODES picks a `shortlist`, exact
+    * dot products re-score only those — the full-precision side touches
+    * `shortlist` vectors per query instead of the whole corpus.
+    * @return (qid, id, sim, rank) — sim is the EXACT score. */
+  def topKPqRerank(
+      docs: DataFrame, // (id, embedding)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      dim: Int,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      shortlist: Int = 50,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    require(shortlist >= k)
+    // the code column is what a 100 TB store would have materialized;
+    // keeping the embedding alongside stands in for the exact-rescore
+    // fetch (in production: a second narrow store keyed by id)
+    val coded = docs.withColumn("code", encode(col("embedding"), dim, nSub, nCodes))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
+    val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    coded.crossJoin(Knn.maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+      .withColumn("adc", adcScore(col("qvec"), col("code"), dim, nSub, nCodes))
+      .withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= shortlist)
+      .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+
+  /** SQL mirror fragments. */
+  def sqlCentroidLits(s: Int, subDim: Int, nSub: Int, nCodes: Int): String =
+    codebook(s, subDim, nSub, nCodes)
+      .map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n       ", "]")
+}
