@@ -457,6 +457,91 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
+  /** IVF-PQ composition (q56): probe 2 inverted lists, ADC-score only
+    * their members, exact-rerank a 30-deep shortlist. */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    Pq.topKIvfPq(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").cast("string").as("qid"),
+            col("embedding").as("qvec")),
+        k = 5, dim = 64)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+
+  /** Oracle text for q56 — the q47 probe mirror composed with the q55
+    * code/ADC mirror. */
+  private def q56Sql: String = {
+    val (dim, nSub, nCodes) = (64, 8, 16)
+    val subDim = dim / nSub
+    def sub(vecExpr: String, s: Int) =
+      s"$vecExpr[${s * subDim + 1}:${(s + 1) * subDim}]"
+    def codeExpr(s: Int): String = {
+      val scores = (0 until nCodes).map { j =>
+        val c = Pq.centroid(s, j, subDim, nSub)
+        val c2 = c.map(x => x.toDouble * x.toDouble).sum
+        val lits = c.map(_.toString).mkString("[", ", ", "]")
+        s"${dot(sub("embedding", s), s"CAST($lits AS FLOAT[])")} * 2.0 - $c2"
+      }.mkString("[", ",\n     ", "]")
+      s"CAST(list_position($scores, list_max($scores)) AS INT)"
+    }
+    val adcTerms = (0 until nSub).map { s =>
+      val cb = (0 until nCodes)
+        .map(j => Pq.centroid(s, j, subDim, nSub).map(_.toString)
+          .mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      dot(sub("p.qvec", s), s"(CAST($cb AS FLOAT[][]))[d.code[${s + 1}]]")
+    }.mkString("(", " + ", ")")
+    val ddots = graft.operators.Ann.sqlCentroidDots("embedding", dim, 16)
+    val qdots = graft.operators.Ann.sqlCentroidDots("qvec", dim, 16)
+    s"""WITH docs AS (
+       |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+       |q0 AS (
+       |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |dbkt AS (
+       |  SELECT id, embedding,
+       |    CAST(list_position(dots, list_max(dots)) AS INT) AS bucket,
+       |    [${(0 until nSub).map(codeExpr).mkString(",\n     ")}] AS code
+       |  FROM (SELECT id, embedding, $ddots AS dots FROM docs)),
+       |qp1 AS (
+       |  SELECT qid, qvec, dots,
+       |    CAST(list_position(dots, list_max(dots)) AS INT) AS b1
+       |  FROM (SELECT qid, qvec, $qdots AS dots FROM q0)),
+       |qp2 AS (
+       |  SELECT qid, qvec, b1,
+       |    CAST(list_position(masked, list_max(masked)) AS INT) AS b2
+       |  FROM (
+       |    SELECT qid, qvec, b1,
+       |      list_transform(range(1, 17),
+       |        j -> CASE WHEN j = b1 THEN -2.0 ELSE dots[j] END) AS masked
+       |    FROM qp1)),
+       |probes AS (
+       |  SELECT qid, qvec, b1 AS bucket FROM qp2
+       |  UNION ALL
+       |  SELECT qid, qvec, b2 FROM qp2),
+       |adc AS (
+       |  SELECT p.qid, d.id, d.embedding, p.qvec, $adcTerms AS adc
+       |  FROM dbkt d JOIN probes p ON d.bucket = p.bucket),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY adc DESC, id) AS ar
+       |    FROM adc) WHERE ar <= 30),
+       |exact AS (
+       |  SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM short),
+       |ranked AS (
+       |  SELECT qid, id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |  FROM exact)
+       |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Oracle text for q55 — assembled by loops (8 subspaces × 16 codes of
     * literal centroid arrays); kept out of the inline map for length. */
   private def q55Sql: String = {
@@ -786,7 +871,8 @@ object SparkEntry {
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
     "q54_bloom_prefilter" -> ((s, d) => bloomPrefilter(s, d)),
-    "q55_ann_pq_rerank" -> ((s, d) => annPqRerank(s, d))
+    "q55_ann_pq_rerank" -> ((s, d) => annPqRerank(s, d)),
+    "q56_ann_ivf_pq" -> ((s, d) => annIvfPq(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1450,6 +1536,7 @@ object SparkEntry {
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
     "q55_ann_pq_rerank" -> q55Sql,
+    "q56_ann_ivf_pq" -> q56Sql,
     "q54_bloom_prefilter" ->
       // contract mirror: exact member/new counts + literal TRUE for the
       // bloom guarantees (no false negatives; FP rate under the sized

@@ -100,6 +100,43 @@ object Pq {
       .select("qid", "id", "sim", "rank")
   }
 
+  /** IVF-PQ: the production composition — the inverted-list probe
+    * bounds HOW MANY vectors a query touches (q47's construction), the
+    * PQ codes bound WHAT EACH COSTS (this file's), and exact re-scoring
+    * of the shortlist restores precision. At 100 TB: the store holds
+    * (id, bucket, code) = ~16 B/vector partitioned by bucket; full
+    * embeddings live in a second narrow table fetched only for the
+    * shortlist.
+    * @return (qid, id, sim, rank) — sim is the EXACT score. */
+  def topKIvfPq(
+      docs: DataFrame, // (id, embedding)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      dim: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 2,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      shortlist: Int = 30,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    require(shortlist >= k)
+    val d = docs
+      .withColumn("bucket", Ann.ivfBucket(col("embedding"), dim, nCentroids))
+      .withColumn("code", encode(col("embedding"), dim, nSub, nCodes))
+    val q = queries.withColumn("bucket",
+      explode(Ann.ivfProbeBuckets(col("qvec"), dim, nCentroids, nprobe)))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
+    val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("bucket"))
+      .withColumn("adc", adcScore(col("qvec"), col("code"), dim, nSub, nCodes))
+      .withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= shortlist)
+      .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+
   /** SQL mirror fragments. */
   def sqlCentroidLits(s: Int, subDim: Int, nSub: Int, nCodes: Int): String =
     codebook(s, subDim, nSub, nCodes)

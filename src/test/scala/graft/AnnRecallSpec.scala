@@ -100,6 +100,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 1 && j <= 16)))
   }
 
+  test("IVF-PQ composition: ADC shortlist loses little vs full-precision IVF at equal probes") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    def recall(approx: Map[String, Set[String]]): Double = {
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val ivf = recall(resultSet(Ann.topKIvf(docs, queries, 5, 64, 16, nprobe = 2)))
+    val ivfPq = recall(resultSet(graft.operators.Pq.topKIvfPq(
+      docs, queries, 5, 64, nCentroids = 16, nprobe = 2, shortlist = 30)))
+    info(f"recall@5: IVF full-precision $ivf%.3f vs IVF-PQ (ADC shortlist 30) $ivfPq%.3f")
+    // the probe stage bounds both; the ADC shortlist may only cost a
+    // little on top (coarse random codebooks)
+    assert(ivfPq >= ivf - 0.15, f"ADC shortlist lost too much: $ivfPq%.3f vs $ivf%.3f")
+    assert(ivfPq > 0.2, f"composition degenerate: $ivfPq%.3f")
+  }
+
   test("multi-table OR-construction: recall@5 >= 0.8 on the driver corpus") {
     // The driver embeddings are near-isotropic (mean pairwise cos 0.00,
     // true-neighbor cos ~0.32 -> per-bit agreement p ~ 0.61), so high
