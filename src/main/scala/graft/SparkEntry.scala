@@ -872,7 +872,9 @@ object SparkEntry {
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
     "q54_bloom_prefilter" -> ((s, d) => bloomPrefilter(s, d)),
     "q55_ann_pq_rerank" -> ((s, d) => annPqRerank(s, d)),
-    "q56_ann_ivf_pq" -> ((s, d) => annIvfPq(s, d))
+    "q56_ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)),
+    "q57_revenue_unpivot" -> ((s, d) => Relational.qRevenueUnpivot(s, d)),
+    "q58_price_vs_cust_avg" -> ((s, d) => Relational.qPriceVsCustomerAvg(s, d))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1537,6 +1539,31 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "q55_ann_pq_rerank" -> q55Sql,
     "q56_ann_ivf_pq" -> q56Sql,
+    "q57_revenue_unpivot" ->
+      // UNION-ALL mirror of the unpivot over the same declared pivot
+      s"""WITH wide AS (
+         |  SELECT o_orderpriority,
+         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)} AS rev_f,
+         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)} AS rev_o,
+         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)} AS rev_p
+         |  FROM orders GROUP BY o_orderpriority),
+         |long AS (
+         |  SELECT o_orderpriority, 'rev_f' AS status, rev_f AS revenue FROM wide
+         |  UNION ALL
+         |  SELECT o_orderpriority, 'rev_o', rev_o FROM wide
+         |  UNION ALL
+         |  SELECT o_orderpriority, 'rev_p', rev_p FROM wide)
+         |SELECT o_orderpriority, status, revenue FROM long
+         |WHERE revenue IS NOT NULL
+         |ORDER BY o_orderpriority, status""".stripMargin,
+    "q58_price_vs_cust_avg" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  ${sqlRnd("o_totalprice / (SELECT avg(o_totalprice) FROM orders i " +
+              "WHERE i.o_custkey = o.o_custkey)", 6)} AS price_ratio
+         |FROM orders o
+         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+         |                            WHERE i.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin,
     "q54_bloom_prefilter" ->
       // contract mirror: exact member/new counts + literal TRUE for the
       // bloom guarantees (no false negatives; FP rate under the sized

@@ -304,6 +304,39 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Unpivot (melt): the wide revenue matrix back to long form —
+    * (priority, status, revenue) — via the native unpivot operator
+    * (a Generate expansion, no shuffle beyond the pivot's own). */
+  def qRevenueUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    qRevenuePivot(spark, sfDir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("rev_f"), col("rev_o"), col("rev_p")),
+        "status", "revenue")
+      .filter(col("revenue").isNotNull)
+      .orderBy("o_orderpriority", "status")
+
+  /** Correlated scalar subquery: each order priced relative to its own
+    * customer's average — routed through spark.sql because that IS the
+    * surface being exercised; Catalyst decorrelates the subquery into an
+    * aggregate + join (no per-row re-execution). */
+  def qPriceVsCustomerAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    // rounding applied OUTSIDE the SQL: Spark SQL parses bare decimal
+    // literals as DECIMAL (the rollup gotcha), so PortableMath stays in
+    // the DataFrame layer where Double literals are Doubles
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice / (SELECT avg(o_totalprice) FROM orders_v i
+        |                  WHERE i.o_custkey = o.o_custkey) AS pr
+        |FROM orders_v o
+        |WHERE o_totalprice > 1.5D * (SELECT avg(o_totalprice) FROM orders_v i
+        |                             WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+      .select(col("o_custkey"), col("o_orderkey"),
+        rnd(col("pr"), 6).as("price_ratio"))
+  }
+
   /** Pivot: revenue matrix priority × status. Pivot values are DECLARED
     * (not discovered) — at scale the two-pass distinct-then-pivot is a
     * full extra scan, and a declared domain keeps the output schema
