@@ -40,6 +40,24 @@ object StreamingIngest {
         processBatch(batch.sparkSession, batch, batchId, docsDir, edgesDir, conf)
     }
 
+  /** [[ingestWriter]] with the state-store dedup cache composed in
+    * front: [[dedupStreamFirstSeen]] drops within-stream duplicates
+    * BEFORE the embed stage and before the per-batch store anti-join,
+    * so the store probe only guards pre-stream history — the
+    * streaming-native shape when the store grows unbounded. The state
+    * op runs upstream of the foreachBatch sink in the same query and
+    * checkpoints with it. */
+  def ingestWriterCached(
+      stream: DataFrame,
+      docsDir: String,
+      edgesDir: String,
+      conf: GraftConf = GraftConf.default): DataStreamWriter[org.apache.spark.sql.Row] =
+    dedupStreamFirstSeen(stream).drop("id")
+      .writeStream.outputMode(OutputMode.Append).foreachBatch {
+        (batch: DataFrame, batchId: Long) =>
+          processBatch(batch.sparkSession, batch, batchId, docsDir, edgesDir, conf)
+      }
+
   /** One micro-batch of the ingest loop (factored out for direct batch
     * testing — the semantics are identical by construction). */
   def processBatch(

@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("cached ingest writer: state-store dedup upstream, store stays unique, edges accumulate") {
+    val dir = Files.createTempDirectory("graft_cachedingest").toString
+    val (docsDir, edgesDir, ckpt) = (s"$dir/docs", s"$dir/edges", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, Long)]
+    val q = StreamingIngest
+      .ingestWriterCached(src.toDF.toDF("mtype", "data", "seq"), docsDir, edgesDir,
+        GraftConf(dim = 8))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      src.addData(("text", "cached alpha", 1L), ("text", "cached alpha", 2L),
+        ("text", "cached beta", 3L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(docsDir).count() == 2)
+      val edgesAfterB1 = spark.read.parquet(edgesDir).count()
+      assert(edgesAfterB1 > 0)
+      // cross-batch duplicate dropped by STATE (before embed + probe);
+      // the genuinely new doc still lands with its edges
+      src.addData(("text", "cached beta", 4L), ("image", "cached gamma", 5L))
+      q.processAllAvailable()
+      val docs = spark.read.parquet(docsDir)
+      assert(docs.count() == 3)
+      assert(docs.select("id").distinct().count() == 3)
+      assert(spark.read.parquet(edgesDir).count() > edgesAfterB1)
+    } finally q.stop()
+  }
+
   test("ingest recovers from checkpoint across restarts without duplicating docs") {
     val dir = Files.createTempDirectory("graft_ckpt").toString
     val (srcDir, docsDir, edgesDir, ckpt) =
