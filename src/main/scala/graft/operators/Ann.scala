@@ -272,6 +272,67 @@ object Ann {
     array_position(dots, array_max(dots)).cast("int")
   }
 
+  // ---- explicit-centroid variants (trained quantizers) ------------------
+  // The deterministic md5 family above keeps the oracle exact; real
+  // deployments maximize recall with k-means centroids. These variants
+  // take the centroid matrix explicitly — [[trainedCentroids]] fits one
+  // with MLlib — and the md5 functions delegate here conceptually: only
+  // the plan literals differ, the executed plumbing is identical.
+
+  /** K-means centroids over an embedding column (fixed seed, fixed
+    * iterations). Driver-held Array — centroids become plan literals
+    * downstream exactly like the deterministic family. */
+  def trainedCentroids(
+      docs: DataFrame, // (id, embedding)
+      nCentroids: Int,
+      seed: Long = 7L,
+      maxIter: Int = 10): Array[Array[Float]] = {
+    val withVec = docs.select(
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .fit(withVec)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  private def dotsWith(vec: Column, cents: Array[Array[Float]]): Column =
+    array(cents.map(c => dotProduct(vec, typedLit(c))): _*)
+
+  /** [[ivfBucket]] against an explicit centroid matrix. */
+  def ivfBucketWith(vec: Column, cents: Array[Array[Float]]): Column = {
+    val dots = dotsWith(vec, cents)
+    array_position(dots, array_max(dots)).cast("int")
+  }
+
+  /** [[ivfProbeBuckets]] against an explicit centroid matrix. */
+  def ivfProbeBucketsWith(
+      vec: Column, cents: Array[Array[Float]], nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= cents.length)
+    val entries = array(cents.zipWithIndex.map { case (c, j) =>
+      struct((-dotProduct(vec, typedLit(c))).as("d"), lit(j + 1).as("b"))
+    }: _*)
+    transform(slice(sort_array(entries), 1, nprobe), e => e.getField("b"))
+  }
+
+  /** [[topKIvf]] against an explicit (e.g. trained) centroid matrix. */
+  def topKIvfWith(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cents: Array[Array[Float]],
+      nprobe: Int = 1,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    val d = docs.withColumn("bucket", ivfBucketWith(col("embedding"), cents))
+    val q = queries.withColumn("bucket",
+      explode(ivfProbeBucketsWith(col("qvec"), cents, nprobe)))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("bucket"))
+      .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+
   /** The query's probe buckets: indices of the `nprobe` largest centroid
     * dots. Sort-of-structs, NOT repeated masked argmax: masking re-embeds
     * the whole dot tree per probe (O(nprobe²) expression growth — blew

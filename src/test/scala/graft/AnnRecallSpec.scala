@@ -100,6 +100,31 @@ class AnnRecallSpec extends SparkSpec {
     assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 1 && j <= 16)))
   }
 
+  test("trained k-means centroids beat the deterministic family at equal probes") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    def recall(approx: Map[String, Set[String]]): Double = {
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val random = recall(resultSet(Ann.topKIvf(docs, queries, 5, 64, 16, nprobe = 2)))
+    val cents = Ann.trainedCentroids(docs, nCentroids = 16)
+    val trained = recall(resultSet(Ann.topKIvfWith(docs, queries, 5, cents, nprobe = 2)))
+    info(f"IVF recall@5 at nprobe=2: md5 family $random%.3f vs k-means $trained%.3f")
+    // data-adapted centroids concentrate true neighbors in shared lists
+    assert(trained >= random - 0.02,
+      f"trained centroids should not lose recall: $trained%.3f vs $random%.3f")
+  }
+
   test("IVF-PQ composition: ADC shortlist loses little vs full-precision IVF at equal probes") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables.embeddings(spark, sf)
