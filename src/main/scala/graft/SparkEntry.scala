@@ -165,6 +165,44 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** q42's pipeline with the edge-building KNN swapped for the
+    * OR-construction multi-table ANN (q29's family): candidates from 8
+    * independent 4-plane LSH tables, exact re-score, k=10 — then the same
+    * seed filter, edge derivation, and depth-3 faithful expansion. This is
+    * the composed 100 TB shape: edge building never cross-joins the
+    * corpus — its one shuffle is (tbl, bucket)-keyed, O(rows × nTables) —
+    * where q42's brute-force edge KNN scores every (query, doc) pair.
+    * At the bench corpus (2k vectors × 200 queries) the quadratic term is
+    * sub-ms and both queries are fixed-cost dominated, so wall-clock
+    * parity there is expected; the scale claim is the PLAN SHAPE
+    * (PlanAuditSpec: zero cartesian/BNLJ nodes end-to-end vs q42's
+    * brute-force edge stage), which is what diverges at 100× data. */
+  private def annEdgePipeline(s: SparkSession, dir: String): DataFrame = {
+    val widerQ = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select(
+        col("vec_id").cast("string").as("qid"),
+        concat(lit("m"), (col("label") % 2).cast("string")).as("qtype"),
+        col("embedding").as("qvec"))
+    val docs = embDocs(s, dir)
+    val wknn = Ann.topKMultiTable(
+        docs.select("id", "embedding"), widerQ.select("qid", "qvec"),
+        k = 10, dim = 64, nPlanes = 4, nTables = 8)
+      .join(widerQ.select("qid", "qtype"), Seq("qid"))
+      .join(docs.select("id", "mtype"), Seq("id"))
+      .transform(graft.CacheScope.pin) // seeds AND edges derive from it
+    // like q42: ANN is per-query independent, so the %100 seed queries
+    // are a FILTER of the %10 edge-building batch, not a second ANN
+    val seeds = wknn
+      .filter(col("qid").cast("long") % 100 === 0 && col("rank") <= 5)
+      .select("qid", "id", "sim", "rank")
+    GraphExpand.expandFaithfulDepth(seeds, knnEdges(wknn), k = 20, depth = 3)
+      .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
+        col("origin"), col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
   /** Scalable BFS expansion (expandAll, depth=2): full-frontier hops with
     * compounded decay, max-score dedup — the documented generalization of
     * the reference's single-pop loop. */
@@ -791,6 +829,7 @@ object SparkEntry {
     "q40_graph_degrees_all" -> ((s, d) => graphDegreesAll(s, d)),
     "q19_graph_expand_all" -> ((s, d) => graphExpandAll(s, d)),
     "q42_graph_expand_depth" -> ((s, d) => graphExpandDepth(s, d)),
+    "q59_ann_edge_pipeline" -> ((s, d) => annEdgePipeline(s, d)),
     "q16_submit_pipeline" -> ((s, d) => submitPipeline(s, d)),
     "q17_search_pipeline" -> ((s, d) => searchPipeline(s, d)),
     "q20_text_analysis" ->
@@ -1115,6 +1154,49 @@ object SparkEntry {
          |SELECT qid, id, ${rnd6("score")} AS score, origin, rnk
          |FROM fin WHERE rnk <= 20
          |ORDER BY qid, rnk""".stripMargin,
+    "q59_ann_edge_pipeline" -> {
+      // q42's mirror with the wider chain's brute-force KNN replaced by
+      // the q29 OR-construction mirror (per-table UNION ALL, DISTINCT
+      // candidates, exact scoring, rank <= 10), then the same edge /
+      // seed-filter / depth-3 expansion CTEs
+      val dT = (0 until 8).map(t =>
+        s"""  SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+      val qT = (0 until 8).map(t =>
+        s"""  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+           |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH ad AS (
+         |$dT),
+         |aq AS (
+         |$qT),
+         |cand AS (
+         |  SELECT DISTINCT aq.qid, aq.qvec, ad.id, ad.embedding
+         |  FROM aq JOIN ad ON aq.tbl = ad.tbl AND aq.bucket = ad.bucket),
+         |wr AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM (SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM cand)),
+         |wknn AS (
+         |  SELECT k.qid, q.qtype, k.id, d.mtype, k.sim, k.rnk
+         |  FROM (SELECT * FROM wr WHERE rnk <= 10) k
+         |  JOIN (SELECT CAST(vec_id AS VARCHAR) AS qid,
+         |               'm' || CAST(label % 2 AS VARCHAR) AS qtype
+         |        FROM embeddings WHERE vec_id % 10 = 0) q ON k.qid = q.qid
+         |  JOIN (SELECT CAST(vec_id AS VARCHAR) AS id,
+         |               'm' || CAST(label % 2 AS VARCHAR) AS mtype
+         |        FROM embeddings) d ON k.id = d.id),
+         |${edgeDedup("g", edgeDelta("wknn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |knn AS (
+         |  SELECT qid, id, sim, rnk FROM wknn
+         |  WHERE CAST(qid AS BIGINT) % 100 = 0),
+         |${expandFaithfulDepth("", "g", " AND rnk <= 5", 3)}
+         |SELECT qid, id, ${rnd6("score")} AS score, origin, rnk
+         |FROM fin WHERE rnk <= 20
+         |ORDER BY qid, rnk""".stripMargin
+    },
     "q19_graph_expand_all" ->
       s"""WITH $sqlEmbCtes,
          |${knnChain("", 10)},

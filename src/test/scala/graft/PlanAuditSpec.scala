@@ -181,6 +181,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq == expected.toSeq)
   }
 
+  test("q59: ANN-edge pipeline is all-pairs free end-to-end (q42's edge KNN is not)") {
+    // q59's scale claim is plan shape, not sf0.1 wall-clock (the bench
+    // corpus's quadratic term is sub-ms): the whole pipeline — candidate
+    // generation, re-score, edge build, depth-3 expansion — must contain
+    // zero all-pairs join nodes, where q42's brute-force edge KNN scores
+    // every (query, doc) pair by contract.
+    val ann = SparkEntry.queries("q59_ann_edge_pipeline")(spark, sf)
+    val pAnn = finalPlan(ann)
+    assert(!pAnn.contains("CartesianProduct") && !pAnn.contains("BroadcastNestedLoopJoin"),
+      s"ANN edge pipeline must never score all pairs:\n$pAnn")
+    val bf = SparkEntry.queries("q42_graph_expand_depth")(spark, sf)
+    val pBf = finalPlan(bf)
+    assert(pBf.contains("BroadcastNestedLoopJoin") || pBf.contains("CartesianProduct"),
+      s"q42's edge KNN is expected to be the brute-force all-pairs shape:\n$pBf")
+    spark.sharedState.cacheManager.clearCache() // drop the two queries' pins
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh").toString
