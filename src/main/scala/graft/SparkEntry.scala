@@ -913,7 +913,19 @@ object SparkEntry {
     "q55_ann_pq_rerank" -> ((s, d) => annPqRerank(s, d)),
     "q56_ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)),
     "q57_revenue_unpivot" -> ((s, d) => Relational.qRevenueUnpivot(s, d)),
-    "q58_price_vs_cust_avg" -> ((s, d) => Relational.qPriceVsCustomerAvg(s, d))
+    "q58_price_vs_cust_avg" -> ((s, d) => Relational.qPriceVsCustomerAvg(s, d)),
+    "q60_lateral_topn" -> ((s, d) => Relational.qTopCustomersLateral(s, d)),
+    "q61_decontamination" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      Dedup.crossCorpusContamination(
+          base.filter(col("doc_id") % 37 =!= 0),
+          base.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", w = 3, minShared = 2)
+        .select(col("train_id"), col("test_id"), col("n_shared"),
+          rnd(col("jaccard"), 6).as("jaccard"))
+        .transform(graft.CacheScope.pin)
+        .orderBy("train_id", "test_id")
+    })
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1646,6 +1658,37 @@ object SparkEntry {
          |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
          |                            WHERE i.o_custkey = o.o_custkey)
          |ORDER BY o_orderkey""".stripMargin,
+    "q60_lateral_topn" ->
+      s"""SELECT n_name, t.c_custkey, ${sqlRnd("t.c_acctbal", 2)} AS acctbal
+         |FROM nation n,
+         |LATERAL (
+         |  SELECT c_custkey, c_acctbal FROM customer c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_custkey
+         |  LIMIT 3) t
+         |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
+    "q61_decontamination" ->
+      // inverted-index mirror: unnest each split's distinct 3-shingles,
+      // join on the shingle, count shared per pair, jaccard from sizes
+      s"""WITH tr AS (
+         |  SELECT doc_id AS train_id, ${wordShingles(sqlToks, 3)} AS sh
+         |  FROM documents WHERE doc_id % 37 <> 0),
+         |te AS (
+         |  SELECT doc_id AS test_id, ${wordShingles(sqlToks, 3)} AS sh
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |shared AS (
+         |  SELECT train_id, test_id, count(*) AS n_shared
+         |  FROM (SELECT train_id, unnest(sh) AS s FROM tr) a
+         |  JOIN (SELECT test_id, unnest(sh) AS s FROM te) b USING (s)
+         |  GROUP BY train_id, test_id
+         |  HAVING count(*) >= 2)
+         |SELECT s.train_id, s.test_id, s.n_shared,
+         |  ${rnd6("CAST(s.n_shared AS DOUBLE) / " +
+              "CAST(len(a.sh) + len(b.sh) - s.n_shared AS DOUBLE)")} AS jaccard
+         |FROM shared s
+         |JOIN tr a ON s.train_id = a.train_id
+         |JOIN te b ON s.test_id = b.test_id
+         |ORDER BY s.train_id, s.test_id""".stripMargin,
     "q54_bloom_prefilter" ->
       // contract mirror: exact member/new counts + literal TRUE for the
       // bloom guarantees (no false negatives; FP rate under the sized

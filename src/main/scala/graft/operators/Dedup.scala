@@ -337,6 +337,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Cross-corpus decontamination: (train, test) doc pairs sharing at
+    * least `minShared` distinct word w-shingles — the training-data
+    * hygiene scan that keeps benchmark/eval text out of a training set
+    * (the GPT-3-style n-gram collision check, run as a relational join
+    * instead of a per-doc probe). Inverted-index join on the shingle:
+    * shuffle is O(total shingle occurrences), never train × test. At
+    * 100 TB the asymmetry is the design: eval sets are MB-scale, so the
+    * exploded test index broadcasts and the train side streams map-side
+    * through the join — the full train corpus is scanned once and never
+    * shuffled on anything wider than matched shingle rows.
+    * @return (train_id, test_id, n_shared, jaccard) */
+  def crossCorpusContamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      minShared: Int = 5
+  ): DataFrame = {
+    def shingled(df: DataFrame, out: String) =
+      Par.ensureMapParallelism(df)
+        .select(col(idCol).as(out), wordShingles(col(textCol), w).as("sh"))
+        .transform(graft.CacheScope.pin) // index + size both read it
+    val tr = shingled(train, "train_id")
+    val te = shingled(test, "test_id")
+    val shared = tr.select(col("train_id"), explode(col("sh")).as("s"))
+      .join(te.select(col("test_id"), explode(col("sh")).as("s")), Seq("s"))
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("n_shared")) // distinct by construction:
+      // wordShingles is a set, so a pair meets each shared shingle once
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(tr.select(col("train_id"), size(col("sh")).as("n_train")), Seq("train_id"))
+      .join(te.select(col("test_id"), size(col("sh")).as("n_test")), Seq("test_id"))
+      .select(col("train_id"), col("test_id"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_train") + col("n_test") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Test-scale exact form: all-pairs within label blocks. At 100 TB the
     * blocking key comes from LSH hyperplane signs (see Ann.lshBuckets). */

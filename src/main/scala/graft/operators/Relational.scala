@@ -337,6 +337,27 @@ object Relational {
         rnd(col("pr"), 6).as("price_ratio"))
   }
 
+  /** LATERAL join: per nation, the top-3 customers by account balance —
+    * the correlated table-subquery surface (a per-row ORDER BY ... LIMIT
+    * against the outer row). Routed through spark.sql because LATERAL is
+    * the surface exercised; Catalyst decorrelates to a ranked join — one
+    * shuffle of customers by nation key, never a per-nation re-scan. */
+  def qTopCustomersLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation_v n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer_v c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 3) t
+        |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+      .select(col("n_name"), col("c_custkey"),
+        rnd(col("c_acctbal"), 2).as("acctbal"))
+  }
+
   /** Pivot: revenue matrix priority × status. Pivot values are DECLARED
     * (not discovered) — at scale the two-pass distinct-then-pivot is a
     * full extra scan, and a declared domain keeps the output schema
