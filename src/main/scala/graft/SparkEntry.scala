@@ -925,7 +925,41 @@ object SparkEntry {
           rnd(col("jaccard"), 6).as("jaccard"))
         .transform(graft.CacheScope.pin)
         .orderBy("train_id", "test_id")
-    })
+    }),
+    "q62_pii_scrub" -> ((s, d) => {
+      // deterministic PII injection (mirrored in the oracle): the driver
+      // corpus is clean, so q62 plants emails/phones on subsets to prove
+      // redaction, not just no-ops (same device as q50's boilerplate)
+      val dirty = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+            concat(col("text"), lit(" contact bob"),
+              col("doc_id").cast("string"),
+              lit("@example.com or +1 (555) 123-4567")))
+          .when(col("doc_id") % 11 === 0,
+            concat(lit("reach sue@test.org "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.piiScrub(dirty, "doc_id", "text")
+        .select(col("id"), col("n_emails"), col("n_phones"),
+          substring(col("redacted_text"), 1, 50).as("redacted_prefix"))
+        .transform(graft.CacheScope.pin)
+        .orderBy("id")
+    }),
+    "q63_event_props_rollup" -> ((s, d) => Relational.qEventPropsRollup(s, d)),
+    "q64_revenue_grouping_sets" -> ((s, d) => Relational.qRevenueGroupingSets(s, d)),
+    "q65_token_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"),
+          length(col("text")).as("n_chars"))
+        .withColumn("bucket", floor(col("n_tokens") / 25.0).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").cast("long").as("min_tokens"),
+          max("n_tokens").cast("long").as("max_tokens"),
+          rnd(avg("n_chars"), 6).as("avg_chars"))
+        .transform(graft.CacheScope.pin)
+        .orderBy("bucket"))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1689,6 +1723,55 @@ object SparkEntry {
          |JOIN tr a ON s.train_id = a.train_id
          |JOIN te b ON s.test_id = b.test_id
          |ORDER BY s.train_id, s.test_id""".stripMargin,
+    "q62_pii_scrub" -> {
+      val em = TextAnalysis.EmailPattern
+      val ph = TextAnalysis.PhonePattern
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN concat(text, ' contact bob',
+         |           CAST(doc_id AS VARCHAR), '@example.com or +1 (555) 123-4567')
+         |         WHEN doc_id % 11 = 0 THEN concat('reach sue@test.org ', text)
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id AS id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+         |  substr(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+         |                        '$ph', '<PHONE>', 'g'), 1, 50) AS redacted_prefix
+         |FROM dirty
+         |ORDER BY id""".stripMargin
+    },
+    "q63_event_props_rollup" ->
+      s"""SELECT event_type,
+         |  CAST(floor(CAST(json_extract_string(props, '$$.k') AS BIGINT) / 25.0) AS BIGINT) AS k_bucket,
+         |  count(*) AS n_events,
+         |  ${rnd6("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))")} AS avg_k,
+         |  ${sqlRnd("sum(value)", 4)} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY event_type, k_bucket""".stripMargin,
+    "q64_revenue_grouping_sets" ->
+      s"""SELECT region, nation,
+         |  ${sqlRnd("sum(rev)", 2)} AS revenue,
+         |  count(*) AS n_items
+         |FROM (
+         |  SELECT r_name AS region, n_name AS nation,
+         |         l_extendedprice * (1.0 - l_discount) AS rev
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey)
+         |GROUP BY GROUPING SETS ((region), (nation), ())
+         |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin,
+    "q65_token_histogram" ->
+      s"""SELECT CAST(floor(len($sqlToks) / 25.0) AS BIGINT) AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(min(len($sqlToks)) AS BIGINT) AS min_tokens,
+         |  CAST(max(len($sqlToks)) AS BIGINT) AS max_tokens,
+         |  ${rnd6("avg(length(text))")} AS avg_chars
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
     "q54_bloom_prefilter" ->
       // contract mirror: exact member/new counts + literal TRUE for the
       // bloom guarantees (no false negatives; FP rate under the sized

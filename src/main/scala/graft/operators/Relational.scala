@@ -152,6 +152,49 @@ object Relational {
         |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Semi-structured extraction: `props` is a JSON blob per event;
+    * pull the numeric field out, bucket it, aggregate per (event_type,
+    * bucket). The extraction is a pure map expression (codegen'd
+    * get_json_object) — at 100 TB the JSON never leaves the scan
+    * projection and the shuffle carries only grouped partial aggregates. */
+  def qEventPropsRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .withColumn("k_bucket", floor(col("k") / 25.0).cast("long"))
+      .groupBy("event_type", "k_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        rnd(avg("k"), 6).as("avg_k"),
+        rnd(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type", "k_bucket")
+
+  /** Explicit GROUPING SETS — the third grouping-sets surface next to
+    * ROLLUP (q31) and CUBE (q37): per-region totals, per-nation totals,
+    * and the grand total, WITHOUT the (region, nation) detail level a
+    * rollup would force. One aggregation pass; Spark expands the sets
+    * into a single Expand + partial-agg plan, not three scans. */
+  def qRevenueGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .createOrReplaceTempView("rev_src_q64")
+    // through the SQL parser for the same resolver reason as q31
+    spark.sql(
+      """SELECT region, nation,
+        |  floor(sum(rev) * 100.0D + 0.5D) / 100.0D AS revenue,
+        |  count(*) AS n_items
+        |FROM rev_src_q64
+        |GROUP BY GROUPING SETS ((region), (nation), ())
+        |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Set operations: nations that have BOTH a high-balance customer and a
     * BUILDING-segment customer (INTERSECT), and those with high-balance
     * only (EXCEPT). */

@@ -120,4 +120,27 @@ object TextAnalysis {
       length(col(textCol)).cast("long").as("n_chars_raw"),
       length(cleanText(col(textCol))).cast("long").as("n_chars_clean"),
       cleanText(col(textCol)).as("clean_text"))
+
+  /** PII patterns, same portable regex subset as the cleaning patterns
+    * (no backrefs/lookaround, so Java and RE2 agree). The library is
+    * extensible per deployment; these two prove the scrub plumbing. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+
+  /** Replace every email/phone occurrence with a typed placeholder. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** PII scrub report per document — the redaction step a training
+    * pipeline runs before text ever reaches a tokenizer. Pure map stage
+    * (no shuffle): counts of each PII class plus the redacted text.
+    * @return (id, n_emails, n_phones, redacted_text) */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.ensureMapParallelism(docs).select(
+      col(idCol).as("id"),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"),
+      redactPii(col(textCol)).as("redacted_text"))
 }
