@@ -959,7 +959,13 @@ object SparkEntry {
           max("n_tokens").cast("long").as("max_tokens"),
           rnd(avg("n_chars"), 6).as("avg_chars"))
         .transform(graft.CacheScope.pin)
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+    "q66_weighted_sample" -> ((s, d) =>
+      Curation.weightedSystematicSample(
+          Tables.documents(s, d).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 20)
+        .transform(graft.CacheScope.pin)
+        .orderBy("doc_id"))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1772,6 +1778,27 @@ object SparkEntry {
          |FROM documents
          |GROUP BY 1
          |ORDER BY bucket""".stripMargin,
+    "q66_weighted_sample" ->
+      // PPS mirror: global window cumsum (single-node oracle) against the
+      // Spark side's distributed prefix-sum; CASTs guard DuckDB's
+      // sum(BIGINT) -> HUGEINT; tile arithmetic is floor-on-double both
+      // sides (quotients sit far from integer boundaries)
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+        |c AS (
+        |  SELECT doc_id, wt,
+        |    CAST(sum(wt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM w),
+        |t AS (
+        |  SELECT CAST(floor(CAST(sum(wt) AS BIGINT) / 20) AS BIGINT) AS step
+        |  FROM w)
+        |SELECT doc_id, wt AS weight, cum AS cum_weight,
+        |  CAST(floor(cum / step) AS BIGINT) AS tile
+        |FROM c, t
+        |WHERE CAST(floor(cum / step) AS BIGINT)
+        |    > CAST(floor((cum - wt) / step) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "q54_bloom_prefilter" ->
       // contract mirror: exact member/new counts + literal TRUE for the
       // bloom guarantees (no false negatives; FP rate under the sized

@@ -39,6 +39,52 @@ object Curation {
     docs.filter(hashScore(col(idCol)) < rate)
   }
 
+  /** Weighted systematic sampling: deterministic, selection probability
+    * proportional to an integer weight (chars, tokens, quality bucket),
+    * ~`k` rows out. The classic PPS design: lay rows on a line in key
+    * order, each covering its weight; a row is selected iff its interval
+    * (cum - w, cum] contains a multiple of step = total_weight div k.
+    *
+    * Scale shape: the cumulative weight comes from the q08 construction —
+    * range-repartition by key, per-partition window cumsum, triangular
+    * prefix-sum of per-partition totals (metadata-sized broadcasts) —
+    * never a global single-partition window. Exactly mirrorable: all
+    * arithmetic is integer except floor(a/b) on doubles, whose quotients
+    * sit far from integer boundaries (min distance 1/b >> the ~1e-16
+    * relative rounding), so Spark and the oracle agree bit-for-bit.
+    *
+    * @return (key, weight, cum_weight, tile) for selected rows only */
+  def weightedSystematicSample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val sortKeys = Seq(col(keyCol).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(sortKeys: _*)
+    // pinned: ranked rows, per-partition totals, and the grand total all
+    // read it — without the barrier the range shuffle runs three times
+    val parts = df.select(col(keyCol), col(weightCol).cast("long").as("_w"))
+      .repartitionByRange(32, sortKeys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .transform(graft.CacheScope.pin)
+    val ranked = parts.withColumn("_pcum", sum(col("_w")).over(w))
+    val pw = parts.groupBy("_pid").agg(sum(col("_w")).as("_pw"))
+    val offsets = pw.as("ca")
+      .join(pw.as("cb"), col("cb._pid") < col("ca._pid"), "left")
+      .groupBy(col("ca._pid").as("_pid"))
+      .agg(coalesce(sum(col("cb._pw")), lit(0L)).as("_off"))
+    val total = parts.agg(sum(col("_w")).as("_tw"))
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val cum = col("_pcum") + col("_off")
+    val step = idiv(col("_tw"), lit(k.toLong))
+    ranked.join(broadcast(offsets), Seq("_pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_weight", cum)
+      .withColumn("tile", idiv(col("cum_weight"), step))
+      .filter(col("tile") > idiv(col("cum_weight") - col("_w"), step))
+      .select(col(keyCol), col("_w").as("weight"),
+        col("cum_weight"), col("tile"))
+  }
+
   /** Per-group quota: keep at most `quota` rows per group, chosen in
     * hash order (deterministic, unbiased by any payload column) with the
     * id as tiebreak. One shuffle on the group key; Spark plans the

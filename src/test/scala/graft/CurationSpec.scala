@@ -41,4 +41,35 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"quota filter should prune map-side:\n$p")
   }
+
+  test("weighted systematic sample: PPS invariants + partitioning independence") {
+    val weighted = (1L to 400L).map(i => (i, 1L + (i * 7) % 50))
+      .toDF("id", "w")
+    val k = 10
+    val picked = Curation.weightedSystematicSample(weighted, "id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // local reference: cumulative weights in id order, step = total div k,
+    // selected iff (cum - w, cum] contains a multiple of step
+    val rows = (1L to 400L).map(i => (i, 1L + (i * 7) % 50))
+    val total = rows.map(_._2).sum
+    val step = total / k
+    var cum = 0L
+    val expected = rows.flatMap { case (id, w) =>
+      cum += w
+      val tile = cum / step
+      if (tile > (cum - w) / step) Some((id, w, cum, tile)) else None
+    }
+    assert(picked.sortBy(_._1).toSeq == expected,
+      s"picked=${picked.toSeq} expected=$expected")
+    // ~k rows out; every row heavier than step is guaranteed in
+    assert(math.abs(picked.length - k) <= 1)
+    spark.sharedState.cacheManager.clearCache()
+    // same set under adversarial input partitioning
+    val again = Curation.weightedSystematicSample(
+        weighted.repartition(13), "id", "w", k)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == picked.map(_._1).toSet,
+      "selection must not depend on input partitioning")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

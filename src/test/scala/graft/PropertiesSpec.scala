@@ -164,6 +164,44 @@ class PropertiesSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)), pairs.toString)
   }
 
+  test("decontamination flags copied text across the split, not fresh text") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim copy
+      (2L, "iota kappa lambda mu nu xi omicron pi"),         // disjoint
+      (3L, "intro words then alpha beta gamma delta epsilon tail") // partial
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val hits = graft.operators.Dedup.crossCorpusContamination(
+        train, test, "doc_id", "text", w = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    // doc 1: all 6 shingles shared (jaccard 1.0); doc 3: the copied run
+    // contributes 3 of its 3-shingles; doc 2: zero — never reported
+    assert(hits.map(h => (h._1, h._2)) == List((1L, 100L), (3L, 100L)), hits.toString)
+    assert(hits.head._3 == 6L, hits.toString)
+    val j1 = graft.operators.Dedup.crossCorpusContamination(
+        train, test, "doc_id", "text", w = 3, minShared = 2)
+      .filter(col("train_id") === 1L).collect().head.getAs[Double]("jaccard")
+    assert(j1 == 1.0, s"verbatim copy must score jaccard 1.0, got $j1")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("PII scrub: counts per class and full redaction, clean text untouched") {
+    val docs = Seq(
+      (1L, "write to bob@example.com or sue.jones@mail.test.org today"),
+      (2L, "call +1 (555) 123-4567 and cc ops@corp.io"),
+      (3L, "no personal data in this row at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == (2L, 0L, "write to <EMAIL> or <EMAIL> today"))
+    assert(out(2L) == (1L, 1L, "call <PHONE> and cc <EMAIL>"))
+    assert(out(3L) == (0L, 0L, "no personal data in this row at all"))
+  }
+
   test("minhash pairs report EXACT jaccard in [0,1]; identical docs give 1.0") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     for (cut <- 0 to 8) {
