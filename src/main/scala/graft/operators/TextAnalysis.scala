@@ -121,6 +121,31 @@ object TextAnalysis {
       length(cleanText(col(textCol))).cast("long").as("n_chars_clean"),
       cleanText(col(textCol)).as("clean_text"))
 
+  /** Per-document distinctive terms — the TF-IDF shape with INTEGER-ONLY
+    * ranking: terms ordered by (tf desc, df asc, term asc), top `k` kept.
+    * Float IDF (tf·ln(N/df)) is deliberately avoided: natural-log results
+    * can differ in the last ulp across engines, which would flip ranks on
+    * near-ties and make the operator non-mirrorable; the lexicographic
+    * (tf, df) order is monotone in each TF-IDF argument and exact
+    * everywhere. Shuffles: explode → (id, term) partial-agg count,
+    * term-keyed df join, id-windowed top-k (WindowGroupLimit prunes
+    * map-side). @return (id, term, tf, df, rnk) */
+  def distinctiveTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.pin) // df derives from it AND joins back
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("id", "term", "tf", "df", "rnk")
+  }
+
   /** PII patterns, same portable regex subset as the cleaning patterns
     * (no backrefs/lookaround, so Java and RE2 agree). The library is
     * extensible per deployment; these two prove the scrub plumbing. */
