@@ -266,7 +266,9 @@ object SparkEntry {
   /** §3.1 /submit parts: existing corpus = doc_id %50 != 0, batch =
     * %50 == 0, modality from lang (en→text, else→image: cross-modal
     * balancing + boost get exercised). */
-  private def submitParts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def submitParts(
+      s: SparkSession, dir: String,
+      retrieval: Retrieval = Retrieval.Brute): (DataFrame, DataFrame, DataFrame) = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
     val existing = base.filter(col("doc_id") % 50 =!= 0).select(
       docId(col("text")).as("id"),
@@ -274,7 +276,7 @@ object SparkEntry {
       Embed.embedText(col("text"), pipeConf.dim).as("embedding"))
     val batch = base.filter(col("doc_id") % 50 === 0).select(
       docMtype.as("mtype"), col("text").as("data"), col("doc_id").as("seq"))
-    Pipelines.submit(existing, batch, pipeConf)
+    Pipelines.submit(existing, batch, pipeConf, retrieval)
   }
 
   /** §3.1 end-to-end: embed → dedup-ingest → KNN(k=10, self-clamp) —
@@ -304,6 +306,31 @@ object SparkEntry {
     // the store pin includes BOTH KNNs and the expansion — sampling
     // would run them twice
     Pipelines.search(docs, queries, edgesDedup, pipeConf)
+      .select(col("qid"), col("id"), col("mtype"), col("data"),
+        rnd(col("score"), 6).as("score"),
+        col("origin"), col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
+  /** q67: the /search pipeline in ANN mode — BOTH KNN sites (submit-time
+    * edge building AND search-time retrieval) run
+    * [[Retrieval.MultiTableLsh]] instead of the brute-force scan, through
+    * the same public `Pipelines.submit`/`Pipelines.search` API a user
+    * calls (one argument flips the strategy — not a hand-assembled demo
+    * like q59). Zero cartesian/BNLJ nodes end-to-end (PlanAuditSpec);
+    * q17 is the brute-force twin under the same oracle gate. */
+  private def searchPipelineAnn(s: SparkSession, dir: String): DataFrame = {
+    val ann = Retrieval.MultiTableLsh(dim = pipeConf.dim, nPlanes = 4, nTables = 8)
+    val (docs, _, edges) = submitParts(s, dir, ann)
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+    val queries = base.filter(col("doc_id") % 97 === 0).select(
+      concat(lit("q"), col("doc_id").cast("string")).as("qid"),
+      docMtype.as("qtype"),
+      Embed.embedText(
+        concat(lit("find "), substring(col("text"), 1, 40)), pipeConf.dim).as("qvec"))
+    val edgesDedup = GraphBuild.upsertEdges(edges.limit(0), edges)
+    Pipelines.search(docs, queries, edgesDedup, pipeConf, ann)
       .select(col("qid"), col("id"), col("mtype"), col("data"),
         rnd(col("score"), 6).as("score"),
         col("origin"), col("rnk").cast("long").as("rnk"))
@@ -405,6 +432,52 @@ object SparkEntry {
           .select(col("vec_id").cast("string").as("qid"),
             col("embedding").as("qvec")),
         k = 5, dim = 64, nCentroids = 16, nprobe = 2)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+
+  /** Hybrid lexical+vector retrieval (q69): reciprocal-rank fusion of a
+    * term-overlap inverted-index branch and a multi-table-LSH vector
+    * branch over the documents corpus. Ranks are integer-exact on both
+    * engines and the RRF weight is one IEEE division per branch, so the
+    * fusion sits fully under the hash gate. HybridSpec shows fusion
+    * recall@10 >= each branch alone against the exact-cosine truth. */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val dim = 16
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val queries = base.filter(col("doc_id") % 97 === 0).select(
+      col("doc_id").as("qid"),
+      concat(lit("find "), substring(col("text"), 1, 40)).as("qtext"))
+      .transform(graft.CacheScope.pin) // feeds both branches
+    val lex = Hybrid.lexicalTopK(
+      base.withColumnRenamed("doc_id", "id"), queries, k = 20)
+    val docsE = base.select(col("doc_id").as("id"),
+      Embed.embedText(col("text"), dim).as("embedding"))
+    val queriesE = queries.select(col("qid"),
+      Embed.embedText(col("qtext"), dim).as("qvec"))
+    val vec = Ann.topKMultiTable(docsE, queriesE, k = 20,
+      dim = dim, nPlanes = 4, nTables = 8)
+    Hybrid.rrf(Seq("lex" -> lex, "vec" -> vec), k = 10)
+      .select(col("qid"), col("id"), col("lex_rnk"), col("vec_rnk"),
+        rnd(col("rrf"), 6).as("rrf"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Trained-codebook IVF (q68): the q47 probe/score plumbing with the
+    * frozen k-means centroids of [[Codebooks.ivf16dim64]] as plan
+    * literals — the codebook path a production deployment actually runs
+    * (q47's deterministic md5 family is the no-training fallback).
+    * Identical Spark plumbing; only the literals differ. */
+  private def annIvfTrained(s: SparkSession, dir: String): DataFrame =
+    Ann.topKIvfWith(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").cast("string").as("qid"),
+            col("embedding").as("qvec")),
+        k = 5, cents = Codebooks.ivf16dim64, nprobe = 2)
       .select(col("qid"), col("id"),
         rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
       .transform(graft.CacheScope.pin)
@@ -578,6 +651,69 @@ object SparkEntry {
        |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
        |FROM ranked WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Oracle text for q67 — the q17 mirror with BOTH knn chains (submit
+    * edge building + search retrieval) replaced by the q29/q59
+    * OR-construction multi-table LSH mirror at dim 16: per-table UNION
+    * ALL bucketing, DISTINCT candidates, exact scoring, rank filter. The
+    * bucketed corpus CTE (sad) is shared by both sites, like the Spark
+    * side scoring the same stored corpus twice. */
+  private def q67Sql: String = {
+    val (dim, nPlanes, nTables) = (16, 4, 8)
+    val sad = (0 until nTables).map(t =>
+      s"""  SELECT id, mtype, embedding,
+         |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", dim, nPlanes, t)} AS bucket
+         |  FROM sdocs""".stripMargin).mkString("\n  UNION ALL\n")
+    val saq = (0 until nTables).map(t =>
+      s"""  SELECT qid, qvec,
+         |         $t AS tbl, ${Ann.sqlLshBucketT("qvec", dim, nPlanes, t)} AS bucket
+         |  FROM sq""".stripMargin).mkString("\n  UNION ALL\n")
+    val rq = (0 until nTables).map(t =>
+      s"""  SELECT qid, qvec,
+         |         $t AS tbl, ${Ann.sqlLshBucketT("qvec", dim, nPlanes, t)} AS bucket
+         |  FROM q""".stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH $sqlSubmitBase,
+       |sad AS (
+       |$sad),
+       |saq AS (
+       |$saq),
+       |scand AS (
+       |  SELECT DISTINCT s.qid, s.qvec, d.id, d.embedding
+       |  FROM saq s JOIN sad d ON s.tbl = d.tbl AND s.bucket = d.bucket),
+       |swr AS (
+       |  SELECT qid, id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |  FROM (SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM scand)),
+       |sknn AS (
+       |  SELECT k.qid, q.qtype, k.id, d.mtype, k.sim, k.rnk
+       |  FROM (SELECT * FROM swr WHERE rnk <= 10) k
+       |  JOIN sq q ON k.qid = q.qid
+       |  JOIN sdocs d ON k.id = d.id),
+       |${edgeDedup("g", edgeDelta("sknn", "sim", 1, ""))},
+       |${symmetric("g")},
+       |q0 AS (
+       |  SELECT 'q' || CAST(doc_id AS VARCHAR) AS qid, mt AS qtype,
+       |         concat('find ', substr(text, 1, 40)) AS qt
+       |  FROM base WHERE doc_id % 97 = 0),
+       |${embedCte("q", "q0", "qid, qtype", "qt", dim)},
+       |q AS (SELECT qid, qtype, embedding AS qvec FROM qemb),
+       |rq AS (
+       |$rq),
+       |rcand AS (
+       |  SELECT DISTINCT s.qid, s.qvec, d.id, d.embedding
+       |  FROM rq s JOIN sad d ON s.tbl = d.tbl AND s.bucket = d.bucket),
+       |rwr AS (
+       |  SELECT qid, id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |  FROM (SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM rcand)),
+       |knn AS (SELECT qid, id, sim, rnk FROM rwr WHERE rnk <= 20),
+       |${expandFaithful("", "g", "")}
+       |SELECT f.qid, f.id, d.mtype, d.data, ${rnd6("f.score")} AS score,
+       |       f.origin, f.rnk
+       |FROM fin f LEFT JOIN sdocs d ON f.id = d.id
+       |WHERE f.rnk <= 20
+       |ORDER BY f.qid, f.rnk""".stripMargin
   }
 
   /** Oracle text for q55 — assembled by loops (8 subspaces × 16 codes of
@@ -832,6 +968,7 @@ object SparkEntry {
     "q59_ann_edge_pipeline" -> ((s, d) => annEdgePipeline(s, d)),
     "q16_submit_pipeline" -> ((s, d) => submitPipeline(s, d)),
     "q17_search_pipeline" -> ((s, d) => searchPipeline(s, d)),
+    "q67_search_pipeline_ann" -> ((s, d) => searchPipelineAnn(s, d)),
     "q20_text_analysis" ->
       ((s, d) => TextAnalysis.analyze(Tables.documents(s, d), "doc_id", "text")
         .withColumn("n_tokens", col("n_tokens").cast("long"))
@@ -883,6 +1020,8 @@ object SparkEntry {
     "q28_ann_multiprobe" -> ((s, d) => annMultiProbe(s, d)),
     "q29_ann_multitable" -> ((s, d) => annMultiTable(s, d)),
     "q47_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "q68_ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
+    "q69_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
     "q41_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
     "q43_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
@@ -996,9 +1135,9 @@ object SparkEntry {
       |         embedding AS qvec
       |  FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin
 
-  /** documents.parquet §3.1 submit CTEs ending in sdocs/sq + submit knn
-    * chain prefix "s" (mirrors submitParts). */
-  private val sqlSubmitCtes: String =
+  /** documents.parquet §3.1 submit CTEs ending in sdocs/sq (shared by
+    * the brute-force and ANN submit mirrors). */
+  private val sqlSubmitBase: String =
     s"""base AS (
        |  SELECT doc_id, text,
        |         CASE WHEN lang = 'en' THEN 'text' ELSE 'image' END AS mt
@@ -1022,7 +1161,12 @@ object SparkEntry {
        |sdocs AS (
        |  SELECT id, mtype, text AS data, embedding FROM exemb
        |  UNION ALL SELECT id, mtype, text AS data, embedding FROM delta),
-       |sq AS (SELECT id AS qid, mtype AS qtype, embedding AS qvec FROM delta),
+       |sq AS (SELECT id AS qid, mtype AS qtype, embedding AS qvec FROM delta)""".stripMargin
+
+  /** [[sqlSubmitBase]] + the brute-force submit knn chain prefix "s"
+    * (mirrors submitParts with Retrieval.Brute). */
+  private val sqlSubmitCtes: String =
+    s"""$sqlSubmitBase,
        |${knnChain("s", 10)}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -1302,6 +1446,7 @@ object SparkEntry {
          |FROM fin f LEFT JOIN sdocs d ON f.id = d.id
          |WHERE f.rnk <= 20
          |ORDER BY f.qid, f.rnk""".stripMargin,
+    "q67_search_pipeline_ann" -> q67Sql,
     "q20_text_analysis" ->
       s"""WITH t AS (
          |  SELECT doc_id AS id, text, $sqlToks AS toks FROM documents),
@@ -1525,6 +1670,112 @@ object SparkEntry {
          |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
          |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
          |FROM femb ORDER BY id""".stripMargin,
+    "q68_ann_ivf_trained" -> {
+      // q47's probe/score mirror verbatim, with the centroid-dot lists
+      // built from the SAME frozen k-means literals the Spark plan quotes
+      val dots = Ann.sqlCentroidDotsWith("embedding", Codebooks.ivf16dim64)
+      val qdots = Ann.sqlCentroidDotsWith("qvec", Codebooks.ivf16dim64)
+      s"""WITH docs AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+         |q0 AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |dbkt AS (
+         |  SELECT id, embedding,
+         |    CAST(list_position(dots, list_max(dots)) AS INT) AS bucket
+         |  FROM (SELECT id, embedding, $dots AS dots FROM docs)),
+         |qp1 AS (
+         |  SELECT qid, qvec, dots,
+         |    CAST(list_position(dots, list_max(dots)) AS INT) AS b1
+         |  FROM (SELECT qid, qvec, $qdots AS dots FROM q0)),
+         |qp2 AS (
+         |  SELECT qid, qvec, b1,
+         |    CAST(list_position(masked, list_max(masked)) AS INT) AS b2
+         |  FROM (
+         |    SELECT qid, qvec, b1,
+         |      list_transform(range(1, 17),
+         |        j -> CASE WHEN j = b1 THEN -2.0 ELSE dots[j] END) AS masked
+         |    FROM qp1)),
+         |probes AS (
+         |  SELECT qid, qvec, b1 AS bucket FROM qp2
+         |  UNION ALL
+         |  SELECT qid, qvec, b2 FROM qp2),
+         |scored AS (
+         |  SELECT p.qid, d.id, ${dot("p.qvec", "d.embedding")} AS sim
+         |  FROM dbkt d JOIN probes p ON d.bucket = p.bucket),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
+    "q69_hybrid_rrf" -> {
+      // lexical mirror: inverted-index join on tokens, integer (hits,
+      // tfsum, id) ranking; vector mirror: the q29/q67 multi-table LSH
+      // construction at dim 16 over embedCte embeddings; fusion mirror:
+      // one CAST(1.0 AS DOUBLE) division per branch (bare 1.0 would be
+      // DECIMAL in DuckDB), branch ranks coalesced to 0 in the output
+      val (dim, nPlanes, nTables) = (16, 4, 8)
+      val ad = (0 until nTables).map(t =>
+        s"""  SELECT id, embedding,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", dim, nPlanes, t)} AS bucket
+           |  FROM demb""".stripMargin).mkString("\n  UNION ALL\n")
+      val aq = (0 until nTables).map(t =>
+        s"""  SELECT qid, embedding AS qvec,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", dim, nPlanes, t)} AS bucket
+           |  FROM qeemb""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |q0 AS (
+         |  SELECT doc_id AS qid, concat('find ', substr(text, 1, 40)) AS qtext
+         |  FROM base WHERE doc_id % 97 = 0),
+         |qt AS (
+         |  SELECT qid, unnest(list_distinct(${toksOf("qtext")})) AS term FROM q0),
+         |dtf AS (
+         |  SELECT id, term, count(*) AS tf FROM (
+         |    SELECT doc_id AS id, unnest(${toksOf("text")}) AS term FROM base)
+         |  GROUP BY id, term),
+         |lexs AS (
+         |  SELECT qt.qid, d.id, count(*) AS hits, sum(d.tf) AS tfsum
+         |  FROM qt JOIN dtf d ON qt.term = d.term GROUP BY qt.qid, d.id),
+         |lex AS (
+         |  SELECT * FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hits DESC, tfsum DESC, id) AS lex_rnk
+         |    FROM lexs) WHERE lex_rnk <= 20),
+         |d0 AS (SELECT doc_id AS id, text FROM base),
+         |${embedCte("d", "d0", "id", "text", dim)},
+         |qe0 AS (SELECT qid, qtext FROM q0),
+         |${embedCte("qe", "qe0", "qid", "qtext", dim)},
+         |ad AS (
+         |$ad),
+         |aq AS (
+         |$aq),
+         |cand AS (
+         |  SELECT DISTINCT aq.qid, aq.qvec, ad.id, ad.embedding
+         |  FROM aq JOIN ad ON aq.tbl = ad.tbl AND aq.bucket = ad.bucket),
+         |vwr AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS vec_rnk
+         |  FROM (SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM cand)),
+         |vec AS (SELECT qid, id, vec_rnk FROM vwr WHERE vec_rnk <= 20),
+         |rr AS (
+         |  SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.id, v.id) AS id,
+         |         l.lex_rnk, v.vec_rnk,
+         |         coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rnk), CAST(0.0 AS DOUBLE)) +
+         |         coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rnk), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id),
+         |fin AS (
+         |  SELECT qid, id,
+         |    coalesce(lex_rnk, CAST(0 AS BIGINT)) AS lex_rnk,
+         |    coalesce(vec_rnk, CAST(0 AS BIGINT)) AS vec_rnk, rrf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rnk
+         |  FROM rr)
+         |SELECT qid, id, lex_rnk, vec_rnk, ${rnd6("rrf")} AS rrf, rnk
+         |FROM fin WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin
+    },
     "q47_ann_ivf" -> {
       val dots = graft.operators.Ann.sqlCentroidDots("embedding", 64, 16)
       val qdots = graft.operators.Ann.sqlCentroidDots("qvec", 64, 16)

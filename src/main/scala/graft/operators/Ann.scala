@@ -397,6 +397,15 @@ object Ann {
       graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
     }.mkString("[", ",\n       ", "]")
 
+  /** SQL mirror of [[dotsWith]]: the centroid-dot list against an
+    * EXPLICIT centroid matrix (trained codebooks frozen as literals —
+    * see [[Codebooks]]). */
+  def sqlCentroidDotsWith(vec: String, cents: Array[Array[Float]]): String =
+    cents.map { c =>
+      val lits = c.map(_.toString).mkString("[", ", ", "]")
+      graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
+    }.mkString("[", ",\n       ", "]")
+
   /** SQL mirror of [[lshBucketT]]. */
   def sqlLshBucketT(vec: String, dim: Int, nPlanes: Int, t: Int): String =
     (0 until nPlanes).map { j =>

@@ -28,7 +28,8 @@ object Pipelines {
   def submit(
       existing: DataFrame,
       batch: DataFrame,
-      conf: GraftConf = GraftConf.default
+      conf: GraftConf = GraftConf.default,
+      retrieval: Retrieval = Retrieval.Brute
   ): (DataFrame, DataFrame, DataFrame) = {
     val delta = Ingest.dedupDelta(Ingest.prepare(batch, conf), existing)
       .select("id", "mtype", "data", "embedding", "seq")
@@ -45,7 +46,7 @@ object Pipelines {
     // neighbors carry the stored payload (`data`), like the reference's
     // /submit response rows {id, data, type, score} (main.py:230-242 via
     // search.py:33-38) — the hit is useless to a caller without it
-    val knn = Knn.search(docs, queries.drop("seq"), conf.submitK, conf)
+    val knn = retrieval.topK(docs, queries.drop("seq"), conf.submitK, conf)
       .join(queries.select("qid", "qtype", "seq"), Seq("qid"))
       .join(docs.select(col("id"), col("data")), Seq("id"), "left")
     val edges = GraphBuild.edgeDelta(knn, conf)
@@ -59,9 +60,10 @@ object Pipelines {
       docs: DataFrame,
       queries: DataFrame, // (qid, qtype, qvec) with qid not a doc id
       edges: DataFrame,
-      conf: GraftConf = GraftConf.default
+      conf: GraftConf = GraftConf.default,
+      retrieval: Retrieval = Retrieval.Brute
   ): DataFrame = {
-    val knn = Knn.search(docs, queries, conf.searchK, conf)
+    val knn = retrieval.topK(docs, queries, conf.searchK, conf)
     // hits carry the stored payload + modality like the reference's
     // /search response {id, data, type, score} (main.py:230-242): one
     // broadcast-able join against the store at the pipeline tail. Left

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.GraftConf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pluggable candidate-retrieval strategy for [[Pipelines]] — the knob
+  * that decides HOW the pipeline scores "nearest documents" at both
+  * KNN sites (submit-time edge building, search-time retrieval).
+  *
+  * The reference has exactly one strategy: a FLAT (linear-scan) index
+  * (db.py:35), i.e. [[Retrieval.Brute]] — correct by contract and
+  * O(queries × corpus). At 100 TB that quadratic stage is the single
+  * named scale-killer of the whole engine, so the ANN constructions
+  * ([[Ann.topKMultiTable]], [[Ann.topKIvf]]) are first-class strategies
+  * here, not side-by-side demos: a caller flips one argument and every
+  * (query, doc) cross join in the pipeline becomes a (table, bucket)- or
+  * list-id-keyed hash join (PlanAuditSpec: zero CartesianProduct/BNLJ
+  * nodes end-to-end in ANN mode).
+  *
+  * Semantics note: Brute reproduces the reference's full §2.3 contract
+  * (over-fetch, self-clamp, modality-balanced k//2 quotas). The ANN
+  * strategies return the plain approximate top-k — no modality
+  * balancing, no self-clamp (a self-match scores dot(v,v) ≈ 1.0 on
+  * normalized vectors instead of exactly 1.0). That trade is the point:
+  * the quirks exist to mirror the reference, the ANN path exists to
+  * survive 100×. q17 (brute) and q67 (ANN) hold both ends under the
+  * oracle gate.
+  */
+sealed trait Retrieval {
+
+  /** Top-k neighbors of each query — same shape as [[Knn.search]].
+    * @param docs    (id, mtype, embedding, …) — the corpus side
+    * @param queries (qid, qtype, qvec)
+    * @return (qid, id, mtype, sim, rank)
+    */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame
+}
+
+object Retrieval {
+
+  /** The reference's exact contract: brute-force scan with self-clamp
+    * and modality-balanced quotas (main.py:206-254). */
+  case object Brute extends Retrieval {
+    def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame =
+      Knn.search(docs, queries, k, conf)
+  }
+
+  /** OR-construction multi-table hyperplane LSH ([[Ann.topKMultiTable]]):
+    * candidates = bucket match in ANY of `nTables` independent plane
+    * families, deduped, exactly re-scored. The recall-bearing 100 TB
+    * default (AnnRecallSpec: 0.92@5 at 8×4 on the driver corpus). */
+  final case class MultiTableLsh(dim: Int, nPlanes: Int = 4, nTables: Int = 8)
+      extends Retrieval {
+    def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame =
+      Ann.topKMultiTable(
+          docs.select("id", "embedding"), queries.select("qid", "qvec"),
+          k, dim, nPlanes, nTables, conf)
+        .join(docs.select("id", "mtype"), Seq("id"))
+        .select("qid", "id", "mtype", "sim", "rank")
+  }
+
+  /** IVF-flat ([[Ann.topKIvf]]): nearest-centroid inverted lists, probe
+    * the query's `nprobe` nearest. Swap in [[Ann.topKIvfWith]] literals
+    * via [[IvfTrained]] for trained codebooks. */
+  final case class IvfFlat(dim: Int, nCentroids: Int = 16, nprobe: Int = 2)
+      extends Retrieval {
+    def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame =
+      Ann.topKIvf(
+          docs.select("id", "embedding"), queries.select("qid", "qvec"),
+          k, dim, nCentroids, nprobe, conf)
+        .join(docs.select("id", "mtype"), Seq("id"))
+        .select("qid", "id", "mtype", "sim", "rank")
+  }
+
+  /** IVF with an explicit (trained) centroid matrix — the production
+    * codebook path ([[Ann.trainedCentroids]] fits one with MLlib). */
+  final case class IvfTrained(centroids: Array[Array[Float]], nprobe: Int = 2)
+      extends Retrieval {
+    def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame =
+      Ann.topKIvfWith(
+          docs.select("id", "embedding"), queries.select("qid", "qvec"),
+          k, centroids, nprobe, conf)
+        .join(docs.select("id", "mtype"), Seq("id"))
+        .select("qid", "id", "mtype", "sim", "rank")
+  }
+}

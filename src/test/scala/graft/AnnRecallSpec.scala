@@ -123,6 +123,14 @@ class AnnRecallSpec extends SparkSpec {
     // data-adapted centroids concentrate true neighbors in shared lists
     assert(trained >= random - 0.02,
       f"trained centroids should not lose recall: $trained%.3f vs $random%.3f")
+    // the FROZEN export of the same training run (the q68 oracle-gated
+    // codebook, graft.operators.Codebooks) must hold the same property —
+    // this is the literal matrix production queries ship with
+    val frozen = recall(resultSet(
+      Ann.topKIvfWith(docs, queries, 5, graft.operators.Codebooks.ivf16dim64, nprobe = 2)))
+    info(f"IVF recall@5 at nprobe=2: frozen Codebooks.ivf16dim64 $frozen%.3f")
+    assert(frozen >= random - 0.02,
+      f"frozen codebook should not lose recall: $frozen%.3f vs $random%.3f")
   }
 
   test("IVF-PQ composition: ADC shortlist loses little vs full-precision IVF at equal probes") {

@@ -198,6 +198,19 @@ class PlanAuditSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // drop the two queries' pins
   }
 
+  test("q67: ANN-mode pipeline API (submit + search) is all-pairs free end-to-end") {
+    // The strategy-pluggable pipeline (Retrieval.MultiTableLsh through the
+    // public Pipelines.submit/search API) must contain zero all-pairs join
+    // nodes anywhere: embed, ingest anti-join, BOTH ANN retrieval sites,
+    // edge build, faithful expansion, payload join. This is q59's plan
+    // claim promoted from a hand-assembled demo to the API default path.
+    val df = SparkEntry.queries("q67_search_pipeline_ann")(spark, sf)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ANN-mode pipeline must never score all pairs:\n$p")
+    spark.sharedState.cacheManager.clearCache() // drop the query's pins
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh").toString
