@@ -925,6 +925,40 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id_a", "id_b")
 
+  // Planted boilerplate paragraphs for q70 (mirrored verbatim in the
+  // oracle). BpA2 differs from BpA in the LAST word only, so their
+  // 3-shingle Jaccard is 7/9 ≈ 0.778 — a guaranteed NEAR-dup (not exact)
+  // pair for the paragraph-grain MinHash stage.
+  private val BpA = "please subscribe to our newsletter for weekly updates and offers"
+  private val BpA2 = "please subscribe to our newsletter for weekly updates and deals"
+  private val BpB = "all rights reserved copyright example corp redistribution prohibited"
+
+  /** Paragraph-level dedup (q70): the driver corpus has no paragraph
+    * structure (single-line texts), so the query plants it
+    * deterministically — each doc becomes up-to-4 paragraphs (two
+    * 100-char slices of its own text, plus modulo-selected boilerplate:
+    * %3 → BpA, else %7 → BpA2, %5 → BpB) joined on a blank line. The
+    * boilerplate repeats across docs (exact dups at paragraph grain) and
+    * BpA/BpA2 are a planted near-pair, so every stage of
+    * [[Dedup.paragraphContamination]] has ground truth to find. */
+  private def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val built = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"),
+        concat_ws("\n\n",
+          substring(col("text"), 1, 100),
+          substring(col("text"), 101, 100),
+          when(col("doc_id") % 3 === 0, lit(BpA))
+            .when(col("doc_id") % 7 === 0, lit(BpA2))
+            .otherwise(substring(col("text"), 201, 100)),
+          when(col("doc_id") % 5 === 0, lit(BpB))).as("text"))
+    Dedup.paragraphContamination(built, "doc_id", "text",
+        delim = "\n\n", shingleWidth = 3, numHashes = 12, bands = 6,
+        threshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
   /** Curation rollup: corpus quality stats per ground-truth lang —
     * aggregation OVER derived text metrics. */
   private def qualityByLang(s: SparkSession, dir: String): DataFrame = {
@@ -989,6 +1023,7 @@ object SparkEntry {
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
+    "q70_paragraph_dedup" -> ((s, d) => paragraphDedup(s, d)),
     "q24_neardup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q26_quality_by_lang" -> ((s, d) => qualityByLang(s, d)),
@@ -1922,6 +1957,67 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "q70_paragraph_dedup" ->
+      // paragraph grain: build the same planted corpus, split on the
+      // blank-line delimiter with a lockstep unnest for (idx, para),
+      // keeper = first (doc_id, idx) per content hash, then the q23
+      // MinHash CTE chain over DISTINCT paragraph contents (id = hash)
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         |built AS (
+         |  SELECT doc_id, concat_ws(chr(10) || chr(10),
+         |    substr(text, 1, 100),
+         |    substr(text, 101, 100),
+         |    CASE WHEN doc_id % 3 = 0 THEN '$BpA'
+         |         WHEN doc_id % 7 = 0 THEN '$BpA2'
+         |         ELSE substr(text, 201, 100) END,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$BpB' END) AS ptext
+         |  FROM base),
+         |plist AS (
+         |  SELECT doc_id, string_split(ptext, chr(10) || chr(10)) AS ps
+         |  FROM built),
+         |occ AS (
+         |  SELECT doc_id, idx, para, sha256(para) AS ph FROM (
+         |    SELECT doc_id, unnest(range(len(ps))) AS idx, unnest(ps) AS para
+         |    FROM plist)
+         |  WHERE para <> ''),
+         |keeper AS (
+         |  SELECT doc_id, ph,
+         |    row_number() OVER (PARTITION BY ph ORDER BY doc_id, idx) AS rn
+         |  FROM occ),
+         |reps AS (SELECT ph, min(para) AS para FROM occ GROUP BY ph),
+         |withtoks AS (SELECT ph AS id, ${toksOf("para")} AS toks FROM reps),
+         |withsh AS (SELECT id, ${wordShingles("toks", 3)} AS sh FROM withtoks),
+         |withhb AS (
+         |  SELECT id, sh, ${minhashBases("sh")} AS hb
+         |  FROM withsh WHERE len(sh) > 0),
+         |withsig AS (
+         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig
+         |  FROM withhb),
+         |withkeys AS (
+         |  SELECT id, sh, ${bandKeys("sig", 6, 2)} AS bkeys FROM withsig),
+         |banded AS (SELECT id, sh, unnest(bkeys) AS bkey FROM withkeys),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.id < b.id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN withsh sa ON sa.id = c.id_a
+         |  JOIN withsh sb ON sb.id = c.id_b
+         |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.5),
+         |nearh AS (
+         |  SELECT DISTINCT ph FROM (
+         |    SELECT id_a AS ph FROM pairs UNION ALL SELECT id_b FROM pairs)),
+         |roll AS (
+         |  SELECT k.doc_id,
+         |    count(*) AS n_paras,
+         |    CAST(sum(CASE WHEN k.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |    CAST(sum(CASE WHEN n.ph IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
+         |  FROM keeper k LEFT JOIN nearh n ON k.ph = n.ph
+         |  GROUP BY k.doc_id)
+         |SELECT doc_id, n_paras, n_exact_dup, n_near_dup,
+         |  ${sqlRnd("CAST(n_exact_dup AS DOUBLE) / CAST(n_paras AS DOUBLE)", 6)} AS contamination
+         |FROM roll ORDER BY doc_id""".stripMargin,
     "q55_ann_pq_rerank" -> q55Sql,
     "q56_ann_ivf_pq" -> q56Sql,
     "q57_revenue_unpivot" ->

@@ -377,6 +377,78 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Paragraph-level dedup with per-document contamination rollup — the
+    * reference's whole-doc content-hash guard (main.py:78-81) taken one
+    * granularity down, which is where real training pipelines dedup
+    * (boilerplate, licenses, navigation chrome repeat at paragraph
+    * grain long before whole documents collide).
+    *
+    * Pipeline:
+    *  1. explode each doc on a LITERAL delimiter into (id, idx, para)
+    *     occurrences, dropping empties;
+    *  2. exact grain: sha-256 per paragraph; keeper = first occurrence
+    *     in (id, idx) order (the corpus-wide seeds-win rule of
+    *     [[dedupExact]]); every later occurrence is an exact duplicate;
+    *  3. near grain: MinHash-LSH pairs ([[nearDupMinhashLsh]]) over the
+    *     DISTINCT paragraph contents — one representative per hash, so
+    *     a boilerplate repeated a billion times enters the quadratic-ish
+    *     candidate stage ONCE, not a billion times (the 100 TB shape:
+    *     distinct-paragraph cardinality, not occurrence cardinality,
+    *     drives the LSH join);
+    *  4. roll up per doc: paragraph count, exact-duplicate count,
+    *     count of paragraphs whose content has a verified near-dup
+    *     partner content, and the exact-contamination fraction.
+    *
+    * Scale design: step 1 is a narrow map; step 2 is one shuffle on the
+    * 64-char hash (window, no data rows wider than (id, idx, hash));
+    * step 3 inherits nearDupMinhashLsh's O(distinct-paras × bands)
+    * shuffle bound; step 4 is a partial-aggregable groupBy on doc id.
+    *
+    * @return (id, n_paras, n_exact_dup, n_near_dup, contamination) */
+  def paragraphContamination(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n\n",
+      shingleWidth: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 6,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    // explode first, hash in a SEPARATE projection (sha2 over the
+    // exploded column would otherwise be duplicated into every sibling
+    // expression by projection collapse), then pin: the occurrence
+    // relation feeds the keeper window, the distinct-rep build, and the
+    // final rollup.
+    val occ = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+          .as(Seq("idx", "para")))
+      .filter(col("para") =!= "")
+      .withColumn("ph", sha2(col("para"), 256))
+      .transform(graft.CacheScope.pin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col("id"), col("idx"))
+    // one representative per distinct content (min is exact: all paras
+    // under one hash are the same string)
+    val reps = occ.groupBy("ph").agg(min(col("para")).as("para"))
+    val pairs = nearDupMinhashLsh(reps, "ph", "para",
+      shingleWidth, numHashes, bands, threshold)
+    val nearh = pairs.select(col("id_a").as("ph"))
+      .unionByName(pairs.select(col("id_b").as("ph")))
+      .distinct()
+      .withColumn("_near", lit(1))
+    occ.withColumn("_rn", row_number().over(w))
+      .join(nearh, Seq("ph"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("_near").isNotNull, 1L).otherwise(0L)).as("n_near_dup"))
+      .withColumn("contamination",
+        rnd(col("n_exact_dup").cast("double") / col("n_paras").cast("double"), 6))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Test-scale exact form: all-pairs within label blocks. At 100 TB the
     * blocking key comes from LSH hyperplane signs (see Ann.lshBuckets). */
