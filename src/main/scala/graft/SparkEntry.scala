@@ -441,8 +441,17 @@ object SparkEntry {
     * term-overlap inverted-index branch and a multi-table-LSH vector
     * branch over the documents corpus. Ranks are integer-exact on both
     * engines and the RRF weight is one IEEE division per branch, so the
-    * fusion sits fully under the hash gate. HybridSpec shows fusion
-    * recall@10 >= each branch alone against the exact-cosine truth. */
+    * fusion sits fully under the hash gate. HybridSpec measures the
+    * quality contract on this corpus: on the known-item truth (each
+    * query re-finds its source doc) fusion recall@10 >= each branch
+    * alone — the branches are complementary there (prefix embeddings
+    * drift from full-doc embeddings, so the vector branch misses known
+    * items the lexical branch nails); on the exact-cosine truth the
+    * vector branch wins by definition and fusion pays the standard RRF
+    * insurance cost while still beating the lexical branch and
+    * retaining the majority of the truth set; and consensus docs
+    * (present in both branches' top-k) provably outrank single-branch
+    * docs whenever k0 >= branch k, as here (60 >= 20). */
   private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     val dim = 16
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
