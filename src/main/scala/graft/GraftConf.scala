@@ -24,7 +24,21 @@ final case class GraftConf(
       * is at or below this cap (bytes); larger batches fall back to a
       * non-broadcast join instead of OOMing the driver. 64 MiB default ~
       * a few hundred thousand 512-dim float queries. */
-    broadcastQueryCapBytes: Long = 64L << 20
+    broadcastQueryCapBytes: Long = 64L << 20,
+    /** Brute-force KNN scores EVERY (query, doc) pair — the reference's
+      * own FLAT-index contract, but a silent quadratic trap for a caller
+      * pointing it at a large corpus. When Catalyst's size estimate for
+      * the docs side exceeds this cap, `Knn` logs a WARN naming the
+      * sub-linear alternative (`Retrieval.MultiTableLsh` /
+      * `Ann.topKBucketed`); with [[failOnOversizeBruteKnn]] it throws
+      * instead. 32 GiB default ≈ 16M 512-dim float rows — comfortably
+      * past any interactive batch, well short of cluster scale. */
+    bruteCorpusWarnBytes: Long = 32L << 30,
+    /** Escalate the oversize-brute-KNN warning to an
+      * IllegalArgumentException — for pipelines that must never fall into
+      * the quadratic path unnoticed. Default false: reference parity
+      * (brute IS the contract) is preserved unless a caller opts in. */
+    failOnOversizeBruteKnn: Boolean = false
 )
 
 object GraftConf {

@@ -167,6 +167,65 @@ object GraphExpand {
       acc = acc.unionByName(next).transform(graft.CacheScope.pin)
       frontier = next
     }
+    finishExpandAll(acc, k)
+  }
+
+  /** Deep-traversal BFS expansion: identical semantics to [[expandAll]]
+    * (spec-verified equal at depth ≤ 3) but built for LARGE depth.
+    *
+    * [[expandAll]] pins each hop's frames with `CacheScope.pin` — that
+    * caches the DATA but keeps the compounded LOGICAL plan, which nests
+    * one join+anti-join deeper per hop; around depth ~10 analysis cost
+    * (and plan stringification) blows up, the same failure mode that hit
+    * `GraphAlgos.connectedComponents` before it switched to per-superstep
+    * `localCheckpoint`. This variant applies that pattern: every hop's
+    * frontier and accumulator are `localCheckpoint`ed, truncating lineage
+    * so the per-hop plan is O(1) regardless of depth.
+    *
+    * Extra over [[expandAll]]: an empty frontier short-circuits the loop
+    * (the checkpoint has already materialized the hop, so the emptiness
+    * probe is free) — graphs with diameter < depth stop at the diameter
+    * instead of running `depth` no-op joins.
+    *
+    * Trade-off, and why this is not the default: localCheckpoint eagerly
+    * materializes each hop as a Spark job and its blocks are NOT
+    * refcounted by [[graft.CacheScope]] (they release on GC / session
+    * end, or the final action), so for the shallow depths the reference
+    * uses (1–3) the pinned variant composes better with the per-query
+    * release discipline in Bench/Verify. Use this one for depth ≳ 5,
+    * iterative algorithms, or any loop whose hop count is data-driven. */
+  def expandAllCheckpointed(
+      seeds: DataFrame,
+      edges: DataFrame,
+      k: Int,
+      depth: Int,
+      conf: GraftConf = GraftConf.default): DataFrame = {
+    require(depth >= 1, s"depth $depth must be >= 1")
+    val sym = GraphBuild.symmetric(edges).localCheckpoint()
+    var acc = seeds.select(col("qid"), col("id"), col("sim").as("score"))
+      .localCheckpoint()
+    var frontier = acc
+    var hop = 0
+    while (hop < depth && !frontier.isEmpty) {
+      val next = frontier.as("f")
+        .join(sym.as("e"), col("f.id") === col("e.u"))
+        .select(
+          col("f.qid").as("qid"),
+          col("e.v").as("id"),
+          (col("f.score") * col("e.score") * lit(conf.expansionDecay)).as("score"))
+        .join(acc.select(col("qid").as("aq"), col("id").as("ai")),
+          col("qid") === col("aq") && col("id") === col("ai"), "left_anti")
+        .localCheckpoint() // truncate lineage: O(1) plan per hop
+      acc = acc.unionByName(next).localCheckpoint()
+      frontier = next
+      hop += 1
+    }
+    finishExpandAll(acc, k)
+  }
+
+  /** Shared tail of the scalable expansions: max-score dedup per
+    * (qid, id), then per-query rank and truncate to k. */
+  private def finishExpandAll(acc: DataFrame, k: Int): DataFrame = {
     val wDedup = Window.partitionBy("qid", "id").orderBy(col("score").desc)
     val wRank = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     acc

@@ -65,6 +65,31 @@ object Knn {
     if (hinted) broadcast(queries) else queries
   }
 
+  /** Guard against silently running the quadratic brute-force path over a
+    * cluster-scale corpus: compare Catalyst's free size estimate for the
+    * docs side against `conf.bruteCorpusWarnBytes` and WARN (or, with
+    * `conf.failOnOversizeBruteKnn`, throw) pointing at the sub-linear
+    * alternatives that are one argument away ([[Retrieval.MultiTableLsh]]
+    * via `Pipelines.search`, or [[Ann.topKBucketed]] directly). Brute
+    * force stays the default because it IS the reference's contract
+    * (FLAT index, db.py:35); this guard only makes the scale cliff loud.
+    * @return true iff the corpus exceeded the cap (i.e. the guard fired) */
+  private[graft] def bruteGuard(docs: DataFrame, conf: GraftConf): Boolean = {
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val over = est > BigInt(conf.bruteCorpusWarnBytes)
+    if (over) {
+      val msg = s"brute-force KNN over a corpus estimated at $est bytes " +
+        s"(> bruteCorpusWarnBytes=${conf.bruteCorpusWarnBytes}): every " +
+        "(query, doc) pair will be scored. For corpora this size use the " +
+        "sub-linear path — Retrieval.MultiTableLsh (Pipelines.search " +
+        "retrieval argument) or Ann.topKBucketed — or raise the cap / set " +
+        "failOnOversizeBruteKnn=false deliberately."
+      if (conf.failOnOversizeBruteKnn) throw new IllegalArgumentException(msg)
+      log.warn(msg)
+    }
+    over
+  }
+
   /** Similarity of a doc row to the query row: dot product on normalized
     * vectors (cosine ≡ dot, app.py:14-15), with the reference's self-match
     * clamp (main.py:223-224). The reference round-trips through distance
@@ -83,6 +108,7 @@ object Knn {
       idCol: String = "id",
       mtypeCol: String = "mtype"
   ): DataFrame = {
+    bruteGuard(docs, conf)
     val overFetch = k * conf.overFetch
 
     // docs is the (potentially 100 TB) side: never shuffle it for the
@@ -140,6 +166,7 @@ object Knn {
       idCol: String = "id",
       conf: GraftConf = GraftConf.default): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
+    bruteGuard(docs, conf)
     val scored = docs
       .crossJoin(maybeBroadcast(queries, conf.broadcastQueryCapBytes))
       .select(col("qid"), col(idCol).as("id"),
@@ -163,6 +190,7 @@ object Knn {
       idCol: String = "id",
       conf: GraftConf = GraftConf.default
   ): DataFrame = {
+    bruteGuard(docs, conf)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     docs
       .crossJoin(maybeBroadcast(queries, conf.broadcastQueryCapBytes))

@@ -105,6 +105,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(n2.getAs[Double]("score") - 1.0 * 0.5 * 0.9 * 0.4 * 0.9) < 1e-12)
   }
 
+  test("expandAllCheckpointed ≡ expandAll at depth 1..3 (lineage-truncated twin)") {
+    // two queries, branching + a cycle + a multi-path node (n3 reachable
+    // via n1 and n2 at different scores) so the max-score dedup is live
+    val seeds = Seq(
+      ("q1", "s1", 1.0, 1), ("q1", "s2", 0.7, 2),
+      ("q2", "s2", 0.9, 1)
+    ).toDF("qid", "id", "sim", "rank")
+    val edges = Seq(
+      ("s1", "n1", 0.8, 1L), ("s1", "n2", 0.5, 1L), ("s2", "n2", 0.9, 1L),
+      ("n1", "n3", 0.6, 1L), ("n2", "n3", 0.9, 1L), ("n3", "s1", 0.4, 1L)
+    ).toDF("src", "dst", "score", "seq")
+    for (depth <- 1 to 3) {
+      val a = GraphExpand.expandAll(seeds, edges, k = 10, depth = depth)
+        .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("id"),
+          r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSet
+      val b = GraphExpand.expandAllCheckpointed(seeds, edges, k = 10, depth = depth)
+        .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("id"),
+          r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSet
+      assert(a == b, s"depth $depth diverged")
+    }
+  }
+
   test("graph views: nodes, degrees, dangling filter (G3-G5)") {
     val edges = Seq(("a", "b", 0.5, 1L), ("b", "c", 0.7, 1L))
       .toDF("src", "dst", "score", "seq")

@@ -135,4 +135,28 @@ class KnnSpec extends SparkSpec {
       assert(rows(gatedOff) == rows(gatedOn)) // the gate is physical-only
     } finally spark.conf.set(key, saved)
   }
+
+  test("brute-force corpus guard: fires past the cap, silent below, throws when escalated") {
+    val docs = docsDf(doc("a", "text", 0.9), doc("b", "text", 0.8))
+    // 1-byte cap: any non-empty corpus estimate exceeds it → guard fires
+    assert(Knn.bruteGuard(docs, graft.GraftConf(bruteCorpusWarnBytes = 1L)),
+      "tiny cap must trip the oversize warning")
+    // default 32 GiB cap: a 2-row corpus stays silent
+    assert(!Knn.bruteGuard(docs, graft.GraftConf()),
+      "a 2-row corpus must not trip the default cap")
+    // escalation: fail-fast instead of warn — and search() itself throws,
+    // so the quadratic path cannot be entered silently when opted in
+    val failConf = graft.GraftConf(
+      bruteCorpusWarnBytes = 1L, failOnOversizeBruteKnn = true)
+    val ex = intercept[IllegalArgumentException] {
+      Knn.search(docs, queryDf("q1", "text", qv), k = 2, failConf)
+    }
+    assert(ex.getMessage.contains("MultiTableLsh"),
+      s"the error must name the sub-linear alternative: ${ex.getMessage}")
+    // results are unaffected when the guard merely warns (k=4 so the
+    // k/2-per-bucket quirk keeps both docs)
+    val r = Knn.search(docs, queryDf("q1", "text", qv), k = 4,
+      graft.GraftConf(bruteCorpusWarnBytes = 1L)).collect()
+    assert(r.map(_.getAs[String]("id")).toSet == Set("a", "b"))
+  }
 }

@@ -107,4 +107,27 @@ class RobustnessSpec extends SparkSpec {
     assert(m.getAs[Long]("fingerprint") == 0L)
     assert(!m.getAs[Double]("quality").isNaN)
   }
+
+  test("expandAllCheckpointed completes a depth-10 traversal (lineage truncation)") {
+    // 12-node chain: depth 10 reaches exactly node c10 from the seed.
+    // The pinned expandAll variant's plan nests one join deeper per hop
+    // and analysis cost blows up around this depth (NEXT.md gotcha) —
+    // the checkpointed twin must stay O(1) plan per hop and just finish.
+    val seeds = Seq(("q", "c0", 1.0, 1)).toDF("qid", "id", "sim", "rank")
+    val edges = (0 until 11)
+      .map(i => (s"c$i", s"c${i + 1}", 1.0, 1L))
+      .toDF("src", "dst", "score", "seq")
+    val res = GraphExpand.expandAllCheckpointed(seeds, edges, k = 100, depth = 10)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("score")).toMap
+    assert(res.size == 11, s"depth 10 from c0 reaches c0..c10: ${res.keySet}")
+    assert(res.contains("c10") && !res.contains("c11"))
+    assert(math.abs(res("c10") - math.pow(0.9, 10)) < 1e-9,
+      s"ten decay steps compound to 0.9^10: ${res("c10")}")
+    // early stop: a 3-node chain at depth 10 must terminate at the
+    // diameter (empty frontier), not run 10 joins — and return the chain
+    val shortEdges = Seq(("c0", "c1", 1.0, 1L), ("c1", "c2", 1.0, 1L))
+      .toDF("src", "dst", "score", "seq")
+    val short = GraphExpand.expandAllCheckpointed(seeds, shortEdges, k = 100, depth = 10)
+    assert(short.collect().map(_.getAs[String]("id")).toSet == Set("c0", "c1", "c2"))
+  }
 }
