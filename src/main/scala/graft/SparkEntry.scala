@@ -984,6 +984,117 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** BM25 lexical retrieval (q71): the float-scored counterpart of the
+    * integer-exact q69 lexical branch, over the same query construction.
+    * Portability of the float path under the hash gate is argued (and
+    * measured) at [[Hybrid.bm25TopK]]: rank is computed on the
+    * portable-ROUNDED score, so last-ulp ln()/sum-order differences
+    * between engines collapse before they can flip an ordering. */
+  private def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val queries = base.filter(col("doc_id") % 97 === 0).select(
+      col("doc_id").as("qid"),
+      concat(lit("find "), substring(col("text"), 1, 40)).as("qtext"))
+    Hybrid.bm25TopK(base.withColumnRenamed("doc_id", "id"), queries, k = 10)
+      .select(col("qid"), col("id"), col("score"),
+        col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Sequence-packing manifest (q72): documents laid end-to-end on the
+    * doc_id-ordered token line, cut into 256-token bins; docs crossing a
+    * boundary split into per-(doc, bin) segments. */
+  private def packManifestQ(s: SparkSession, dir: String): DataFrame =
+    Packing.packManifest(
+        Tables.documents(s, dir), "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")), binSize = 256)
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id", "bin")
+
+  /** N-gram contamination (q73): per eval doc, the fraction of its
+    * distinct 5-word shingles found anywhere in the training split. The
+    * driver corpus has no natural overlap, so each test doc (doc_id%10=7)
+    * is rebuilt as its own 100-char prefix + the 100-char prefix of doc
+    * (doc_id-1) — which sits in the TRAIN split — giving every test doc a
+    * planted, deterministic leaked half (mirrored in the oracle). */
+  private def shingleContaminationQ(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val train = base.filter(col("doc_id") % 10 =!= 7)
+    val test = base.filter(col("doc_id") % 10 === 7)
+      .join(base.select((col("doc_id") + 1L).as("doc_id"),
+        col("text").as("src_text")), Seq("doc_id"))
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 100), lit(" "),
+          substring(col("src_text"), 1, 100)).as("text"))
+    Dedup.shingleContamination(test, train, "doc_id", "text", w = 5)
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary head (q74): top-20 corpus terms by total frequency with
+    * df and corpus share — planned as TakeOrderedAndProject, never a
+    * single-partition vocabulary window. */
+  private def vocabStatsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(Tables.documents(s, dir), "doc_id", "text", k = 20)
+      .transform(graft.CacheScope.pin)
+      .orderBy("rnk")
+
+  /** Per-source dedup rollup (q75): the "effective dataset size" report —
+    * for each source: doc counts, distinct-content counts, duplicate
+    * rate, and raw vs dedup-surviving token counts (keeper = min doc_id
+    * per (source, content)). Duplicates are planted by unioning the
+    * corpus with an id-shifted copy (q21's device), so every text is a
+    * within-source exact dup pair. */
+  private def sourceDedupRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables.documents(s, dir).select(
+      col("source"), col("doc_id"), col("text"))
+    val all = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("content_hash")).orderBy(col("doc_id"))
+    all
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("ntok", tokenCount(col("text")).cast("long"))
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_unique"),
+        sum(col("ntok")).as("tokens_total"),
+        sum(when(col("_rn") === 1, col("ntok")).otherwise(0L)).as("tokens_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        rnd(lit(1.0) - col("n_unique").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("tokens_total"), col("tokens_unique"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("source")
+  }
+
+  /** q19's scalable BFS expansion through the lineage-truncated
+    * [[GraphExpand.expandAllCheckpointed]] twin (q76) — same semantics,
+    * same oracle SQL; what changes is plan hygiene for deep/iterative
+    * traversals (per-hop localCheckpoint instead of compounding joins). */
+  private def graphExpandAllCkpt(s: SparkSession, dir: String): DataFrame = {
+    val knn = knnWithQtype(s, dir)
+    val seeds = knn.select("qid", "id", "sim", "rank")
+    GraphExpand.expandAllCheckpointed(seeds, knnEdges(knn), k = 20, depth = 2)
+      .select(col("qid"), col("id"), rnd(col("score"), 6).as("score"),
+        col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Per-doc distinctive terms (q77): the integer-exact TF-IDF shape
+    * (tf desc, df asc, term) — top-3 terms per document. */
+  private def distinctiveTermsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctiveTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("id", "rnk")
+
   // ---- the registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1007,6 +1118,7 @@ object SparkEntry {
     "q15_graph_degrees" -> ((s, d) => graphDegrees(s, d)),
     "q40_graph_degrees_all" -> ((s, d) => graphDegreesAll(s, d)),
     "q19_graph_expand_all" -> ((s, d) => graphExpandAll(s, d)),
+    "q76_graph_expand_all_ckpt" -> ((s, d) => graphExpandAllCkpt(s, d)),
     "q42_graph_expand_depth" -> ((s, d) => graphExpandDepth(s, d)),
     "q59_ann_edge_pipeline" -> ((s, d) => annEdgePipeline(s, d)),
     "q16_submit_pipeline" -> ((s, d) => submitPipeline(s, d)),
@@ -1066,6 +1178,12 @@ object SparkEntry {
     "q47_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q68_ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "q69_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "q71_bm25" -> ((s, d) => bm25Retrieval(s, d)),
+    "q72_pack_manifest" -> ((s, d) => packManifestQ(s, d)),
+    "q73_shingle_contamination" -> ((s, d) => shingleContaminationQ(s, d)),
+    "q74_vocab_stats" -> ((s, d) => vocabStatsQ(s, d)),
+    "q75_source_dedup_rollup" -> ((s, d) => sourceDedupRollup(s, d)),
+    "q77_distinctive_terms" -> ((s, d) => distinctiveTermsQ(s, d)),
     "q30_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
     "q41_binary_ingest" -> ((s, d) => binaryIngest(s, d)),
     "q43_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
@@ -1212,6 +1330,41 @@ object SparkEntry {
   private val sqlSubmitCtes: String =
     s"""$sqlSubmitBase,
        |${knnChain("s", 10)}""".stripMargin
+
+  /** Mirror of GraphExpand.expandAll/expandAllCheckpointed at depth 2
+    * over the embeddings KNN graph — shared verbatim by q19 and q76
+    * (the two operators are semantically identical by contract; only
+    * plan hygiene differs). */
+  private val sqlExpandAllOracle: String =
+    s"""WITH $sqlEmbCtes,
+       |${knnChain("", 10)},
+       |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+       |${symmetric("g")},
+       |sd AS (SELECT qid, id, sim AS score FROM knn),
+       |n1 AS (
+       |  SELECT f.qid, e.v AS id, f.score * e.score * 0.9 AS score
+       |  FROM sd f JOIN gsym e ON f.id = e.u
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM sd a WHERE a.qid = f.qid AND a.id = e.v)),
+       |a1 AS (SELECT * FROM sd UNION ALL SELECT * FROM n1),
+       |n2 AS (
+       |  SELECT f.qid, e.v AS id, f.score * e.score * 0.9 AS score
+       |  FROM n1 f JOIN gsym e ON f.id = e.u
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM a1 a WHERE a.qid = f.qid AND a.id = e.v)),
+       |a2 AS (SELECT * FROM a1 UNION ALL SELECT * FROM n2),
+       |dd AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid, id
+       |                                 ORDER BY score DESC) AS _rn
+       |    FROM a2) WHERE _rn = 1),
+       |fin AS (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+       |  FROM dd)
+       |SELECT qid, id, ${rnd6("score")} AS score, rnk
+       |FROM fin WHERE rnk <= 20
+       |ORDER BY qid, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1437,36 +1590,10 @@ object SparkEntry {
          |FROM fin WHERE rnk <= 20
          |ORDER BY qid, rnk""".stripMargin
     },
-    "q19_graph_expand_all" ->
-      s"""WITH $sqlEmbCtes,
-         |${knnChain("", 10)},
-         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
-         |${symmetric("g")},
-         |sd AS (SELECT qid, id, sim AS score FROM knn),
-         |n1 AS (
-         |  SELECT f.qid, e.v AS id, f.score * e.score * 0.9 AS score
-         |  FROM sd f JOIN gsym e ON f.id = e.u
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM sd a WHERE a.qid = f.qid AND a.id = e.v)),
-         |a1 AS (SELECT * FROM sd UNION ALL SELECT * FROM n1),
-         |n2 AS (
-         |  SELECT f.qid, e.v AS id, f.score * e.score * 0.9 AS score
-         |  FROM n1 f JOIN gsym e ON f.id = e.u
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM a1 a WHERE a.qid = f.qid AND a.id = e.v)),
-         |a2 AS (SELECT * FROM a1 UNION ALL SELECT * FROM n2),
-         |dd AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY qid, id
-         |                                 ORDER BY score DESC) AS _rn
-         |    FROM a2) WHERE _rn = 1),
-         |fin AS (
-         |  SELECT qid, id, score,
-         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
-         |  FROM dd)
-         |SELECT qid, id, ${rnd6("score")} AS score, rnk
-         |FROM fin WHERE rnk <= 20
-         |ORDER BY qid, rnk""".stripMargin,
+    "q19_graph_expand_all" -> sqlExpandAllOracle,
+    // q76 is the lineage-truncated (localCheckpoint-per-hop) twin of
+    // q19's expandAll: same BFS semantics, verbatim the same oracle.
+    "q76_graph_expand_all_ckpt" -> sqlExpandAllOracle,
     "q16_submit_pipeline" ->
       s"""WITH $sqlSubmitCtes
          |SELECT k.qid, k.id, k.mtype, d.data, ${rnd6("k.sim")} AS sim, k.rnk
@@ -1820,6 +1947,139 @@ object SparkEntry {
          |FROM fin WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin
     },
+    "q71_bm25" -> {
+      // Mirror of Hybrid.bm25TopK (k1=1.2, b=0.75, Lucene `1 +` idf).
+      // The two non-exactly-representable constants (k1 and k1+1) are
+      // interpolated from the SAME JVM doubles the Spark plan uses and
+      // round-tripped through a string cast — Double.toString emits the
+      // shortest representation that parses back to the identical bits,
+      // so both engines multiply by bit-equal constants. All remaining
+      // constants (0.5, 0.25, 0.75, 1.0) are exact binary fractions.
+      // Rank is computed on the portable-ROUNDED score on both sides
+      // (see the operator's scaladoc for the ulp argument).
+      val c22 = s"CAST('${1.2 + 1}' AS DOUBLE)"
+      val c12 = s"CAST('${1.2}' AS DOUBLE)"
+      val term =
+        s"(ln(1.0 + ((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5) " +
+          s"/ (CAST(df.df AS DOUBLE) + 0.5)) " +
+          s"* (CAST(tf.tf AS DOUBLE) * $c22)) " +
+          s"/ (CAST(tf.tf AS DOUBLE) + $c12 * (0.25 + 0.75 * " +
+          s"(CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))"
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |dl AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (SELECT id, term, count(*) AS tf
+         |       FROM (SELECT id, unnest(toks) AS term FROM tok) GROUP BY id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |qq AS (SELECT doc_id AS qid, concat('find ', substr(text, 1, 40)) AS qtext
+         |       FROM documents WHERE doc_id % 97 = 0),
+         |qterms AS (SELECT qid, unnest(list_distinct(${toksOf("qtext")})) AS term FROM qq),
+         |scored AS (
+         |  SELECT qt.qid, tf.id, ${sqlRnd(s"sum($term)", 6)} AS score
+         |  FROM qterms qt
+         |  JOIN tf ON qt.term = tf.term
+         |  JOIN dfreq df ON tf.term = df.term
+         |  JOIN dl ON tf.id = dl.id
+         |  CROSS JOIN stats st
+         |  GROUP BY qt.qid, tf.id),
+         |fin AS (
+         |  SELECT qid, id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+         |  FROM scored)
+         |SELECT qid, id, score, rnk FROM fin WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin
+    },
+    "q72_pack_manifest" ->
+      // Mirror of Packing.packManifest(binSize=256): exact integer
+      // prefix sum in doc_id order; bin ids via the same floor-of-
+      // double-division idiv; DuckDB range() is end-exclusive where
+      // Spark sequence() is inclusive, hence the +1.
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |wts AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS w
+         |        FROM tok WHERE len(toks) > 0),
+         |cum AS (SELECT doc_id, w,
+         |  CAST(sum(w) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+         |  FROM wts),
+         |seg AS (SELECT doc_id, w, cend - w AS cs, cend,
+         |  unnest(range(
+         |    CAST(floor(CAST(cend - w AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT),
+         |    CAST(floor(CAST(cend - 1 AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT) + 1)) AS bin
+         |  FROM cum)
+         |SELECT doc_id, w AS n_tokens, bin,
+         |  greatest(cs, bin * 256) - (bin * 256) AS bin_offset,
+         |  least(cend, (bin + 1) * 256) - greatest(cs, bin * 256) AS seg_len
+         |FROM seg
+         |ORDER BY doc_id, bin""".stripMargin,
+    "q73_shingle_contamination" ->
+      // Mirror of Dedup.shingleContamination(w=5) over the planted
+      // test split (own 100-char prefix + train neighbor's prefix).
+      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         |test AS (
+         |  SELECT t.doc_id,
+         |    concat(substr(t.text, 1, 100), ' ', substr(s.text, 1, 100)) AS text
+         |  FROM documents t JOIN documents s ON s.doc_id + 1 = t.doc_id
+         |  WHERE t.doc_id % 10 = 7),
+         |trsh AS (SELECT DISTINCT unnest(${wordShingles(toksOf("text"), 5)}) AS sh FROM train),
+         |tsh AS (SELECT doc_id, ${wordShingles(toksOf("text"), 5)} AS shs FROM test),
+         |tot AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles FROM tsh),
+         |hits AS (SELECT doc_id, count(*) AS n_hit
+         |         FROM (SELECT doc_id, unnest(shs) AS sh FROM tsh)
+         |         WHERE sh IN (SELECT sh FROM trsh) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+         |  CASE WHEN t.n_shingles > 0
+         |       THEN ${sqlRnd("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)", 6)}
+         |       ELSE 0.0 END AS contamination
+         |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    "q74_vocab_stats" ->
+      // Mirror of TextAnalysis.vocabStats(k=20).
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |tf AS (SELECT id, term, count(*) AS tf
+         |       FROM (SELECT id, unnest(toks) AS term FROM tok) GROUP BY id, term),
+         |terms AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf, count(*) AS df
+         |          FROM tf GROUP BY term),
+         |total AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM terms),
+         |top AS (SELECT term, tf, df FROM terms ORDER BY tf DESC, term LIMIT 20)
+         |SELECT term, tf, df,
+         |  ${sqlRnd("CAST(tf AS DOUBLE) / CAST(total_tf AS DOUBLE)", 6)} AS share,
+         |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rnk
+         |FROM top CROSS JOIN total
+         |ORDER BY rnk""".stripMargin,
+    "q75_source_dedup_rollup" ->
+      // Mirror of the per-source dedup rollup over the q21-style
+      // id-shifted union (every text a within-source dup pair).
+      s"""WITH all_docs AS (
+         |  SELECT source, doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT source, doc_id + 1000000, text FROM documents),
+         |t AS (SELECT source, doc_id, sha256(text) AS content_hash,
+         |        CAST(len($sqlToks) AS BIGINT) AS ntok,
+         |        row_number() OVER (PARTITION BY source, sha256(text)
+         |                           ORDER BY doc_id) AS _rn
+         |      FROM all_docs)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT content_hash) AS n_unique,
+         |  ${sqlRnd("1.0 - (CAST(count(DISTINCT content_hash) AS DOUBLE) / CAST(count(*) AS DOUBLE))", 6)} AS dup_rate,
+         |  CAST(sum(ntok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN _rn = 1 THEN ntok ELSE 0 END) AS BIGINT) AS tokens_unique
+         |FROM t GROUP BY source
+         |ORDER BY source""".stripMargin,
+    "q77_distinctive_terms" ->
+      // Mirror of TextAnalysis.distinctiveTerms(k=3): integer-only
+      // (tf desc, df asc, term) ranking.
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |tf AS (SELECT id, term, count(*) AS tf
+         |       FROM (SELECT id, unnest(toks) AS term FROM tok) GROUP BY id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |fin AS (
+         |  SELECT tf.id, tf.term, tf.tf, df.df,
+         |    row_number() OVER (PARTITION BY tf.id
+         |                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+         |  FROM tf JOIN dfreq df ON tf.term = df.term)
+         |SELECT id, term, tf, df, rnk FROM fin WHERE rnk <= 3
+         |ORDER BY id, rnk""".stripMargin,
     "q47_ann_ivf" -> {
       val dots = graft.operators.Ann.sqlCentroidDots("embedding", 64, 16)
       val qdots = graft.operators.Ann.sqlCentroidDots("qvec", 64, 16)

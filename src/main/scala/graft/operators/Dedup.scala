@@ -467,4 +467,42 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  /** Benchmark-contamination measurement at n-gram grain: for every
+    * test/eval document, the fraction of its distinct `w`-word shingles
+    * that appear ANYWHERE in the training corpus. The per-SHINGLE
+    * generalization of [[decontaminate]]'s doc-level hash probe — the
+    * measure used to quantify train/test overlap when exact-duplicate
+    * checks miss paraphrased or partially-copied leakage.
+    *
+    * Scale shape: the training side collapses to a DISTINCT shingle set
+    * (term-keyed, map-side combined — never doc-pairs); the probe is a
+    * shingle-keyed LEFT SEMI join (Bloom-prunable at 100 TB); per-doc
+    * rollup is one count. Shuffle volume is O(distinct shingles), and
+    * the train side can be pre-bucketed by shingle for an exchange-free
+    * probe.
+    *
+    * @return (id, n_shingles, n_hit, contamination) — one row per test
+    *         doc; zero-shingle docs report contamination 0.0 */
+  def shingleContamination(
+      test: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, w: Int = 5): DataFrame = {
+    val trainSh = Par.ensureMapParallelism(train)
+      .select(explode(wordShingles(col(textCol), w)).as("sh")).distinct()
+    val testSh = Par.ensureMapParallelism(test)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), w).as("shs"))
+      .transform(graft.CacheScope.pin) // totals AND the hit probe read it
+    val totals = testSh
+      .select(col("id"), size(col("shs")).cast("long").as("n_shingles"))
+    val hits = testSh.select(col("id"), explode(col("shs")).as("sh"))
+      .join(trainSh, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_shingles") > 0,
+          rnd(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double"), 6))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
 }

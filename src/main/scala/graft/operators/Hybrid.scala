@@ -60,6 +60,79 @@ object Hybrid {
       .select("qid", "id", "hits", "tfsum", "rank")
   }
 
+  /** BM25 lexical ranking (Robertson et al.; the Lucene `1 +` idf
+    * variant, so idf stays positive for terms in over half the corpus).
+    *
+    * score(q, d) = Σ_{t ∈ distinct(q)} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), N = corpus size,
+    * dl = doc token count, avgdl = mean dl over the corpus.
+    *
+    * Engine-portability of the float path (why this can sit under the
+    * exact-hash oracle gate even though [[TextAnalysis.distinctiveTerms]]
+    * deliberately avoids float IDF): every *, /, +, − is IEEE-754
+    * correctly rounded, hence bit-identical across engines given
+    * bit-identical operands — measured, only `ln` differs, in ~0.05% of
+    * idf arguments and only by 1 ulp (~1e-16 relative). The two places
+    * that could surface such a difference are both rounded away: the
+    * final score is [[graft.functions.PortableMath.rnd]]'d to 6 decimals
+    * (quantum 1e-6 vs combined error ~1e-15), and the RANK is computed
+    * on the ROUNDED score — near-ties collapse to equal and fall to the
+    * integer id tie-break instead of flipping on a last-ulp difference.
+    * The same rounding-before-rank also absorbs float-sum reorder across
+    * engines/partitions (Σ over matched terms is the one
+    * order-dependent step).
+    *
+    * Scale shape: inverted-index equi-join on term (posting-list
+    * bounded, like [[lexicalTopK]]); df and corpus stats are
+    * term-keyed/scalar aggregates (map-side combined); the scalar
+    * (N, S) stats join is a literal broadcast; per-query top-k is a
+    * qid window (WindowGroupLimit prunes map-side).
+    *
+    * @param docs    (id, text)
+    * @param queries (qid, qtext)
+    * @return (qid, id, score, rank) — score already portable-rounded
+    */
+  def bm25TopK(
+      docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    val toked = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin) // tf, dl and corpus stats all read it
+    val dl = toked.select(col("id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toked
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.pin) // df derives from it AND joins back
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries.select(
+      col(qidCol).as("qid"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val dlRatio = col("dl").cast("double") /
+      (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val termScore = idf * (col("tf").cast("double") * lit(k1 + 1)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1 - b) + lit(b) * dlRatio))
+
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    qterms
+      .join(tf, Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("qid", "id")
+      .agg(graft.functions.PortableMath.rnd(sum(termScore), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "score", "rank")
+  }
+
   /** Reciprocal-rank fusion of named branch rankings.
     *
     * Each branch is (qid, id, rank); fused score =

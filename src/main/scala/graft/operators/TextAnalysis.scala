@@ -168,4 +168,41 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
       regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"),
       redactPii(col(textCol)).as("redacted_text"))
+
+  /** Corpus vocabulary head: the top-k terms by total frequency with
+    * document frequency and corpus-share — the Zipf-head report every
+    * training-data audit starts from (tokenizer coverage, stopword
+    * skew, boilerplate detection).
+    *
+    * Scale shape: explode → (id, term) partial-agg → term-keyed agg —
+    * two map-side-combined shuffles keyed by term; the global top-k is
+    * `orderBy(...).limit(k)`, which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + a k-row merge on the
+    * driver), NOT a single-partition global window — a million-term
+    * vocabulary never lands on one task. The rank column is then a
+    * window over just k rows. `share` = tf / total-token-count is one
+    * portable-rounded division; everything else is integer-exact.
+    *
+    * @return (term, tf, df, share, rnk), rnk 1..k by (tf desc, term) */
+  def vocabStats(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.pin) // term stats AND the total read it
+    val terms = tf.groupBy("term")
+      .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+      .transform(graft.CacheScope.pin) // top-k AND the total read it
+    val total = terms.agg(sum("tf").as("total_tf"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    terms
+      .orderBy(col("tf").desc, col("term")).limit(k) // TakeOrderedAndProject
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        graft.functions.PortableMath.rnd(
+          col("tf").cast("double") / col("total_tf").cast("double"), 6))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .select("term", "tf", "df", "share", "rnk")
+  }
 }

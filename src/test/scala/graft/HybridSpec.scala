@@ -106,4 +106,44 @@ class HybridSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(run(docs) === run(docs.repartition(7)))
   }
+
+  test("bm25TopK: hand-computed ordering — length norm and multi-term coverage") {
+    // avgdl = (3+4+2+3)/4 = 3; idf(banana) = idf(apple) (both df=2)
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple apple apple apple"),
+      (3L, "cherry banana"),
+      (4L, "unrelated words here")).toDF("id", "text")
+    // single term: d1 (tf=2, dl=3 → 4.4/3.2 = 1.375·idf) beats
+    // d3 (tf=1, dl=2 → 2.2/1.9 ≈ 1.158·idf): tf saturation still favors
+    // the doc with more occurrences at comparable length
+    val q1 = Seq((10L, "banana")).toDF("qid", "qtext")
+    val r1 = Hybrid.bm25TopK(docs, q1, k = 4).orderBy("rank").collect()
+    assert(r1.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
+    // two terms: d1 covers both (1.0 + 1.375 = 2.375·idf) and beats
+    // d2's saturated single term (tf=4 → 1.6·idf) — term coverage
+    // dominates raw repetition, the defining BM25 behavior
+    val q2 = Seq((11L, "apple banana")).toDF("qid", "qtext")
+    val r2 = Hybrid.bm25TopK(docs, q2, k = 4).orderBy("rank").collect()
+    assert(r2.head.getAs[Long]("id") == 1L)
+    assert(r2.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    // scores verified against the closed form (rounded to 6dp like the op)
+    // same expression shapes as the operator (k1+1 computed, not a 2.2
+    // literal — the two can differ in the last ulp)
+    val idf = math.log(1.0 + (4.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val d1 = r1.head.getAs[Double]("score")
+    assert(d1 == r6(idf * (2.0 * (1.2 + 1)) /
+        (2.0 + 1.2 * (0.25 + 0.75 * (3.0 / (12.0 / 4.0))))),
+      s"d1 banana score mismatch: $d1")
+  }
+
+  test("bm25TopK is deterministic under repartitioning") {
+    val docs = base.withColumnRenamed("doc_id", "id")
+    def run(d: DataFrame): Set[(Long, Long, Double, Long)] =
+      Hybrid.bm25TopK(d, queryDf, k = 10)
+        .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(run(docs) === run(docs.repartition(7)))
+  }
 }
