@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.GraftConf
-import graft.operators.{GraphBuild, Ingest, Knn}
+import graft.operators.{GraphBuild, Ingest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
@@ -59,14 +59,22 @@ object StreamingIngest {
       }
 
   /** One micro-batch of the ingest loop (factored out for direct batch
-    * testing — the semantics are identical by construction). */
+    * testing — the semantics are identical by construction).
+    *
+    * `retrieval` picks the KNN strategy for the edge-building stage,
+    * exactly as in [[graft.operators.Pipelines.submit]]: Brute is the
+    * reference contract; an ANN strategy makes the per-batch cost
+    * sub-linear in store size — on a stream that distinction COMPOUNDS,
+    * because the store grows monotonically and brute per-batch time
+    * grows with it (measured by [[StreamBench]]). */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
       batchId: Long,
       docsDir: String,
       edgesDir: String,
-      conf: GraftConf): Unit = {
+      conf: GraftConf,
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Brute): Unit = {
     // probe through the Hadoop FileSystem API, not java.io.File: the
     // store dir can live on any supported filesystem (HDFS/S3/...) where
     // a local-FS check would always say "absent" and silently skip the
@@ -101,7 +109,7 @@ object StreamingIngest {
       val queries = delta.select(
         col("id").as("qid"), col("mtype").as("qtype"),
         col("embedding").as("qvec"), col("seq"))
-      val knn = Knn.search(docs, queries.drop("seq"), conf.submitK, conf)
+      val knn = retrieval.topK(docs, queries.drop("seq"), conf.submitK, conf)
         .join(queries.select("qid", "qtype", "seq"), Seq("qid"))
       GraphBuild.edgeDelta(knn, conf)
         .write.mode("append").parquet(edgesDir)
