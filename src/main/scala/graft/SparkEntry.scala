@@ -1095,6 +1095,16 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id", "rnk")
 
+  /** ANN-blocked embedding near-dup (q78): the 100 TB form of q22 —
+    * multi-table LSH buckets as the blocking key instead of a metadata
+    * block, exact cosine + threshold on the candidates. */
+  private def nearDupEmbeddingAnnQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupEmbeddingAnn(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nPlanes = 4, nTables = 8, threshold = 0.35)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id_a", "id_b")
+
   // ---- the registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1141,6 +1151,7 @@ object SparkEntry {
           Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
         .transform(graft.CacheScope.pin)
         .orderBy("id_a", "id_b")),
+    "q78_neardup_embedding_ann" -> ((s, d) => nearDupEmbeddingAnnQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -2066,6 +2077,28 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN _rn = 1 THEN ntok ELSE 0 END) AS BIGINT) AS tokens_unique
          |FROM t GROUP BY source
          |ORDER BY source""".stripMargin,
+    "q78_neardup_embedding_ann" -> {
+      // Mirror of Dedup.nearDupEmbeddingAnn(dim=64, 4 planes × 8
+      // tables, threshold 0.35): same OR-construction bucket tagging as
+      // the q29/q67/q69 mirrors, self-joined; cosine rounded before the
+      // threshold and before the pair dedup (cos is a pure function of
+      // the pair, so DISTINCT over (id_a, id_b, cos) is deterministic).
+      val (dim, nPlanes, nTables) = (64, 4, 8)
+      val tagged = (0 until nTables).map(t =>
+        s"""  SELECT id, embedding,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", dim, nPlanes, t)} AS bucket
+           |  FROM e""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+         |tagged AS (
+         |$tagged),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         ${rnd6(dot("a.embedding", "b.embedding"))} AS cos
+         |  FROM tagged a JOIN tagged b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+         |SELECT DISTINCT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q77_distinctive_terms" ->
       // Mirror of TextAnalysis.distinctiveTerms(k=3): integer-only
       // (tf desc, df asc, term) ranking.

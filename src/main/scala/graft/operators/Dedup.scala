@@ -468,6 +468,41 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  /** Embedding near-dup with multi-table LSH as the BLOCKING key — the
+    * 100 TB form of [[nearDupEmbedding]]: candidate pairs are docs
+    * sharing a hyperplane-LSH bucket in ANY of `nTables` plane families
+    * (the [[Ann.topKMultiTable]] OR-construction, self-joined), scored
+    * exactly, thresholded. Approximate by design: a true near-pair
+    * landing in no shared bucket is missed with probability
+    * (1-p^nPlanes)^nTables, p = 1 - angle/π — near-dup pairs have p ≈ 1,
+    * which is exactly where the construction's recall concentrates.
+    *
+    * Scale shape: the self-join is an equi-join on (table, bucket) —
+    * cost Σ_buckets size², sublinear on clustered data (AnnRecallSpec:
+    * candidate fraction 0.078 on the clustered corpus) and never the
+    * all-pairs product; scoring happens BEFORE the pair dedup so the
+    * (id_a, id_b) shuffle carries one double, not two dim-float vectors
+    * (same argument as [[Ann.topKMultiTable]]).
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b, cos rounded, >= threshold */
+  def nearDupEmbeddingAnn(
+      docs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, nTables: Int, threshold: Double): DataFrame = {
+    def buckets(vec: Column) = array(
+      (0 until nTables).map(t => Ann.lshBucketT(vec, dim, nPlanes, t)): _*)
+    val tagged = docs
+      .select(col(idCol).as("id"), col(vecCol).as("embedding"),
+        posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket")))
+      .transform(graft.CacheScope.pin) // both sides of the self-join
+    tagged.as("a").join(tagged.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        rnd(dotProduct(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b") // same pair from several tables
+  }
+
   /** Benchmark-contamination measurement at n-gram grain: for every
     * test/eval document, the fraction of its distinct `w`-word shingles
     * that appear ANYWHERE in the training corpus. The per-SHINGLE

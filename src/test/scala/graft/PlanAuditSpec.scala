@@ -235,4 +235,27 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("q71 BM25: inverted-index equi-joins; the only non-keyed join is the 1-row stats broadcast") {
+    val p = planString(SparkEntry.queries("q71_bm25")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"posting joins degraded to all-pairs:\n$p")
+    // the (N, avgdl) scalar-stats join IS a BroadcastNestedLoopJoin — of
+    // exactly ONE aggregate row, which is scale-free. Anything beyond
+    // that single node means a posting-list join lost its key.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"found $bnlj BNLJ nodes; only the 1-row stats join is allowed:\n$p")
+  }
+
+  test("q78 ANN near-dup: blocking self-join is a hash join on (table, bucket)") {
+    val p = planString(SparkEntry.queries("q78_neardup_embedding_ann")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the candidate self-join must be bucket-keyed, never all-pairs:\n$p")
+  }
+
+  test("q73 contamination: train-set probe plans as a LEFT SEMI hash join") {
+    val p = planString(SparkEntry.queries("q73_shingle_contamination")(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"the shingle probe must be a semi join (never materializes matches):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
