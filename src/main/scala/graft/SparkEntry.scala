@@ -1095,6 +1095,31 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id", "rnk")
 
+  /** End-to-end curation pipeline (q79): the full pre-training data
+    * path as ONE composed plan — plant duplicates (q21's id-shift
+    * device) → quality-gate (q20's metrics) → exact-dedup keepers →
+    * reproducible 50% hash sample (q53's device) → 256-token packing
+    * manifest (q72). Every stage is an already-oracle-gated operator;
+    * this query proves they COMPOSE under the hash gate, which is what
+    * a real pipeline does — no intermediate materialization, one
+    * Catalyst plan end-to-end. */
+  private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val all = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val quality = TextAnalysis.analyze(all, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("quality"))
+    val qualified = all.join(quality, Seq("doc_id"))
+      .filter(col("quality") >= 0.5)
+      .select("doc_id", "text")
+    val kept = Dedup.dedupExact(qualified, "doc_id", "text")
+    val sampled = Curation.sampleByHash(kept, "doc_id", permille = 500)
+    Packing.packManifest(sampled, "doc_id", tokenCount(col("text")), binSize = 256)
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id", "bin")
+  }
+
   /** ANN-blocked embedding near-dup (q78): the 100 TB form of q22 —
     * multi-table LSH buckets as the blocking key instead of a metadata
     * block, exact cosine + threshold on the candidates. */
@@ -1152,6 +1177,7 @@ object SparkEntry {
         .transform(graft.CacheScope.pin)
         .orderBy("id_a", "id_b")),
     "q78_neardup_embedding_ann" -> ((s, d) => nearDupEmbeddingAnnQ(s, d)),
+    "q79_curation_pipeline" -> ((s, d) => curationPipeline(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -1341,6 +1367,29 @@ object SparkEntry {
   private val sqlSubmitCtes: String =
     s"""$sqlSubmitBase,
        |${knnChain("s", 10)}""".stripMargin
+
+  /** Mirror of Packing.packManifest(binSize=256)'s tail over a `tok`
+    * CTE carrying (doc_id, toks): exact integer prefix sum in doc_id
+    * order, bin explode via floor-of-double-division, segments clipped
+    * to bin boundaries. DuckDB range() is end-exclusive where Spark
+    * sequence() is inclusive — hence the +1. Shared by q72 and q79. */
+  private val sqlPackTail: String =
+    s"""wts AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS w
+       |        FROM tok WHERE len(toks) > 0),
+       |cum AS (SELECT doc_id, w,
+       |  CAST(sum(w) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+       |  FROM wts),
+       |seg AS (SELECT doc_id, w, cend - w AS cs, cend,
+       |  unnest(range(
+       |    CAST(floor(CAST(cend - w AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT),
+       |    CAST(floor(CAST(cend - 1 AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT) + 1)) AS bin
+       |  FROM cum)
+       |SELECT doc_id, w AS n_tokens, bin,
+       |  greatest(cs, bin * 256) - (bin * 256) AS bin_offset,
+       |  least(cend, (bin + 1) * 256) - greatest(cs, bin * 256) AS seg_len
+       |FROM seg
+       |ORDER BY doc_id, bin""".stripMargin
 
   /** Mirror of GraphExpand.expandAll/expandAllCheckpointed at depth 2
     * over the embeddings KNN graph — shared verbatim by q19 and q76
@@ -2004,24 +2053,35 @@ object SparkEntry {
       // Mirror of Packing.packManifest(binSize=256): exact integer
       // prefix sum in doc_id order; bin ids via the same floor-of-
       // double-division idiv; DuckDB range() is end-exclusive where
-      // Spark sequence() is inclusive, hence the +1.
+      // Spark sequence() is inclusive, hence the +1 (in sqlPackTail).
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |wts AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS w
-         |        FROM tok WHERE len(toks) > 0),
-         |cum AS (SELECT doc_id, w,
-         |  CAST(sum(w) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
-         |  FROM wts),
-         |seg AS (SELECT doc_id, w, cend - w AS cs, cend,
-         |  unnest(range(
-         |    CAST(floor(CAST(cend - w AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT),
-         |    CAST(floor(CAST(cend - 1 AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT) + 1)) AS bin
-         |  FROM cum)
-         |SELECT doc_id, w AS n_tokens, bin,
-         |  greatest(cs, bin * 256) - (bin * 256) AS bin_offset,
-         |  least(cend, (bin + 1) * 256) - greatest(cs, bin * 256) AS seg_len
-         |FROM seg
-         |ORDER BY doc_id, bin""".stripMargin,
+         |$sqlPackTail""".stripMargin,
+    "q79_curation_pipeline" ->
+      // Mirror of the composed curation pipeline: q21's planted dups →
+      // q20's quality metrics as the gate (rounded before the
+      // threshold, same as the Spark side) → exact-dedup keepers →
+      // q53's hash-sample predicate → q72's packing tail, one statement.
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |t AS (SELECT doc_id, text, $sqlToks AS toks FROM all_docs),
+         |m AS (SELECT doc_id, text, toks,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(toks, x -> list_contains($sqlStopwords, x))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) END AS sw_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(text) AS DOUBLE) END AS p_ratio
+         |  FROM t),
+         |qual AS (SELECT doc_id, text, toks FROM m
+         |         WHERE ${sqlRnd(sqlQuality, 6)} >= 0.5),
+         |kept AS (SELECT doc_id, toks FROM (
+         |    SELECT doc_id, toks,
+         |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS _rn
+         |    FROM qual) WHERE _rn = 1),
+         |tok AS (SELECT doc_id, toks FROM kept
+         |        WHERE ${hash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500),
+         |$sqlPackTail""".stripMargin,
     "q73_shingle_contamination" ->
       // Mirror of Dedup.shingleContamination(w=5) over the planted
       // test split (own 100-char prefix + train neighbor's prefix).
