@@ -1095,6 +1095,26 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id", "rnk")
 
+  /** Per-source token budgets for q80 — shared by the Spark query and
+    * the oracle's CASE mirror so the two can never drift. Three budget
+    * tiers (truncating / generous / tiny) plus five unlisted sources
+    * (contribute nothing) so every branch of the semantics is live. */
+  private val mixtureBudgets: Seq[(String, Long)] =
+    ((0 to 4).map(i => s"src$i" -> 600L) ++
+      (5 to 9).map(i => s"src$i" -> 2000L) ++
+      (10 to 14).map(i => s"src$i" -> 100L)).toSeq
+
+  /** Token-budgeted mixture sampling (q80): each source contributes
+    * docs in hash order until its token budget is spent — the data
+    * "mixing weights" step of a pre-training pipeline. */
+  private def budgetedMixtureQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    Curation.budgetedMixture(Tables.documents(s, dir), "doc_id", "source",
+        tokenCount(col("text")), mixtureBudgets.toMap)
+      .transform(graft.CacheScope.pin)
+      .orderBy("source", "id")
+  }
+
   /** End-to-end curation pipeline (q79): the full pre-training data
     * path as ONE composed plan — plant duplicates (q21's id-shift
     * device) → quality-gate (q20's metrics) → exact-dedup keepers →
@@ -1178,6 +1198,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "q78_neardup_embedding_ann" -> ((s, d) => nearDupEmbeddingAnnQ(s, d)),
     "q79_curation_pipeline" -> ((s, d) => curationPipeline(s, d)),
+    "q80_budgeted_mixture" -> ((s, d) => budgetedMixtureQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -2158,6 +2179,26 @@ object SparkEntry {
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
          |SELECT DISTINCT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q80_budgeted_mixture" -> {
+      // Mirror of Curation.budgetedMixture: per-source hash-order
+      // cumsum, take-while under the CASE budget (generated from the
+      // same mixtureBudgets the Spark side uses — cannot drift).
+      val cases = mixtureBudgets
+        .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT source, doc_id AS id,
+         |         CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |         ${hash60("CAST(doc_id AS VARCHAR)")} % 1000 AS hs
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hs, id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT source, id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= CASE source $cases ELSE 0 END
+         |ORDER BY source, id""".stripMargin
     },
     "q77_distinctive_terms" ->
       // Mirror of TextAnalysis.distinctiveTerms(k=3): integer-only

@@ -99,4 +99,40 @@ object Curation {
       .filter(col("_rn") <= quota)
       .drop("_rn")
   }
+
+  /** Data-mixture sampling under per-source TOKEN budgets — the "mixing
+    * weights" step of a pre-training pipeline: each source contributes
+    * documents, in deterministic hash order, until its token budget is
+    * exhausted (take-while cumulative-tokens ≤ budget; the first
+    * over-budget doc and everything after it are dropped). Hash order —
+    * not id order — so the kept prefix is an unbiased sample of the
+    * source, and identical under any partitioning.
+    *
+    * Scale shape: one shuffle on the source key + a per-source window
+    * cumsum. Per-source sequential prefix sums are inherent to budget
+    * semantics; parallelism comes from the source COUNT (real mixtures
+    * have thousands of domains). A single pathologically-huge source
+    * generalizes via the [[Packing.packManifest]] distributed
+    * prefix-sum construction, same as [[weightedSystematicSample]].
+    *
+    * @param budgets token budget per source value; unlisted sources
+    *                contribute nothing
+    * @return (source, id, n_tokens, cum_tokens) for kept rows */
+  def budgetedMixture(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, budgets: Map[String, Long]): DataFrame = {
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(hashScore(col("id")), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col(sourceCol).as("source"), col(idCol).as("id"),
+        tokenCount.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("source", "id", "n_tokens", "cum_tokens")
+  }
 }

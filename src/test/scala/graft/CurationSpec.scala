@@ -42,6 +42,39 @@ class CurationSpec extends SparkSpec {
       s"quota filter should prune map-side:\n$p")
   }
 
+  test("budgetedMixture: budgets respected, unlisted sources dropped, deterministic, maximal") {
+    import graft.functions.TextFunctions.tokenCount
+    // 30 docs over 3 sources; doc i carries (i % 7 + 1) tokens
+    val docs = (1 to 30)
+      .map(i => (i.toLong, s"src${i % 3}", ("w " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    val budgets = Map("src0" -> 10L, "src1" -> 5L) // src2 unlisted
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.budgetedMixture(
+        d, "doc_id", "source", tokenCount(col("text")), budgets)
+    val rows = run(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    // unlisted source contributes nothing
+    assert(!rows.exists(_._1 == "src2"))
+    // per-source token totals stay within budget, and something is kept
+    val bySource = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (s, tot) =>
+      assert(tot <= budgets(s), s"$s over budget: $tot > ${budgets(s)}") }
+    // maximal prefix: each source's docs sum to more than its budget
+    // (10 docs × ≥1 token ≥ 10 > 5), so every listed source must have
+    // dropped docs — and the last kept cum must equal the source total
+    assert(rows.groupBy(_._1).forall { case (s, rs) => rs.length < 10 })
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.map(_._4).max == bySource(s)) }
+    // identical set under repartitioning (hash order, not physical order)
+    val again = run(docs.repartition(7)).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    assert(rows.toSet == again.toSet)
+  }
+
   test("weighted systematic sample: PPS invariants + partitioning independence") {
     val weighted = (1L to 400L).map(i => (i, 1L + (i * 7) % 50))
       .toDF("id", "w")
