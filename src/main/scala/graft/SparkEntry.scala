@@ -1095,6 +1095,48 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id", "rnk")
 
+  /** Linear score fusion (q82): 0.5·BM25 + 0.5·vector over per-query
+    * min-max-normalized scores — the magnitude-preserving counterpart
+    * of q69's rank-only RRF, same branches and query construction. */
+  private def linearFusionQ(s: SparkSession, dir: String): DataFrame = {
+    val dim = 16
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val queries = base.filter(col("doc_id") % 97 === 0).select(
+      col("doc_id").as("qid"),
+      concat(lit("find "), substring(col("text"), 1, 40)).as("qtext"))
+      .transform(graft.CacheScope.pin) // feeds both branches
+    val lex = Hybrid.bm25TopK(
+        base.withColumnRenamed("doc_id", "id"), queries, k = 20)
+      .select("qid", "id", "score")
+    val docsE = base.select(col("doc_id").as("id"),
+      Embed.embedText(col("text"), dim).as("embedding"))
+    val queriesE = queries.select(col("qid"),
+      Embed.embedText(col("qtext"), dim).as("qvec"))
+    val vec = Ann.topKMultiTable(docsE, queriesE, k = 20,
+        dim = dim, nPlanes = 4, nTables = 8)
+      .select(col("qid"), col("id"), col("sim").as("score"))
+    Hybrid.linearFusion(Seq(("lex", lex, 0.5), ("vec", vec, 0.5)), k = 10)
+      .select(col("qid"), col("id"), col("lex_norm"), col("vec_norm"),
+        col("fused"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Fixed-point PageRank over the semantic KNN graph (q81): authority
+    * scores in integer nanorank over the same symmetric edge set q19
+    * expands — the importance signal for ranking/crawl-frontier use.
+    * 5 iterations; the oracle unrolls the identical integer recurrence
+    * (float PageRank could never sit under the hash gate — see
+    * [[GraphAlgos.pageRankFixedPoint]]). */
+  private def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val knn = knnWithQtype(s, dir)
+    val sym = GraphBuild.symmetric(knnEdges(knn))
+      .select(col("u").as("src"), col("v").as("dst"))
+    GraphAlgos.pageRankFixedPoint(sym, iters = 5)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
   /** Per-source token budgets for q80 — shared by the Spark query and
     * the oracle's CASE mirror so the two can never drift. Three budget
     * tiers (truncating / generous / tiny) plus five unlisted sources
@@ -1199,6 +1241,7 @@ object SparkEntry {
     "q78_neardup_embedding_ann" -> ((s, d) => nearDupEmbeddingAnnQ(s, d)),
     "q79_curation_pipeline" -> ((s, d) => curationPipeline(s, d)),
     "q80_budgeted_mixture" -> ((s, d) => budgetedMixtureQ(s, d)),
+    "q81_pagerank" -> ((s, d) => pageRankQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -1237,6 +1280,7 @@ object SparkEntry {
     "q68_ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "q69_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q71_bm25" -> ((s, d) => bm25Retrieval(s, d)),
+    "q82_linear_fusion" -> ((s, d) => linearFusionQ(s, d)),
     "q72_pack_manifest" -> ((s, d) => packManifestQ(s, d)),
     "q73_shingle_contamination" -> ((s, d) => shingleContaminationQ(s, d)),
     "q74_vocab_stats" -> ((s, d) => vocabStatsQ(s, d)),
@@ -1388,6 +1432,51 @@ object SparkEntry {
   private val sqlSubmitCtes: String =
     s"""$sqlSubmitBase,
        |${knnChain("s", 10)}""".stripMargin
+
+  /** Mirror of Hybrid.bm25TopK over the documents corpus with the q69
+    * query construction (every 97th doc's prefix), ending in
+    * `bmfin`(qid, id, score, rnk) with rnk UNBOUNDED — consumers apply
+    * their own depth filter. Shared by q71 (k=10) and q82 (k=20).
+    *
+    * The two non-exactly-representable constants (k1 and k1+1) are
+    * interpolated from the SAME JVM doubles the Spark plan uses and
+    * round-tripped through a string cast — Double.toString emits the
+    * shortest representation that parses back to the identical bits, so
+    * both engines multiply by bit-equal constants. All remaining
+    * constants (0.5, 0.25, 0.75, 1.0) are exact binary fractions.
+    * Rank is computed on the portable-ROUNDED score on both sides (see
+    * the operator's scaladoc for the ulp argument). */
+  private val sqlBm25Ctes: String = {
+    val c22 = s"CAST('${1.2 + 1}' AS DOUBLE)"
+    val c12 = s"CAST('${1.2}' AS DOUBLE)"
+    val term =
+      s"(ln(1.0 + ((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5) " +
+        s"/ (CAST(df.df AS DOUBLE) + 0.5)) " +
+        s"* (CAST(tf.tf AS DOUBLE) * $c22)) " +
+        s"/ (CAST(tf.tf AS DOUBLE) + $c12 * (0.25 + 0.75 * " +
+        s"(CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))"
+    s"""tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+       |dl AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (SELECT id, term, count(*) AS tf
+       |       FROM (SELECT id, unnest(toks) AS term FROM tok) GROUP BY id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qq AS (SELECT doc_id AS qid, concat('find ', substr(text, 1, 40)) AS qtext
+       |       FROM documents WHERE doc_id % 97 = 0),
+       |qterms AS (SELECT qid, unnest(list_distinct(${toksOf("qtext")})) AS term FROM qq),
+       |bmscored AS (
+       |  SELECT qt.qid, tf.id, ${sqlRnd(s"sum($term)", 6)} AS score
+       |  FROM qterms qt
+       |  JOIN tf ON qt.term = tf.term
+       |  JOIN dfreq df ON tf.term = df.term
+       |  JOIN dl ON tf.id = dl.id
+       |  CROSS JOIN stats st
+       |  GROUP BY qt.qid, tf.id),
+       |bmfin AS (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+       |  FROM bmscored)""".stripMargin
+  }
 
   /** Mirror of Packing.packManifest(binSize=256)'s tail over a `tok`
     * CTE carrying (doc_id, toks): exact integer prefix sum in doc_id
@@ -2028,46 +2117,65 @@ object SparkEntry {
          |FROM fin WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin
     },
-    "q71_bm25" -> {
-      // Mirror of Hybrid.bm25TopK (k1=1.2, b=0.75, Lucene `1 +` idf).
-      // The two non-exactly-representable constants (k1 and k1+1) are
-      // interpolated from the SAME JVM doubles the Spark plan uses and
-      // round-tripped through a string cast — Double.toString emits the
-      // shortest representation that parses back to the identical bits,
-      // so both engines multiply by bit-equal constants. All remaining
-      // constants (0.5, 0.25, 0.75, 1.0) are exact binary fractions.
-      // Rank is computed on the portable-ROUNDED score on both sides
-      // (see the operator's scaladoc for the ulp argument).
-      val c22 = s"CAST('${1.2 + 1}' AS DOUBLE)"
-      val c12 = s"CAST('${1.2}' AS DOUBLE)"
-      val term =
-        s"(ln(1.0 + ((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5) " +
-          s"/ (CAST(df.df AS DOUBLE) + 0.5)) " +
-          s"* (CAST(tf.tf AS DOUBLE) * $c22)) " +
-          s"/ (CAST(tf.tf AS DOUBLE) + $c12 * (0.25 + 0.75 * " +
-          s"(CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))"
-      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
-         |dl AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
-         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-         |tf AS (SELECT id, term, count(*) AS tf
-         |       FROM (SELECT id, unnest(toks) AS term FROM tok) GROUP BY id, term),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |qq AS (SELECT doc_id AS qid, concat('find ', substr(text, 1, 40)) AS qtext
-         |       FROM documents WHERE doc_id % 97 = 0),
-         |qterms AS (SELECT qid, unnest(list_distinct(${toksOf("qtext")})) AS term FROM qq),
-         |scored AS (
-         |  SELECT qt.qid, tf.id, ${sqlRnd(s"sum($term)", 6)} AS score
-         |  FROM qterms qt
-         |  JOIN tf ON qt.term = tf.term
-         |  JOIN dfreq df ON tf.term = df.term
-         |  JOIN dl ON tf.id = dl.id
-         |  CROSS JOIN stats st
-         |  GROUP BY qt.qid, tf.id),
-         |fin AS (
-         |  SELECT qid, id, score,
-         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
-         |  FROM scored)
-         |SELECT qid, id, score, rnk FROM fin WHERE rnk <= 10
+    "q71_bm25" ->
+      s"""WITH $sqlBm25Ctes
+         |SELECT qid, id, score, rnk FROM bmfin WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+    "q82_linear_fusion" -> {
+      // Mirror of Hybrid.linearFusion(0.5·bm25 + 0.5·vector): per-query
+      // min-max normalization per branch (all-tied → 1.0), missing-
+      // branch docs contribute 0, fused score rounded BEFORE ranking
+      // (the q71 ulp argument). The vector branch is the q69 multi-
+      // table construction; the lexical branch reuses the shared BM25
+      // CTEs at depth 20.
+      val (dim, nPlanes, nTables) = (16, 4, 8)
+      val ad = (0 until nTables).map(t =>
+        s"""  SELECT id, embedding,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", dim, nPlanes, t)} AS bucket
+           |  FROM demb""".stripMargin).mkString("\n  UNION ALL\n")
+      val aq = (0 until nTables).map(t =>
+        s"""  SELECT qid, embedding AS qvec,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", dim, nPlanes, t)} AS bucket
+           |  FROM qeemb""".stripMargin).mkString("\n  UNION ALL\n")
+      def mm(s: String) =
+        s"CASE WHEN max($s) OVER (PARTITION BY qid) = min($s) OVER (PARTITION BY qid) THEN 1.0 " +
+          s"ELSE ($s - min($s) OVER (PARTITION BY qid)) " +
+          s"/ (max($s) OVER (PARTITION BY qid) - min($s) OVER (PARTITION BY qid)) END"
+      s"""WITH $sqlBm25Ctes,
+         |lex20 AS (SELECT qid, id, score FROM bmfin WHERE rnk <= 20),
+         |lexn AS (SELECT qid, id, ${mm("score")} AS lex_norm FROM lex20),
+         |d0 AS (SELECT doc_id AS id, text FROM documents),
+         |qe0 AS (SELECT doc_id AS qid, concat('find ', substr(text, 1, 40)) AS qtext
+         |        FROM documents WHERE doc_id % 97 = 0),
+         |${embedCte("d", "d0", "id", "text", dim)},
+         |${embedCte("qe", "qe0", "qid", "qtext", dim)},
+         |ad AS (
+         |$ad),
+         |aq AS (
+         |$aq),
+         |cand AS (
+         |  SELECT DISTINCT aq.qid, aq.qvec, ad.id, ad.embedding
+         |  FROM aq JOIN ad ON aq.tbl = ad.tbl AND aq.bucket = ad.bucket),
+         |vwr AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS vec_rnk
+         |  FROM (SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM cand)),
+         |vec20 AS (SELECT qid, id, sim AS score FROM vwr WHERE vec_rnk <= 20),
+         |vecn AS (SELECT qid, id, ${mm("score")} AS vec_norm FROM vec20),
+         |fj AS (
+         |  SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.id, v.id) AS id,
+         |         l.lex_norm, v.vec_norm,
+         |         CAST(0.5 AS DOUBLE) * coalesce(l.lex_norm, CAST(0.0 AS DOUBLE)) +
+         |         CAST(0.5 AS DOUBLE) * coalesce(v.vec_norm, CAST(0.0 AS DOUBLE)) AS fraw
+         |  FROM lexn l FULL OUTER JOIN vecn v ON l.qid = v.qid AND l.id = v.id),
+         |ffin AS (
+         |  SELECT qid, id,
+         |    ${rnd6("coalesce(lex_norm, CAST(0.0 AS DOUBLE))")} AS lex_norm,
+         |    ${rnd6("coalesce(vec_norm, CAST(0.0 AS DOUBLE))")} AS vec_norm,
+         |    ${rnd6("fraw")} AS fused,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ${rnd6("fraw")} DESC, id) AS rnk
+         |  FROM fj)
+         |SELECT qid, id, lex_norm, vec_norm, fused, rnk FROM ffin WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin
     },
     "q72_pack_manifest" ->
@@ -2179,6 +2287,40 @@ object SparkEntry {
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
          |SELECT DISTINCT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q81_pagerank" -> {
+      // Mirror of GraphAlgos.pageRankFixedPoint(iters=5, damping 850‰)
+      // over q19's symmetric KNN edge set: the SAME integer recurrence
+      // unrolled — per-edge share = floor(rank/odeg) (double division of
+      // exact integers, same as Spark's Column `/`), damped in-sum =
+      // floor(insum*850/1000), base = the Scala-computed constant. All
+      // sums are integer, hence order-free — the reason this operator
+      // is fixed-point (a float PageRank diverges in the last ulp
+      // across engines and compounds over iterations).
+      val unit = 1000000000L
+      val base = unit - unit * 850 / 1000 // same Scala arithmetic as the operator
+      val iterCtes = (1 to 5).map { k =>
+        s"""c$k AS (
+           |  SELECT e.v AS id,
+           |    CAST(floor(CAST(r.nanorank AS DOUBLE) / CAST(o.odeg AS DOUBLE)) AS BIGINT) AS share
+           |  FROM r${k - 1} r JOIN odeg o ON r.id = o.src JOIN gsym e ON e.u = r.id),
+           |i$k AS (SELECT id, CAST(sum(share) AS BIGINT) AS insum FROM c$k GROUP BY id),
+           |r$k AS (
+           |  SELECT n.id, $base +
+           |    CAST(floor(CAST(coalesce(i.insum, 0) * 850 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT)
+           |    AS nanorank
+           |  FROM nodes n LEFT JOIN i$k i ON n.id = i.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |nodes AS (SELECT DISTINCT u AS id FROM gsym),
+         |odeg AS (SELECT u AS src, count(*) AS odeg FROM gsym GROUP BY u),
+         |r0 AS (SELECT id, CAST($unit AS BIGINT) AS nanorank FROM nodes),
+         |$iterCtes
+         |SELECT id, nanorank FROM r5
+         |ORDER BY id""".stripMargin
     },
     "q80_budgeted_mixture" -> {
       // Mirror of Curation.budgetedMixture: per-source hash-order

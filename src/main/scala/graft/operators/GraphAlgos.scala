@@ -75,4 +75,61 @@ object GraphAlgos {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")), maxIter)
       .select(col("id"), col("component").as("keeper"),
         (col("id") === col("component")).as("is_keeper"))
+
+  /** PageRank in FIXED-POINT integer arithmetic — authority scoring for
+    * the semantic graph (importance-weighted retrieval, crawl-frontier
+    * prioritization), built determinism-first.
+    *
+    * Why fixed-point: float PageRank sums neighbor contributions, and
+    * float addition is order-dependent — across engines (or even across
+    * partitionings) the last ulp differs, the difference compounds over
+    * iterations, and no final rounding can repair intermediate
+    * divergence, so an exact-hash oracle would be unsound. Integer
+    * sums are exact and order-free: ranks live in units of 1e-9
+    * ("nanorank", Long — a rank mass of N×1e9 for N up to ~2^33 nodes
+    * fits with headroom), per-edge contribution is rank DIV out-degree
+    * (remainder deliberately dropped — documented leak, identical on
+    * both sides), and damping is (850 × sum) DIV 1000. Every op is
+    * integer multiply/divide/sum, bit-identical on any engine; the
+    * mirror unrolls the same fixed iteration count (same idea as
+    * [[connectedComponents]]'s q48 oracle).
+    *
+    * Scale shape: per iteration one join of ranks against the out-edge
+    * list + one sum-by-dst — both shuffle on node id (bucketing by id
+    * makes supersteps exchange-free); `localCheckpoint` per superstep
+    * truncates lineage (mandatory for iterative DataFrames). Dangling
+    * nodes (no out-edges) leak their mass like the dropped remainders —
+    * the standard simplification; redistribute if sums must be
+    * conserved.
+    *
+    * @param edges directed (src, dst) pairs
+    * @param iters fixed iteration count (mirror must unroll the same)
+    * @return (id, nanorank) — Long fixed-point rank per node */
+  def pageRankFixedPoint(
+      edges: DataFrame, iters: Int = 5, dampingPermille: Int = 850): DataFrame = {
+    require(iters >= 0 && dampingPermille >= 0 && dampingPermille <= 1000)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint()
+    val unit = 1000000000L // 1.0 of rank mass in nanorank
+    val d = dampingPermille.toLong
+    var ranks = nodes.withColumn("nanorank", lit(unit)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(outDeg, col("id") === col("src"))
+        .join(e, Seq("src"))
+        // integer division: per-edge share in nanorank; remainder drops
+        .select(col("dst").as("id"),
+          floor(col("nanorank") / col("odeg")).cast("long").as("share"))
+        .groupBy("id").agg(sum(col("share")).as("insum"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(unit - unit * d / 1000) +
+            floor(coalesce(col("insum"), lit(0L)) * d / lit(1000L)).cast("long"))
+            .as("nanorank"))
+        .localCheckpoint() // truncate lineage per superstep
+    }
+    ranks
+  }
 }

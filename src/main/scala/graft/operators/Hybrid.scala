@@ -133,6 +133,55 @@ object Hybrid {
       .select("qid", "id", "score", "rank")
   }
 
+  /** Weighted linear fusion over per-query MIN-MAX-normalized scores —
+    * the other standard hybrid baseline next to [[rrf]]: where RRF uses
+    * only ranks (robust, calibration-free), linear fusion preserves
+    * score MAGNITUDE — a doc that wins its branch by a mile outranks
+    * one that wins by a hair, which rank-only fusion cannot express.
+    *
+    * Per branch and query: norm = (s − min)/(max − min) over that
+    * query's branch candidates; the degenerate all-tied case (max =
+    * min) normalizes to 1.0 — every candidate IS the branch maximum.
+    * A doc missing from a branch contributes 0. Fused score =
+    * Σ wᵢ·normᵢ, portable-rounded BEFORE ranking (same last-ulp
+    * argument as [[bm25TopK]] — the normalizing division is one IEEE
+    * op on bit-identical operands, but rounding-before-rank also
+    * absorbs any branch whose scores carry accumulated float error).
+    *
+    * Scale shape: per-branch window min/max over ≤ branch-k rows per
+    * query, then a (qid, id)-keyed outer join of already-small top-k
+    * sets — same join geometry as [[rrf]].
+    *
+    * @param branches (name, ranking (qid, id, score), weight)
+    * @return (qid, id, <name>_norm…, fused, rank) */
+  def linearFusion(
+      branches: Seq[(String, DataFrame, Double)], k: Int): DataFrame = {
+    require(branches.nonEmpty)
+    val normed = branches.map { case (name, df, _) =>
+      val w = Window.partitionBy("qid")
+      df.select(col("qid"), col("id"),
+        when(max(col("score")).over(w) === min(col("score")).over(w), lit(1.0))
+          .otherwise((col("score") - min(col("score")).over(w)) /
+            (max(col("score")).over(w) - min(col("score")).over(w)))
+          .as(s"${name}_norm"))
+    }
+    val joined = normed.reduce((a, b) => a.join(b, Seq("qid", "id"), "full_outer"))
+    val fused: Column = branches.map { case (name, _, weight) =>
+      lit(weight) * coalesce(col(s"${name}_norm"), lit(0.0))
+    }.reduce(_ + _)
+    val wRank = Window.partitionBy("qid").orderBy(col("fused").desc, col("id"))
+    val normCols = branches.map { case (name, _, _) =>
+      graft.functions.PortableMath.rnd(
+        coalesce(col(s"${name}_norm"), lit(0.0)), 6).as(s"${name}_norm")
+    }
+    joined
+      .withColumn("fused", graft.functions.PortableMath.rnd(fused, 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(Seq(col("qid"), col("id")) ++ normCols ++
+        Seq(col("fused"), col("rank")): _*)
+  }
+
   /** Reciprocal-rank fusion of named branch rankings.
     *
     * Each branch is (qid, id, rank); fused score =

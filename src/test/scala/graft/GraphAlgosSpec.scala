@@ -57,4 +57,22 @@ class GraphAlgosSpec extends SparkSpec {
     assert(clusters.values.toSet == Set("1"))
     assert(clusters.keySet == Set("1", "2", "3"))
   }
+
+  test("pageRankFixedPoint: hand-computed integer recurrence; 2-cycle is a fixed point") {
+    // a→b, b→a, c→b; odeg all 1; unit 1e9, base 150000000
+    // iter1: insum a=1e9, b=2e9, c=0 → r1 a=1e9, b=1.85e9, c=0.15e9
+    // iter2: insum a=1.85e9, b=1.15e9, c=0
+    //        → r2 a=1722500000, b=1127500000, c=150000000
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "b")).toDF("src", "dst")
+    val r2 = GraphAlgos.pageRankFixedPoint(edges, iters = 2).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("nanorank")).toMap
+    assert(r2 == Map("a" -> 1722500000L, "b" -> 1127500000L, "c" -> 150000000L),
+      s"hand computation diverged: $r2")
+    // a symmetric 2-cycle conserves mass exactly: rank 1.0 is a fixed
+    // point of the integer recurrence (850/1000 of 1e9 is exact)
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r5 = GraphAlgos.pageRankFixedPoint(cyc, iters = 5).collect()
+      .map(_.getAs[Long]("nanorank"))
+    assert(r5.toSeq == Seq(1000000000L, 1000000000L), r5.mkString(","))
+  }
 }

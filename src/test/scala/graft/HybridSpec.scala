@@ -138,6 +138,24 @@ class HybridSpec extends SparkSpec {
       s"d1 banana score mismatch: $d1")
   }
 
+  test("linearFusion: hand-computed min-max norms, tie case, missing-branch zeros") {
+    // branch A: d1=10, d2=5, d3=0 → norms 1.0, 0.5, 0.0
+    // branch B: d2=2, d4=2 (all tied → both norm 1.0)
+    // fused(0.5, 0.5): d2 = 0.25 + 0.5 = 0.75; d1 = d4 = 0.5; d3 = 0.0
+    val a = Seq((1L, 10L, 10.0), (1L, 20L, 5.0), (1L, 30L, 0.0))
+      .toDF("qid", "id", "score")
+    val b = Seq((1L, 20L, 2.0), (1L, 40L, 2.0)).toDF("qid", "id", "score")
+    val r = Hybrid.linearFusion(Seq(("a", a, 0.5), ("b", b, 0.5)), k = 10)
+      .orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Double]("a_norm"),
+        x.getAs[Double]("b_norm"), x.getAs[Double]("fused")))
+    assert(r.toSeq == Seq(
+      (20L, 0.5, 1.0, 0.75), // consensus doc leads
+      (10L, 1.0, 0.0, 0.5), // fused tie at 0.5 breaks by id: 10 < 40
+      (40L, 0.0, 1.0, 0.5),
+      (30L, 0.0, 0.0, 0.0)), r.mkString(", "))
+  }
+
   test("bm25TopK is deterministic under repartitioning") {
     val docs = base.withColumnRenamed("doc_id", "id")
     def run(d: DataFrame): Set[(Long, Long, Double, Long)] =
