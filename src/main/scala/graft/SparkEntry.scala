@@ -1095,6 +1095,28 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id", "rnk")
 
+  /** HyperLogLog cardinality contract (q83): per-source distinct token
+    * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
+    * the q46 device: the oracle mirrors the exact values plus literal
+    * TRUE tolerance flags, so sketch drift past the bound hash-fails
+    * the gate. Sketches are the 100 TB shape: the exact distinct needs
+    * a full shuffle of the key space, the HLL is one mergeable 1.5 KB
+    * state per group. */
+  private def approxDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("term")).as("n_exact"),
+        approx_count_distinct(col("term"), 0.02).as("_n_approx"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("_n_approx") - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05).as("within_5pct"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("source")
+  }
+
   /** Linear score fusion (q82): 0.5·BM25 + 0.5·vector over per-query
     * min-max-normalized scores — the magnitude-preserving counterpart
     * of q69's rank-only RRF, same branches and query construction. */
@@ -1309,6 +1331,7 @@ object SparkEntry {
     "q44_order_returns" -> ((s, d) => Relational.qOrderReturns(s, d)),
     "q45_revenue_pivot" -> ((s, d) => Relational.qRevenuePivot(s, d)),
     "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d)),
+    "q83_approx_distinct" -> ((s, d) => approxDistinctQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2397,6 +2420,15 @@ object SparkEntry {
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin
     },
+    "q83_approx_distinct" ->
+      // q46's sketch-contract device: exact values + literal TRUE
+      // tolerance flags; HLL drift past 5% hash-fails the gate.
+      s"""SELECT source,
+         |  count(DISTINCT term) AS n_exact,
+         |  TRUE AS within_5pct
+         |FROM (SELECT source, unnest($sqlToks) AS term FROM documents)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     "q46_approx_percentiles" ->
       s"""SELECT o_orderpriority,
          |  ${sqlRnd("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)", 4)} AS exact_p50,

@@ -104,14 +104,54 @@ object StreamBench {
     val (annT, _, annEdges) =
       run("ann", graft.operators.Retrieval.MultiTableLsh(dim, nPlanes = 4, nTables = 8))
 
+    // third mode: the FULL streaming query (MemoryStream →
+    // dedupStreamFirstSeen state store → foreachBatch), ANN retrieval —
+    // measures the whole machinery per committed batch: state-store
+    // lookups/updates, offset/commit checkpointing, trigger scheduling.
+    // The state-store dedup drops duplicates BEFORE the embed stage, so
+    // vs the "ann" mode above this trades per-batch store anti-join work
+    // for state-store maintenance.
+    val (streamT, streamStored, streamEdges) = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long)]
+      val (dDir, eDir, ckpt) = (s"$dir/docs_stream", s"$dir/edges_stream", s"$dir/ckpt_stream")
+      val q = StreamingIngest.ingestWriterCached(
+          mem.toDF.toDF("mtype", "data", "seq"), dDir, eDir, conf,
+          graft.operators.Retrieval.MultiTableLsh(dim, nPlanes = 4, nTables = 8))
+        .option("checkpointLocation", ckpt).start()
+      val times = (0 until nBatches).map { b =>
+        val rows = batchDf(b).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        val t0 = System.nanoTime()
+        mem.addData(rows)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      // the speed claim is only valid if the stream did ALL the work:
+      // same store contents as the direct modes, edges written
+      val sDocs = spark.read.parquet(dDir)
+      val (sCount, sDistinct) = (sDocs.count(), sDocs.select("id").distinct().count())
+      require(sCount == sDistinct, "[stream] store not id-unique")
+      require(sCount == stored,
+        s"[stream] store mismatch vs direct modes: $sCount vs $stored")
+      val sEdges = spark.read.parquet(eDir).count()
+      require(sEdges > 0, "[stream] no edges written")
+      (times, sCount, sEdges)
+    }
+
     val totalRows = rowsPerBatch.toLong * nBatches
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
     println(
       s"""{"metric":"stream_ingest_rows_per_sec","value":${(totalRows / bruteT.sum).round},""" +
-      s""""value_ann":${(totalRows / annT.sum).round},"unit":"rows/sec",""" +
+      s""""value_ann":${(totalRows / annT.sum).round},""" +
+      s""""value_stream_ann":${(totalRows / streamT.sum).round},"unit":"rows/sec",""" +
       s""""rows_per_batch":$rowsPerBatch,"batches":$nBatches,"dim":$dim,""" +
       s""""batch_sec_brute":${fmt(bruteT)},"batch_sec_ann":${fmt(annT)},""" +
-      s""""stored_docs":$stored,"edges_brute":$bruteEdges,"edges_ann":$annEdges,"cores":32}""")
+      s""""batch_sec_stream_ann":${fmt(streamT)},""" +
+      s""""stored_docs":$stored,"stored_docs_stream":$streamStored,""" +
+      s""""edges_brute":$bruteEdges,"edges_ann":$annEdges,"edges_stream":$streamEdges,"cores":32}""")
     spark.stop()
   }
 }

@@ -34,10 +34,12 @@ object StreamingIngest {
       stream: DataFrame,
       docsDir: String,
       edgesDir: String,
-      conf: GraftConf = GraftConf.default): DataStreamWriter[org.apache.spark.sql.Row] =
+      conf: GraftConf = GraftConf.default,
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Brute)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        processBatch(batch.sparkSession, batch, batchId, docsDir, edgesDir, conf)
+        processBatch(batch.sparkSession, batch, batchId, docsDir, edgesDir, conf, retrieval)
     }
 
   /** [[ingestWriter]] with the state-store dedup cache composed in
@@ -51,11 +53,13 @@ object StreamingIngest {
       stream: DataFrame,
       docsDir: String,
       edgesDir: String,
-      conf: GraftConf = GraftConf.default): DataStreamWriter[org.apache.spark.sql.Row] =
+      conf: GraftConf = GraftConf.default,
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Brute)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     dedupStreamFirstSeen(stream).drop("id")
       .writeStream.outputMode(OutputMode.Append).foreachBatch {
         (batch: DataFrame, batchId: Long) =>
-          processBatch(batch.sparkSession, batch, batchId, docsDir, edgesDir, conf)
+          processBatch(batch.sparkSession, batch, batchId, docsDir, edgesDir, conf, retrieval)
       }
 
   /** One micro-batch of the ingest loop (factored out for direct batch
