@@ -1095,6 +1095,16 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id", "rnk")
 
+  /** Corpus bigram LM scoring (q84): per-doc mean ln P(w2|w1) under the
+    * corpus's own transition counts — the fluency/typicality quality
+    * signal. Float path sits under the hash gate by the q71 argument
+    * (portable-rounded, no rank derived from the float). */
+  private def bigramLmQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+
   /** HyperLogLog cardinality contract (q83): per-source distinct token
     * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
     * the q46 device: the oracle mirrors the exact values plus literal
@@ -1332,6 +1342,7 @@ object SparkEntry {
     "q45_revenue_pivot" -> ((s, d) => Relational.qRevenuePivot(s, d)),
     "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d)),
     "q83_approx_distinct" -> ((s, d) => approxDistinctQ(s, d)),
+    "q84_bigram_lm" -> ((s, d) => bigramLmQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2420,6 +2431,31 @@ object SparkEntry {
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin
     },
+    "q84_bigram_lm" ->
+      // Mirror of TextAnalysis.bigramLogProb: same bigram extraction
+      // (DuckDB range is end-exclusive: i = 0..len-2 pairs toks[i+1],
+      // toks[i+2] — exactly Spark's posexplode + element_at(pos+2)
+      // surviving the null filter), same count tables, ln of the same
+      // double division, portable-rounded mean.
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |bi AS (
+         |  SELECT id, toks[i + 1] AS w1, toks[i + 2] AS w2
+         |  FROM (SELECT id, toks, unnest(range(0, len(toks) - 1)) AS i FROM tok)),
+         |big AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+         |uni AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+         |sc AS (
+         |  SELECT bi.id, ln(CAST(big.cb AS DOUBLE) / CAST(uni.cu AS DOUBLE)) AS lp
+         |  FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+         |  JOIN uni ON bi.w1 = uni.w1),
+         |pd AS (
+         |  SELECT id, count(*) AS n_bigrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
+         |  FROM sc GROUP BY id)
+         |SELECT t.id AS doc_id,
+         |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         |FROM tok t LEFT JOIN pd p ON t.id = p.id
+         |ORDER BY doc_id""".stripMargin,
     "q83_approx_distinct" ->
       // q46's sketch-contract device: exact values + literal TRUE
       // tolerance flags; HLL drift past 5% hash-fails the gate.

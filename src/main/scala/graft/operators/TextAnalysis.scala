@@ -169,6 +169,55 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"),
       redactPii(col(textCol)).as("redacted_text"))
 
+  /** Per-document average bigram log-probability under the corpus's OWN
+    * bigram model — the KenLM-style fluency/typicality signal without an
+    * external LM: text whose word transitions are common in the corpus
+    * scores near 0, unusual phrasing scores deeply negative. Used as a
+    * quality filter (drop the weird tail) and a boilerplate amplifier
+    * (templated text scores anomalously high).
+    *
+    * Model: P(w2|w1) = c(w1,w2) / c(w1,·) with counts over the whole
+    * corpus (self-inclusive, so every observed bigram has mass — no
+    * smoothing needed); score = mean ln P over the doc's bigrams; docs
+    * with < 2 tokens report (0, 0.0).
+    *
+    * Scale shape: bigram explode → two partial-agg count tables →
+    * (w1, w2)- and (w1)-keyed equi-joins back to the occurrences → one
+    * per-doc aggregation. Everything shuffles on token keys (skew =
+    * stopword bigrams — AQE handles; or salt the top-k hot keys).
+    * Mirrorable under the hash gate by the q71 argument: ln is within
+    * 1 ulp across engines and the score is portable-rounded; no
+    * ordering is derived from the float.
+    *
+    * @return (id, n_bigrams, avg_logprob) */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin) // bigrams AND the all-docs join read it
+    val bi = toked
+      .select(col("id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .select(col("id"), col("w1"),
+        // try_: ANSI element_at throws past the end; the last token has
+        // no successor and must yield NULL → filtered
+        try_element_at(col("toks"), col("pos") + 2).as("w2"))
+      .filter(col("w2").isNotNull)
+      .transform(graft.CacheScope.pin) // both count tables AND the score join read it
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val perDoc = bi
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("lp", log(col("cb").cast("double") / col("cu").cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.PortableMath.rnd(
+          sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    toked.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** Corpus vocabulary head: the top-k terms by total frequency with
     * document frequency and corpus-share — the Zipf-head report every
     * training-data audit starts from (tokenizer coverage, stopword

@@ -28,6 +28,22 @@ class CorpusStatsSpec extends SparkSpec {
       s"vocabulary top-k must not sort the whole vocab globally:\n$plan")
   }
 
+  test("bigramLogProb: hand-computed corpus LM; short docs report zeros") {
+    // corpus bigrams: d1 = (a,b),(b,a),(a,b); d2 = (a,b),(b,c)
+    // counts: c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a,·)=3 c(b,·)=2
+    // d1 lps: ln(1), ln(1/2), ln(1) → avg = ln(0.5)/3
+    // d2 lps: ln(1), ln(1/2)        → avg = ln(0.5)/2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(m(1L) == ((3L, r6(math.log(1.0 / 2.0) / 3))), s"d1: ${m(1L)}")
+    assert(m(2L) == ((2L, r6(math.log(1.0 / 2.0) / 2))), s"d2: ${m(2L)}")
+    assert(m(3L) == ((0L, 0.0)), s"short doc: ${m(3L)}")
+  }
+
   test("shingleContamination: full copy = 1.0, partial copy = exact fraction, short doc = 0") {
     val train = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
