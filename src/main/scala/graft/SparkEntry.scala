@@ -1169,6 +1169,19 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Personalized PageRank (q85): q81's integer recurrence with
+    * teleport mass on the embQueries seed set — authority relative to
+    * the query cohort, the expansion-re-ranking signal. */
+  private def personalizedPageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val knn = knnWithQtype(s, dir)
+    val sym = GraphBuild.symmetric(knnEdges(knn))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = embQueries(s, dir).select(col("qid").as("id"))
+    GraphAlgos.personalizedPageRankFixedPoint(sym, seeds, iters = 5)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
   /** Per-source token budgets for q80 — shared by the Spark query and
     * the oracle's CASE mirror so the two can never drift. Three budget
     * tiers (truncating / generous / tiny) plus five unlisted sources
@@ -1274,6 +1287,7 @@ object SparkEntry {
     "q79_curation_pipeline" -> ((s, d) => curationPipeline(s, d)),
     "q80_budgeted_mixture" -> ((s, d) => budgetedMixtureQ(s, d)),
     "q81_pagerank" -> ((s, d) => pageRankQ(s, d)),
+    "q85_personalized_pagerank" -> ((s, d) => personalizedPageRankQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -2352,6 +2366,42 @@ object SparkEntry {
          |nodes AS (SELECT DISTINCT u AS id FROM gsym),
          |odeg AS (SELECT u AS src, count(*) AS odeg FROM gsym GROUP BY u),
          |r0 AS (SELECT id, CAST($unit AS BIGINT) AS nanorank FROM nodes),
+         |$iterCtes
+         |SELECT id, nanorank FROM r5
+         |ORDER BY id""".stripMargin
+    },
+    "q85_personalized_pagerank" -> {
+      // Mirror of GraphAlgos.personalizedPageRankFixedPoint over q81's
+      // edge set with the embQueries cohort as seeds: identical integer
+      // recurrence, but init mass and the per-iteration base term go
+      // only to seed nodes (IN against the seed CTE).
+      val unit = 1000000000L
+      val base = unit - unit * 850 / 1000
+      val iterCtes = (1 to 5).map { k =>
+        s"""c$k AS (
+           |  SELECT e.v AS id,
+           |    CAST(floor(CAST(r.nanorank AS DOUBLE) / CAST(o.odeg AS DOUBLE)) AS BIGINT) AS share
+           |  FROM r${k - 1} r JOIN odeg o ON r.id = o.src JOIN gsym e ON e.u = r.id),
+           |i$k AS (SELECT id, CAST(sum(share) AS BIGINT) AS insum FROM c$k GROUP BY id),
+           |r$k AS (
+           |  SELECT n.id,
+           |    CAST(CASE WHEN n.id IN (SELECT id FROM sdd) THEN $base ELSE 0 END AS BIGINT) +
+           |    CAST(floor(CAST(coalesce(i.insum, 0) * 850 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT)
+           |    AS nanorank
+           |  FROM nodes n LEFT JOIN i$k i ON n.id = i.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |sdd AS (SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings WHERE vec_id % 100 = 0),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT u AS id FROM gsym UNION ALL SELECT id FROM sdd)),
+         |odeg AS (SELECT u AS src, count(*) AS odeg FROM gsym GROUP BY u),
+         |r0 AS (
+         |  SELECT id, CAST(CASE WHEN id IN (SELECT id FROM sdd)
+         |                       THEN $unit ELSE 0 END AS BIGINT) AS nanorank
+         |  FROM nodes),
          |$iterCtes
          |SELECT id, nanorank FROM r5
          |ORDER BY id""".stripMargin

@@ -107,15 +107,43 @@ object GraphAlgos {
     * @return (id, nanorank) — Long fixed-point rank per node */
   def pageRankFixedPoint(
       edges: DataFrame, iters: Int = 5, dampingPermille: Int = 850): DataFrame = {
+    // uniform PageRank IS personalized PageRank with every node a seed
+    // (per-node unit mass convention, so the delegation is exact)
+    val e = edges.select(col("src"), col("dst"))
+    val all = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    personalizedPageRankFixedPoint(edges, all, iters, dampingPermille)
+  }
+
+  /** Personalized PageRank, same fixed-point integer recurrence as
+    * [[pageRankFixedPoint]] but with teleport mass concentrated on
+    * `seeds`: init rank = unit for seeds / 0 elsewhere, and the
+    * per-iteration base term goes only to seeds. The retrieval-side
+    * variant — authority RELATIVE to a query's seed set (expansion
+    * re-ranking, related-document discovery) rather than global.
+    *
+    * @param seeds one `id` column; nodes absent from the edge set still
+    *              hold their seed mass (isolated seeds keep base) */
+  def personalizedPageRankFixedPoint(
+      edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, dampingPermille: Int = 850): DataFrame = {
     require(iters >= 0 && dampingPermille >= 0 && dampingPermille <= 1000)
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val seedIds = seeds.select(col("id")).distinct()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .unionByName(seedIds)
+      .distinct()
+      .join(seedIds.withColumn("_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint()
     val unit = 1000000000L // 1.0 of rank mass in nanorank
     val d = dampingPermille.toLong
-    var ranks = nodes.withColumn("nanorank", lit(unit)).localCheckpoint()
+    val base = unit - unit * d / 1000
+    var ranks = nodes.select(col("id"),
+      when(col("is_seed"), lit(unit)).otherwise(lit(0L)).as("nanorank"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = ranks.join(outDeg, col("id") === col("src"))
         .join(e, Seq("src"))
@@ -125,7 +153,7 @@ object GraphAlgos {
         .groupBy("id").agg(sum(col("share")).as("insum"))
       ranks = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(unit - unit * d / 1000) +
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             floor(coalesce(col("insum"), lit(0L)) * d / lit(1000L)).cast("long"))
             .as("nanorank"))
         .localCheckpoint() // truncate lineage per superstep

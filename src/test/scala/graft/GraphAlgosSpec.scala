@@ -75,4 +75,23 @@ class GraphAlgosSpec extends SparkSpec {
       .map(_.getAs[Long]("nanorank"))
     assert(r5.toSeq == Seq(1000000000L, 1000000000L), r5.mkString(","))
   }
+
+  test("personalizedPageRankFixedPoint: mass starts and teleports only at seeds") {
+    // path a→b→c, seed {a}:
+    // r0: a=1e9, b=0, c=0
+    // r1: a=base=0.15e9; b=floor(1e9·0.85)=0.85e9; c=0
+    // r2: a=0.15e9; b=floor(0.15e9·0.85)=127500000; c=floor(0.85e9·0.85)=722500000
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val r2 = GraphAlgos.personalizedPageRankFixedPoint(edges, seeds, iters = 2)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("nanorank")).toMap
+    assert(r2 == Map(
+      "a" -> 150000000L, "b" -> 127500000L, "c" -> 722500000L), s"$r2")
+    // an isolated seed (not in the edge set) keeps exactly its base mass
+    val iso = GraphAlgos.personalizedPageRankFixedPoint(
+      edges, Seq("z").toDF("id"), iters = 3).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("nanorank")).toMap
+    assert(iso("z") == 150000000L && iso("a") == 0L && iso("b") == 0L,
+      s"isolated-seed case: $iso")
+  }
 }

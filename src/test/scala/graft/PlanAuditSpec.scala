@@ -258,4 +258,44 @@ class PlanAuditSpec extends SparkSpec {
       s"the shingle probe must be a semi join (never materializes matches):\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q79 composed curation pipeline: keyed joins end-to-end; only the metadata prefix-sum is non-keyed") {
+    val p = planString(SparkEntry.queries("q79_curation_pipeline")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"filter→dedup→sample→pack degraded to all-pairs:\n$p")
+    // packManifest's triangular offsets join (_pid < _pid) IS a BNLJ —
+    // over per-PARTITION totals (32 metadata rows however big the
+    // data), the documented q08 prefix-sum construction. Any OTHER
+    // BNLJ means a data-sized join lost its key.
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("_pid")),
+      s"non-metadata BNLJ in the pipeline:\n${bnlj.mkString("\n")}")
+  }
+
+  test("q84 bigram LM: count-table joins are token-keyed hash joins") {
+    val p = planString(SparkEntry.queries("q84_bigram_lm")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the (w1,w2)/(w1) joins must never degrade to all-pairs:\n$p")
+  }
+
+  test("pageRankFixedPoint: one superstep is keyed joins + partial agg; checkpoint keeps the plan flat") {
+    import graft.operators.{GraphAlgos, GraphBuild}
+    val knn = SparkEntry.queries("q10_knn_topk")(spark, sf)
+      .select(col("qid"), col("id"), col("sim"), col("rnk").cast("int").as("rank"))
+    // a tiny live graph: canonical edges from the KNN, symmetric view
+    val edges = knn.filter(col("rank") <= 3).select(
+      least(col("qid"), col("id")).as("src"),
+      greatest(col("qid"), col("id")).as("dst")).distinct()
+    val sym = GraphBuild.symmetric(edges.withColumn("score", lit(1.0))
+      .withColumn("seq", lit(1L)))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val pr = GraphAlgos.pageRankFixedPoint(sym, iters = 3)
+    val p = pr.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank/edge joins must be id-keyed:\n$p")
+    // lineage truncation: the FINAL plan reads the last checkpoint, not
+    // a 3-superstep join tower — the scan leaf is the checkpointed RDD
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"per-superstep localCheckpoint must truncate lineage:\n$p")
+  }
 }
