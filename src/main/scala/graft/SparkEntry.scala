@@ -1169,6 +1169,21 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Weighted PageRank (q86): transition mass proportional to edge
+    * similarity, quantized to integer milli-weights (floor(s·1000+0.5))
+    * so every sum stays order-free and the unrolled oracle exact —
+    * similarity-proportional authority over the semantic graph. */
+  private def weightedPageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val knn = knnWithQtype(s, dir)
+    val sym = GraphBuild.symmetric(knnEdges(knn))
+    val weighted = sym.select(col("u").as("src"), col("v").as("dst"),
+      floor(col("score") * 1000.0 + 0.5).cast("long").as("w"))
+    val all = sym.select(col("u").as("id")).distinct()
+    GraphAlgos.weightedPersonalizedPageRankFixedPoint(weighted, all, iters = 5)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
   /** Personalized PageRank (q85): q81's integer recurrence with
     * teleport mass on the embQueries seed set — authority relative to
     * the query cohort, the expansion-re-ranking signal. */
@@ -1288,6 +1303,7 @@ object SparkEntry {
     "q80_budgeted_mixture" -> ((s, d) => budgetedMixtureQ(s, d)),
     "q81_pagerank" -> ((s, d) => pageRankQ(s, d)),
     "q85_personalized_pagerank" -> ((s, d) => personalizedPageRankQ(s, d)),
+    "q86_weighted_pagerank" -> ((s, d) => weightedPageRankQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -2365,6 +2381,40 @@ object SparkEntry {
          |${symmetric("g")},
          |nodes AS (SELECT DISTINCT u AS id FROM gsym),
          |odeg AS (SELECT u AS src, count(*) AS odeg FROM gsym GROUP BY u),
+         |r0 AS (SELECT id, CAST($unit AS BIGINT) AS nanorank FROM nodes),
+         |$iterCtes
+         |SELECT id, nanorank FROM r5
+         |ORDER BY id""".stripMargin
+    },
+    "q86_weighted_pagerank" -> {
+      // Mirror of weightedPersonalizedPageRankFixedPoint(seeds = all,
+      // milli-weights): same integer recurrence with share =
+      // floor(rank·w / W(src)); weights quantized with the same
+      // floor(s·1000+0.5) on both sides (edge scores are bit-identical
+      // doubles), non-positive weights dropped identically.
+      val unit = 1000000000L
+      val base = unit - unit * 850 / 1000
+      val iterCtes = (1 to 5).map { k =>
+        s"""c$k AS (
+           |  SELECT e.v AS id,
+           |    CAST(floor(CAST(r.nanorank * e.w AS DOUBLE) / CAST(o.ow AS DOUBLE)) AS BIGINT) AS share
+           |  FROM r${k - 1} r JOIN ow o ON r.id = o.src JOIN ge e ON e.u = r.id),
+           |i$k AS (SELECT id, CAST(sum(share) AS BIGINT) AS insum FROM c$k GROUP BY id),
+           |r$k AS (
+           |  SELECT n.id, $base +
+           |    CAST(floor(CAST(coalesce(i.insum, 0) * 850 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT)
+           |    AS nanorank
+           |  FROM nodes n LEFT JOIN i$k i ON n.id = i.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |${symmetric("g")},
+         |ge AS (
+         |  SELECT u, v, CAST(floor(score * 1000.0 + 0.5) AS BIGINT) AS w
+         |  FROM gsym WHERE CAST(floor(score * 1000.0 + 0.5) AS BIGINT) > 0),
+         |nodes AS (SELECT DISTINCT u AS id FROM gsym),
+         |ow AS (SELECT u AS src, CAST(sum(w) AS BIGINT) AS ow FROM ge GROUP BY u),
          |r0 AS (SELECT id, CAST($unit AS BIGINT) AS nanorank FROM nodes),
          |$iterCtes
          |SELECT id, nanorank FROM r5

@@ -126,9 +126,35 @@ object GraphAlgos {
     *              hold their seed mass (isolated seeds keep base) */
   def personalizedPageRankFixedPoint(
       edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, dampingPermille: Int = 850): DataFrame =
+    // unit edge weight: share = floor(rank·1 / Σ1) = floor(rank/odeg),
+    // numerically identical to the unweighted recurrence
+    weightedPersonalizedPageRankFixedPoint(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")),
+      seeds, iters, dampingPermille)
+
+  /** The general core: weighted, personalized, fixed-point PageRank.
+    * Transition mass splits proportionally to INTEGER edge weights:
+    * share(s→t) = floor(rank(s) · w(s→t) / W(s)), W(s) = Σ out-weights —
+    * for the semantic graph, similarity-proportional authority flow
+    * (callers quantize float scores to milli-weights; the quantization
+    * is the documented semantic, not a shortcut, because only integer
+    * weights keep every sum order-free and the oracle exact). Zero- or
+    * negative-weight edges are dropped up front: they carry no mass and
+    * a zero W(s) would be a division by zero.
+    *
+    * Overflow envelope: rank·w stays under 2^53 (exact double division)
+    * while total-mass × max-weight < 9e15 — e.g. milli-weights support
+    * ~9T nanorank total ≈ 9000 unit-mass nodes per connected region at
+    * full concentration; drop `unit` or the weight scale for more. */
+  def weightedPersonalizedPageRankFixedPoint(
+      edges: DataFrame, // (src, dst, w: Long > 0)
+      seeds: DataFrame,
       iters: Int = 5, dampingPermille: Int = 850): DataFrame = {
     require(iters >= 0 && dampingPermille >= 0 && dampingPermille <= 1000)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint()
     val seedIds = seeds.select(col("id")).distinct()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
@@ -137,7 +163,7 @@ object GraphAlgos {
       .join(seedIds.withColumn("_seed", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("_seed"), lit(false)).as("is_seed"))
       .localCheckpoint()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint()
+    val outW = e.groupBy("src").agg(sum(col("w")).as("ow")).localCheckpoint()
     val unit = 1000000000L // 1.0 of rank mass in nanorank
     val d = dampingPermille.toLong
     val base = unit - unit * d / 1000
@@ -145,11 +171,11 @@ object GraphAlgos {
       when(col("is_seed"), lit(unit)).otherwise(lit(0L)).as("nanorank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(outDeg, col("id") === col("src"))
+      val contrib = ranks.join(outW, col("id") === col("src"))
         .join(e, Seq("src"))
         // integer division: per-edge share in nanorank; remainder drops
         .select(col("dst").as("id"),
-          floor(col("nanorank") / col("odeg")).cast("long").as("share"))
+          floor(col("nanorank") * col("w") / col("ow")).cast("long").as("share"))
         .groupBy("id").agg(sum(col("share")).as("insum"))
       ranks = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),

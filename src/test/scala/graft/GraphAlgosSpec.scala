@@ -94,4 +94,23 @@ class GraphAlgosSpec extends SparkSpec {
     assert(iso("z") == 150000000L && iso("a") == 0L && iso("b") == 0L,
       s"isolated-seed case: $iso")
   }
+
+  test("weightedPersonalizedPageRank: mass splits proportionally to integer weights") {
+    // a→b (w=3), a→c (w=1), all seeds, one iteration:
+    // shares: b = floor(1e9·3/4) = 750000000, c = floor(1e9/4) = 250000000
+    // r1: a = base; b = base + floor(750000000·0.85) = 787500000;
+    //     c = base + floor(250000000·0.85) = 362500000
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val all = Seq("a", "b", "c").toDF("id")
+    val r1 = GraphAlgos.weightedPersonalizedPageRankFixedPoint(e, all, iters = 1)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("nanorank")).toMap
+    assert(r1 == Map(
+      "a" -> 150000000L, "b" -> 787500000L, "c" -> 362500000L), s"$r1")
+    // zero-weight edges carry no mass and don't enter the denominator
+    val e0 = Seq(("a", "b", 1L), ("a", "c", 0L)).toDF("src", "dst", "w")
+    val z = GraphAlgos.weightedPersonalizedPageRankFixedPoint(e0, all, iters = 1)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("nanorank")).toMap
+    assert(z("b") == 1000000000L && z("c") == 150000000L,
+      s"zero-weight edge leaked mass or denominator: $z")
+  }
 }
