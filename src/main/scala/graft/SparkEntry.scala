@@ -1169,6 +1169,17 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** HITS hubs/authorities (q87): the q81 fixed-point treatment applied
+    * to the second classic authority model, over the DIRECTED canonical
+    * edge set (the symmetric view would make hubs ≡ authorities);
+    * integer micro-unit scores with max-normalization per half-step. */
+  private def hitsQ(s: SparkSession, dir: String): DataFrame = {
+    val knn = knnWithQtype(s, dir)
+    GraphAlgos.hitsFixedPoint(knnEdges(knn).select("src", "dst"), iters = 5)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
   /** Weighted PageRank (q86): transition mass proportional to edge
     * similarity, quantized to integer milli-weights (floor(s·1000+0.5))
     * so every sum stays order-free and the unrolled oracle exact —
@@ -1304,6 +1315,7 @@ object SparkEntry {
     "q81_pagerank" -> ((s, d) => pageRankQ(s, d)),
     "q85_personalized_pagerank" -> ((s, d) => personalizedPageRankQ(s, d)),
     "q86_weighted_pagerank" -> ((s, d) => weightedPageRankQ(s, d)),
+    "q87_hits" -> ((s, d) => hitsQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -2385,6 +2397,46 @@ object SparkEntry {
          |$iterCtes
          |SELECT id, nanorank FROM r5
          |ORDER BY id""".stripMargin
+    },
+    "q87_hits" -> {
+      // Mirror of GraphAlgos.hitsFixedPoint(iters=5) over the canonical
+      // directed edge set (ged): unrolled half-steps — authority sum
+      // over in-edges, hub sum over out-edges, each max-normalized with
+      // the same floor((x·1e6)/max) integer expression; greatest(max,1)
+      // keeps the division total exactly as the Spark side does.
+      val unit = 1000000L
+      def norm(p: String, c: String): String =
+        s"""${p}m AS (SELECT greatest(max($c), CAST(1 AS BIGINT)) AS mx FROM ${p}r),
+           |$p AS (
+           |  SELECT id, CAST(floor(CAST($c * $unit AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS $c
+           |  FROM ${p}r CROSS JOIN ${p}m)""".stripMargin
+      val iterCtes = (1 to 5).map { k =>
+        s"""a${k}r AS (
+           |  SELECT n.id, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+           |  FROM hnodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+           |    FROM he e JOIN h${k - 1} h ON e.src = h.id GROUP BY e.dst) s
+           |  ON n.id = s.id),
+           |${norm(s"a$k", "a")},
+           |h${k}r AS (
+           |  SELECT n.id, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+           |  FROM hnodes n LEFT JOIN (
+           |    SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+           |    FROM he e JOIN a$k a ON e.dst = a.id GROUP BY e.src) s
+           |  ON n.id = s.id),
+           |${norm(s"h$k", "h")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |he AS MATERIALIZED (SELECT src, dst FROM ged),
+         |hnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM he UNION ALL SELECT dst FROM he)),
+         |h0 AS (SELECT id, CAST($unit AS BIGINT) AS h FROM hnodes),
+         |$iterCtes
+         |SELECT h5.id, h5.h AS hub, a5.a AS authority
+         |FROM h5 JOIN a5 ON h5.id = a5.id
+         |ORDER BY h5.id""".stripMargin
     },
     "q86_weighted_pagerank" -> {
       // Mirror of weightedPersonalizedPageRankFixedPoint(seeds = all,

@@ -147,6 +147,62 @@ object GraphAlgos {
     * while total-mass × max-weight < 9e15 — e.g. milli-weights support
     * ~9T nanorank total ≈ 9000 unit-mass nodes per connected region at
     * full concentration; drop `unit` or the weight scale for more. */
+  /** HITS hubs/authorities in fixed-point integer arithmetic — the
+    * second classic authority model next to PageRank: authority(v) =
+    * Σ hub(u) over in-edges, hub(u) = Σ authority(v) over out-edges,
+    * max-normalized each half-step. For the semantic graph: authorities
+    * = documents many well-connected docs point at, hubs = docs whose
+    * neighborhoods cover the authorities (both useful as retrieval
+    * priors; directions matter on ingest edges: query-doc → stored-doc).
+    *
+    * Fixed-point design (same reasoning as [[pageRankFixedPoint]]):
+    * scores live in MICRO units (1e6) so sums are exact Longs; each
+    * half-step renormalizes x → floor(x·1e6 / max x), keeping scores in
+    * [0, 1e6] — the float algorithm's L2 norm is replaced by max-norm,
+    * which is division-free up to one scalar (a broadcast 1-row agg)
+    * and keeps every operation integer, hence order-free and exactly
+    * mirrorable. Overflow envelope: raw sums ≤ 1e6·maxDegree and the
+    * normalization multiply ≤ 1e12·maxDegree — exact in Long AND under
+    * 2^53 while maxDegree < ~9e3 at micro scale; drop the unit for
+    * denser graphs.
+    *
+    * @param edges directed (src, dst)
+    * @return (id, hub, authority) — micro-unit Longs, max = 1e6 */
+  def hitsFixedPoint(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1)
+    val unit = 1000000L
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    var hub = nodes.withColumn("h", lit(unit)).localCheckpoint()
+    var auth = nodes.withColumn("a", lit(unit)).localCheckpoint()
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      // max over a non-empty frame (nodes exist whenever edges do);
+      // raw is all-zero only on a degenerate empty graph — guarded by
+      // greatest(max, 1) so the division is total
+      val mx = raw.agg(greatest(max(col(c)), lit(1L)).as("_mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"), floor(col(c) * lit(unit) / col("_mx")).cast("long").as(c))
+    }
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.join(
+          e.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      auth = normalized(aRaw, "a").localCheckpoint()
+      val hRaw = nodes.join(
+          e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("h")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+      hub = normalized(hRaw, "h").localCheckpoint()
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   def weightedPersonalizedPageRankFixedPoint(
       edges: DataFrame, // (src, dst, w: Long > 0)
       seeds: DataFrame,

@@ -113,4 +113,17 @@ class GraphAlgosSpec extends SparkSpec {
     assert(z("b") == 1000000000L && z("c") == 150000000L,
       s"zero-weight edge leaked mass or denominator: $z")
   }
+
+  test("hitsFixedPoint: hand-computed hubs/authorities with max-normalization") {
+    // a→c, b→c, c→d; one iteration:
+    // a-raw: c = 2e6, d = 1e6 → max-norm: c = 1e6, d = 5e5
+    // h-raw: a = a(c) = 1e6, b = 1e6, c = a(d) = 5e5 → max-norm keeps them
+    val e = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val r = GraphAlgos.hitsFixedPoint(e, iters = 1).collect()
+      .map(x => x.getAs[String]("id") ->
+        ((x.getAs[Long]("hub"), x.getAs[Long]("authority")))).toMap
+    assert(r == Map(
+      "a" -> ((1000000L, 0L)), "b" -> ((1000000L, 0L)),
+      "c" -> ((500000L, 1000000L)), "d" -> ((0L, 500000L))), s"$r")
+  }
 }
