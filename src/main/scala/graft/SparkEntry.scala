@@ -1169,6 +1169,16 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Triangle census (q88): per-node triangle counts + local clustering
+    * coefficient over the canonical KNN edge set — the graph-quality
+    * signal (spam rings are triangle-dense, scraped link farms aren't). */
+  private def triangleStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val knn = knnWithQtype(s, dir)
+    GraphAlgos.triangleStats(knnEdges(knn).select("src", "dst"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
   /** HITS hubs/authorities (q87): the q81 fixed-point treatment applied
     * to the second classic authority model, over the DIRECTED canonical
     * edge set (the symmetric view would make hubs ≡ authorities);
@@ -1316,6 +1326,7 @@ object SparkEntry {
     "q85_personalized_pagerank" -> ((s, d) => personalizedPageRankQ(s, d)),
     "q86_weighted_pagerank" -> ((s, d) => weightedPageRankQ(s, d)),
     "q87_hits" -> ((s, d) => hitsQ(s, d)),
+    "q88_triangles" -> ((s, d) => triangleStatsQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -2398,6 +2409,31 @@ object SparkEntry {
          |SELECT id, nanorank FROM r5
          |ORDER BY id""".stripMargin
     },
+    "q88_triangles" ->
+      // Mirror of GraphAlgos.triangleStats over the canonical edge set:
+      // ordered two-hop wedge join closed by the third edge (a<b<c finds
+      // each triangle once), corners exploded for per-node counts, one
+      // portable-rounded division for the coefficient.
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
+         |tc AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ged WHERE least(src, dst) <> greatest(src, dst)),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM tc e1 JOIN tc e2 ON e1.b = e2.a
+         |  JOIN tc e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |pn AS (SELECT id, count(*) AS triangles
+         |       FROM (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY id),
+         |dg AS (SELECT id, count(*) AS degree
+         |       FROM (SELECT a AS id FROM tc UNION ALL SELECT b FROM tc) GROUP BY id)
+         |SELECT d.id, d.degree, coalesce(p.triangles, 0) AS triangles,
+         |  CASE WHEN d.degree >= 2
+         |       THEN ${rnd6("2.0 * CAST(coalesce(p.triangles, 0) AS DOUBLE) / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))")}
+         |       ELSE 0.0 END AS clustering
+         |FROM dg d LEFT JOIN pn p ON d.id = p.id
+         |ORDER BY d.id""".stripMargin,
     "q87_hits" -> {
       // Mirror of GraphAlgos.hitsFixedPoint(iters=5) over the canonical
       // directed edge set (ged): unrolled half-steps — authority sum

@@ -147,6 +147,51 @@ object GraphAlgos {
     * while total-mass × max-weight < 9e15 — e.g. milli-weights support
     * ~9T nanorank total ≈ 9000 unit-mass nodes per connected region at
     * full concentration; drop `unit` or the weight scale for more. */
+  /** Per-node triangle count + local clustering coefficient — the
+    * graph-quality signals (spam rings and boilerplate clusters are
+    * triangle-dense; genuine topical neighborhoods cluster midway;
+    * scraped link farms barely at all).
+    *
+    * Shape: canonical edges (src < dst) self-joined twice —
+    * (a,b) ⋈ (b,c) ⋈ (a,c) with a < b < c finds every triangle exactly
+    * once; per-node counts come from exploding the triangle's three
+    * corners. All joins are node-keyed equi-joins; the classic skew
+    * trap (hub nodes) is bounded because the wedge join builds only on
+    * ordered pairs (each wedge is counted at its middle vertex once).
+    * Everything integer except the coefficient = 2·t / (deg·(deg−1)),
+    * one portable-rounded division.
+    *
+    * @param edges undirected (src, dst) pairs, any orientation/dup form
+    * @return (id, degree, triangles, clustering) */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // canonicalize: undirected edge set with src < dst, deduped
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .transform(graft.CacheScope.pin) // three joins + degrees read it
+    val tri = canon.as("e1")
+      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .join(canon.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val deg = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          graft.functions.PortableMath.rnd(
+            lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+              (col("degree").cast("double") * (col("degree").cast("double") - lit(1.0))), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** HITS hubs/authorities in fixed-point integer arithmetic — the
     * second classic authority model next to PageRank: authority(v) =
     * Σ hub(u) over in-edges, hub(u) = Σ authority(v) over out-edges,

@@ -114,6 +114,20 @@ class GraphAlgosSpec extends SparkSpec {
       s"zero-weight edge leaked mass or denominator: $z")
   }
 
+  test("triangleStats: hand-computed census; orientation- and dup-insensitive") {
+    // triangle a-b-c plus pendant c-d, fed in MIXED orientation with a
+    // duplicate — canonicalization must absorb both
+    val e = Seq(("a", "b"), ("c", "b"), ("a", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    val r = GraphAlgos.triangleStats(e).collect()
+      .map(x => x.getAs[String]("id") -> ((x.getAs[Long]("degree"),
+        x.getAs[Long]("triangles"), x.getAs[Double]("clustering")))).toMap
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(r == Map(
+      "a" -> ((2L, 1L, 1.0)), "b" -> ((2L, 1L, 1.0)),
+      "c" -> ((3L, 1L, r6(2.0 / 6.0))), "d" -> ((1L, 0L, 0.0))), s"$r")
+  }
+
   test("hitsFixedPoint: hand-computed hubs/authorities with max-normalization") {
     // a→c, b→c, c→d; one iteration:
     // a-raw: c = 2e6, d = 1e6 → max-norm: c = 1e6, d = 5e5
