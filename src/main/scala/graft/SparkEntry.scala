@@ -1169,15 +1169,58 @@ object SparkEntry {
       .orderBy("id")
   }
 
-  /** Triangle census (q88): per-node triangle counts + local clustering
-    * coefficient over the canonical KNN edge set — the graph-quality
-    * signal (spam rings are triangle-dense, scraped link farms aren't). */
-  private def triangleStatsQ(s: SparkSession, dir: String): DataFrame = {
-    val knn = knnWithQtype(s, dir)
-    GraphAlgos.triangleStats(knnEdges(knn).select("src", "dst"))
+  /** Mutual-KNN similarity graph: EVERY vector queries the corpus,
+    * top-4 non-self neighbors become undirected edges — the graph a
+    * clustering/dedup pipeline actually builds (the 5-query ingest
+    * graph is a union of stars: triangle-free with an empty 2-core, so
+    * census/core queries over it would be vacuously green). */
+  private def simGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+    Knn.topK(e, q, k = 5) // rank 1 is the self-match → 4 real neighbors
+      .filter(col("qid") =!= col("id"))
+      .select(least(col("qid"), col("id")).as("src"),
+        greatest(col("qid"), col("id")).as("dst"))
+      .distinct()
+  }
+
+  /** K-core (q89): iterative peel with per-round checkpoints; oracle
+    * unrolls a fixed round count (safe: peeling is idempotent at its
+    * fixed point, the q48 argument).
+    *
+    * Topology is PLANTED (the q70/q50/q62 device), because the natural
+    * graphs here have degenerate cores — the ingest graph's 2-core and
+    * the mutual-KNN graph's 5-core are both empty, and its 4-core is
+    * everything (measured; near-isotropic embeddings have no dense
+    * community). A doc-id chain (degree ≤ 2, plus ≤ 1 community link)
+    * under a doc_id%25 community clique gives the 4-core something real
+    * to do: the chain cascades away, the community survives — exactly
+    * the graph-cleanup use case the operator exists for. */
+  private def kCoreQ(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val chain = ids.as("x").join(ids.as("y"),
+        col("y.doc_id") === col("x.doc_id") + 1)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val hubs = ids.filter(col("doc_id") % 25 === 0)
+    val community = hubs.as("h1").join(hubs.as("h2"),
+        col("h1.doc_id") < col("h2.doc_id"))
+      .select(col("h1.doc_id").as("src"), col("h2.doc_id").as("dst"))
+    GraphAlgos.kCore(chain.unionByName(community), k = 4, maxIter = 5)
       .transform(graft.CacheScope.pin)
       .orderBy("id")
   }
+
+  /** Triangle census (q88): per-node triangle counts + local clustering
+    * coefficient over the mutual-KNN graph — the graph-quality signal
+    * (topical neighborhoods are triangle-dense; link-farm structure
+    * isn't). */
+  private def triangleStatsQ(s: SparkSession, dir: String): DataFrame =
+    GraphAlgos.triangleStats(simGraphEdges(s, dir))
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
 
   /** HITS hubs/authorities (q87): the q81 fixed-point treatment applied
     * to the second classic authority model, over the DIRECTED canonical
@@ -1327,6 +1370,7 @@ object SparkEntry {
     "q86_weighted_pagerank" -> ((s, d) => weightedPageRankQ(s, d)),
     "q87_hits" -> ((s, d) => hitsQ(s, d)),
     "q88_triangles" -> ((s, d) => triangleStatsQ(s, d)),
+    "q89_kcore" -> ((s, d) => kCoreQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -1564,6 +1608,21 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
        |  FROM bmscored)""".stripMargin
   }
+
+  /** Mirror of [[simGraphEdges]]: all-pairs cosine, per-query rank,
+    * top-4 non-self neighbors as canonical undirected edges, ending in
+    * `sg`(a, b). MATERIALIZED: q88/q89 reference it many times and
+    * DuckDB would otherwise re-inline the 250k-pair scoring per
+    * reference (measured: file-handle exhaustion on q87's chain). */
+  private val sqlSimGraphCtes: String =
+    s"""eemb AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+       |sgknn AS (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |  FROM (SELECT q.id AS qid, d.id AS id, ${dot("q.embedding", "d.embedding")} AS sim
+       |        FROM eemb q CROSS JOIN eemb d) _s),
+       |sg AS MATERIALIZED (
+       |  SELECT DISTINCT least(qid, id) AS a, greatest(qid, id) AS b
+       |  FROM sgknn WHERE rnk <= 5 AND qid <> id)""".stripMargin
 
   /** Mirror of Packing.packManifest(binSize=256)'s tail over a `tok`
     * CTE carrying (doc_id, toks): exact integer prefix sum in doc_id
@@ -2409,17 +2468,48 @@ object SparkEntry {
          |SELECT id, nanorank FROM r5
          |ORDER BY id""".stripMargin
     },
+    "q89_kcore" -> {
+      // Mirror of GraphAlgos.kCore(k=4, maxIter=5) over the planted
+      // chain+community topology: five unrolled peel rounds (degree
+      // filter + both-endpoint edge restriction); safe against the
+      // Scala side's early stop because peeling is idempotent once
+      // stable (the q48 argument).
+      val rounds = (1 to 5).map { i =>
+        // each round MATERIALIZED: e$i is referenced 5x by round i+1
+        // and DuckDB would otherwise re-inline the whole peel tower
+        // exponentially (measured: file-handle exhaustion by round 5)
+        s"""d$i AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+           |  SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY id),
+           |n$i AS MATERIALIZED (SELECT id FROM d$i WHERE d >= 4),
+           |e$i AS MATERIALIZED (
+           |  SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT id FROM n$i) AND b IN (SELECT id FROM n$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |chain AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 1),
+         |comm AS (
+         |  SELECT h1.doc_id AS a, h2.doc_id AS b
+         |  FROM ids h1 JOIN ids h2
+         |  ON h1.doc_id % 25 = 0 AND h2.doc_id % 25 = 0 AND h1.doc_id < h2.doc_id),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+         |  FROM (SELECT * FROM chain UNION ALL SELECT * FROM comm)
+         |  WHERE a <> b),
+         |$rounds
+         |SELECT id, count(*) AS core_degree FROM (
+         |  SELECT a AS id FROM e5 UNION ALL SELECT b FROM e5)
+         |GROUP BY id
+         |ORDER BY id""".stripMargin
+    },
     "q88_triangles" ->
-      // Mirror of GraphAlgos.triangleStats over the canonical edge set:
+      // Mirror of GraphAlgos.triangleStats over the mutual-KNN graph:
       // ordered two-hop wedge join closed by the third edge (a<b<c finds
       // each triangle once), corners exploded for per-node counts, one
       // portable-rounded division for the coefficient.
-      s"""WITH $sqlEmbCtes,
-         |${knnChain("", 10)},
-         |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
-         |tc AS MATERIALIZED (
-         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM ged WHERE least(src, dst) <> greatest(src, dst)),
+      s"""WITH $sqlSimGraphCtes,
+         |tc AS (SELECT a, b FROM sg),
          |tri AS (
          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |  FROM tc e1 JOIN tc e2 ON e1.b = e2.a

@@ -147,6 +147,50 @@ object GraphAlgos {
     * while total-mass × max-weight < 9e15 — e.g. milli-weights support
     * ~9T nanorank total ≈ 9000 unit-mass nodes per connected region at
     * full concentration; drop `unit` or the weight scale for more. */
+  /** K-core decomposition: iteratively peel nodes of degree < k until
+    * the remainder is stable — the standard graph-cleanup primitive
+    * (keep the densely-connected core of a similarity graph, drop
+    * tendrils and near-isolated noise before clustering or ranking).
+    *
+    * Shape per round: degree aggregation + two semi-joins restricting
+    * edges to surviving endpoints, all node-keyed; `localCheckpoint`
+    * per round (iterative-DataFrame rule). Early convergence stop is
+    * oracle-safe by the q48 argument: peeling is monotone and
+    * idempotent at its fixed point, so "stopped when stable" equals
+    * "ran all maxIter rounds" whenever convergence happens in time.
+    *
+    * @param edges undirected pairs, any orientation/dup form
+    * @return (id, core_degree) — nodes of the k-core with their degree
+    *         WITHIN the core */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
+    require(k >= 1)
+    var live = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val deg = live.select(col("a").as("id"))
+        .unionByName(live.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("id").localCheckpoint()
+      val next = live
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      converged = next.count() == live.count()
+      live = next
+      i += 1
+    }
+    live.select(col("a").as("id"))
+      .unionByName(live.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Per-node triangle count + local clustering coefficient — the
     * graph-quality signals (spam rings and boilerplate clusters are
     * triangle-dense; genuine topical neighborhoods cluster midway;

@@ -128,6 +128,19 @@ class GraphAlgosSpec extends SparkSpec {
       "c" -> ((3L, 1L, r6(2.0 / 6.0))), "d" -> ((1L, 0L, 0.0))), s"$r")
   }
 
+  test("kCore: cascading peel reaches the stable core") {
+    // triangle a-b-c + path c-d-e: e (deg 1) peels, THEN d (deg drops
+    // to 1) peels — the cascade needs two rounds; the 2-core is the
+    // triangle with in-core degrees 2
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val core = GraphAlgos.kCore(e, k = 2).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("core_degree")).toMap
+    assert(core == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), s"$core")
+    // k above the densest structure empties the graph
+    assert(GraphAlgos.kCore(e, k = 3).count() == 0L)
+  }
+
   test("hitsFixedPoint: hand-computed hubs/authorities with max-normalization") {
     // a→c, b→c, c→d; one iteration:
     // a-raw: c = 2e6, d = 1e6 → max-norm: c = 1e6, d = 5e5
