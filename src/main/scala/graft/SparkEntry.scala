@@ -1187,6 +1187,14 @@ object SparkEntry {
       .distinct()
   }
 
+  /** Label-propagation communities (q90) over the mutual-KNN graph:
+    * integer counts + (count desc, label) argmax per round — exact on
+    * any engine; fixed 5 rounds mirrored unrolled. */
+  private def labelPropagationQ(s: SparkSession, dir: String): DataFrame =
+    GraphAlgos.labelPropagation(simGraphEdges(s, dir), maxIter = 5)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+
   /** K-core (q89): iterative peel with per-round checkpoints; oracle
     * unrolls a fixed round count (safe: peeling is idempotent at its
     * fixed point, the q48 argument).
@@ -1371,6 +1379,7 @@ object SparkEntry {
     "q87_hits" -> ((s, d) => hitsQ(s, d)),
     "q88_triangles" -> ((s, d) => triangleStatsQ(s, d)),
     "q89_kcore" -> ((s, d) => kCoreQ(s, d)),
+    "q90_label_propagation" -> ((s, d) => labelPropagationQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -2466,6 +2475,35 @@ object SparkEntry {
          |r0 AS (SELECT id, CAST($unit AS BIGINT) AS nanorank FROM nodes),
          |$iterCtes
          |SELECT id, nanorank FROM r5
+         |ORDER BY id""".stripMargin
+    },
+    "q90_label_propagation" -> {
+      // Mirror of GraphAlgos.labelPropagation(maxIter=5) over the
+      // mutual-KNN graph: five unrolled rounds of neighbor-label count
+      // + (count desc, label) argmax, isolated nodes keep their label
+      // (vacuous here — every sim-graph node has neighbors). Each
+      // round MATERIALIZED against DuckDB's exponential re-inlining.
+      val rounds = (1 to 5).map { k =>
+        s"""ct$k AS (
+           |  SELECT e.u AS id, l.label, count(*) AS c
+           |  FROM sgsym e JOIN l${k - 1} l ON e.v = l.id
+           |  GROUP BY e.u, l.label),
+           |am$k AS (
+           |  SELECT id, label FROM (
+           |    SELECT id, label,
+           |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+           |    FROM ct$k) WHERE rn = 1),
+           |l$k AS MATERIALIZED (
+           |  SELECT p.id, coalesce(a.label, p.label) AS label
+           |  FROM l${k - 1} p LEFT JOIN am$k a ON p.id = a.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlSimGraphCtes,
+         |sgsym AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM sg UNION ALL SELECT b, a FROM sg),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS id, u AS label FROM sgsym),
+         |$rounds
+         |SELECT id, label AS community FROM l5
          |ORDER BY id""".stripMargin
     },
     "q89_kcore" -> {

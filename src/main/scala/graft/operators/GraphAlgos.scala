@@ -147,6 +147,62 @@ object GraphAlgos {
     * while total-mass × max-weight < 9e15 — e.g. milli-weights support
     * ~9T nanorank total ≈ 9000 unit-mass nodes per connected region at
     * full concentration; drop `unit` or the weight scale for more. */
+  /** Synchronous label-propagation community detection (LPA): every
+    * node starts labeled with itself; each round it adopts the most
+    * frequent label among its NEIGHBORS, ties to the smallest label —
+    * communities over a similarity graph (cluster-aware sampling,
+    * near-dup families beyond pairwise transitive closure, topic-ish
+    * grouping without embeddings math).
+    *
+    * Fully deterministic and engine-exact: counts are integers, the
+    * argmax is a (count desc, label asc) row_number, isolated nodes
+    * keep their label. Synchronous LPA can oscillate on bipartite-ish
+    * structure — with a FIXED round count both engines oscillate
+    * identically, and the early convergence stop is safe by the q48
+    * argument (a converged labeling is a fixed point of the round).
+    *
+    * Scale: per round one edge⋈label join + a (node, label)-keyed
+    * count + a node-windowed argmax (WindowGroupLimit prunes map-side);
+    * localCheckpoint per round.
+    *
+    * @param edges undirected pairs, any orientation/dup form
+    * @return (id, community) after the final round */
+  def labelPropagation(edges: DataFrame, maxIter: Int = 5): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("c").desc, col("label"))
+    while (i < maxIter && !converged) {
+      val adopted = sym.as("e")
+        .join(labels.as("l"), col("e.v") === col("l.id"))
+        .select(col("e.u").as("id"), col("l.label"))
+        .groupBy("id", "label").agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("id", "label")
+      val next = nodes
+        .join(adopted.withColumnRenamed("label", "_new"), Seq("id"), "left")
+        .join(labels.withColumnRenamed("label", "_old"), Seq("id"))
+        .select(col("id"), coalesce(col("_new"), col("_old")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("p"), Seq("id"))
+        .filter(col("n.label") =!= col("p.label")).limit(1).count() == 0
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   /** K-core decomposition: iteratively peel nodes of degree < k until
     * the remainder is stable — the standard graph-cleanup primitive
     * (keep the densely-connected core of a similarity graph, drop

@@ -141,6 +141,28 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.kCore(e, k = 3).count() == 0L)
   }
 
+  test("labelPropagation: two bridged triangles resolve to two communities") {
+    // triangles {a,b,c} and {d,e,f} with one bridge c-d: propagation
+    // converges (within 5 rounds, traced by hand) to community "a" on
+    // the left triangle and "c" on the right — the bridge alone can't
+    // flip a triangle's majority
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")).toDF("src", "dst")
+    val r = GraphAlgos.labelPropagation(e, maxIter = 5).collect()
+      .map(x => x.getAs[String]("id") -> x.getAs[String]("community")).toMap
+    assert(r == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "c", "f" -> "c"), s"$r")
+  }
+
+  test("graph family degrades to empty on empty inputs — never throws") {
+    val none = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(GraphAlgos.triangleStats(none).count() == 0L)
+    assert(GraphAlgos.kCore(none, k = 2).count() == 0L)
+    assert(GraphAlgos.labelPropagation(none).count() == 0L)
+    assert(GraphAlgos.hitsFixedPoint(none).count() == 0L)
+    assert(GraphAlgos.pageRankFixedPoint(none).count() == 0L)
+  }
+
   test("hitsFixedPoint: hand-computed hubs/authorities with max-normalization") {
     // a→c, b→c, c→d; one iteration:
     // a-raw: c = 2e6, d = 1e6 → max-norm: c = 1e6, d = 5e5
