@@ -1187,6 +1187,28 @@ object SparkEntry {
       .distinct()
   }
 
+  /** ANN-built similarity graph (q91): the SCALE form of
+    * [[simGraphEdges]] — every vector's top-4 approximate neighbors via
+    * the multi-table LSH construction instead of the brute all-pairs
+    * scan. This is the sub-linear graph build the q88/q90 analytics
+    * swap to at corpus scale (the q17→q67 move applied to graph
+    * construction); oracle-gating the edge list pins the construction
+    * end-to-end. */
+  private def simGraphAnnQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+    Ann.topKMultiTable(e, q, k = 5, dim = 64, nPlanes = 4, nTables = 8)
+      .filter(col("qid") =!= col("id"))
+      .select(least(col("qid"), col("id")).as("src"),
+        greatest(col("qid"), col("id")).as("dst"))
+      .distinct()
+      .transform(graft.CacheScope.pin)
+      .orderBy("src", "dst")
+  }
+
   /** Label-propagation communities (q90) over the mutual-KNN graph:
     * integer counts + (count desc, label) argmax per round — exact on
     * any engine; fixed 5 rounds mirrored unrolled. */
@@ -1380,6 +1402,7 @@ object SparkEntry {
     "q88_triangles" -> ((s, d) => triangleStatsQ(s, d)),
     "q89_kcore" -> ((s, d) => kCoreQ(s, d)),
     "q90_label_propagation" -> ((s, d) => labelPropagationQ(s, d)),
+    "q91_sim_graph_ann" -> ((s, d) => simGraphAnnQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -2476,6 +2499,30 @@ object SparkEntry {
          |$iterCtes
          |SELECT id, nanorank FROM r5
          |ORDER BY id""".stripMargin
+    },
+    "q91_sim_graph_ann" -> {
+      // Mirror of the ANN-built similarity graph: the q29/q78 multi-
+      // table bucket tagging, candidates = shared (table, bucket),
+      // exact re-score, per-query top-5, self dropped, canonical
+      // distinct edges.
+      val (dim, nPlanes, nTables) = (64, 4, 8)
+      val tagged = (0 until nTables).map(t =>
+        s"""  SELECT id, embedding,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", dim, nPlanes, t)} AS bucket
+           |  FROM ge91""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH ge91 AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+         |tg AS MATERIALIZED (
+         |$tagged),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS qid, a.embedding AS qvec, b.id, b.embedding
+         |  FROM tg a JOIN tg b ON a.tbl = b.tbl AND a.bucket = b.bucket),
+         |rk AS (
+         |  SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM (SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM cand))
+         |SELECT DISTINCT least(qid, id) AS src, greatest(qid, id) AS dst
+         |FROM rk WHERE rnk <= 5 AND qid <> id
+         |ORDER BY src, dst""".stripMargin
     },
     "q90_label_propagation" -> {
       // Mirror of GraphAlgos.labelPropagation(maxIter=5) over the
