@@ -123,10 +123,15 @@ object OracleSql {
     * propagation: from `<p>sym`(u, v) to `<p>l<steps>`(id, component).
     * Safe against the Scala side's early-convergence stop — converged
     * labels are a fixed point of the propagation step. */
-  def ccUnrolled(p: String, steps: Int): String = {
-    val init = s"${p}l0 AS (SELECT DISTINCT u AS id, u AS component FROM ${p}sym)"
+  def ccUnrolled(p: String, steps: Int, materialized: Boolean = false): String = {
+    // materialized: each step references its predecessor twice, so past
+    // ~5 unrolled supersteps DuckDB's CTE re-inlining grows the plan
+    // exponentially (file-handle exhaustion, measured on the q87/q89
+    // towers) — deep unrolls must pin every step
+    val m = if (materialized) " MATERIALIZED" else ""
+    val init = s"${p}l0 AS$m (SELECT DISTINCT u AS id, u AS component FROM ${p}sym)"
     val stepCtes = (1 to steps).map { k =>
-      s"""${p}l$k AS (
+      s"""${p}l$k AS$m (
          |  SELECT id, min(component) AS component FROM (
          |    SELECT id, component FROM ${p}l${k - 1}
          |    UNION ALL

@@ -1187,6 +1187,31 @@ object SparkEntry {
       .distinct()
   }
 
+  /** Similarity-graph components (q92): connected components of the
+    * sim ≥ 0.35 THRESHOLDED mutual-KNN graph, rolled up to component
+    * sizes — the corpus fragmentation report (how many similarity
+    * islands, how big the biggest). The threshold matters: the
+    * unthresholded KNN graph is one giant component (measured), while
+    * τ = 0.35 fragments this corpus into 75 islands (max 59). Early
+    * convergence stop is mirror-safe (q48 argument); the oracle unrolls
+    * the same 10-superstep budget. */
+  private def simComponentsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+    val edges = Knn.topK(e, q, k = 5)
+      .filter(col("qid") =!= col("id") && col("sim") >= 0.35)
+      .select(least(col("qid"), col("id")).as("src"),
+        greatest(col("qid"), col("id")).as("dst"))
+      .distinct()
+    GraphAlgos.connectedComponents(edges, maxIter = 10)
+      .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("component")
+  }
+
   /** ANN-built similarity graph (q91): the SCALE form of
     * [[simGraphEdges]] — every vector's top-4 approximate neighbors via
     * the multi-table LSH construction instead of the brute all-pairs
@@ -1403,6 +1428,7 @@ object SparkEntry {
     "q89_kcore" -> ((s, d) => kCoreQ(s, d)),
     "q90_label_propagation" -> ((s, d) => labelPropagationQ(s, d)),
     "q91_sim_graph_ann" -> ((s, d) => simGraphAnnQ(s, d)),
+    "q92_sim_components" -> ((s, d) => simComponentsQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -1649,7 +1675,7 @@ object SparkEntry {
   private val sqlSimGraphCtes: String =
     s"""eemb AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
        |sgknn AS (
-       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |  SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
        |  FROM (SELECT q.id AS qid, d.id AS id, ${dot("q.embedding", "d.embedding")} AS sim
        |        FROM eemb q CROSS JOIN eemb d) _s),
        |sg AS MATERIALIZED (
@@ -2499,6 +2525,23 @@ object SparkEntry {
          |$iterCtes
          |SELECT id, nanorank FROM r5
          |ORDER BY id""".stripMargin
+    },
+    "q92_sim_components" -> {
+      // Mirror of connectedComponents(maxIter=10) over the mutual-KNN
+      // graph + size rollup: the q48 unrolled min-label propagation at
+      // the same superstep budget (converged labels are a fixed point,
+      // so the Scala side's early stop is mirror-safe), MATERIALIZED
+      // per step against the exponential re-inline.
+      s"""WITH $sqlSimGraphCtes,
+         |sgt AS MATERIALIZED (
+         |  SELECT DISTINCT least(qid, id) AS a, greatest(qid, id) AS b
+         |  FROM sgknn WHERE rnk <= 5 AND qid <> id AND sim >= 0.35),
+         |sgsym AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM sgt UNION ALL SELECT b, a FROM sgt),
+         |${ccUnrolled("sg", 10, materialized = true)}
+         |SELECT component, count(*) AS n_nodes FROM sgl10
+         |GROUP BY component
+         |ORDER BY component""".stripMargin
     },
     "q91_sim_graph_ann" -> {
       // Mirror of the ANN-built similarity graph: the q29/q78 multi-
