@@ -133,20 +133,6 @@ object GraphAlgos {
       edges.select(col("src"), col("dst"), lit(1L).as("w")),
       seeds, iters, dampingPermille)
 
-  /** The general core: weighted, personalized, fixed-point PageRank.
-    * Transition mass splits proportionally to INTEGER edge weights:
-    * share(s→t) = floor(rank(s) · w(s→t) / W(s)), W(s) = Σ out-weights —
-    * for the semantic graph, similarity-proportional authority flow
-    * (callers quantize float scores to milli-weights; the quantization
-    * is the documented semantic, not a shortcut, because only integer
-    * weights keep every sum order-free and the oracle exact). Zero- or
-    * negative-weight edges are dropped up front: they carry no mass and
-    * a zero W(s) would be a division by zero.
-    *
-    * Overflow envelope: rank·w stays under 2^53 (exact double division)
-    * while total-mass × max-weight < 9e15 — e.g. milli-weights support
-    * ~9T nanorank total ≈ 9000 unit-mass nodes per connected region at
-    * full concentration; drop `unit` or the weight scale for more. */
   /** Synchronous label-propagation community detection (LPA): every
     * node starts labeled with itself; each round it adopts the most
     * frequent label among its NEIGHBORS, ties to the smallest label —
@@ -167,14 +153,33 @@ object GraphAlgos {
     *
     * @param edges undirected pairs, any orientation/dup form
     * @return (id, community) after the final round */
-  def labelPropagation(edges: DataFrame, maxIter: Int = 5): DataFrame = {
+  def labelPropagation(edges: DataFrame, maxIter: Int = 5): DataFrame =
+    // unweighted LPA IS weighted LPA with unit weights: Σ1 over
+    // neighbor labels ≡ the neighbor-label count, identical argmax
+    labelPropagationWeighted(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")), maxIter)
+
+  /** Weighted LPA: each neighbor's vote counts its edge weight — over a
+    * similarity graph, a few strong ties outvote many weak ones (the
+    * variant that respects score magnitude the way [[labelPropagation]]
+    * respects only topology). Weights must be positive INTEGERS
+    * (callers quantize float similarities to milli-weights, the
+    * [[weightedPersonalizedPageRankFixedPoint]] convention): integer
+    * sums are order-free, so the per-round argmax — (Σw desc, label
+    * asc) — is exact on any engine and the oracle can unroll the same
+    * fixed rounds. Zero/negative weights are dropped (they carry no
+    * vote); parallel duplicate edges collapse to their max weight.
+    *
+    * @param edges (src, dst, w: Long) undirected, any orientation/dup form
+    * @return (id, community) after the final round */
+  def labelPropagationWeighted(edges: DataFrame, maxIter: Int = 5): DataFrame = {
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val sym = canon.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+        greatest(col("src"), col("dst")).as("b"), col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b") && col("w") > 0)
+      .groupBy("a", "b").agg(max("w").as("w"))
+    val sym = canon.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v"), col("w")))
       .localCheckpoint()
     val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
@@ -185,8 +190,8 @@ object GraphAlgos {
     while (i < maxIter && !converged) {
       val adopted = sym.as("e")
         .join(labels.as("l"), col("e.v") === col("l.id"))
-        .select(col("e.u").as("id"), col("l.label"))
-        .groupBy("id", "label").agg(count(lit(1)).as("c"))
+        .select(col("e.u").as("id"), col("l.label"), col("e.w"))
+        .groupBy("id", "label").agg(sum("w").as("c"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select("id", "label")
@@ -348,6 +353,20 @@ object GraphAlgos {
       .select(col("id"), col("h").as("hub"), col("a").as("authority"))
   }
 
+  /** The general core: weighted, personalized, fixed-point PageRank.
+    * Transition mass splits proportionally to INTEGER edge weights:
+    * share(s→t) = floor(rank(s) · w(s→t) / W(s)), W(s) = Σ out-weights —
+    * for the semantic graph, similarity-proportional authority flow
+    * (callers quantize float scores to milli-weights; the quantization
+    * is the documented semantic, not a shortcut, because only integer
+    * weights keep every sum order-free and the oracle exact). Zero- or
+    * negative-weight edges are dropped up front: they carry no mass and
+    * a zero W(s) would be a division by zero.
+    *
+    * Overflow envelope: rank·w stays under 2^53 (exact double division)
+    * while total-mass × max-weight < 9e15 — e.g. milli-weights support
+    * ~9T nanorank total ≈ 9000 unit-mass nodes per connected region at
+    * full concentration; drop `unit` or the weight scale for more. */
   def weightedPersonalizedPageRankFixedPoint(
       edges: DataFrame, // (src, dst, w: Long > 0)
       seeds: DataFrame,

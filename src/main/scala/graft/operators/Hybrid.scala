@@ -82,6 +82,20 @@ object Hybrid {
     * engines/partitions (Σ over matched terms is the one
     * order-dependent step).
     *
+    * Residual risk, quantified (the rounding device is probabilistic,
+    * not absolute): rounding only absorbs a cross-engine difference when
+    * the true sum is NOT within the accumulated error of a rounding
+    * boundary. Accumulated error ≈ 1 ulp per ln × ~1e-16 relative on
+    * scores of O(1..50), plus reorder error of the same magnitude —
+    * ≤ ~1e-13 absolute. Boundaries sit every 1e-6, so P(flip per scored
+    * pair) ≈ 2·1e-13/1e-6 = 2e-7; at this corpus's ~6.5k scored pairs
+    * that is ~1e-3 per full run — and a flip only matters if the two
+    * flipped scores additionally straddle the top-k cut. Measured across
+    * the r6 gate runs: zero. If the gate must be unconditional, sum
+    * per-term scores in a deterministic order (sort the term-score array
+    * and fold) — not done here because the mirror engine's list-sum
+    * fold order is not contractual either.
+    *
     * Scale shape: inverted-index equi-join on term (posting-list
     * bounded, like [[lexicalTopK]]); df and corpus stats are
     * term-keyed/scalar aggregates (map-side combined); the scalar
@@ -157,6 +171,10 @@ object Hybrid {
   def linearFusion(
       branches: Seq[(String, DataFrame, Double)], k: Int): DataFrame = {
     require(branches.nonEmpty)
+    // duplicate names would collide in the <name>_norm columns and only
+    // surface later as an ambiguous-column AnalysisException — fail here
+    require(branches.map(_._1).distinct.size == branches.size,
+      s"branch names must be unique, got: ${branches.map(_._1).mkString(", ")}")
     val normed = branches.map { case (name, df, _) =>
       val w = Window.partitionBy("qid")
       df.select(col("qid"), col("id"),
@@ -197,6 +215,9 @@ object Hybrid {
     */
   def rrf(branches: Seq[(String, DataFrame)], k: Int, k0: Int = 60): DataFrame = {
     require(branches.nonEmpty)
+    // same uniqueness rule as [[linearFusion]]: <name>_rnk must not collide
+    require(branches.map(_._1).distinct.size == branches.size,
+      s"branch names must be unique, got: ${branches.map(_._1).mkString(", ")}")
     val tagged = branches.map { case (name, df) =>
       df.select(col("qid"), col("id"), col("rank").cast("long").as(s"${name}_rnk"))
     }

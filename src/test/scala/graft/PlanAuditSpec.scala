@@ -26,7 +26,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q03: mktsegment filter is pushed down to the customer parquet scan") {
     val p = planString(Relational.q3ShippingPriority(spark, sf))
     assert(p.contains("PushedFilters") &&
-      p.contains("IsNotNull(c_mktsegment)") || p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      (p.contains("IsNotNull(c_mktsegment)") || p.contains("EqualTo(c_mktsegment,BUILDING)")),
       s"missing pushdown in:\n$p")
   }
 
@@ -209,6 +209,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"ANN-mode pipeline must never score all pairs:\n$p")
     spark.sharedState.cacheManager.clearCache() // drop the query's pins
+  }
+
+  test("q93: analytics over the ANN-built graph is all-pairs free end-to-end") {
+    // The composed 100 TB shape for the graph family: Ann.topKMultiTable
+    // builds the edge list with (table, bucket)-keyed joins, and
+    // triangleStats closes it with node-keyed joins — zero all-pairs
+    // nodes anywhere. Composed here WITHOUT the SparkEntry memo (the
+    // memoized q93 reads a checkpointed RDD, which would hide the build
+    // stage from the plan).
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    val edges = graft.operators.Ann
+      .topKMultiTable(docs, queries, k = 5, dim = 64, nPlanes = 4, nTables = 8)
+      .filter(col("qid") =!= col("id"))
+      .select(least(col("qid"), col("id")).as("src"),
+        greatest(col("qid"), col("id")).as("dst"))
+      .distinct()
+    val df = graft.operators.GraphAlgos.triangleStats(edges)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ANN build + census must never score all pairs:\n$p")
+    spark.sharedState.cacheManager.clearCache() // drop triangleStats' pin
   }
 
   test("bucketed tables: co-located join plans without a shuffle exchange") {
