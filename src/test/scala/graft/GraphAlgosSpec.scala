@@ -154,11 +154,39 @@ class GraphAlgosSpec extends SparkSpec {
       "d" -> "c", "e" -> "c", "f" -> "c"), s"$r")
   }
 
+  test("labelPropagationWeighted: one strong tie outvotes two weak ones; unweighted tie-break differs") {
+    // star x—a (w=1), x—b (w=5), x—c (w=1): round 1, x's neighbor labels
+    // are their ids. Weighted: b's vote (5) wins. Unweighted: all votes
+    // tie at 1 and the (count desc, label asc) tie-break picks "a" — the
+    // two variants provably disagree on this input.
+    val e = Seq(("x", "a", 1L), ("x", "b", 5L), ("x", "c", 1L))
+      .toDF("src", "dst", "w")
+    val wd = GraphAlgos.labelPropagationWeighted(e, maxIter = 1).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("community")).toMap
+    assert(wd("x") == "b", s"$wd")
+    val uw = GraphAlgos.labelPropagation(e.select("src", "dst"), maxIter = 1)
+      .collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("community")).toMap
+    assert(uw("x") == "a", s"$uw")
+  }
+
+  test("labelPropagationWeighted: non-positive weights carry no vote; all-dropped nodes vanish") {
+    // y's only edge has w=0 → y is not in the graph at all; x—a (w=2)
+    // still votes. Duplicate parallel edges collapse to max weight.
+    val e = Seq(("x", "a", 2L), ("a", "x", 1L), ("x", "y", 0L), ("z", "x", -3L))
+      .toDF("src", "dst", "w")
+    val r = GraphAlgos.labelPropagationWeighted(e, maxIter = 1).collect()
+      .map(x => x.getAs[String]("id")).toSet
+    assert(r == Set("x", "a"), s"$r")
+  }
+
   test("graph family degrades to empty on empty inputs — never throws") {
     val none = Seq.empty[(String, String)].toDF("src", "dst")
     assert(GraphAlgos.triangleStats(none).count() == 0L)
     assert(GraphAlgos.kCore(none, k = 2).count() == 0L)
     assert(GraphAlgos.labelPropagation(none).count() == 0L)
+    assert(GraphAlgos.labelPropagationWeighted(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "w")).count() == 0L)
     assert(GraphAlgos.hitsFixedPoint(none).count() == 0L)
     assert(GraphAlgos.pageRankFixedPoint(none).count() == 0L)
   }
