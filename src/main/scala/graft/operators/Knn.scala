@@ -81,8 +81,9 @@ object Knn {
       val msg = s"brute-force KNN over a corpus estimated at $est bytes " +
         s"(> bruteCorpusWarnBytes=${conf.bruteCorpusWarnBytes}): every " +
         "(query, doc) pair will be scored. For corpora this size use the " +
-        "sub-linear path — Retrieval.MultiTableLsh (Pipelines.search " +
-        "retrieval argument) or Ann.topKBucketed — or raise the cap / set " +
+        "sub-linear path — Retrieval.Auto (switches at this same cap), " +
+        "Retrieval.MultiTableLsh (Pipelines.search retrieval argument) or " +
+        "Ann.topKBucketed — or raise the cap / set " +
         "failOnOversizeBruteKnn=false deliberately."
       if (conf.failOnOversizeBruteKnn) throw new IllegalArgumentException(msg)
       log.warn(msg)

@@ -21,6 +21,12 @@ object Pipelines {
     * against the post-ingest corpus (self-clamp active: the new doc is in
     * the store when searched, main.py:80-84), then derive edge deltas.
     *
+    * Default retrieval is [[Retrieval.Auto]]: the reference's brute
+    * contract below the size cap (so small-corpus behavior — including
+    * the §2.3 quirks — is byte-identical to pinning [[Retrieval.Brute]]),
+    * the sub-linear [[Retrieval.MultiTableLsh]] past it. Pin an arm
+    * explicitly to opt out of the switch.
+    *
     * @param existing (id, mtype, data, embedding)
     * @param batch    (mtype, data, seq)
     * @return (updated docs, knn neighbors with qtype, edge delta)
@@ -29,7 +35,7 @@ object Pipelines {
       existing: DataFrame,
       batch: DataFrame,
       conf: GraftConf = GraftConf.default,
-      retrieval: Retrieval = Retrieval.Brute
+      retrieval: Retrieval = Retrieval.Auto()
   ): (DataFrame, DataFrame, DataFrame) = {
     val delta = Ingest.dedupDelta(Ingest.prepare(batch, conf), existing)
       .select("id", "mtype", "data", "embedding", "seq")
@@ -55,13 +61,14 @@ object Pipelines {
 
   /** `/search` (main.py:90-125): embed the query, KNN WITHOUT self-clamp
     * (no query_id, main.py:118), then faithful graph expansion
-    * (search.py:5-43) over the supplied edge table. */
+    * (search.py:5-43) over the supplied edge table. Default retrieval =
+    * [[Retrieval.Auto]] (see [[submit]]). */
   def search(
       docs: DataFrame,
       queries: DataFrame, // (qid, qtype, qvec) with qid not a doc id
       edges: DataFrame,
       conf: GraftConf = GraftConf.default,
-      retrieval: Retrieval = Retrieval.Brute
+      retrieval: Retrieval = Retrieval.Auto()
   ): DataFrame = {
     val knn = retrieval.topK(docs, queries, conf.searchK, conf)
     // hits carry the stored payload + modality like the reference's

@@ -39,11 +39,49 @@ sealed trait Retrieval {
 
 object Retrieval {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The reference's exact contract: brute-force scan with self-clamp
     * and modality-balanced quotas (main.py:206-254). */
   case object Brute extends Retrieval {
     def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame =
       Knn.search(docs, queries, k, conf)
+  }
+
+  /** Cost-based strategy choice — the default a real caller wants:
+    * [[Brute]] (the reference's full §2.3 contract) while Catalyst's
+    * free size estimate for the corpus stays at or under
+    * `conf.bruteCorpusWarnBytes`, [[MultiTableLsh]] past it. This turns
+    * [[Knn.bruteGuard]]'s warning into an actual switch: a naive caller
+    * pointing the pipeline at a cluster-scale corpus gets the
+    * sub-linear bucket-keyed plan instead of a logged quadratic.
+    *
+    * The switch is a SEMANTICS trade, deliberately: past the cap the
+    * result is the plain approximate top-k (no modality balancing, no
+    * self-clamp — see the trait scaladoc), which is the only shape that
+    * survives 100×. Callers who need the quirks above the cap pin
+    * [[Brute]] explicitly (and get the guard's warning); callers who
+    * need ANN below it pin an ANN strategy. The chosen arm is logged at
+    * INFO with both sides of the comparison so a size-estimate misfire
+    * is diagnosable.
+    *
+    * @param dim     hyperplane dimensionality for the LSH arm;
+    *                0 (default) = use `conf.dim` at call time
+    * @param nPlanes planes per table (LSH arm)
+    * @param nTables OR-construction tables (LSH arm) */
+  final case class Auto(dim: Int = 0, nPlanes: Int = 4, nTables: Int = 8)
+      extends Retrieval {
+    def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame = {
+      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      val over = est > BigInt(conf.bruteCorpusWarnBytes)
+      val d = if (dim > 0) dim else conf.dim
+      log.info(s"Retrieval.Auto: corpus sizeEstimate=$est " +
+        s"capBytes=${conf.bruteCorpusWarnBytes} => " +
+        (if (over) s"MultiTableLsh(dim=$d, nPlanes=$nPlanes, nTables=$nTables)"
+         else "Brute"))
+      if (over) MultiTableLsh(d, nPlanes, nTables).topK(docs, queries, k, conf)
+      else Brute.topK(docs, queries, k, conf)
+    }
   }
 
   /** OR-construction multi-table hyperplane LSH ([[Ann.topKMultiTable]]):

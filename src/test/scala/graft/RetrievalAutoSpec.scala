@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval.Auto — the cost-based brute↔ANN switch (r6 verdict
+  * Missing #2): below the size cap Auto must be byte-identical to the
+  * Brute arm (reference contract preserved), past it byte-identical to
+  * the MultiTableLsh arm (the sub-linear plan). The two arms provably
+  * differ on this corpus (ANN recall < 1), so arm-equality also proves
+  * the switch actually fired rather than both arms coinciding. */
+class RetrievalAutoSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val k = 5
+
+  private def corpus: DataFrame = Tables.embeddings(spark, sf)
+    .select(col("vec_id").cast("string").as("id"),
+      lit("text").as("mtype"), col("embedding"))
+
+  private def queries: DataFrame = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") % 10 === 0)
+    .select(col("vec_id").cast("string").as("qid"),
+      lit("text").as("qtype"), col("embedding").as("qvec"))
+
+  private def rows(df: DataFrame): Set[(String, String, Double, Int)] =
+    df.collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("id"),
+      r.getAs[Double]("sim"), r.getAs[Int]("rank"))).toSet
+
+  test("below the cap Auto IS Brute; past it Auto IS MultiTableLsh; the arms differ") {
+    val conf = GraftConf.default.copy(dim = 64)
+    val brute = rows(Retrieval.Brute.topK(corpus, queries, k, conf))
+    val ann = rows(
+      Retrieval.MultiTableLsh(dim = 64).topK(corpus, queries, k, conf))
+    // precondition: the switch is observable (recall < 1 on 50 queries)
+    assert(brute != ann, "arms coincide - switch would be unobservable")
+
+    // huge cap -> Auto resolves to the brute arm
+    val under = conf.copy(bruteCorpusWarnBytes = Long.MaxValue)
+    assert(rows(Retrieval.Auto().topK(corpus, queries, k, under)) == brute)
+
+    // 1-byte cap -> any corpus estimate exceeds it -> ANN arm, with
+    // dim resolved from conf.dim (Auto's dim=0 default)
+    val over = conf.copy(bruteCorpusWarnBytes = 1L)
+    assert(rows(Retrieval.Auto().topK(corpus, queries, k, over)) == ann)
+  }
+
+  test("Auto never trips the brute-size guard on the ANN side of the cap") {
+    // failOnOversizeBruteKnn would make Knn.search THROW past the cap;
+    // Auto must have already switched to the ANN arm at that point, so
+    // the combination is safe by construction.
+    val conf = GraftConf.default.copy(dim = 64,
+      bruteCorpusWarnBytes = 1L, failOnOversizeBruteKnn = true)
+    assert(Retrieval.Auto().topK(corpus, queries, k, conf).count() > 0)
+  }
+}
