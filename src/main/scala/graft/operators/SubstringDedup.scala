@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-grain contamination — the one dedup grain class the
+  * engine lacked (r6 verdict Missing #3): doc-grain (q61), paragraph-
+  * grain (q70) and shingle-grain (q73) all detect overlap at a FIXED
+  * tokenization, while a training document that embeds a long verbatim
+  * character run from an eval document (a quote, a copied answer, a
+  * license block) can straddle every shingle boundary. This operator
+  * detects any shared substring of length ≥ `minOverlap` CHARACTERS,
+  * exactly.
+  *
+  * Two stages, both scale-shaped:
+  *
+  *  1. **Candidate generation — winnowing fingerprints** (Schleimer,
+  *     Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+  *     Fingerprinting", SIGMOD 2003): hash every character k-gram,
+  *     then per sliding window of `w` consecutive k-gram hashes keep
+  *     the minimum. The winnowing guarantee: any shared substring of
+  *     length ≥ k + w − 1 spans a full window of w k-grams in BOTH
+  *     documents, and the min over identical hash sets is identical —
+  *     so the pair SHARES a fingerprint and survives the equi-join.
+  *     With `minOverlap ≥ k + w − 1` (enforced), candidate generation
+  *     has NO false negatives; hash collisions only add false
+  *     candidates, which stage 2 prunes exactly. Fingerprint volume is
+  *     ~|doc|/w rows per doc (the winnowing density bound), and the
+  *     candidate join is a fingerprint-keyed equi-join — never pairs².
+  *
+  *  2. **Exact extend — suffix automaton**: per candidate (train, eval)
+  *     pair, the true longest common substring via a suffix automaton
+  *     of the train text streamed with the eval text — O(|t| + |e|)
+  *     per pair instead of the O(|t|·|e|) DP. Candidates are grouped
+  *     by train doc (`groupByKey`), so one automaton serves ALL of
+  *     that doc's candidate evals; per-group state is O(|train doc|)
+  *     — executor-memory bounded by the longest single document, never
+  *     by corpus size.
+  *
+  * Why spec-only (no SQL oracle): the correctness gate hashes oracle
+  * SQL results, and neither the winnowing min-window selection nor the
+  * automaton extend has a faithful DuckDB mirror that is not itself a
+  * from-scratch reimplementation (the streaming-ingest precedent:
+  * document the gap, gate with planted-fixture specs instead —
+  * SubstringDedupSpec plants overlaps at known offsets and asserts
+  * pair set, LCS length, and eval-side offset).
+  */
+object SubstringDedup {
+
+  /** Suffix automaton over `s` (Blumer et al. 1985 construction, the
+    * standard online O(|s|·Σ) build): recognizes exactly the substrings
+    * of `s`; [[longestCommonSubstring]] streams another string through
+    * it tracking the longest current match. */
+  private[graft] final class SuffixAutomaton(s: String) {
+    private val cap = 2 * math.max(s.length, 1) + 5
+    private val len = new Array[Int](cap)
+    private val link = new Array[Int](cap)
+    private val next =
+      Array.fill(cap)(new java.util.HashMap[Character, Integer](4))
+    private var last = 0
+    private var size = 1
+    link(0) = -1
+    s.foreach(append)
+
+    private def append(c: Char): Unit = {
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      var p = last
+      while (p != -1 && !next(p).containsKey(c)) {
+        next(p).put(c, cur); p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q: Int = next(p).get(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          next(clone).putAll(next(q))
+          while (p != -1 && next(p).get(c) == Integer.valueOf(q)) {
+            next(p).put(c, clone); p = link(p)
+          }
+          link(cur) = clone; link(q) = clone
+        }
+      }
+      last = cur
+    }
+
+    /** (length, 0-based start offset in `t`) of the longest substring of
+      * `t` that is also a substring of the automaton's string; (0, -1)
+      * when nothing matches. Ties keep the EARLIEST occurrence in `t`
+      * (strict `>` on the running best), making the offset deterministic. */
+    def longestCommonSubstring(t: String): (Int, Int) = {
+      var v = 0; var l = 0; var best = 0; var bestEnd = -1
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        while (v != 0 && !next(v).containsKey(c)) {
+          v = link(v); l = len(v)
+        }
+        val u = next(v).get(c)
+        if (u != null) { v = u; l += 1 }
+        else { v = 0; l = 0 }
+        if (l > best) { best = l; bestEnd = i }
+        i += 1
+      }
+      (best, if (bestEnd < 0) -1 else bestEnd - best + 1)
+    }
+  }
+
+  /** Winnowed fingerprint set of each doc: xxhash64 over every char
+    * k-gram, min per sliding w-window, deduped. (id, fp) rows, ~len/w
+    * per doc. The two expensive columns (k-gram, hash) are materialized
+    * before the window fan-out — the projection-collapse rule. */
+  private def fingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .filter(length(col("_text")) >= k)
+      .select(col("_id"), col("_text"),
+        posexplode(sequence(lit(0), length(col("_text")) - k)))
+      .select(col("_id"), col("pos"),
+        xxhash64(expr("substring(_text, pos + 1, " + k + ")")).as("h"))
+    val wSpec = Window.partitionBy("_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("_nGrams", count(lit(1)).over(
+        Window.partitionBy("_id")))
+      .withColumn("fp", min("h").over(wSpec))
+      // only positions that head a FULL w-window (the guarantee's unit)
+      .filter(col("pos") <= col("_nGrams") - w)
+      .select(col("_id"), col("fp"))
+      .distinct()
+  }
+
+  /** Candidate pairs by shared winnowed fingerprint — equi-join on the
+    * fingerprint value, distinct (train, eval) pairs. Exposed for the
+    * spec's no-false-negative check. */
+  private[graft] def candidatePairs(
+      train: DataFrame, eval: DataFrame, k: Int, w: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val tFp = fingerprints(train, idCol, textCol, k, w)
+      .withColumnRenamed("_id", "train_id")
+    val eFp = fingerprints(eval, idCol, textCol, k, w)
+      .withColumnRenamed("_id", "eval_id")
+    eFp.join(tFp, Seq("fp")).select("eval_id", "train_id").distinct()
+  }
+
+  /** Eval docs sharing an exact substring of ≥ `minOverlap` chars with
+    * a train doc, with the TRUE longest-common-substring length and its
+    * (earliest) eval-side offset.
+    *
+    * @param train      (id, text) — the training corpus
+    * @param eval       (id, text) — the held-out set to protect
+    * @param minOverlap report pairs with LCS ≥ this many characters;
+    *                   must be ≥ k + w − 1 (the winnowing guarantee)
+    * @param k          fingerprint k-gram length (chars)
+    * @param w          winnowing window (k-grams per window)
+    * @return (eval_id, train_id, lcs_len, eval_offset) */
+  def contamination(
+      train: DataFrame, eval: DataFrame, minOverlap: Int,
+      k: Int = 12, w: Int = 14,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    require(k >= 2 && w >= 1, s"degenerate fingerprint params k=$k w=$w")
+    require(minOverlap >= k + w - 1,
+      s"winnowing guarantees detection only at >= k + w - 1 = ${k + w - 1} " +
+        s"chars; got minOverlap=$minOverlap (shrink k or w)")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val cands = candidatePairs(train, eval, k, w, idCol, textCol)
+      .join(eval.select(col(idCol).as("eval_id"),
+        col(textCol).as("_etext")), Seq("eval_id"))
+      .join(train.select(col(idCol).as("train_id"),
+        col(textCol).as("_ttext")), Seq("train_id"))
+      .select(col("train_id").cast("string"), col("eval_id").cast("string"),
+        col("_ttext"), col("_etext"))
+      .as[(String, String, String, String)]
+    // one automaton per train doc serves all its candidate evals
+    val extended: Dataset[(String, String, Int, Int)] = cands
+      .groupByKey(_._1)
+      .flatMapGroups { (tid, rows) =>
+        var sam: SuffixAutomaton = null
+        rows.map { case (_, eid, ttext, etext) =>
+          if (sam == null) sam = new SuffixAutomaton(ttext)
+          val (l, off) = sam.longestCommonSubstring(etext)
+          (eid, tid, l, off)
+        }
+      }
+    extended.toDF("eval_id", "train_id", "lcs_len", "eval_offset")
+      .filter(col("lcs_len") >= minOverlap)
+  }
+}
