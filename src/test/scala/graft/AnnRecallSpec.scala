@@ -275,6 +275,36 @@ class AnnRecallSpec extends SparkSpec {
     assert(frac <= 0.3, s"candidate fraction not sublinear: $frac")
   }
 
+  test("clustered corpus: trained IVF concentrates clusters into lists (geometry-study pin)") {
+    // Small-scale pin of the AnnGeomStudy fixture (same generator, same
+    // seed family): on clustered data a FRESH-trained quantizer puts
+    // each cluster in one list, so nprobe=2 of 16 (12.5% scan) must be
+    // near-exact — where the near-isotropic driver corpus manages only
+    // ~0.55 at the same fraction (the frozen-codebook envelope above).
+    // A regression in trainedCentroids or the probe path shifts this
+    // before the bench-scale study numbers in SCALE.md go stale.
+    val docs = graft.tools.AnnGeomStudy.clusteredCorpus(
+      spark, nClusters = 25, perCluster = 40, dim = 64, sigma = 0.25, seed = 42L)
+    val queries = docs.filter(col("id").endsWith("_000"))
+      .select(col("id").as("qid"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    val cents = Ann.trainedCentroids(docs, nCentroids = 16)
+    def recallAt(nprobe: Int): Double = {
+      val approx = resultSet(Ann.topKIvfWith(docs, queries, 5, cents, nprobe))
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val (r1, r2) = (recallAt(1), recallAt(2))
+    info(f"clustered trained-IVF recall@5: nprobe=1 -> $r1%.3f, nprobe=2 -> $r2%.3f")
+    assert(r2 >= r1, s"recall must be monotone in nprobe: $r1 -> $r2")
+    assert(r2 >= 0.85, f"clustered trained IVF should be near-exact at 12.5%% scan: $r2%.3f")
+    docs.unpersist()
+  }
+
   test("recall-vs-planes sweep: fewer planes -> bigger buckets -> higher recall (cost trade)") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables.embeddings(spark, sf)
