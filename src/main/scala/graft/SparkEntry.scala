@@ -1250,14 +1250,16 @@ object SparkEntry {
           col("embedding").as("qvec"))
       Ann.topKMultiTable(e, q, k = 5, dim = 64, nPlanes = 4, nTables = 8)
         .filter(col("qid") =!= col("id"))
-        .select(least(col("qid"), col("id")).as("src"),
+        // canonical undirected edges, keeping the similarity (both
+        // directions carry the identical dot product, so max is exact)
+        .groupBy(least(col("qid"), col("id")).as("src"),
           greatest(col("qid"), col("id")).as("dst"))
-        .distinct()
+        .agg(max(col("sim")).as("sim"))
         .localCheckpoint()
     })
 
   private def simGraphAnnQ(s: SparkSession, dir: String): DataFrame =
-    simGraphAnnEdges(s, dir).orderBy("src", "dst")
+    simGraphAnnEdges(s, dir).select("src", "dst").orderBy("src", "dst")
 
   /** Triangle census over the ANN-BUILT similarity graph (q93): the
     * end-to-end composition the 100 TB story needs — sub-linear
@@ -1279,6 +1281,19 @@ object SparkEntry {
     GraphAlgos.labelPropagation(simGraphAnnEdges(s, dir), maxIter = 5)
       .transform(graft.CacheScope.pin)
       .orderBy("id")
+
+  /** Similarity-component fragmentation over the ANN-built graph (q96):
+    * q92's thresholded-components report composed with the sub-linear
+    * construction — the third analytics-over-ANN gate (census q93,
+    * communities q94, components q96 ↔ brute twins q88, q90, q92). */
+  private def annComponentsQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = simGraphAnnEdges(s, dir)
+      .filter(col("sim") >= 0.35).select("src", "dst")
+    GraphAlgos.connectedComponents(edges, maxIter = 10)
+      .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("component")
+  }
 
   /** Weighted LPA (q95): votes weighted by milli-quantized similarity
     * — strong ties outvote many weak ones. Edge weights derive from the
@@ -1496,6 +1511,7 @@ object SparkEntry {
     "q93_ann_triangles" -> ((s, d) => annTriangleStatsQ(s, d)),
     "q94_ann_communities" -> ((s, d) => annCommunitiesQ(s, d)),
     "q95_weighted_lpa" -> ((s, d) => weightedLpaQ(s, d)),
+    "q96_ann_components" -> ((s, d) => annComponentsQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -1768,12 +1784,13 @@ object SparkEntry {
        |  SELECT DISTINCT a.id AS qid, a.embedding AS qvec, b.id, b.embedding
        |  FROM tg a JOIN tg b ON a.tbl = b.tbl AND a.bucket = b.bucket),
        |rk AS (
-       |  SELECT qid, id,
+       |  SELECT qid, id, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
        |  FROM (SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM cand)),
        |sg AS MATERIALIZED (
-       |  SELECT DISTINCT least(qid, id) AS a, greatest(qid, id) AS b
-       |  FROM rk WHERE rnk <= 5 AND qid <> id)""".stripMargin
+       |  SELECT least(qid, id) AS a, greatest(qid, id) AS b, max(sim) AS msim
+       |  FROM rk WHERE rnk <= 5 AND qid <> id
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** Mirror of GraphAlgos.triangleStats over an `sg`(a, b) edge CTE:
@@ -2703,6 +2720,18 @@ object SparkEntry {
       // q90's LPA rounds over the ANN-built graph.
       s"""WITH $sqlAnnSimGraphCtes,
          |$sqlLpaTail""".stripMargin,
+    "q96_ann_components" ->
+      // q92's thresholded component rollup over the ANN-built graph —
+      // the chain's sg carries max(sim) as msim for exactly this filter
+      // (both directions hold the identical dot product, so max ≡ either).
+      s"""WITH $sqlAnnSimGraphCtes,
+         |sgt AS MATERIALIZED (SELECT a, b FROM sg WHERE msim >= 0.35),
+         |sgsym AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM sgt UNION ALL SELECT b, a FROM sgt),
+         |${ccUnrolled("sg", 10, materialized = true)}
+         |SELECT component, count(*) AS n_nodes FROM sgl10
+         |GROUP BY component
+         |ORDER BY component""".stripMargin,
     "q95_weighted_lpa" -> {
       // Mirror of GraphAlgos.labelPropagationWeighted(maxIter=5) over
       // the milli-weighted brute sim graph: identical dot products →

@@ -35,7 +35,7 @@ object StreamingIngest {
       docsDir: String,
       edgesDir: String,
       conf: GraftConf = GraftConf.default,
-      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Brute)
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Auto())
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -54,7 +54,7 @@ object StreamingIngest {
       docsDir: String,
       edgesDir: String,
       conf: GraftConf = GraftConf.default,
-      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Brute)
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Auto())
       : DataStreamWriter[org.apache.spark.sql.Row] =
     dedupStreamFirstSeen(stream).drop("id")
       .writeStream.outputMode(OutputMode.Append).foreachBatch {
@@ -70,7 +70,10 @@ object StreamingIngest {
     * reference contract; an ANN strategy makes the per-batch cost
     * sub-linear in store size — on a stream that distinction COMPOUNDS,
     * because the store grows monotonically and brute per-batch time
-    * grows with it (measured by [[StreamBench]]). */
+    * grows with it (measured by [[StreamBench]]). Default =
+    * [[graft.operators.Retrieval.Auto]]: a stream therefore ESCALATES —
+    * brute (full reference contract) while the store is small, ANN once
+    * the growing store crosses the size cap, with no caller code. */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -78,7 +81,7 @@ object StreamingIngest {
       docsDir: String,
       edgesDir: String,
       conf: GraftConf,
-      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Brute): Unit = {
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Auto()): Unit = {
     // probe through the Hadoop FileSystem API, not java.io.File: the
     // store dir can live on any supported filesystem (HDFS/S3/...) where
     // a local-FS check would always say "absent" and silently skip the
