@@ -1282,6 +1282,23 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id")
 
+  /** Similarity-weighted PageRank over the ANN-built graph (q97):
+    * q86's integer fixed-point recurrence with transition mass
+    * proportional to milli-quantized ANN edge similarity — the
+    * authority signal computed directly on the graph a 100 TB pipeline
+    * actually builds (fourth analytics-over-ANN gate). */
+  private def annWeightedPageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val e = simGraphAnnEdges(s, dir)
+    val sym = e.select(col("src").as("u"), col("dst").as("v"), col("sim"))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v"), col("sim")))
+    val weighted = sym.select(col("u").as("src"), col("v").as("dst"),
+      floor(col("sim") * 1000.0 + 0.5).cast("long").as("w"))
+    val all = sym.select(col("u").as("id")).distinct()
+    GraphAlgos.weightedPersonalizedPageRankFixedPoint(weighted, all, iters = 5)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
   /** Similarity-component fragmentation over the ANN-built graph (q96):
     * q92's thresholded-components report composed with the sub-linear
     * construction — the third analytics-over-ANN gate (census q93,
@@ -1512,6 +1529,7 @@ object SparkEntry {
     "q94_ann_communities" -> ((s, d) => annCommunitiesQ(s, d)),
     "q95_weighted_lpa" -> ((s, d) => weightedLpaQ(s, d)),
     "q96_ann_components" -> ((s, d) => annComponentsQ(s, d)),
+    "q97_ann_weighted_pagerank" -> ((s, d) => annWeightedPageRankQ(s, d)),
     "q18_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q23_neardup_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
     "q48_dedup_clusters" -> ((s, d) => dedupClustersQ(s, d)),
@@ -1814,6 +1832,31 @@ object SparkEntry {
        |       ELSE 0.0 END AS clustering
        |FROM dg d LEFT JOIN pn p ON d.id = p.id
        |ORDER BY d.id""".stripMargin
+
+  /** Mirror of the weighted fixed-point PageRank recurrence tail
+    * (5 unrolled iterations + final select) over CTEs `ge`(u, v, w),
+    * `nodes`(id), `ow`(src, ow) — shared verbatim by q86 (brute-built
+    * ingest graph) and q97 (ANN-built sim graph); seeds = all nodes. */
+  private val sqlWprTail: String = {
+    val unit = 1000000000L
+    val base = unit - unit * 850 / 1000
+    val iterCtes = (1 to 5).map { k =>
+      s"""c$k AS (
+         |  SELECT e.v AS id,
+         |    CAST(floor(CAST(r.nanorank * e.w AS DOUBLE) / CAST(o.ow AS DOUBLE)) AS BIGINT) AS share
+         |  FROM r${k - 1} r JOIN ow o ON r.id = o.src JOIN ge e ON e.u = r.id),
+         |i$k AS (SELECT id, CAST(sum(share) AS BIGINT) AS insum FROM c$k GROUP BY id),
+         |r$k AS (
+         |  SELECT n.id, $base +
+         |    CAST(floor(CAST(coalesce(i.insum, 0) * 850 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT)
+         |    AS nanorank
+         |  FROM nodes n LEFT JOIN i$k i ON n.id = i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""r0 AS (SELECT id, CAST($unit AS BIGINT) AS nanorank FROM nodes),
+       |$iterCtes
+       |SELECT id, nanorank FROM r5
+       |ORDER BY id""".stripMargin
+  }
 
   /** Mirror of GraphAlgos.labelPropagation(maxIter=5) over an `sg`(a, b)
     * edge CTE: five unrolled rounds of neighbor-label count + (count
@@ -2852,26 +2895,13 @@ object SparkEntry {
          |FROM h5 JOIN a5 ON h5.id = a5.id
          |ORDER BY h5.id""".stripMargin
     },
-    "q86_weighted_pagerank" -> {
+    "q86_weighted_pagerank" ->
       // Mirror of weightedPersonalizedPageRankFixedPoint(seeds = all,
       // milli-weights): same integer recurrence with share =
       // floor(rank·w / W(src)); weights quantized with the same
       // floor(s·1000+0.5) on both sides (edge scores are bit-identical
-      // doubles), non-positive weights dropped identically.
-      val unit = 1000000000L
-      val base = unit - unit * 850 / 1000
-      val iterCtes = (1 to 5).map { k =>
-        s"""c$k AS (
-           |  SELECT e.v AS id,
-           |    CAST(floor(CAST(r.nanorank * e.w AS DOUBLE) / CAST(o.ow AS DOUBLE)) AS BIGINT) AS share
-           |  FROM r${k - 1} r JOIN ow o ON r.id = o.src JOIN ge e ON e.u = r.id),
-           |i$k AS (SELECT id, CAST(sum(share) AS BIGINT) AS insum FROM c$k GROUP BY id),
-           |r$k AS (
-           |  SELECT n.id, $base +
-           |    CAST(floor(CAST(coalesce(i.insum, 0) * 850 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT)
-           |    AS nanorank
-           |  FROM nodes n LEFT JOIN i$k i ON n.id = i.id)""".stripMargin
-      }.mkString(",\n")
+      // doubles), non-positive weights dropped identically. The
+      // recurrence tail is shared verbatim with q97 (ANN-built graph).
       s"""WITH $sqlEmbCtes,
          |${knnChain("", 10)},
          |${edgeDedup("g", edgeDelta("knn", "sim", 1, ""))},
@@ -2881,11 +2911,21 @@ object SparkEntry {
          |  FROM gsym WHERE CAST(floor(score * 1000.0 + 0.5) AS BIGINT) > 0),
          |nodes AS (SELECT DISTINCT u AS id FROM gsym),
          |ow AS (SELECT u AS src, CAST(sum(w) AS BIGINT) AS ow FROM ge GROUP BY u),
-         |r0 AS (SELECT id, CAST($unit AS BIGINT) AS nanorank FROM nodes),
-         |$iterCtes
-         |SELECT id, nanorank FROM r5
-         |ORDER BY id""".stripMargin
-    },
+         |$sqlWprTail""".stripMargin,
+    "q97_ann_weighted_pagerank" ->
+      // q86's weighted fixed-point recurrence over the ANN-built sim
+      // graph: symmetric view of sg with msim as the edge score, then
+      // the identical milli-weight quantization and unrolled tail.
+      s"""WITH $sqlAnnSimGraphCtes,
+         |gsym AS MATERIALIZED (
+         |  SELECT a AS u, b AS v, msim AS score FROM sg
+         |  UNION ALL SELECT b, a, msim FROM sg),
+         |ge AS (
+         |  SELECT u, v, CAST(floor(score * 1000.0 + 0.5) AS BIGINT) AS w
+         |  FROM gsym WHERE CAST(floor(score * 1000.0 + 0.5) AS BIGINT) > 0),
+         |nodes AS (SELECT DISTINCT u AS id FROM gsym),
+         |ow AS (SELECT u AS src, CAST(sum(w) AS BIGINT) AS ow FROM ge GROUP BY u),
+         |$sqlWprTail""".stripMargin,
     "q85_personalized_pagerank" -> {
       // Mirror of GraphAlgos.personalizedPageRankFixedPoint over q81's
       // edge set with the embQueries cohort as seeds: identical integer
