@@ -1105,6 +1105,15 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("doc_id")
 
+  /** Trigram LM scoring (q98): q84 with two-token context — sharper
+    * fluency signal, sparser counts (see
+    * [[TextAnalysis.trigramLogProb]]). */
+  private def trigramLmQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+
   /** HyperLogLog cardinality contract (q83): per-source distinct token
     * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
     * the q46 device: the oracle mirrors the exact values plus literal
@@ -1599,6 +1608,7 @@ object SparkEntry {
     "q46_approx_percentiles" -> ((s, d) => approxPercentiles(s, d)),
     "q83_approx_distinct" -> ((s, d) => approxDistinctQ(s, d)),
     "q84_bigram_lm" -> ((s, d) => bigramLmQ(s, d)),
+    "q98_trigram_lm" -> ((s, d) => trigramLmQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -3059,6 +3069,31 @@ object SparkEntry {
          |  FROM sc GROUP BY id)
          |SELECT t.id AS doc_id,
          |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         |FROM tok t LEFT JOIN pd p ON t.id = p.id
+         |ORDER BY doc_id""".stripMargin,
+    "q98_trigram_lm" ->
+      // Mirror of TextAnalysis.trigramLogProb: q84's device with one
+      // more context token (i = 0..len-3 triples toks[i+1..i+3] —
+      // exactly posexplode + element_at(pos+2/pos+3) after the null
+      // filter), trigram/context count tables, ln of the same double
+      // division, portable-rounded mean.
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |tri AS (
+         |  SELECT id, toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3
+         |  FROM (SELECT id, toks, unnest(range(0, len(toks) - 2)) AS i FROM tok)),
+         |tc AS (SELECT w1, w2, w3, count(*) AS ct FROM tri GROUP BY w1, w2, w3),
+         |cx AS (SELECT w1, w2, count(*) AS cc FROM tri GROUP BY w1, w2),
+         |sc AS (
+         |  SELECT tri.id, ln(CAST(tc.ct AS DOUBLE) / CAST(cx.cc AS DOUBLE)) AS lp
+         |  FROM tri JOIN tc ON tri.w1 = tc.w1 AND tri.w2 = tc.w2 AND tri.w3 = tc.w3
+         |  JOIN cx ON tri.w1 = cx.w1 AND tri.w2 = cx.w2),
+         |pd AS (
+         |  SELECT id, count(*) AS n_trigrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
+         |  FROM sc GROUP BY id)
+         |SELECT t.id AS doc_id,
+         |  coalesce(p.n_trigrams, 0) AS n_trigrams,
          |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
          |FROM tok t LEFT JOIN pd p ON t.id = p.id
          |ORDER BY doc_id""".stripMargin,

@@ -218,6 +218,45 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Trigram LM scoring — [[bigramLogProb]] with one more token of
+    * context: per-doc mean ln P(w3 | w1 w2) under the corpus's own
+    * trigram/context counts. Longer context sharpens the fluency signal
+    * (boilerplate and template text score near 0: their trigrams are
+    * deterministic given two tokens; scrambled text scores deeply
+    * negative) at the price of sparser counts — on a corpus the size of
+    * the doc table most trigrams are singletons, which is itself a
+    * useful memorization/duplication signal. Same scale shape as the
+    * bigram: explode once, two token-keyed count aggregations, keyed
+    * score joins, portable-rounded mean (the q71 float argument).
+    *
+    * @return (id, n_trigrams, avg_logprob) */
+  def trigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin) // trigrams AND the all-docs join read it
+    val tri = toked
+      .select(col("id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .select(col("id"), col("w1"),
+        try_element_at(col("toks"), col("pos") + 2).as("w2"),
+        try_element_at(col("toks"), col("pos") + 3).as("w3"))
+      .filter(col("w3").isNotNull) // implies w2 non-null
+      .transform(graft.CacheScope.pin) // both count tables AND the score join read it
+    val tcnt = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("cc"))
+    val perDoc = tri
+      .join(tcnt, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .withColumn("lp", log(col("ct").cast("double") / col("cc").cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        graft.functions.PortableMath.rnd(
+          sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    toked.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** Corpus vocabulary head: the top-k terms by total frequency with
     * document frequency and corpus-share — the Zipf-head report every
     * training-data audit starts from (tokenizer coverage, stopword
