@@ -81,6 +81,36 @@ class SubstringDedupSpec extends SparkSpec {
     assert(pairs.forall(_._1 == "e40"), s"clean evals produced candidates: $pairs")
   }
 
+  test("real corpus: exactly matches driver-side brute force (guarantee holds end-to-end)") {
+    // The q61 train/eval split over the real documents table: the
+    // distributed winnow→join→extend pipeline must find EXACTLY the
+    // pairs a brute all-pairs LCS finds (the corpus contains natural
+    // >= 25-char overlaps, so the assertion is not vacuous). The brute
+    // truth reuses only the automaton (hand-verified above) — the
+    // candidate generation under test plays no part in it.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 37 =!= 0)
+    val eval = docs.filter(col("doc_id") % 37 === 0)
+    val got = SubstringDedup.contamination(
+      train, eval, minOverlap = 25, idCol = "doc_id", textCol = "text")
+      .collect()
+      .map(r => (r.getAs[String]("eval_id"), r.getAs[String]("train_id"),
+        r.getAs[Int]("lcs_len"))).toSet
+    val trainRows = train.collect().map(r => (r.getLong(0).toString, r.getString(1)))
+    val evalRows = eval.collect().map(r => (r.getLong(0).toString, r.getString(1)))
+    val brute = (for {
+      (tid, ttext) <- trainRows
+      sam = new SuffixAutomaton(ttext)
+      (eid, etext) <- evalRows
+      l = sam.longestCommonSubstring(etext)._1
+      if l >= 25
+    } yield (eid, tid, l)).toSet
+    assert(brute.nonEmpty, "corpus lost its natural overlaps - fixture assumption broken")
+    assert(got == brute, s"distributed=${got.size} brute=${brute.size}\n" +
+      s"missing=${brute -- got}\nextra=${got -- brute}")
+  }
+
   test("minOverlap below the winnowing guarantee is rejected") {
     import spark.implicits._
     val df = Seq(("a", "x" * 40)).toDF("id", "text")
