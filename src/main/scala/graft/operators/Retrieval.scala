@@ -71,11 +71,20 @@ object Retrieval {
     * @param nTables OR-construction tables (LSH arm) */
   final case class Auto(dim: Int = 0, nPlanes: Int = 4, nTables: Int = 8)
       extends Retrieval {
+
+    /** The decision alone, exposed for observability and specs: true ⇔
+      * this corpus would take the ANN arm. On a parquet-backed store the
+      * estimate tracks on-disk size, so a GROWING store (the streaming
+      * ingest loop) flips this mid-stream — the escalation moment. */
+    def escalates(docs: DataFrame, conf: GraftConf): Boolean =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(conf.bruteCorpusWarnBytes)
+
     def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame = {
-      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-      val over = est > BigInt(conf.bruteCorpusWarnBytes)
+      val over = escalates(docs, conf)
       val d = if (dim > 0) dim else conf.dim
-      log.info(s"Retrieval.Auto: corpus sizeEstimate=$est " +
+      log.info(s"Retrieval.Auto: corpus " +
+        s"sizeEstimate=${docs.queryExecution.optimizedPlan.stats.sizeInBytes} " +
         s"capBytes=${conf.bruteCorpusWarnBytes} => " +
         (if (over) s"MultiTableLsh(dim=$d, nPlanes=$nPlanes, nTables=$nTables)"
          else "Brute"))

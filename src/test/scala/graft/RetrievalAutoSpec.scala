@@ -46,6 +46,27 @@ class RetrievalAutoSpec extends SparkSpec {
     assert(rows(Retrieval.Auto().topK(corpus, queries, k, over)) == ann)
   }
 
+  test("a growing parquet store flips the escalation decision (the streaming story)") {
+    // StreamingIngest re-reads the parquet store every batch and its
+    // Catalyst estimate tracks on-disk size — so with a cap set between
+    // "small store" and "grown store", Auto's decision flips mid-stream
+    // with no caller code. Modeled here with two store snapshots.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_autogrow").toString
+    corpus.limit(50).write.parquet(s"$dir/small")
+    (1 to 3).foreach(_ => corpus.write.mode("append").parquet(s"$dir/grown"))
+    val small = spark.read.parquet(s"$dir/small")
+    val grown = spark.read.parquet(s"$dir/grown")
+    val sSmall = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sGrown = grown.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sGrown > sSmall, s"grown store must estimate larger: $sGrown vs $sSmall")
+    val cap = GraftConf.default.copy(dim = 64,
+      bruteCorpusWarnBytes = ((sSmall + sGrown) / 2).toLong)
+    val auto = Retrieval.Auto()
+    assert(!auto.escalates(small, cap), "small store must stay on the brute arm")
+    assert(auto.escalates(grown, cap), "grown store must take the ANN arm")
+  }
+
   test("Auto never trips the brute-size guard on the ANN side of the cap") {
     // failOnOversizeBruteKnn would make Knn.search THROW past the cap;
     // Auto must have already switched to the ANN arm at that point, so
