@@ -14,7 +14,7 @@ class SubstringDedupSpec extends SparkSpec {
 
   import SubstringDedup.SuffixAutomaton
 
-  // defaults k=12, w=14 -> guarantee threshold k + w - 1 = 25 chars
+  // defaults k=20, w=6 -> guarantee threshold k + w - 1 = 25 chars
   private val train1 = "the quick brown fox jumps over the lazy dog while the cat naps"
   private val train2 = "pack my box with five dozen liquor jugs for the long voyage home"
 
@@ -49,7 +49,7 @@ class SubstringDedupSpec extends SparkSpec {
 
   test("boundary: exactly k + w - 1 shared chars are detected; one less is not reported") {
     import spark.implicits._
-    val at = train1.substring(5, 30)      // exactly 25 = 12 + 14 - 1
+    val at = train1.substring(5, 30)      // exactly 25 = 20 + 6 - 1
     val below = train2.substring(10, 34)  // 24 chars
     val train = Seq(("t1", train1), ("t2", train2)).toDF("id", "text")
     val eval = Seq(("eA", "000" + at + "111"), ("eB", "000" + below + "111"))
