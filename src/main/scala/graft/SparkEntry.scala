@@ -1114,6 +1114,14 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("doc_id")
 
+  /** Char-trigram LM scoring (q99): the tokenizer-free garbage/fluency
+    * detector (see [[TextAnalysis.charTrigramLogProb]]). */
+  private def charLmQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charTrigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+
   /** HyperLogLog cardinality contract (q83): per-source distinct token
     * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
     * the q46 device: the oracle mirrors the exact values plus literal
@@ -1609,6 +1617,7 @@ object SparkEntry {
     "q83_approx_distinct" -> ((s, d) => approxDistinctQ(s, d)),
     "q84_bigram_lm" -> ((s, d) => bigramLmQ(s, d)),
     "q98_trigram_lm" -> ((s, d) => trigramLmQ(s, d)),
+    "q99_char_lm" -> ((s, d) => charLmQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -3096,6 +3105,32 @@ object SparkEntry {
          |  coalesce(p.n_trigrams, 0) AS n_trigrams,
          |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
          |FROM tok t LEFT JOIN pd p ON t.id = p.id
+         |ORDER BY doc_id""".stripMargin,
+    "q99_char_lm" ->
+      // Mirror of TextAnalysis.charTrigramLogProb: char positions
+      // i = 0..len-3 (range end-exclusive), 2-char context + 1-char
+      // next via the same 1-based char substring both engines share,
+      // count tables, ln of the same double division, rounded mean.
+      // Docs shorter than 3 chars produce no grams → (0, 0.0).
+      s"""WITH ch AS (SELECT doc_id AS id, text FROM documents),
+         |ctri AS (
+         |  SELECT id, substring(text, i + 1, 2) AS ctx, substring(text, i + 3, 1) AS nxt
+         |  FROM (SELECT id, text, unnest(range(0, len(text) - 2)) AS i
+         |        FROM ch WHERE len(text) >= 3)),
+         |ctc AS (SELECT ctx, nxt, count(*) AS ct FROM ctri GROUP BY ctx, nxt),
+         |ccx AS (SELECT ctx, count(*) AS cc FROM ctri GROUP BY ctx),
+         |csc AS (
+         |  SELECT ctri.id, ln(CAST(ctc.ct AS DOUBLE) / CAST(ccx.cc AS DOUBLE)) AS lp
+         |  FROM ctri JOIN ctc ON ctri.ctx = ctc.ctx AND ctri.nxt = ctc.nxt
+         |  JOIN ccx ON ctri.ctx = ccx.ctx),
+         |cpd AS (
+         |  SELECT id, count(*) AS n_cgrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
+         |  FROM csc GROUP BY id)
+         |SELECT c.id AS doc_id,
+         |  coalesce(p.n_cgrams, 0) AS n_cgrams,
+         |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         |FROM ch c LEFT JOIN cpd p ON c.id = p.id
          |ORDER BY doc_id""".stripMargin,
     "q83_approx_distinct" ->
       // q46's sketch-contract device: exact values + literal TRUE

@@ -257,6 +257,48 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Character-trigram LM scoring — the TOKENIZER-FREE fluency signal:
+    * per-doc mean ln P(c₃ | c₁c₂) under the corpus's own char-trigram
+    * counts. Where [[bigramLogProb]]/[[trigramLogProb]] presuppose a
+    * tokenization (and go blind on scripts the tokenizer mangles),
+    * char-level statistics catch mojibake, base64/hex blobs, ransom-
+    * note casing and wrong-script text in ANY language — the standard
+    * first-pass garbage detector for web-scale corpora. Same scale
+    * shape: one explode over char positions (O(total chars) rows),
+    * two (ctx, next)-keyed count aggregations, keyed score joins,
+    * portable-rounded mean (the q71 float argument).
+    *
+    * @return (id, n_cgrams, avg_logprob) */
+  def charTrigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), col(textCol).as("_t"))
+      .transform(graft.CacheScope.pin) // grams AND the all-docs join read it
+    // guard BEFORE sequence(): Spark's sequence(0, n) with n < 0 builds
+    // a DESCENDING sequence instead of an empty one
+    val tri = base
+      .filter(length(col("_t")) >= 3)
+      .select(col("id"), col("_t"),
+        posexplode(sequence(lit(0), length(col("_t")) - 3)))
+      .select(col("id"),
+        expr("substring(_t, pos + 1, 2)").as("ctx"),
+        expr("substring(_t, pos + 3, 1)").as("nxt"))
+      .transform(graft.CacheScope.pin) // both count tables AND the score join read it
+    val tcnt = tri.groupBy("ctx", "nxt").agg(count(lit(1)).as("ct"))
+    val ccnt = tri.groupBy("ctx").agg(count(lit(1)).as("cc"))
+    val perDoc = tri
+      .join(tcnt, Seq("ctx", "nxt"))
+      .join(ccnt, Seq("ctx"))
+      .withColumn("lp", log(col("ct").cast("double") / col("cc").cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_cgrams"),
+        graft.functions.PortableMath.rnd(
+          sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    base.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_cgrams"), lit(0L)).as("n_cgrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** Corpus vocabulary head: the top-k terms by total frequency with
     * document frequency and corpus-share — the Zipf-head report every
     * training-data audit starts from (tokenizer coverage, stopword
