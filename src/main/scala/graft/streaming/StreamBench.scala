@@ -104,6 +104,37 @@ object StreamBench {
     val (annT, _, annEdges) =
       run("ann", graft.operators.Retrieval.MultiTableLsh(dim, nPlanes = 4, nTables = 8))
 
+    // auto-escalation arm: cap = the store's Catalyst estimate midway
+    // through the run (measured off the brute arm's store after it held
+    // ceil(nBatches/2) batches of rows — here, its final size scaled),
+    // so Retrieval.Auto provably runs brute for the early batches and
+    // flips to ANN when the growing store crosses the cap mid-stream.
+    // The flip batch is reported; the dedup/store invariants are
+    // asserted by run() exactly as for the pure arms.
+    val (autoT, autoFlip, autoEdges) = {
+      val fullEst = spark.read.parquet(s"$dir/docs_brute")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val capConf = conf.copy(bruteCorpusWarnBytes = (fullEst / 2).toLong)
+      val auto = graft.operators.Retrieval.Auto(dim, nPlanes = 4, nTables = 8)
+      val (dDir, eDir) = (s"$dir/docs_auto", s"$dir/edges_auto")
+      var flip = -1
+      val times = (0 until nBatches).map { b =>
+        val df = batchDf(b).localCheckpoint()
+        val t0 = System.nanoTime()
+        StreamingIngest.processBatch(spark, df, b.toLong, dDir, eDir, capConf, auto)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (flip < 0 && auto.escalates(spark.read.parquet(dDir), capConf)) flip = b + 1
+        t
+      }
+      val docs = spark.read.parquet(dDir)
+      require(docs.count() == docs.select("id").distinct().count(),
+        "[auto] store not id-unique")
+      require(docs.count() == stored, "[auto] store mismatch vs pure arms")
+      require(flip > 0 && flip < nBatches,
+        s"[auto] escalation must fire mid-run, fired after batch $flip")
+      (times, flip, spark.read.parquet(eDir).count())
+    }
+
     // third mode: the FULL streaming query (MemoryStream →
     // dedupStreamFirstSeen state store → foreachBatch), ANN retrieval —
     // measures the whole machinery per committed batch: state-store
@@ -146,12 +177,15 @@ object StreamBench {
     println(
       s"""{"metric":"stream_ingest_rows_per_sec","value":${(totalRows / bruteT.sum).round},""" +
       s""""value_ann":${(totalRows / annT.sum).round},""" +
+      s""""value_auto":${(totalRows / autoT.sum).round},""" +
       s""""value_stream_ann":${(totalRows / streamT.sum).round},"unit":"rows/sec",""" +
       s""""rows_per_batch":$rowsPerBatch,"batches":$nBatches,"dim":$dim,""" +
       s""""batch_sec_brute":${fmt(bruteT)},"batch_sec_ann":${fmt(annT)},""" +
+      s""""batch_sec_auto":${fmt(autoT)},"auto_flip_after_batch":$autoFlip,""" +
       s""""batch_sec_stream_ann":${fmt(streamT)},""" +
       s""""stored_docs":$stored,"stored_docs_stream":$streamStored,""" +
-      s""""edges_brute":$bruteEdges,"edges_ann":$annEdges,"edges_stream":$streamEdges,"cores":32}""")
+      s""""edges_brute":$bruteEdges,"edges_ann":$annEdges,"edges_auto":$autoEdges,""" +
+      s""""edges_stream":$streamEdges,"cores":32}""")
     spark.stop()
   }
 }
