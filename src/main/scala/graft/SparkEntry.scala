@@ -1122,6 +1122,15 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("doc_id")
 
+  /** Jelinek-Mercer interpolated LM (q100): λ-blended tri/bi/unigram —
+    * the production fluency scorer (see
+    * [[TextAnalysis.interpolatedLogProb]]). */
+  private def interpolatedLmQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.interpolatedLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+
   /** HyperLogLog cardinality contract (q83): per-source distinct token
     * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
     * the q46 device: the oracle mirrors the exact values plus literal
@@ -1618,6 +1627,7 @@ object SparkEntry {
     "q84_bigram_lm" -> ((s, d) => bigramLmQ(s, d)),
     "q98_trigram_lm" -> ((s, d) => trigramLmQ(s, d)),
     "q99_char_lm" -> ((s, d) => charLmQ(s, d)),
+    "q100_interpolated_lm" -> ((s, d) => interpolatedLmQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -3097,6 +3107,48 @@ object SparkEntry {
          |  SELECT tri.id, ln(CAST(tc.ct AS DOUBLE) / CAST(cx.cc AS DOUBLE)) AS lp
          |  FROM tri JOIN tc ON tri.w1 = tc.w1 AND tri.w2 = tc.w2 AND tri.w3 = tc.w3
          |  JOIN cx ON tri.w1 = cx.w1 AND tri.w2 = cx.w2),
+         |pd AS (
+         |  SELECT id, count(*) AS n_trigrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
+         |  FROM sc GROUP BY id)
+         |SELECT t.id AS doc_id,
+         |  coalesce(p.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         |FROM tok t LEFT JOIN pd p ON t.id = p.id
+         |ORDER BY doc_id""".stripMargin,
+    "q100_interpolated_lm" ->
+      // Mirror of TextAnalysis.interpolatedLogProb: the q98 trigram
+      // positions with tri/bi/unigram counts over the SAME support,
+      // λ-weighted sum in the identical association order
+      // (λ3·t + λ2·b) + λ1·u — IEEE ops on bit-identical operands —
+      // then ln + rounded mean. λ via CAST('<literal>' AS DOUBLE)
+      // (bare DuckDB decimals are DECIMAL-typed; the cast pins the
+      // same nearest-double Scala's literal has). tri and every
+      // derived table MATERIALIZED: with 6 un-materialized references
+      // feeding a 6-way join + a 1-row cross join, DuckDB's optimizer
+      // re-inlines and blows memory (measured: 94 GB RSS on 27k rows).
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |tri AS MATERIALIZED (
+         |  SELECT id, toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3
+         |  FROM (SELECT id, toks, unnest(range(0, len(toks) - 2)) AS i FROM tok)),
+         |tc AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS ct FROM tri GROUP BY w1, w2, w3),
+         |cx AS MATERIALIZED (SELECT w1, w2, count(*) AS cc FROM tri GROUP BY w1, w2),
+         |bc AS MATERIALIZED (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY w2, w3),
+         |u2 AS MATERIALIZED (SELECT w2, count(*) AS cu FROM tri GROUP BY w2),
+         |wc AS MATERIALIZED (SELECT w3, count(*) AS cw FROM tri GROUP BY w3),
+         |tt AS MATERIALIZED (SELECT count(*) AS ctot FROM tri),
+         |sc AS (
+         |  SELECT tri.id, ln(
+         |    CAST('0.6' AS DOUBLE) * (CAST(tc.ct AS DOUBLE) / CAST(cx.cc AS DOUBLE)) +
+         |    CAST('0.3' AS DOUBLE) * (CAST(bc.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)) +
+         |    CAST('0.1' AS DOUBLE) * (CAST(wc.cw AS DOUBLE) / CAST(tt.ctot AS DOUBLE))) AS lp
+         |  FROM tri
+         |  JOIN tc ON tri.w1 = tc.w1 AND tri.w2 = tc.w2 AND tri.w3 = tc.w3
+         |  JOIN cx ON tri.w1 = cx.w1 AND tri.w2 = cx.w2
+         |  JOIN bc ON tri.w2 = bc.w2 AND tri.w3 = bc.w3
+         |  JOIN u2 ON tri.w2 = u2.w2
+         |  JOIN wc ON tri.w3 = wc.w3
+         |  CROSS JOIN tt),
          |pd AS (
          |  SELECT id, count(*) AS n_trigrams,
          |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob

@@ -299,6 +299,66 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Jelinek-Mercer interpolated LM — the production form of the
+    * [[bigramLogProb]]/[[trigramLogProb]] family: per-doc mean
+    * ln(λ₃·P(w₃|w₁w₂) + λ₂·P(w₃|w₂) + λ₁·P(w₃)), blending trigram
+    * sharpness with bigram/unigram robustness (a pure trigram LM
+    * over-rewards text whose exact trigrams are frequent — template
+    * boilerplate — while interpolation keeps rare-but-wellformed text
+    * from being under-scored). Standard λ = (0.6, 0.3, 0.1).
+    *
+    * Exact-mirror argument (q71 family): each component probability is
+    * one IEEE division on integer counts; the weighted sum is three
+    * correctly-rounded multiplies + two adds on bit-identical operands;
+    * ln is within 1 ulp; the per-doc mean is portable-rounded and no
+    * rank derives from the float. Scale shape: ONE trigram explode
+    * reused for all three count tables (ctx/bigram/unigram all derive
+    * from it), keyed joins, map-side-combined aggregations.
+    *
+    * @return (id, n_trigrams, avg_logprob) */
+  def interpolatedLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    val toked = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin)
+    val tri = toked
+      .select(col("id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .select(col("id"), col("w1"),
+        try_element_at(col("toks"), col("pos") + 2).as("w2"),
+        try_element_at(col("toks"), col("pos") + 3).as("w3"))
+      .filter(col("w3").isNotNull)
+      .transform(graft.CacheScope.pin) // four count tables + score join read it
+    val tcnt = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("cc"))
+    // bigram/unigram stats over the SAME trigram positions (w2, w3):
+    // self-consistent support — every scored position contributes to
+    // every order's counts exactly once
+    val bcnt = tri.groupBy("w2", "w3").agg(count(lit(1)).as("cb"))
+    val ucnt2 = tri.groupBy("w2").agg(count(lit(1)).as("cu"))
+    val wcnt = tri.groupBy("w3").agg(count(lit(1)).as("cw"))
+    val total = tri.agg(count(lit(1)).as("ctot"))
+    val p = lit(l3) * (col("ct").cast("double") / col("cc").cast("double")) +
+      lit(l2) * (col("cb").cast("double") / col("cu").cast("double")) +
+      lit(l1) * (col("cw").cast("double") / col("ctot").cast("double"))
+    val perDoc = tri
+      .join(tcnt, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(bcnt, Seq("w2", "w3"))
+      .join(ucnt2, Seq("w2"))
+      .join(wcnt, Seq("w3"))
+      .crossJoin(broadcast(total)) // 1-row stats join (scale-free BNLJ)
+      .withColumn("lp", log(p))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        graft.functions.PortableMath.rnd(
+          sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    toked.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** Corpus vocabulary head: the top-k terms by total frequency with
     * document frequency and corpus-share — the Zipf-head report every
     * training-data audit starts from (tokenizer coverage, stopword
