@@ -201,4 +201,30 @@ object SubstringDedup {
     extended.toDF("eval_id", "train_id", "lcs_len", "eval_offset")
       .filter(col("lcs_len") >= minOverlap)
   }
+
+  /** Per-eval-doc rollup of [[contamination]] — the decision table a
+    * curation pipeline consumes (q61's doc-grain report at substring
+    * grain): every eval doc with its worst (longest) overlap, the
+    * offending train doc, and how many train docs hit it at all.
+    * Deterministic keeper rule: ties on max LCS break to the smallest
+    * train id. Pure aggregation over the pair table — no extra scans.
+    *
+    * @return (eval_id, n_train_hits, max_lcs_len, worst_train_id) */
+  def contaminationRollup(
+      train: DataFrame, eval: DataFrame, minOverlap: Int,
+      k: Int = 20, w: Int = 6,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val pairs = contamination(train, eval, minOverlap, k, w, idCol, textCol)
+    val byWorst = org.apache.spark.sql.expressions.Window
+      .partitionBy("eval_id")
+      .orderBy(col("lcs_len").desc, col("train_id"))
+    pairs
+      .withColumn("_rn", row_number().over(byWorst))
+      .withColumn("n_train_hits",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("eval_id")))
+      .filter(col("_rn") === 1)
+      .select(col("eval_id"), col("n_train_hits"),
+        col("lcs_len").as("max_lcs_len"), col("train_id").as("worst_train_id"))
+  }
 }

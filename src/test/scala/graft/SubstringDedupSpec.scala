@@ -111,6 +111,25 @@ class SubstringDedupSpec extends SparkSpec {
       s"missing=${brute -- got}\nextra=${got -- brute}")
   }
 
+  test("rollup: per-eval worst overlap, hit count, deterministic tie-break") {
+    import spark.implicits._
+    val plantA = train1.substring(0, 30)
+    val plantB = train2.substring(0, 27)
+    val train = Seq(("t1", train1), ("t2", train2),
+      ("t3", "XX" + plantA + "YY")).toDF("id", "text") // t3 shares plantA too
+    val eval = Seq(
+      ("e1", "000" + plantA + "111" + plantB + "222"), // hits t1(30), t3(30), t2(27)
+      ("e2", "999" + plantB + "888"))                  // hits t2 only
+      .toDF("id", "text")
+    val r = SubstringDedup.contaminationRollup(train, eval, minOverlap = 25)
+      .collect()
+      .map(x => x.getAs[String]("eval_id") -> ((x.getAs[Long]("n_train_hits"),
+        x.getAs[Int]("max_lcs_len"), x.getAs[String]("worst_train_id")))).toMap
+    // e1: three hits; max LCS 30 shared by t1 and t3 -> smallest id wins
+    assert(r("e1") == ((3L, 30, "t1")), s"$r")
+    assert(r("e2") == ((1L, 27, "t2")), s"$r")
+  }
+
   test("minOverlap below the winnowing guarantee is rejected") {
     import spark.implicits._
     val df = Seq(("a", "x" * 40)).toDF("id", "text")
