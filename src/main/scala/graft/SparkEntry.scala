@@ -1131,6 +1131,14 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("doc_id")
 
+  /** Kneser-Ney absolutely-discounted bigram LM (q101): continuation-
+    * probability smoothing (see [[TextAnalysis.kneserNeyLogProb]]). */
+  private def kneserNeyLmQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kneserNeyLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+
   /** HyperLogLog cardinality contract (q83): per-source distinct token
     * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
     * the q46 device: the oracle mirrors the exact values plus literal
@@ -1628,6 +1636,7 @@ object SparkEntry {
     "q98_trigram_lm" -> ((s, d) => trigramLmQ(s, d)),
     "q99_char_lm" -> ((s, d) => charLmQ(s, d)),
     "q100_interpolated_lm" -> ((s, d) => interpolatedLmQ(s, d)),
+    "q101_kneser_ney_lm" -> ((s, d) => kneserNeyLmQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -3113,6 +3122,42 @@ object SparkEntry {
          |  FROM sc GROUP BY id)
          |SELECT t.id AS doc_id,
          |  coalesce(p.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         |FROM tok t LEFT JOIN pd p ON t.id = p.id
+         |ORDER BY doc_id""".stripMargin,
+    "q101_kneser_ney_lm" ->
+      // Mirror of TextAnalysis.kneserNeyLogProb: q84's bigram support,
+      // type-count tables derived from the bigram-count table, and the
+      // discounted probability in the identical association —
+      // (max(cb−D,0)/cu) + ((D·n1f/cu)·(n1b/nbt)) — D = 0.75 exactly
+      // representable. Everything MATERIALIZED (the q100 fan-out lesson).
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |bi AS MATERIALIZED (
+         |  SELECT id, toks[i + 1] AS w1, toks[i + 2] AS w2
+         |  FROM (SELECT id, toks, unnest(range(0, len(toks) - 1)) AS i FROM tok)),
+         |big AS MATERIALIZED (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+         |uni AS MATERIALIZED (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+         |nf AS MATERIALIZED (SELECT w1, count(*) AS n1f FROM big GROUP BY w1),
+         |nb AS MATERIALIZED (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+         |nt AS MATERIALIZED (SELECT count(*) AS nbt FROM big),
+         |sc AS (
+         |  SELECT bi.id, ln(
+         |    (greatest(CAST(big.cb AS DOUBLE) - CAST('0.75' AS DOUBLE), CAST(0 AS DOUBLE))
+         |       / CAST(uni.cu AS DOUBLE)) +
+         |    ((CAST('0.75' AS DOUBLE) * CAST(nf.n1f AS DOUBLE) / CAST(uni.cu AS DOUBLE)) *
+         |     (CAST(nb.n1b AS DOUBLE) / CAST(nt.nbt AS DOUBLE)))) AS lp
+         |  FROM bi
+         |  JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+         |  JOIN uni ON bi.w1 = uni.w1
+         |  JOIN nf ON bi.w1 = nf.w1
+         |  JOIN nb ON bi.w2 = nb.w2
+         |  CROSS JOIN nt),
+         |pd AS (
+         |  SELECT id, count(*) AS n_bigrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
+         |  FROM sc GROUP BY id)
+         |SELECT t.id AS doc_id,
+         |  coalesce(p.n_bigrams, 0) AS n_bigrams,
          |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
          |FROM tok t LEFT JOIN pd p ON t.id = p.id
          |ORDER BY doc_id""".stripMargin,

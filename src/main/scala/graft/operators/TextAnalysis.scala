@@ -359,6 +359,70 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Kneser-Ney-style absolutely-discounted bigram LM — the strongest
+    * classical n-gram smoother, one rung above [[interpolatedLogProb]]'s
+    * Jelinek-Mercer blend: per-doc mean of
+    * ln( max(c(w₁w₂)−D, 0)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂) ),
+    * P_cont(w₂) = N₁₊(·w₂)/N₁₊(··) — the CONTINUATION probability
+    * (how many distinct contexts a word follows) rather than raw
+    * frequency, which is what makes KN resist the "Francisco problem"
+    * (frequent-but-bound words like the second half of a collocation
+    * stop masquerading as fluent continuations). D = 0.75, the
+    * standard discount.
+    *
+    * Exactness (q71 family argument): every statistic is an integer
+    * count (bigram counts, distinct-successor/predecessor counts,
+    * distinct bigram types); D = 0.75 is exactly representable, so
+    * c − D is exact; the probability is a fixed association of IEEE
+    * ops on bit-identical operands; ln within 1 ulp; rounded mean, no
+    * rank from the float. Scale shape: one bigram explode feeds four
+    * count tables (two of them distinct-counts — map-side partial via
+    * the two-level groupBy), keyed score joins, one 1-row type-count
+    * broadcast.
+    *
+    * @return (id, n_bigrams, avg_logprob) */
+  def kneserNeyLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val toked = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin)
+    val bi = toked
+      .select(col("id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .select(col("id"), col("w1"),
+        try_element_at(col("toks"), col("pos") + 2).as("w2"))
+      .filter(col("w2").isNotNull)
+      .transform(graft.CacheScope.pin) // four count tables + score join read it
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .transform(graft.CacheScope.pin) // three distinct-count tables derive from it
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // distinct successor / predecessor / total type counts — over TYPES
+    // (the big table), not tokens: the continuation-count definition
+    val n1fw = big.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val n1bw = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nbt = big.agg(count(lit(1)).as("nbt"))
+    val d = lit(discount)
+    val p = greatest(col("cb").cast("double") - d, lit(0.0)) /
+      col("cu").cast("double") +
+      (d * col("n1f").cast("double") / col("cu").cast("double")) *
+      (col("n1b").cast("double") / col("nbt").cast("double"))
+    val perDoc = bi
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .join(n1fw, Seq("w1"))
+      .join(n1bw, Seq("w2"))
+      .crossJoin(broadcast(nbt)) // 1-row type-count join (scale-free BNLJ)
+      .withColumn("lp", log(p))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.PortableMath.rnd(
+          sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    toked.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** Corpus vocabulary head: the top-k terms by total frequency with
     * document frequency and corpus-share — the Zipf-head report every
     * training-data audit starts from (tokenizer coverage, stopword
