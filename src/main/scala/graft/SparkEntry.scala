@@ -1139,6 +1139,43 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("doc_id")
 
+  /** Modified Kneser-Ney bigram LM (q102): count-bucketed discounts
+    * D₁/D₂/D₃₊ estimated from the corpus's own count-of-counts (see
+    * [[TextAnalysis.modifiedKneserNeyLogProb]]). */
+  private def modKneserNeyLmQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.modifiedKneserNeyLogProb(
+      Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+
+  /** Interpolated trigram Kneser-Ney (q103): the full two-level KN
+    * stack — raw counts at the top order, continuation counts below
+    * (see [[TextAnalysis.kneserNeyTrigramLogProb]]). */
+  private def kneserNeyTriLmQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kneserNeyTrigramLogProb(
+      Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+
+  /** PMI collocations (q104): top-50 word pairings by pointwise mutual
+    * information, min pair count 5, round-before-rank (see
+    * [[TextAnalysis.pmiCollocations]]). */
+  private def pmiCollocationsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(
+      Tables.documents(s, dir), "doc_id", "text", k = 50, minCount = 5L)
+      .transform(graft.CacheScope.pin)
+      .orderBy("rnk")
+
+  /** Unigram KL divergence from the corpus (q105): the per-doc
+    * domain-shift signal (see [[TextAnalysis.klFromCorpus]]). */
+  private def klFromCorpusQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.klFromCorpus(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+
   /** HyperLogLog cardinality contract (q83): per-source distinct token
     * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
     * the q46 device: the oracle mirrors the exact values plus literal
@@ -1637,6 +1674,10 @@ object SparkEntry {
     "q99_char_lm" -> ((s, d) => charLmQ(s, d)),
     "q100_interpolated_lm" -> ((s, d) => interpolatedLmQ(s, d)),
     "q101_kneser_ney_lm" -> ((s, d) => kneserNeyLmQ(s, d)),
+    "q102_modified_kn_lm" -> ((s, d) => modKneserNeyLmQ(s, d)),
+    "q103_kn_trigram_lm" -> ((s, d) => kneserNeyTriLmQ(s, d)),
+    "q104_pmi_collocations" -> ((s, d) => pmiCollocationsQ(s, d)),
+    "q105_kl_divergence" -> ((s, d) => klFromCorpusQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -3159,6 +3200,170 @@ object SparkEntry {
          |SELECT t.id AS doc_id,
          |  coalesce(p.n_bigrams, 0) AS n_bigrams,
          |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         |FROM tok t LEFT JOIN pd p ON t.id = p.id
+         |ORDER BY doc_id""".stripMargin,
+    "q102_modified_kn_lm" ->
+      // Mirror of TextAnalysis.modifiedKneserNeyLogProb: q101's bigram
+      // support plus (a) per-w1 bucketed successor-type counts, (b) the
+      // 1-row count-of-counts, (c) the Chen-Goodman discounts in the
+      // identical left-assoc association 1 − 2·Y·n2/n1 etc. with
+      // Y = n1/(n1 + 2·n2) inlined — IEEE ops on bit-identical integer
+      // operands, so both engines derive bit-identical discounts.
+      // Everything MATERIALIZED (the q100 fan-out lesson).
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |bi AS MATERIALIZED (
+         |  SELECT id, toks[i + 1] AS w1, toks[i + 2] AS w2
+         |  FROM (SELECT id, toks, unnest(range(0, len(toks) - 1)) AS i FROM tok)),
+         |big AS MATERIALIZED (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+         |uni AS MATERIALIZED (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+         |nw AS MATERIALIZED (
+         |  SELECT w1,
+         |    CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1w,
+         |    CAST(sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2w,
+         |    CAST(sum(CASE WHEN cb >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3w
+         |  FROM big GROUP BY w1),
+         |nb AS MATERIALIZED (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+         |cc AS MATERIALIZED (
+         |  SELECT
+         |    CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         |    CAST(sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         |    CAST(sum(CASE WHEN cb = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+         |    CAST(sum(CASE WHEN cb = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4,
+         |    CAST(count(*) AS DOUBLE) AS nbt
+         |  FROM big),
+         |dd AS MATERIALIZED (
+         |  SELECT nbt,
+         |    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * (n1 / (n1 + CAST(2 AS DOUBLE) * n2)) * n2 / n1 AS d1,
+         |    CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * (n1 / (n1 + CAST(2 AS DOUBLE) * n2)) * n3 / n2 AS d2,
+         |    CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * (n1 / (n1 + CAST(2 AS DOUBLE) * n2)) * n4 / n3 AS d3
+         |  FROM cc),
+         |sc AS (
+         |  SELECT bi.id, ln(
+         |    (greatest(CAST(big.cb AS DOUBLE) -
+         |        (CASE WHEN big.cb = 1 THEN dd.d1 WHEN big.cb = 2 THEN dd.d2 ELSE dd.d3 END),
+         |        CAST(0 AS DOUBLE)) / CAST(uni.cu AS DOUBLE)) +
+         |    (((dd.d1 * CAST(nw.n1w AS DOUBLE) + dd.d2 * CAST(nw.n2w AS DOUBLE) +
+         |        dd.d3 * CAST(nw.n3w AS DOUBLE)) / CAST(uni.cu AS DOUBLE)) *
+         |     (CAST(nb.n1b AS DOUBLE) / dd.nbt))) AS lp
+         |  FROM bi
+         |  JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+         |  JOIN uni ON bi.w1 = uni.w1
+         |  JOIN nw ON bi.w1 = nw.w1
+         |  JOIN nb ON bi.w2 = nb.w2
+         |  CROSS JOIN dd),
+         |pd AS (
+         |  SELECT id, count(*) AS n_bigrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
+         |  FROM sc GROUP BY id)
+         |SELECT t.id AS doc_id,
+         |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         |FROM tok t LEFT JOIN pd p ON t.id = p.id
+         |ORDER BY doc_id""".stripMargin,
+    "q103_kn_trigram_lm" ->
+      // Mirror of TextAnalysis.kneserNeyTrigramLogProb: q98's trigram
+      // support; the trigram-type table tc is the hub (ctx token counts,
+      // nf3 successor types); the continuation-type table bt (distinct
+      // left-contexts per (w2,w3)) feeds the middle/low orders; the
+      // probability nests the inner P_kn(w3|w2) bracket inside the outer
+      // interpolation in the identical association. sum(cc2) cast back
+      // to BIGINT (DuckDB sum(BIGINT) is HUGEINT). Everything
+      // MATERIALIZED (the q100 fan-out lesson).
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |tri AS MATERIALIZED (
+         |  SELECT id, toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3
+         |  FROM (SELECT id, toks, unnest(range(0, len(toks) - 2)) AS i FROM tok)),
+         |tc AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS ct FROM tri GROUP BY w1, w2, w3),
+         |cx AS MATERIALIZED (SELECT w1, w2, count(*) AS cc FROM tri GROUP BY w1, w2),
+         |nf3 AS MATERIALIZED (SELECT w1, w2, count(*) AS nf3 FROM tc GROUP BY w1, w2),
+         |bt AS MATERIALIZED (SELECT w2, w3, count(*) AS cc2 FROM tc GROUP BY w2, w3),
+         |md AS MATERIALIZED (SELECT w2, CAST(sum(cc2) AS BIGINT) AS md FROM bt GROUP BY w2),
+         |nf2 AS MATERIALIZED (SELECT w2, count(*) AS nf2 FROM bt GROUP BY w2),
+         |cw AS MATERIALIZED (SELECT w3, count(*) AS cw FROM bt GROUP BY w3),
+         |tt AS MATERIALIZED (SELECT count(*) AS ntt FROM bt),
+         |sc AS (
+         |  SELECT tri.id, ln(
+         |    (greatest(CAST(tc.ct AS DOUBLE) - CAST('0.75' AS DOUBLE), CAST(0 AS DOUBLE))
+         |       / CAST(cx.cc AS DOUBLE)) +
+         |    ((CAST('0.75' AS DOUBLE) * CAST(nf3.nf3 AS DOUBLE) / CAST(cx.cc AS DOUBLE)) *
+         |     ((greatest(CAST(bt.cc2 AS DOUBLE) - CAST('0.75' AS DOUBLE), CAST(0 AS DOUBLE))
+         |         / CAST(md.md AS DOUBLE)) +
+         |      ((CAST('0.75' AS DOUBLE) * CAST(nf2.nf2 AS DOUBLE) / CAST(md.md AS DOUBLE)) *
+         |       (CAST(cw.cw AS DOUBLE) / CAST(tt.ntt AS DOUBLE)))))) AS lp
+         |  FROM tri
+         |  JOIN tc ON tri.w1 = tc.w1 AND tri.w2 = tc.w2 AND tri.w3 = tc.w3
+         |  JOIN cx ON tri.w1 = cx.w1 AND tri.w2 = cx.w2
+         |  JOIN nf3 ON tri.w1 = nf3.w1 AND tri.w2 = nf3.w2
+         |  JOIN bt ON tri.w2 = bt.w2 AND tri.w3 = bt.w3
+         |  JOIN md ON tri.w2 = md.w2
+         |  JOIN nf2 ON tri.w2 = nf2.w2
+         |  JOIN cw ON tri.w3 = cw.w3
+         |  CROSS JOIN tt),
+         |pd AS (
+         |  SELECT id, count(*) AS n_trigrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
+         |  FROM sc GROUP BY id)
+         |SELECT t.id AS doc_id,
+         |  coalesce(p.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         |FROM tok t LEFT JOIN pd p ON t.id = p.id
+         |ORDER BY doc_id""".stripMargin,
+    "q104_pmi_collocations" ->
+      // Mirror of TextAnalysis.pmiCollocations(k=50, minCount=5):
+      // q84's bigram support, position-marginal counts, PMI in the
+      // identical association (c·N)/(c1·c2), ROUND-BEFORE-RANK (the
+      // q71 device) so the top-50 cut is cross-engine identical.
+      s"""WITH tok AS (SELECT $sqlToks AS toks FROM documents),
+         |bi AS MATERIALIZED (
+         |  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+         |  FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM tok)),
+         |pair AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2),
+         |lft AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         |rgt AS MATERIALIZED (SELECT w2, count(*) AS c2 FROM bi GROUP BY w2),
+         |tot AS (SELECT count(*) AS n FROM bi),
+         |sc AS (
+         |  SELECT p.w1, p.w2, p.n_pair,
+         |    ${sqlRnd(
+               "ln((CAST(p.n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE)) / " +
+                 "(CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE)))", 6)} AS pmi
+         |  FROM pair p
+         |  JOIN lft l ON p.w1 = l.w1
+         |  JOIN rgt r ON p.w2 = r.w2
+         |  CROSS JOIN tot
+         |  WHERE p.n_pair >= 5),
+         |top AS (SELECT * FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 50)
+         |SELECT w1, w2, n_pair, pmi,
+         |  CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rnk
+         |FROM top
+         |ORDER BY rnk""".stripMargin,
+    "q105_kl_divergence" ->
+      // Mirror of TextAnalysis.klFromCorpus: (id,term) tf agg, doc
+      // lengths, corpus frequencies, 1-row total; per-term KL in the
+      // identical association (tf/len)·ln((tf/len)/(cf/N)); rounded
+      // per-doc sum. sum(BIGINT)→HUGEINT cast back (the NEXT.md rule).
+      s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
+         |tf AS MATERIALIZED (
+         |  SELECT id, term, count(*) AS tf
+         |  FROM (SELECT id, unnest(toks) AS term FROM tok) GROUP BY id, term),
+         |dl AS MATERIALIZED (SELECT id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY id),
+         |cf AS MATERIALIZED (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM cf),
+         |sc AS (
+         |  SELECT tf.id, dl.len,
+         |    (CAST(tf.tf AS DOUBLE) / CAST(dl.len AS DOUBLE)) *
+         |      ln((CAST(tf.tf AS DOUBLE) / CAST(dl.len AS DOUBLE)) /
+         |         (CAST(cf.cf AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS term_kl
+         |  FROM tf
+         |  JOIN dl ON tf.id = dl.id
+         |  JOIN cf ON tf.term = cf.term
+         |  CROSS JOIN tot),
+         |pd AS (
+         |  SELECT id, max(len) AS n_tokens,
+         |    ${sqlRnd("sum(term_kl)", 6)} AS kl
+         |  FROM sc GROUP BY id)
+         |SELECT t.id AS doc_id,
+         |  coalesce(p.n_tokens, 0) AS n_tokens,
+         |  coalesce(p.kl, 0.0) AS kl
          |FROM tok t LEFT JOIN pd p ON t.id = p.id
          |ORDER BY doc_id""".stripMargin,
     "q100_interpolated_lm" ->

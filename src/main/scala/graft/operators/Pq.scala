@@ -137,6 +137,92 @@ object Pq {
       .select("qid", "id", "sim", "rank")
   }
 
+  // ---- explicit-codebook (trained) variants ------------------------------
+  // Same assignment/storage/ADC plumbing as the deterministic family;
+  // only the plan literals change. Training is per-subspace k-means —
+  // the real PQ training step (Jégou et al., TPAMI'11): each subspace
+  // gets its own nCodes-word codebook fit on the corpus's OWN subvector
+  // distribution, which is what closes the quantization-error gap the
+  // md5 stand-ins deliberately leave open.
+
+  /** Per-subspace k-means codebooks. One fit per subspace over the
+    * sliced corpus (training is a run-once step; the result is a
+    * driver-held literal exactly like [[Ann.trainedCentroids]]).
+    * @return cbs(s)(j) = centroid j of subspace s */
+  def trainedCodebooks(
+      docs: DataFrame, // (id, embedding)
+      dim: Int,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      seed: Long = 7L,
+      maxIter: Int = 10): Array[Array[Array[Float]]] = {
+    require(dim % nSub == 0)
+    val subDim = dim / nSub
+    val cached = docs.select(col("embedding")).cache()
+    try {
+      (0 until nSub).map { s =>
+        val sub = cached.select(
+          org.apache.spark.ml.functions.array_to_vector(
+            slice(col("embedding"), s * subDim + 1, subDim)).as("features"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(nCodes).setSeed(seed + s).setMaxIter(maxIter)
+          .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+    } finally cached.unpersist()
+  }
+
+  /** [[subCode]] against an explicit codebook. */
+  def subCodeWith(vec: Column, s: Int, subDim: Int, cb: Array[Array[Float]]): Column = {
+    val sub = slice(vec, s * subDim + 1, subDim)
+    val scores = array(cb.map { c =>
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      dotProduct(sub, typedLit(c)) * 2.0 - lit(c2)
+    }: _*)
+    array_position(scores, array_max(scores)).cast("int")
+  }
+
+  /** [[encode]] against explicit codebooks. */
+  def encodeWith(vec: Column, dim: Int, cbs: Array[Array[Array[Float]]]): Column = {
+    require(dim % cbs.length == 0)
+    val subDim = dim / cbs.length
+    array(cbs.indices.map(s => subCodeWith(vec, s, subDim, cbs(s))): _*)
+  }
+
+  /** [[adcScore]] against explicit codebooks. */
+  def adcScoreWith(
+      qvec: Column, code: Column, dim: Int,
+      cbs: Array[Array[Array[Float]]]): Column = {
+    val subDim = dim / cbs.length
+    cbs.indices.map { s =>
+      val cb = typedLit(cbs(s))
+      dotProduct(slice(qvec, s * subDim + 1, subDim),
+        element_at(cb, element_at(code, s + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** [[topKPqRerank]] against explicit (e.g. trained) codebooks. */
+  def topKPqRerankWith(
+      docs: DataFrame, // (id, embedding)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      dim: Int,
+      cbs: Array[Array[Array[Float]]],
+      shortlist: Int = 50,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    require(shortlist >= k)
+    val coded = docs.withColumn("code", encodeWith(col("embedding"), dim, cbs))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
+    val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    coded.crossJoin(Knn.maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+      .withColumn("adc", adcScoreWith(col("qvec"), col("code"), dim, cbs))
+      .withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= shortlist)
+      .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+
   /** SQL mirror fragments. */
   def sqlCentroidLits(s: Int, subDim: Int, nSub: Int, nCodes: Int): String =
     codebook(s, subDim, nSub, nCodes)

@@ -423,6 +423,283 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Modified Kneser-Ney bigram LM — Chen & Goodman's refinement of
+    * [[kneserNeyLogProb]]: instead of one discount D for every count,
+    * three count-bucketed discounts D₁/D₂/D₃₊ estimated FROM the corpus
+    * via the count-of-counts (the deleted-estimation closed form):
+    *   Y  = n₁ / (n₁ + 2·n₂)
+    *   D₁ = 1 − 2·Y·n₂/n₁,  D₂ = 2 − 3·Y·n₃/n₂,  D₃₊ = 3 − 4·Y·n₄/n₃
+    * where nₖ = number of bigram TYPES with count exactly k. Each bigram
+    * is discounted by D(c) per its own count bucket, and the redistributed
+    * mass λ(w₁) = (D₁·N₁(w₁·) + D₂·N₂(w₁·) + D₃₊·N₃₊(w₁·)) / c(w₁·)
+    * (Nₖ(w₁·) = successor types of w₁ in bucket k) backs off to the same
+    * continuation probability P_cont(w₂) = N₁₊(·w₂)/N₁₊(··) as plain KN:
+    *   P(w₂|w₁) = max(c − D(c), 0)/c(w₁·) + λ(w₁)·P_cont(w₂).
+    * This is the strongest classical n-gram smoother (consistently beats
+    * single-discount KN in held-out perplexity) — singletons, which are
+    * mostly noise, get a near-total discount while high-count bigrams
+    * keep almost all their mass.
+    *
+    * Exactness (q71 family argument): every statistic is an integer
+    * count; Y and the three discounts are a FIXED association of IEEE
+    * ops on those integers (left-assoc `a/(a+2b)`, `1−2·Y·n₂/n₁` etc.,
+    * mirrored verbatim in the oracle SQL), so both engines compute
+    * bit-identical discounts; the per-bigram probability is then the
+    * same fixed association; ln within 1 ulp; portable-rounded mean, no
+    * rank from the float. Precondition: n₁..n₄ > 0 and n₂ₚ buckets
+    * non-degenerate (any natural-language corpus; a corpus with NO
+    * singleton bigrams would divide by zero — Chen & Goodman assume the
+    * same).
+    *
+    * Scale shape: identical to [[kneserNeyLogProb]] — one bigram explode
+    * feeds the type table, per-w₁ bucketed successor counts come from
+    * ONE conditional-sum groupBy over types (no extra shuffle vs plain
+    * KN), and the count-of-counts is a single 1-row broadcast
+    * (scale-free BNLJ).
+    *
+    * @return (id, n_bigrams, avg_logprob) */
+  def modifiedKneserNeyLogProb(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin)
+    val bi = toked
+      .select(col("id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .select(col("id"), col("w1"),
+        try_element_at(col("toks"), col("pos") + 2).as("w2"))
+      .filter(col("w2").isNotNull)
+      .transform(graft.CacheScope.pin) // count tables + score join read it
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .transform(graft.CacheScope.pin) // four derived tables read it
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // per-w1 successor-type buckets: |{w2 : c(w1,w2) = 1}| etc. — one
+    // conditional-sum aggregation over TYPES; every w1 appears (≥1 type)
+    val nw = big.groupBy("w1").agg(
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1w"),
+      sum(when(col("cb") === 2, 1L).otherwise(0L)).as("n2w"),
+      sum(when(col("cb") >= 3, 1L).otherwise(0L)).as("n3w"))
+    val n1bw = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    // 1-row corpus statistics: count-of-counts buckets + total types
+    val coc = big.agg(
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cb") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("cb") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("cb") === 4, 1L).otherwise(0L)).as("n4"),
+      count(lit(1)).as("nbt"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val n3d = col("n3").cast("double"); val n4d = col("n4").cast("double")
+    // fixed association, mirrored verbatim in SQL: */ left-assoc
+    val yv = n1d / (n1d + lit(2.0) * n2d)
+    val d1 = lit(1.0) - lit(2.0) * yv * n2d / n1d
+    val d2 = lit(2.0) - lit(3.0) * yv * n3d / n2d
+    val d3 = lit(3.0) - lit(4.0) * yv * n4d / n3d
+    val dc = when(col("cb") === 1, d1).when(col("cb") === 2, d2).otherwise(d3)
+    val cud = col("cu").cast("double")
+    val lam = (d1 * col("n1w").cast("double") + d2 * col("n2w").cast("double") +
+      d3 * col("n3w").cast("double")) / cud
+    val p = greatest(col("cb").cast("double") - dc, lit(0.0)) / cud +
+      lam * (col("n1b").cast("double") / col("nbt").cast("double"))
+    val perDoc = bi
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .join(nw, Seq("w1"))
+      .join(n1bw, Seq("w2"))
+      .crossJoin(broadcast(coc)) // 1-row stats join (scale-free BNLJ)
+      .withColumn("lp", log(p))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.PortableMath.rnd(
+          sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    toked.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
+  /** Interpolated trigram Kneser-Ney — the full two-level KN stack, the
+    * canonical strongest classical LM: the highest order discounts RAW
+    * trigram counts; every lower order uses CONTINUATION counts (type
+    * counts of distinct left-contexts), the defining Kneser-Ney move:
+    *   P(w₃|w₁w₂) = max(c(w₁w₂w₃)−D,0)/c(w₁w₂·)
+    *                + D·N₁₊(w₁w₂·)/c(w₁w₂·) · P_kn(w₃|w₂)
+    *   P_kn(w₃|w₂) = max(N₁₊(·w₂w₃)−D,0)/N₁₊(·w₂·)
+    *                + D·N₁₊(w₂·)/N₁₊(·w₂·) · P_kn(w₃)
+    *   P_kn(w₃)    = N₁₊(·w₃)/N₁₊(··)
+    * with N₁₊(·w₂w₃) = |{w₁ : c(w₁w₂w₃)>0}| (how many distinct contexts
+    * the bigram w₂w₃ continues), N₁₊(·w₂·) = Σ_{w₃} N₁₊(·w₂w₃),
+    * N₁₊(w₂·) = distinct w₃ following w₂ among continuation types,
+    * N₁₊(·w₃) = distinct w₂ preceding w₃ among continuation types, and
+    * N₁₊(··) = total (w₂,w₃) continuation types. D = 0.75 at both
+    * levels (single-discount interpolated KN).
+    *
+    * Exactness (q71 family): every statistic is an integer count
+    * derived from the trigram-type table; D exactly representable; the
+    * probability is ONE fixed association of IEEE ops (the inner P_kn
+    * bracket first, then the outer interpolation — mirrored verbatim);
+    * ln within 1 ulp; portable-rounded mean; no rank from the float.
+    *
+    * Scale shape: one trigram explode; the type table tcnt is the hub —
+    * ctx/n1f-tri group it by (w₁,w₂); the continuation-type table
+    * biTypes groups it by (w₂,w₃); midDen/n1fBi/contW group biTypes;
+    * one 1-row broadcast for N₁₊(··). Eight keyed joins back to the
+    * occurrence table, all map-side-combined aggregations — the same
+    * shuffle set a production KenLM-style counter runs.
+    *
+    * @return (id, n_trigrams, avg_logprob) */
+  def kneserNeyTrigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val toked = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin)
+    val tri = toked
+      .select(col("id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .select(col("id"), col("w1"),
+        try_element_at(col("toks"), col("pos") + 2).as("w2"),
+        try_element_at(col("toks"), col("pos") + 3).as("w3"))
+      .filter(col("w3").isNotNull)
+      .transform(graft.CacheScope.pin) // count tables + score join read it
+    val tcnt = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+      .transform(graft.CacheScope.pin) // ctx/n1fTri/biTypes derive from it
+    val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("cc"))
+    // distinct w3 successors per (w1,w2) — over trigram TYPES
+    val n1fTri = tcnt.groupBy("w1", "w2").agg(count(lit(1)).as("nf3"))
+    // continuation types: distinct left-contexts per (w2,w3)
+    val biTypes = tcnt.groupBy("w2", "w3").agg(count(lit(1)).as("cc2"))
+      .transform(graft.CacheScope.pin) // midDen/n1fBi/contW/total derive
+    val midDen = biTypes.groupBy("w2").agg(sum(col("cc2")).as("md"))
+    val n1fBi = biTypes.groupBy("w2").agg(count(lit(1)).as("nf2"))
+    val contW = biTypes.groupBy("w3").agg(count(lit(1)).as("cw"))
+    val tot = biTypes.agg(count(lit(1)).as("ntt"))
+    val d = lit(discount)
+    // inner bracket (P_kn(w3|w2)) first, then the outer interpolation —
+    // the association the SQL mirror reproduces token-for-token
+    val pInner = greatest(col("cc2").cast("double") - d, lit(0.0)) /
+      col("md").cast("double") +
+      (d * col("nf2").cast("double") / col("md").cast("double")) *
+      (col("cw").cast("double") / col("ntt").cast("double"))
+    val p = greatest(col("ct").cast("double") - d, lit(0.0)) /
+      col("cc").cast("double") +
+      (d * col("nf3").cast("double") / col("cc").cast("double")) * pInner
+    val perDoc = tri
+      .join(tcnt, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(n1fTri, Seq("w1", "w2"))
+      .join(biTypes, Seq("w2", "w3"))
+      .join(midDen, Seq("w2"))
+      .join(n1fBi, Seq("w2"))
+      .join(contW, Seq("w3"))
+      .crossJoin(broadcast(tot)) // 1-row type-count join (scale-free BNLJ)
+      .withColumn("lp", log(p))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        graft.functions.PortableMath.rnd(
+          sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    toked.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
+  /** Top-k collocations by pointwise mutual information — the corpus's
+    * strongest word pairings ("new york", "machine learning"): bigrams
+    * whose joint frequency far exceeds what their marginals predict,
+    *   PMI(w₁,w₂) = ln( c(w₁w₂)·N / (c₁(w₁)·c₂(w₂)) )
+    * with c₁/c₂ the position-marginal counts (occurrences as first /
+    * second element of a bigram) and N the total bigram positions — the
+    * self-consistent support under which Σ p(w₁,·) = Σ p(·,w₂) = 1.
+    * `minCount` suppresses the classic PMI pathology (singleton pairs
+    * maximize PMI by definition); the standard audit for tokenizer
+    * merge candidates, multi-word entities, and boilerplate phrases.
+    *
+    * Exactness: integer counts; the ratio is computed in ONE fixed
+    * association (c·N)/(c₁·c₂) — products as doubles (no i64 overflow
+    * at any corpus size); ln within 1 ulp → ROUND-BEFORE-RANK (the q71
+    * device): both engines rank by the portable-ROUNDED score with a
+    * (w₁,w₂) tie-break, so the top-k cut is cross-engine identical.
+    *
+    * Scale shape: explode → three token-keyed count aggs (map-side
+    * combined) → two keyed joins + 1-row broadcast → global top-k via
+    * orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+    * global sort); the rank window runs over k rows.
+    *
+    * @return (w1, w2, n_pair, pmi, rnk), rnk 1..k by (pmi desc, w1, w2) */
+  def pmiCollocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 5L): DataFrame = {
+    val bi = Par.ensureMapParallelism(docs)
+      .select(tokens(col(textCol)).as("toks"))
+      .select(col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .select(col("w1"),
+        try_element_at(col("toks"), col("pos") + 2).as("w2"))
+      .filter(col("w2").isNotNull)
+      .transform(graft.CacheScope.pin) // three count tables read it
+    val pair = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val left = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val right = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val total = bi.agg(count(lit(1)).as("n"))
+    val pmi = log((col("n_pair").cast("double") * col("n").cast("double")) /
+      (col("c1").cast("double") * col("c2").cast("double")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    pair
+      .filter(col("n_pair") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total)) // 1-row total join (scale-free BNLJ)
+      .withColumn("pmi", rnd(pmi, 6)) // round BEFORE rank: the q71 device
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .select("w1", "w2", "n_pair", "pmi", "rnk")
+  }
+
+  /** Per-document KL divergence from the corpus unigram distribution —
+    * the domain-shift / outlier signal: D_KL(P_doc ‖ P_corpus) =
+    * Σ_w p_d(w)·ln(p_d(w)/p_c(w)) over the doc's vocabulary, where
+    * p_d = tf/|doc| and p_c = cf/N (corpus token frequencies,
+    * self-inclusive so p_c > 0 wherever p_d > 0 — no smoothing needed
+    * and the sum is always finite). Near-zero = the doc looks like the
+    * corpus average; large = off-domain, wrong language, or boilerplate
+    * with a skewed vocabulary. The standard curation use: drop or
+    * re-weight the high-KL tail, or stratify a mixture by KL bands.
+    *
+    * Exactness (q71 family): tf/len/cf/N are integer counts; each term
+    * is the fixed association (tf/len)·ln((tf/len)/(cf/N)); ln within
+    * 1 ulp; the per-doc float sum is portable-rounded (reorder absorbed
+    * at 6 dp) and no rank derives from it.
+    *
+    * Scale shape: one explode → (id,term) tf agg → term-keyed corpus
+    * agg + join + 1-row broadcast → per-doc sum. Two token-keyed
+    * shuffles, all map-side combined; stopword skew handled by AQE.
+    *
+    * @return (id, n_tokens, kl) */
+  def klFromCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin) // tf AND the all-docs join read it
+    val tf = base
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.pin) // doc-len, corpus counts, score read it
+    val docLen = tf.groupBy("id").agg(sum(col("tf")).as("len"))
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("n"))
+    val pd = col("tf").cast("double") / col("len").cast("double")
+    val pc = col("cf").cast("double") / col("n").cast("double")
+    val perDoc = tf
+      .join(docLen, Seq("id"))
+      .join(cf, Seq("term"))
+      .crossJoin(broadcast(total)) // 1-row total join (scale-free BNLJ)
+      .withColumn("term_kl", pd * log(pd / pc))
+      .groupBy("id")
+      .agg(max(col("len")).as("n_tokens"), // constant within the group
+        rnd(sum(col("term_kl")), 6).as("kl"))
+    base.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("kl"), lit(0.0)).as("kl"))
+  }
+
   /** Corpus vocabulary head: the top-k terms by total frequency with
     * document frequency and corpus-share — the Zipf-head report every
     * training-data audit starts from (tokenizer coverage, stopword

@@ -109,6 +109,32 @@ object AnnGeomStudy {
     lshLine(4, 8)
     lshLine(8, 8)
     lshLine(8, 16)
+
+    // PQ/ADC arm (r7 backlog): the MEMORY side on clustered geometry.
+    // The rerank scans every code (scanFrac=1 by construction — PQ
+    // bounds bytes, not candidates); the study metric is ADC *fidelity*:
+    // does the true top-5 survive the shortlist cut? All arms spend the
+    // SAME 32-bit/vector budget (8x4-bit vs 4x8-bit codes; the float
+    // embedding is 2048 bits — 64x). The interesting axis (pinned small-
+    // scale in AnnRecallSpec): k-means codebooks at 8x16 COLLAPSE
+    // cluster members onto shared codes (MSE-optimal, rank-blind) while
+    // 4x256 buys the resolution to order within clusters — bit
+    // allocation matters more than codebook placement.
+    import graft.operators.Pq
+    def pqLine(tag: String, shortlist: Int,
+        run: Int => DataFrame): Unit = {
+      val r = recall(resultSet(run(shortlist)))
+      println(f"[geom] $tag shortlist=$shortlist recall@5=$r%.3f bits/vec=32 (64x)")
+    }
+    val sls = Seq(50, 200)
+    sls.foreach(sl => pqLine("pq8x16-det", sl,
+      s => Pq.topKPqRerank(docs, queries, 5, dim, 8, 16, s)))
+    val cbs8 = Pq.trainedCodebooks(docs, dim, nSub = 8, nCodes = 16)
+    sls.foreach(sl => pqLine("pq8x16-trained", sl,
+      s => Pq.topKPqRerankWith(docs, queries, 5, dim, cbs8, s)))
+    val cbs4 = Pq.trainedCodebooks(docs, dim, nSub = 4, nCodes = 256)
+    sls.foreach(sl => pqLine("pq4x256-trained", sl,
+      s => Pq.topKPqRerankWith(docs, queries, 5, dim, cbs4, s)))
     spark.stop()
   }
 }

@@ -305,6 +305,56 @@ class AnnRecallSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("clustered corpus: PQ bit ALLOCATION beats codebook training (geometry-study pin)") {
+    // Small-scale pin of the study's PQ/ADC arm, and its headline
+    // finding: on clustered data, per-subspace k-means codebooks (8x16)
+    // LOSE rank fidelity to the geometry-blind md5 family at the same
+    // shape — MSE-optimal codewords sit on the cluster sub-centers, so
+    // all members of a cluster collapse onto the SAME codes and ADC
+    // cannot order within the cluster (exactly where the true top-5
+    // lives); the random codebooks cut boundaries ACROSS clusters and
+    // keep some within-cluster discrimination (measured: det 0.74 vs
+    // trained 0.56 at shortlist=20). What DOES win is re-allocating the
+    // same 32-bit budget to fewer-subspaces-more-codes: trained 4x256
+    // (4 subspaces x 8 bits) has the resolution to separate cluster
+    // members AND the training to place it — the arm a production
+    // deployment should ship.
+    import graft.operators.Pq
+    val docs = graft.tools.AnnGeomStudy.clusteredCorpus(
+      spark, nClusters = 25, perCluster = 40, dim = 64, sigma = 0.25, seed = 42L)
+    val queries = docs.filter(col("id").endsWith("_000"))
+      .select(col("id").as("qid"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = resultSet(df)
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    // shortlist = 4k (2% of corpus): tight enough that the ADC ranker's
+    // quantization error actually shows (at 5% every arm saturates at 1.0)
+    val det = recall(Pq.topKPqRerank(docs, queries, 5, 64, 8, 16, shortlist = 20))
+    val cbs8 = Pq.trainedCodebooks(docs, dim = 64, nSub = 8, nCodes = 16)
+    val tr8 = recall(Pq.topKPqRerankWith(docs, queries, 5, 64, cbs8, shortlist = 20))
+    val cbs4 = Pq.trainedCodebooks(docs, dim = 64, nSub = 4, nCodes = 256)
+    val tr4 = recall(Pq.topKPqRerankWith(docs, queries, 5, 64, cbs4, shortlist = 20))
+    info(f"PQ recall@5 at shortlist=20, 32-bit codes: det8x16=$det%.3f " +
+      f"trained8x16=$tr8%.3f trained4x256=$tr4%.3f")
+    assert(tr4 >= det,
+      f"re-allocated+trained 4x256 must not lose to det 8x16: $tr4%.3f < $det%.3f")
+    assert(tr4 >= 0.75,
+      f"trained 4x256 should rank the true top-5 into a 2%% shortlist: $tr4%.3f")
+    // the collapse phenomenon itself, pinned loosely: trained 8x16 must
+    // not BEAT det 8x16 here — if it ever does, the scaladoc story and
+    // SCALE.md table are stale and need re-measuring
+    assert(tr8 <= det + 0.05,
+      f"trained 8x16 unexpectedly beats det ($tr8%.3f > $det%.3f): re-measure the study")
+    docs.unpersist()
+  }
+
   test("recall-vs-planes sweep: fewer planes -> bigger buckets -> higher recall (cost trade)") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables.embeddings(spark, sf)

@@ -44,6 +44,51 @@ class CorpusStatsSpec extends SparkSpec {
     assert(m(3L) == ((0L, 0.0)), s"short doc: ${m(3L)}")
   }
 
+  test("pmiCollocations: hand-computed PMI; minCount filter; tie-break by (w1,w2)") {
+    // bigrams: xy×2, yx×1, pq×1; N=4; c1: x=2,y=1,p=1; c2: y=2,x=1,q=1
+    // PMI(x,y)=ln(2·4/(2·2))=ln2; PMI(y,x)=PMI(p,q)=ln4 — a tie that
+    // must break by w1: (p,q) before (y,x)
+    val docs = Seq((1L, "x y x y"), (2L, "p q")).toDF("doc_id", "text")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = TextAnalysis.pmiCollocations(docs, "doc_id", "text", k = 2, minCount = 1L)
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_pair"), r.getAs[Double]("pmi"), r.getAs[Long]("rnk")))
+    assert(rows.toSeq == Seq(
+      ("p", "q", 1L, r6(math.log(4.0)), 1L),
+      ("y", "x", 1L, r6(math.log(4.0)), 2L)), rows.toSeq.toString)
+    // minCount=2 keeps only the repeated pair
+    val top = TextAnalysis.pmiCollocations(docs, "doc_id", "text", k = 5, minCount = 2L)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Double]("pmi")))
+    assert(top.toSeq == Seq(("x", "y", r6(math.log(2.0)))), top.toSeq.toString)
+  }
+
+  test("pmiCollocations: top-k plans as TakeOrderedAndProject, not a global window") {
+    val docs = Seq((1L, "x y x y"), (2L, "p q")).toDF("doc_id", "text")
+    val plan = TextAnalysis.pmiCollocations(docs, "doc_id", "text", k = 2, minCount = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"collocation top-k must not sort all pairs globally:\n$plan")
+  }
+
+  test("klFromCorpus: hand-computed divergences; empty doc reports zeros") {
+    // corpus: a×2, b×4 (N=6); doc1 p=(2/3,1/3) → KL=(1/3)ln2;
+    // doc2 p=(0,1) → KL=ln(3/2); doc3 empty → (0, 0.0)
+    val docs = Seq((1L, "a a b"), (2L, "b b b"), (3L, "...")).toDF("doc_id", "text")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val m = TextAnalysis.klFromCorpus(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("kl")))).toMap
+    val exp1 = (2.0 / 3) * math.log((2.0 / 3) / (2.0 / 6)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (4.0 / 6))
+    assert(m(1L) == ((3L, r6(exp1))), s"d1: ${m(1L)}")
+    assert(m(2L) == ((3L, r6(math.log((3.0 / 3) / (4.0 / 6))))), s"d2: ${m(2L)}")
+    assert(m(3L) == ((0L, 0.0)), s"empty: ${m(3L)}")
+    // Gibbs: KL ≥ 0 for every doc
+    assert(m.values.forall(_._2 >= 0.0), "KL must be non-negative")
+  }
+
   test("shingleContamination: full copy = 1.0, partial copy = exact fraction, short doc = 0") {
     val train = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
