@@ -1176,6 +1176,29 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("doc_id")
 
+  /** Per-source type/token statistics (q106): the lexical-diversity
+    * audit panel (see [[TextAnalysis.typeTokenStats]]). */
+  private def typeTokenStatsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typeTokenStats(Tables.documents(s, dir), "source", "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy("source")
+
+  /** Cross-source bigram transfer matrix (q107): coverage + covered
+    * mean logprob per (train, eval) source pair (see
+    * [[TextAnalysis.crossSourceBigramTransfer]]). */
+  private def sourceTransferQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.crossSourceBigramTransfer(
+      Tables.documents(s, dir), "source", "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy("train_source", "eval_source")
+
+  /** Pairwise source JSD (q108): the symmetric bounded domain-distance
+    * matrix (see [[TextAnalysis.sourceJsd]]). */
+  private def sourceJsdQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceJsd(Tables.documents(s, dir), "source", "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy("s1", "s2")
+
   /** HyperLogLog cardinality contract (q83): per-source distinct token
     * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
     * the q46 device: the oracle mirrors the exact values plus literal
@@ -1678,6 +1701,9 @@ object SparkEntry {
     "q103_kn_trigram_lm" -> ((s, d) => kneserNeyTriLmQ(s, d)),
     "q104_pmi_collocations" -> ((s, d) => pmiCollocationsQ(s, d)),
     "q105_kl_divergence" -> ((s, d) => klFromCorpusQ(s, d)),
+    "q106_type_token_stats" -> ((s, d) => typeTokenStatsQ(s, d)),
+    "q107_source_transfer" -> ((s, d) => sourceTransferQ(s, d)),
+    "q108_source_jsd" -> ((s, d) => sourceJsdQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -3366,6 +3392,103 @@ object SparkEntry {
          |  coalesce(p.kl, 0.0) AS kl
          |FROM tok t LEFT JOIN pd p ON t.id = p.id
          |ORDER BY doc_id""".stripMargin,
+    "q106_type_token_stats" ->
+      // Mirror of TextAnalysis.typeTokenStats: (source,term) tf agg,
+      // per-source conditional sums, two rounded divisions.
+      s"""WITH base AS (SELECT source, $sqlToks AS toks FROM documents),
+         |nd AS (SELECT source, count(*) AS n_docs FROM base GROUP BY source),
+         |tf AS MATERIALIZED (
+         |  SELECT source, term, count(*) AS tf
+         |  FROM (SELECT source, unnest(toks) AS term FROM base)
+         |  GROUP BY source, term),
+         |st AS (
+         |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_types,
+         |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM tf GROUP BY source)
+         |SELECT nd.source, nd.n_docs,
+         |  coalesce(st.n_tokens, 0) AS n_tokens,
+         |  coalesce(st.n_types, 0) AS n_types,
+         |  coalesce(st.n_hapax, 0) AS n_hapax,
+         |  coalesce(${sqlRnd(
+               "CAST(st.n_types AS DOUBLE) / CAST(st.n_tokens AS DOUBLE)", 6)},
+             0.0) AS ttr,
+         |  coalesce(${sqlRnd(
+               "CAST(st.n_hapax AS DOUBLE) / CAST(st.n_types AS DOUBLE)", 6)},
+             0.0) AS hapax_ratio
+         |FROM nd LEFT JOIN st ON nd.source = st.source
+         |ORDER BY nd.source""".stripMargin,
+    "q107_source_transfer" ->
+      // Mirror of TextAnalysis.crossSourceBigramTransfer: per-source
+      // bigram TYPE table (occurrence weights ride along), type-level
+      // (w1,w2) join eval x train, train context counts, S^2 grid from
+      // the totals. sum(BIGINT)->HUGEINT cast back (the NEXT.md rule).
+      s"""WITH base AS (SELECT source AS src, $sqlToks AS toks FROM documents),
+         |bi AS MATERIALIZED (
+         |  SELECT src, toks[i + 1] AS w1, toks[i + 2] AS w2
+         |  FROM (SELECT src, toks, unnest(range(0, len(toks) - 1)) AS i FROM base)),
+         |types AS MATERIALIZED (
+         |  SELECT src, w1, w2, count(*) AS c FROM bi GROUP BY src, w1, w2),
+         |totals AS MATERIALIZED (
+         |  SELECT src AS eval_source, CAST(sum(c) AS BIGINT) AS tocc
+         |  FROM types GROUP BY src),
+         |ctx AS MATERIALIZED (
+         |  SELECT src AS train_source, w1, CAST(sum(c) AS BIGINT) AS cu
+         |  FROM types GROUP BY src, w1),
+         |stats AS MATERIALIZED (
+         |  SELECT tr.src AS train_source, ev.src AS eval_source,
+         |    CAST(sum(ev.c) AS BIGINT) AS n_covered,
+         |    sum(CAST(ev.c AS DOUBLE) *
+         |        ln(CAST(tr.c AS DOUBLE) / CAST(ctx.cu AS DOUBLE))) AS lp_sum
+         |  FROM types ev
+         |  JOIN types tr ON ev.w1 = tr.w1 AND ev.w2 = tr.w2
+         |  JOIN ctx ON ctx.train_source = tr.src AND ctx.w1 = tr.w1
+         |  GROUP BY tr.src, ev.src),
+         |grid AS (
+         |  SELECT u.eval_source AS train_source, t.eval_source, t.tocc
+         |  FROM totals t CROSS JOIN totals u)
+         |SELECT g.train_source, g.eval_source,
+         |  coalesce(s.n_covered, 0) AS n_covered,
+         |  coalesce(${sqlRnd(
+               "CAST(s.n_covered AS DOUBLE) / CAST(g.tocc AS DOUBLE)", 6)},
+             0.0) AS coverage,
+         |  coalesce(${sqlRnd(
+               "s.lp_sum / CAST(s.n_covered AS DOUBLE)", 6)}, 0.0) AS avg_logprob
+         |FROM grid g LEFT JOIN stats s
+         |  ON g.train_source = s.train_source AND g.eval_source = s.eval_source
+         |ORDER BY g.train_source, g.eval_source""".stripMargin,
+    "q108_source_jsd" ->
+      // Mirror of TextAnalysis.sourceJsd: probability table, term-keyed
+      // self-join on the SHARED support (private mass enters via the
+      // ln2 closed form), identical association per shared term.
+      s"""WITH tf AS MATERIALIZED (
+         |  SELECT src, term, count(*) AS tf
+         |  FROM (SELECT source AS src, unnest($sqlToks) AS term FROM documents)
+         |  GROUP BY src, term),
+         |tot AS MATERIALIZED (SELECT src, CAST(sum(tf) AS BIGINT) AS nt FROM tf GROUP BY src),
+         |p AS MATERIALIZED (
+         |  SELECT tf.src, tf.term,
+         |    CAST(tf.tf AS DOUBLE) / CAST(tot.nt AS DOUBLE) AS p
+         |  FROM tf JOIN tot ON tf.src = tot.src),
+         |shared AS MATERIALIZED (
+         |  SELECT a.src AS s1, b.src AS s2, count(*) AS n_shared,
+         |    sum(a.p * ln(CAST(2 AS DOUBLE) * a.p / (a.p + b.p)) +
+         |        b.p * ln(CAST(2 AS DOUBLE) * b.p / (a.p + b.p))) AS ss,
+         |    sum(a.p) AS sp1, sum(b.p) AS sp2
+         |  FROM p a JOIN p b ON a.term = b.term
+         |  WHERE a.src < b.src
+         |  GROUP BY a.src, b.src),
+         |grid AS (
+         |  SELECT a.src AS s1, b.src AS s2
+         |  FROM tot a CROSS JOIN tot b WHERE a.src < b.src)
+         |SELECT g.s1, g.s2,
+         |  coalesce(sh.n_shared, 0) AS n_shared,
+         |  ${sqlRnd(
+             "CAST(0.5 AS DOUBLE) * (coalesce(sh.ss, 0.0) + " +
+               "ln(CAST(2 AS DOUBLE)) * (CAST(2 AS DOUBLE) - " +
+               "coalesce(sh.sp1, 0.0) - coalesce(sh.sp2, 0.0)))", 6)} AS jsd
+         |FROM grid g LEFT JOIN shared sh ON g.s1 = sh.s1 AND g.s2 = sh.s2
+         |ORDER BY g.s1, g.s2""".stripMargin,
     "q100_interpolated_lm" ->
       // Mirror of TextAnalysis.interpolatedLogProb: the q98 trigram
       // positions with tri/bi/unigram counts over the SAME support,

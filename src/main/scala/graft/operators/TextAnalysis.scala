@@ -700,6 +700,155 @@ object TextAnalysis {
         coalesce(col("kl"), lit(0.0)).as("kl"))
   }
 
+  /** Per-source type/token statistics — the lexical-diversity panel of
+    * a corpus audit: token count, vocabulary size (types), hapax count
+    * (terms occurring once — in natural text ~half the vocabulary by
+    * Zipf; far less in templated/boilerplate sources), type-token ratio
+    * and hapax share. A source whose TTR collapses is template spam; a
+    * source whose hapax ratio explodes is OCR noise or mojibake — the
+    * two cheapest "is this source worth training on" signals.
+    *
+    * Exactness: everything is an integer count except the two ratios,
+    * each ONE portable-rounded division. Scale shape: explode →
+    * (source, term) partial agg → per-source conditional-sum agg — two
+    * map-side-combined shuffles, output |sources| rows.
+    *
+    * @return (source, n_docs, n_tokens, n_types, n_hapax, ttr, hapax_ratio) */
+  def typeTokenStats(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val base = Par.ensureMapParallelism(docs)
+      .select(col(srcCol).as("source"), tokens(col(textCol)).as("toks"))
+      .transform(graft.CacheScope.pin) // doc counts AND term stats read it
+    val nd = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col("source"), explode(col("toks")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("source").agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    nd.join(stats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        coalesce(rnd(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6), lit(0.0)).as("ttr"),
+        coalesce(rnd(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 6), lit(0.0)).as("hapax_ratio"))
+  }
+
+  /** Cross-source bigram transfer matrix — for every ordered pair
+    * (train_source, eval_source): what fraction of the eval source's
+    * bigram occurrences the train source's bigram LM has seen at all
+    * (coverage), and the mean ln P(w₂|w₁) under the TRAIN model on the
+    * covered part. This is the domain-transfer report a mixture
+    * designer reads before weighting sources: high coverage + high
+    * avg_lp = redundant with train; low coverage = novel (or noise —
+    * cross-check [[typeTokenStats]]); the diagonal is the tautology
+    * coverage = 1. Restricting avg_lp to COVERED bigrams sidesteps
+    * smoothing: the two numbers together carry what a smoothed
+    * cross-entropy would blend (and each is exactly mirrorable).
+    *
+    * Exactness: integer counts; per-type contribution is the fixed
+    * association ce·ln(cb_t/cu_t); both outputs portable-rounded, no
+    * rank from floats. Scale shape: one bigram explode → per-source
+    * type table (the hub: eval side, train side, AND context counts
+    * derive from it) → a (w₁,w₂)-keyed type-level join (occurrence
+    * weights ride along — never an occurrence-level blowup) → an
+    * S²-row aggregate. The S² output is inherent to a transfer matrix;
+    * the shuffles are all token-keyed and map-side combined.
+    *
+    * @return (train_source, eval_source, n_covered, coverage, avg_logprob) */
+  def crossSourceBigramTransfer(
+      docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val bi = Par.ensureMapParallelism(docs)
+      .select(col(srcCol).as("src"), tokens(col(textCol)).as("toks"))
+      .select(col("src"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .select(col("src"), col("w1"),
+        try_element_at(col("toks"), col("pos") + 2).as("w2"))
+      .filter(col("w2").isNotNull)
+    val types = bi.groupBy("src", "w1", "w2").agg(count(lit(1)).as("c"))
+      .transform(graft.CacheScope.pin) // eval side, train side, contexts
+    val totals = types.groupBy("src").agg(sum(col("c")).as("tocc"))
+      .withColumnRenamed("src", "eval_source")
+      .transform(graft.CacheScope.pin) // the grid AND coverage read it
+    val ctx = types.groupBy("src", "w1").agg(sum(col("c")).as("cu"))
+      .withColumnRenamed("src", "train_source")
+    val ev = types.select(col("src").as("eval_source"),
+      col("w1"), col("w2"), col("c").as("ce"))
+    val tr = types.select(col("src").as("train_source"),
+      col("w1"), col("w2"), col("c").as("cb"))
+    val stats = ev
+      .join(tr, Seq("w1", "w2")) // type-level: weights ride along
+      .join(ctx, Seq("train_source", "w1"))
+      .withColumn("lp", col("ce").cast("double") *
+        log(col("cb").cast("double") / col("cu").cast("double")))
+      .groupBy("train_source", "eval_source")
+      .agg(sum(col("ce")).as("n_covered"), sum(col("lp")).as("lp_sum"))
+    val grid = totals.select(col("eval_source"), col("tocc"))
+      .crossJoin(totals.select(col("eval_source").as("train_source")))
+    grid.join(stats, Seq("train_source", "eval_source"), "left")
+      .select(col("train_source"), col("eval_source"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(rnd(col("n_covered").cast("double") /
+          col("tocc").cast("double"), 6), lit(0.0)).as("coverage"),
+        coalesce(rnd(col("lp_sum") /
+          col("n_covered").cast("double"), 6), lit(0.0)).as("avg_logprob"))
+  }
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions — the symmetric, bounded (≤ ln 2) domain-distance
+    * matrix: 0 = identical vocabularies at identical frequencies, ln 2
+    * = disjoint support. The standard corpus-cartography input
+    * (cluster sources by JSD, spot the outlier domain, pick mixture
+    * anchors). Computed WITHOUT smoothing via the decomposition
+    *   JSD = ½[ Σ_shared (p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    *            + ln 2 · ((1−Σ_shared p) + (1−Σ_shared q)) ]
+    * — terms private to one source contribute exactly p·ln 2, so only
+    * the SHARED support needs a join (no outer-join row explosion for
+    * the disjoint tails).
+    *
+    * Exactness: p and q are single divisions on integer counts; the
+    * shared-term contribution is one fixed association; the float sums
+    * feed ONE portable-rounded output, no rank. Scale shape: explode →
+    * (source, term) agg → per-source totals → term-keyed self-join of
+    * the probability table (shuffle keyed by term; a term in k sources
+    * fans out k² — bounded by S²·|vocab|, the matrix's intrinsic cost)
+    * → S²/2-row aggregate.
+    *
+    * @return (s1, s2, n_shared, jsd) for unordered pairs s1 < s2 */
+  def sourceJsd(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tf = Par.ensureMapParallelism(docs)
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("src", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.pin) // totals AND the self-join read it
+    val tot = tf.groupBy("src").agg(sum(col("tf")).as("nt"))
+      .transform(graft.CacheScope.pin) // probability table AND grid read it
+    val p = tf.join(tot, Seq("src"))
+      .select(col("src"), col("term"),
+        (col("tf").cast("double") / col("nt").cast("double")).as("p"))
+      .transform(graft.CacheScope.pin) // both sides of the self-join
+    val a = p.select(col("src").as("s1"), col("term"), col("p").as("p1"))
+    val b = p.select(col("src").as("s2"), col("term"), col("p").as("p2"))
+    val shared = a.join(b, Seq("term")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("p1") * log(lit(2.0) * col("p1") / (col("p1") + col("p2"))) +
+          col("p2") * log(lit(2.0) * col("p2") / (col("p1") + col("p2"))))
+          .as("ss"),
+        sum(col("p1")).as("sp1"), sum(col("p2")).as("sp2"))
+    val srcs = tot.select(col("src"))
+    val grid = srcs.select(col("src").as("s1"))
+      .crossJoin(srcs.select(col("src").as("s2")))
+      .filter(col("s1") < col("s2"))
+    grid.join(shared, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        rnd(lit(0.5) * (coalesce(col("ss"), lit(0.0)) +
+          log(lit(2.0)) * (lit(2.0) - coalesce(col("sp1"), lit(0.0)) -
+            coalesce(col("sp2"), lit(0.0)))), 6).as("jsd"))
+  }
+
   /** Corpus vocabulary head: the top-k terms by total frequency with
     * document frequency and corpus-share — the Zipf-head report every
     * training-data audit starts from (tokenizer coverage, stopword

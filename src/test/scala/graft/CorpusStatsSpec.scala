@@ -89,6 +89,56 @@ class CorpusStatsSpec extends SparkSpec {
     assert(m.values.forall(_._2 >= 0.0), "KL must be non-negative")
   }
 
+  test("typeTokenStats: hand-computed diversity panel; empty source reports zeros") {
+    // A: tokens a,a,b,c -> 4 tokens, 3 types, 2 hapax, ttr .75, hapax 2/3
+    val docs = Seq(("A", "a a b"), ("A", "c"), ("B", "..."))
+      .toDF("source", "text")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val m = TextAnalysis.typeTokenStats(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"),
+          r.getAs[Double]("ttr"), r.getAs[Double]("hapax_ratio")))).toMap
+    assert(m("A") == ((2L, 4L, 3L, 2L, 0.75, r6(2.0 / 3))), s"A: ${m("A")}")
+    assert(m("B") == ((1L, 0L, 0L, 0L, 0.0, 0.0)), s"B: ${m("B")}")
+  }
+
+  test("crossSourceBigramTransfer: hand-computed coverage + covered logprob matrix") {
+    // A: "a b a c" -> types ab,ba,ac (each x1), ctx a=2,b=1; B: "a b"
+    val docs = Seq(("A", "a b a c"), ("B", "a b")).toDF("source", "text")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val m = TextAnalysis.crossSourceBigramTransfer(docs, "source", "text")
+      .collect().map(r => (r.getAs[String]("train_source"),
+        r.getAs[String]("eval_source")) ->
+        ((r.getAs[Long]("n_covered"), r.getAs[Double]("coverage"),
+          r.getAs[Double]("avg_logprob")))).toMap
+    assert(m.size == 4, s"full 2x2 grid expected: $m")
+    // diagonal: coverage is the tautology 1.0
+    assert(m(("A", "A")) == ((3L, 1.0, r6(2 * math.log(0.5) / 3))), s"AA: ${m(("A", "A"))}")
+    assert(m(("B", "B")) == ((1L, 1.0, 0.0)), s"BB: ${m(("B", "B"))}")
+    // B's only bigram (a,b) is in A's model at P(b|a)=1/2
+    assert(m(("A", "B")) == ((1L, 1.0, r6(math.log(0.5)))), s"AB: ${m(("A", "B"))}")
+    // A's ab is covered by B at P=1; ba/ac are novel to B
+    assert(m(("B", "A")) == ((1L, r6(1.0 / 3), 0.0)), s"BA: ${m(("B", "A"))}")
+  }
+
+  test("sourceJsd: identical = 0, disjoint = ln 2, half-overlap = ln2/2") {
+    val docs = Seq(("A", "a b"), ("B", "a c"), ("C", "a b"), ("D", "x y"))
+      .toDF("source", "text")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val m = TextAnalysis.sourceJsd(docs, "source", "text")
+      .collect().map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("jsd")))).toMap
+    assert(m.size == 6, s"all unordered pairs expected: ${m.keySet}")
+    assert(m(("A", "C")) == ((2L, 0.0)), s"identical: ${m(("A", "C"))}")
+    assert(m(("A", "D")) == ((0L, r6(math.log(2.0)))), s"disjoint: ${m(("A", "D"))}")
+    // share 'a' at equal prob (zero contribution); half the mass private
+    assert(m(("A", "B")) == ((1L, r6(0.5 * math.log(2.0)))), s"half: ${m(("A", "B"))}")
+    assert(m(("B", "C")) == m(("A", "B")), "JSD must respect the A=C identity")
+    // bounds: 0 <= jsd <= ln 2 for every pair
+    assert(m.values.forall(v => v._2 >= 0.0 && v._2 <= math.log(2.0) + 1e-12))
+  }
+
   test("shingleContamination: full copy = 1.0, partial copy = exact fraction, short doc = 0") {
     val train = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
