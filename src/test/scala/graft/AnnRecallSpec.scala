@@ -306,19 +306,22 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("clustered corpus: PQ bit ALLOCATION beats codebook training (geometry-study pin)") {
-    // Small-scale pin of the study's PQ/ADC arm, and its headline
-    // finding: on clustered data, per-subspace k-means codebooks (8x16)
-    // LOSE rank fidelity to the geometry-blind md5 family at the same
-    // shape — MSE-optimal codewords sit on the cluster sub-centers, so
-    // all members of a cluster collapse onto the SAME codes and ADC
-    // cannot order within the cluster (exactly where the true top-5
-    // lives); the random codebooks cut boundaries ACROSS clusters and
-    // keep some within-cluster discrimination (measured: det 0.74 vs
-    // trained 0.56 at shortlist=20). What DOES win is re-allocating the
-    // same 32-bit budget to fewer-subspaces-more-codes: trained 4x256
-    // (4 subspaces x 8 bits) has the resolution to separate cluster
-    // members AND the training to place it — the arm a production
-    // deployment should ship.
+    // Small-scale pin of the study's PQ/ADC arm in the FEW-CLUSTERS
+    // regime (25 clusters << 16 codes-per-subspace can separate): here
+    // per-subspace k-means codebooks (8x16) LOSE rank fidelity to the
+    // geometry-blind md5 family at the same shape — MSE-optimal
+    // codewords sit on the cluster sub-centers, so all members of a
+    // cluster collapse onto the SAME codes and ADC cannot order within
+    // the cluster (exactly where the true top-5 lives); the random
+    // codebooks cut boundaries ACROSS clusters and keep some
+    // within-cluster discrimination (measured: det 0.74 vs trained
+    // 0.60 at shortlist=20), while re-allocating the 32-bit budget to
+    // 4x256 buys the resolution to separate members. The ranking is
+    // REGIME-DEPENDENT: at bench scale (600 clusters >> any codebook,
+    // SCALE.md) the collapse disappears and 8 additive subspaces beat
+    // 4 coarse ones — the operational conclusion is to buy shortlist
+    // margin (0.33% of the corpus saturates every arm), not codebook
+    // cleverness. This pin freezes the few-clusters endpoint.
     import graft.operators.Pq
     val docs = graft.tools.AnnGeomStudy.clusteredCorpus(
       spark, nClusters = 25, perCluster = 40, dim = 64, sigma = 0.25, seed = 42L)

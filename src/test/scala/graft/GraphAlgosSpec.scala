@@ -141,6 +141,42 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.kCore(e, k = 3).count() == 0L)
   }
 
+  test("kCore over the ANN-built similarity graph recovers planted clusters, peels noise") {
+    // The one analytics deliberately NOT composed as an oracle query
+    // (NEXT.md): natural mutual-KNN graphs have degenerate cores, so
+    // the composition needs planted topology. Planted here: 12 tight
+    // clusters (within-cluster cos ~ 0.9) plus 40 isotropic noise
+    // singletons; the ANN graph (multi-table LSH, top-8 neighbors,
+    // sim >= 0.5) gives cluster members in-cluster degree ~ 8 while
+    // noise gets no qualifying edge at all — the 5-core must keep the
+    // clusters and peel every noise point.
+    import graft.operators.Ann
+    val clusters = graft.tools.AnnGeomStudy.clusteredCorpus(
+      spark, nClusters = 12, perCluster = 30, dim = 64, sigma = 0.25, seed = 42L)
+    val noise = graft.tools.AnnGeomStudy.clusteredCorpus(
+      spark, nClusters = 40, perCluster = 1, dim = 64, sigma = 0.25, seed = 99L)
+      .select(concat(lit("n"), col("id")).as("id"), col("embedding"))
+    val corpus = clusters.unionByName(noise)
+    val q = corpus.select(col("id").as("qid"), col("embedding").as("qvec"))
+    val edges = Ann.topKMultiTable(corpus, q, k = 9, dim = 64, nPlanes = 4, nTables = 8)
+      .filter(col("qid") =!= col("id") && col("sim") >= 0.5)
+      .select(least(col("qid"), col("id")).as("src"),
+        greatest(col("qid"), col("id")).as("dst"))
+      .distinct()
+    val core = GraphAlgos.kCore(edges, k = 5, maxIter = 10).collect()
+      .map(_.getAs[String]("id")).toSet
+    val clusterIds = clusters.select("id").collect().map(_.getString(0)).toSet
+    assert(core.forall(!_.startsWith("n")),
+      s"noise must peel out of the 5-core: ${core.filter(_.startsWith("n"))}")
+    val kept = core.intersect(clusterIds).size.toDouble / clusterIds.size
+    info(f"5-core keeps ${kept * 100}%.1f%% of planted cluster members, 0 noise")
+    assert(kept >= 0.9, f"planted clusters should survive the peel: $kept%.3f")
+    // every planted cluster is represented in the core
+    val coreClusters = core.map(_.take(5)).size
+    assert(coreClusters == 12, s"all 12 clusters expected in core: $coreClusters")
+    clusters.unpersist(); noise.unpersist()
+  }
+
   test("labelPropagation: two bridged triangles resolve to two communities") {
     // triangles {a,b,c} and {d,e,f} with one bridge c-d: propagation
     // converges (within 5 rounds, traced by hand) to community "a" on
