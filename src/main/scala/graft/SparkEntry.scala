@@ -1199,6 +1199,28 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("s1", "s2")
 
+  /** Deterministic content-keyed train/val/test split (q109): see
+    * [[Curation.hashSplit]] — byte-identical dups co-locate. */
+  private def hashSplitQ(s: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(Tables.documents(s, dir), "doc_id", "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+
+  /** Near-dup-leakage-free split (q110): q48's dedup clusters feeding
+    * [[Curation.leakFreeSplit]] — members inherit the keeper's bucket,
+    * so no near-dup pair straddles a split boundary. */
+  private def leakFreeSplitQ(s: SparkSession, dir: String): DataFrame =
+    Curation.leakFreeSplit(
+      GraphAlgos.dedupClusters(
+        Dedup.nearDupMinhashLsh(perturbedDocs(s, dir, " graft dedup probe tail"),
+          "doc_id", "text", shingleWidth = 3, numHashes = 12, bands = 4,
+          threshold = 0.6),
+        maxIter = 4)
+        .select(col("id").cast("long").as("id"),
+          col("keeper").cast("long").as("keeper")))
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+
   /** HyperLogLog cardinality contract (q83): per-source distinct token
     * counts — exact alongside `approx_count_distinct` (HLL++, rsd 2%),
     * the q46 device: the oracle mirrors the exact values plus literal
@@ -1704,6 +1726,8 @@ object SparkEntry {
     "q106_type_token_stats" -> ((s, d) => typeTokenStatsQ(s, d)),
     "q107_source_transfer" -> ((s, d) => sourceTransferQ(s, d)),
     "q108_source_jsd" -> ((s, d) => sourceJsdQ(s, d)),
+    "q109_hash_split" -> ((s, d) => hashSplitQ(s, d)),
+    "q110_leakfree_split" -> ((s, d) => leakFreeSplitQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -1775,6 +1799,44 @@ object SparkEntry {
   /** DuckDB mirror of TextFunctions.tokens. */
   private val sqlToks: String =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** The q48 near-dup cluster chain (perturbed corpus → MinHash-LSH
+    * pairs → 4 unrolled CC supersteps ending in cl4) — shared VERBATIM
+    * by q48 and q110 so the leakage-free split provably runs over the
+    * same clustering. */
+  private lazy val dedupClusterChainSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |all_docs AS (
+       |  SELECT doc_id, text FROM d0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, concat(text, ' graft dedup probe tail') FROM d0),
+       |withtoks AS (
+       |  SELECT doc_id AS id, ${toksOf("text")} AS toks FROM all_docs),
+       |withsh AS (
+       |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM withtoks),
+       |withhb AS (
+       |  SELECT id, sh, ${minhashBases("sh")} AS hb
+       |  FROM withsh WHERE len(sh) > 0),
+       |withsig AS (
+       |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig
+       |  FROM withhb),
+       |withkeys AS (
+       |  SELECT id, sh, ${bandKeys("sig", 4, 3)} AS bkeys FROM withsig),
+       |banded AS (SELECT id, sh, unnest(bkeys) AS bkey FROM withkeys),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.id < b.id),
+       |fpairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN withsh sa ON sa.id = c.id_a
+       |  JOIN withsh sb ON sb.id = c.id_b
+       |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.6),
+       |csym AS (
+       |  SELECT id_a AS u, id_b AS v FROM fpairs
+       |  UNION ALL SELECT id_b, id_a FROM fpairs),
+       |${ccUnrolled("c", 4)}""".stripMargin
 
   /** DuckDB mirror of TextFunctions.qualityScore (pre-rounding). */
   private val sqlQuality: String =
@@ -3990,40 +4052,34 @@ object SparkEntry {
          |FROM wg w LEFT JOIN st ON w.id = st.id
          |ORDER BY w.id""".stripMargin,
     "q48_dedup_clusters" ->
-      s"""WITH d0 AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-         |all_docs AS (
-         |  SELECT doc_id, text FROM d0
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, concat(text, ' graft dedup probe tail') FROM d0),
-         |withtoks AS (
-         |  SELECT doc_id AS id, ${toksOf("text")} AS toks FROM all_docs),
-         |withsh AS (
-         |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM withtoks),
-         |withhb AS (
-         |  SELECT id, sh, ${minhashBases("sh")} AS hb
-         |  FROM withsh WHERE len(sh) > 0),
-         |withsig AS (
-         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig
-         |  FROM withhb),
-         |withkeys AS (
-         |  SELECT id, sh, ${bandKeys("sig", 4, 3)} AS bkeys FROM withsig),
-         |banded AS (SELECT id, sh, unnest(bkeys) AS bkey FROM withkeys),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.id < b.id),
-         |fpairs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN withsh sa ON sa.id = c.id_a
-         |  JOIN withsh sb ON sb.id = c.id_b
-         |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.6),
-         |csym AS (
-         |  SELECT id_a AS u, id_b AS v FROM fpairs
-         |  UNION ALL SELECT id_b, id_a FROM fpairs),
-         |${ccUnrolled("c", 4)}
+      s"""$dedupClusterChainSql
          |SELECT id, component AS keeper, id = component AS is_keeper
          |FROM cl4 ORDER BY id""".stripMargin,
+    "q110_leakfree_split" ->
+      // Mirror of Curation.leakFreeSplit over the q48 cluster chain
+      // (VERBATIM — the shared prefix proves the composition is the
+      // same clustering): every member hashes its KEEPER, so near-dup
+      // pairs co-locate by construction.
+      s"""$dedupClusterChainSql
+         |SELECT id, component AS keeper,
+         |  ${hash60("concat('graft:', CAST(component AS VARCHAR))")} % 100 AS bucket,
+         |  CASE WHEN ${hash60("concat('graft:', CAST(component AS VARCHAR))")} % 100 < 80 THEN 'train'
+         |       WHEN ${hash60("concat('graft:', CAST(component AS VARCHAR))")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl4 ORDER BY id""".stripMargin,
+    "q109_hash_split" ->
+      // Mirror of Curation.hashSplit: salted md5-derived bucket of the
+      // CONTENT hash (sha256 matches byte-for-byte across engines, the
+      // F1 device), fixed 80/10/10 thresholds.
+      s"""WITH b AS (
+         |  SELECT doc_id AS id,
+         |    ${hash60("concat('graft:', sha256(text))")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY id""".stripMargin,
     "q24_neardup_simhash" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

@@ -135,4 +135,64 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
       .select("source", "id", "n_tokens", "cum_tokens")
   }
+
+  // ---- deterministic dataset splits --------------------------------------
+
+  /** Split bucket in [0, 100): salted portable hash of the split KEY.
+    * The key choice is the leakage policy — key on the doc id for a
+    * plain split, on the CONTENT hash so byte-identical dups co-locate
+    * ([[hashSplit]]), or on a dedup-cluster keeper so near-dups
+    * co-locate ([[leakFreeSplit]]). */
+  def splitBucket(key: Column, salt: String): Column =
+    hash60(concat(lit(salt), lit(":"), key.cast("string"))) % 100L
+
+  /** Bucket → split name by cumulative percent thresholds. */
+  def splitName(bucket: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic train/val/test split keyed on the CONTENT hash —
+    * the reproducible-split primitive every training pipeline needs:
+    * stable across runs, partitioning, and engines (the md5 device,
+    * exactly mirrorable); keyed on sha256(content) rather than the id
+    * so byte-identical duplicates always land in the SAME split (the
+    * cheapest form of leakage control — an id-keyed split sends two
+    * copies of one document to train and test). Pure map stage: no
+    * shuffle, no RNG, no driver state.
+    *
+    * @return (id, bucket, split) */
+  def hashSplit(
+      docs: DataFrame, idCol: String, textCol: String,
+      salt: String = "graft", trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = splitBucket(sha2(col(textCol), 256), salt)
+    Par.ensureMapParallelism(docs).select(
+      col(idCol).as("id"),
+      bucket.as("bucket"),
+      splitName(bucket, trainPct, valPct).as("split"))
+  }
+
+  /** Near-dup-leakage-free split: every member of a dedup cluster
+    * inherits its KEEPER's bucket, so no near-duplicate pair ever
+    * straddles a split boundary (the contamination mode a content-hash
+    * split cannot catch: lightly-edited copies hash apart but leak
+    * train→test all the same). Input is [[GraphAlgos.dedupClusters]]
+    * output — the composition is split-by-connected-component, the
+    * standard eval-hygiene construction. One map stage over the
+    * cluster assignment; the expensive part (LSH + components) is the
+    * dedup pass the pipeline already ran.
+    *
+    * @param clusters (id, keeper) — every doc with its cluster keeper
+    * @return (id, keeper, bucket, split) */
+  def leakFreeSplit(
+      clusters: DataFrame,
+      salt: String = "graft", trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = splitBucket(col("keeper"), salt)
+    Par.ensureMapParallelism(clusters).select(
+      col("id"), col("keeper"),
+      bucket.as("bucket"),
+      splitName(bucket, trainPct, valPct).as("split"))
+  }
 }

@@ -28,6 +28,44 @@ class CurationSpec extends SparkSpec {
     assert((a & holdout).isEmpty && a.size + holdout.size == 2000)
   }
 
+  test("hashSplit: deterministic, content-keyed (exact dups co-locate), ratios sane") {
+    val docs = (1L to 400L).map(i => (i, s"document body number ${i % 350}"))
+      .toDF("doc_id", "text") // ids 351..400 duplicate the text of 1..50
+    val a = Curation.hashSplit(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("bucket"), r.getAs[String]("split")))).toMap
+    // stable under repartitioning AND re-evaluation
+    val b = Curation.hashSplit(docs.repartition(13), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("bucket"), r.getAs[String]("split")))).toMap
+    assert(a == b, "split must not depend on partitioning")
+    // content-keyed: byte-identical dups land in the same split
+    for (i <- 1L to 50L)
+      assert(a(i) == a(i + 350), s"dup pair ($i, ${i + 350}) split apart")
+    // 80/10/10 thresholds hold approximately on the 350 distinct texts
+    val bySplit = a.groupBy(_._2._2).view.mapValues(_.size).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"),
+      s"train must dominate an 80/10/10 split: $bySplit")
+    assert(Set("train", "val", "test") == bySplit.keySet)
+    // bucket range contract
+    assert(a.values.forall { case (bk, _) => bk >= 0 && bk < 100 })
+  }
+
+  test("leakFreeSplit: every cluster member inherits the keeper's split") {
+    val clusters = Seq( // three clusters incl. a 3-member chain
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("id", "keeper")
+    val got = Curation.leakFreeSplit(clusters).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("keeper"), r.getAs[String]("split")))).toMap
+    val byKeeper = got.values.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byKeeper.values.forall(_.size == 1),
+      s"every member must share its keeper's split: ${byKeeper.toMap}")
+    // and the keeper's split equals what hashing the keeper id gives
+    for ((id, (keeper, split)) <- got) assert(got(keeper)._2 == split, s"$id")
+  }
+
   test("per-group quota caps each group; plan uses WindowGroupLimit") {
     val capped = Curation.capPerGroup(docs, "doc_id", "lang", quota = 50)
     val byLang = capped.groupBy("lang").count().collect()
