@@ -1206,6 +1206,31 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id")
 
+  /** Distinct-n diversity per source (q111): see
+    * [[TextAnalysis.distinctNgramDiversity]]. */
+  private def distinctNgramsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctNgramDiversity(
+      Tables.documents(s, dir), "source", "text", maxN = 3)
+      .transform(graft.CacheScope.pin)
+      .orderBy("source", "n")
+
+  /** Per-source OOV rate vs the corpus top-500 vocab head (q112): see
+    * [[TextAnalysis.oovRate]]. */
+  private def oovRateQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(Tables.documents(s, dir), "source", "text", vocabK = 500)
+      .transform(graft.CacheScope.pin)
+      .orderBy("source")
+
+  /** MinHash calibration report (q113): estimated vs exact Jaccard on
+    * every LSH candidate pair of the q23/q48 perturbed corpus (see
+    * [[Dedup.minhashCalibration]]). */
+  private def minhashCalibrationQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(
+      perturbedDocs(s, dir, " graft dedup probe tail"), "doc_id", "text",
+      shingleWidth = 3, numHashes = 12, bands = 4)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id_a", "id_b")
+
   /** Near-dup-leakage-free split (q110): q48's dedup clusters feeding
     * [[Curation.leakFreeSplit]] — members inherit the keeper's bucket,
     * so no near-dup pair straddles a split boundary. */
@@ -1728,6 +1753,9 @@ object SparkEntry {
     "q108_source_jsd" -> ((s, d) => sourceJsdQ(s, d)),
     "q109_hash_split" -> ((s, d) => hashSplitQ(s, d)),
     "q110_leakfree_split" -> ((s, d) => leakFreeSplitQ(s, d)),
+    "q111_distinct_ngrams" -> ((s, d) => distinctNgramsQ(s, d)),
+    "q112_oov_rate" -> ((s, d) => oovRateQ(s, d)),
+    "q113_minhash_calibration" -> ((s, d) => minhashCalibrationQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -3294,10 +3322,12 @@ object SparkEntry {
       // Mirror of TextAnalysis.modifiedKneserNeyLogProb: q101's bigram
       // support plus (a) per-w1 bucketed successor-type counts, (b) the
       // 1-row count-of-counts, (c) the Chen-Goodman discounts in the
-      // identical left-assoc association 1 − 2·Y·n2/n1 etc. with
-      // Y = n1/(n1 + 2·n2) inlined — IEEE ops on bit-identical integer
-      // operands, so both engines derive bit-identical discounts.
-      // Everything MATERIALIZED (the q100 fan-out lesson).
+      // identical left-assoc association 1 − 2·Y·n2/n1 etc.,
+      // Y = n1/(n1 + 2·n2), with the SAME empty-bucket guards and
+      // [0,k] clamps as the operator (the sf0.1 corpus has
+      // n1 = n2 = 0) — IEEE ops on bit-identical integer operands, so
+      // both engines derive bit-identical discounts. Everything
+      // MATERIALIZED (the q100 fan-out lesson).
       s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
          |bi AS MATERIALIZED (
          |  SELECT id, toks[i + 1] AS w1, toks[i + 2] AS w2
@@ -3319,12 +3349,22 @@ object SparkEntry {
          |    CAST(sum(CASE WHEN cb = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4,
          |    CAST(count(*) AS DOUBLE) AS nbt
          |  FROM big),
+         |yy AS (
+         |  SELECT *, CASE WHEN n1 + CAST(2 AS DOUBLE) * n2 = 0 THEN CAST(0 AS DOUBLE)
+         |                 ELSE n1 / (n1 + CAST(2 AS DOUBLE) * n2) END AS y
+         |  FROM cc),
          |dd AS MATERIALIZED (
          |  SELECT nbt,
-         |    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * (n1 / (n1 + CAST(2 AS DOUBLE) * n2)) * n2 / n1 AS d1,
-         |    CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * (n1 / (n1 + CAST(2 AS DOUBLE) * n2)) * n3 / n2 AS d2,
-         |    CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * (n1 / (n1 + CAST(2 AS DOUBLE) * n2)) * n4 / n3 AS d3
-         |  FROM cc),
+         |    CASE WHEN n1 = 0 THEN CAST(0 AS DOUBLE) ELSE least(greatest(
+         |      CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * y * n2 / n1,
+         |      CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) END AS d1,
+         |    CASE WHEN n2 = 0 THEN CAST(0 AS DOUBLE) ELSE least(greatest(
+         |      CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * y * n3 / n2,
+         |      CAST(0 AS DOUBLE)), CAST(2 AS DOUBLE)) END AS d2,
+         |    CASE WHEN n3 = 0 THEN CAST(0 AS DOUBLE) ELSE least(greatest(
+         |      CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * y * n4 / n3,
+         |      CAST(0 AS DOUBLE)), CAST(3 AS DOUBLE)) END AS d3
+         |  FROM yy),
          |sc AS (
          |  SELECT bi.id, ln(
          |    (greatest(CAST(big.cb AS DOUBLE) -
@@ -4067,6 +4107,101 @@ object SparkEntry {
          |       WHEN ${hash60("concat('graft:', CAST(component AS VARCHAR))")} % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM cl4 ORDER BY id""".stripMargin,
+    "q111_distinct_ngrams" ->
+      // Mirror of TextAnalysis.distinctNgramDiversity(maxN=3):
+      // occurrence-preserving n-grams per level, (source, gram) counts,
+      // per-source sums, one rounded division each, UNION ALL.
+      s"""WITH wt AS (SELECT source, $sqlToks AS toks FROM documents),
+         |lv1 AS (SELECT source, unnest(toks) AS g FROM wt),
+         |lv2 AS (SELECT source, unnest(
+         |  CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(
+         |    range(0, len(toks) - 1), i -> concat(toks[i + 1], ' ', toks[i + 2])) END) AS g
+         |  FROM wt),
+         |lv3 AS (SELECT source, unnest(
+         |  CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(
+         |    range(0, len(toks) - 2),
+         |    i -> concat(toks[i + 1], ' ', toks[i + 2], ' ', toks[i + 3])) END) AS g
+         |  FROM wt),
+         |s1 AS (SELECT source, CAST(1 AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS n_grams,
+         |         count(*) AS n_distinct
+         |       FROM (SELECT source, g, count(*) AS c FROM lv1 GROUP BY source, g)
+         |       GROUP BY source),
+         |s2 AS (SELECT source, CAST(2 AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS n_grams,
+         |         count(*) AS n_distinct
+         |       FROM (SELECT source, g, count(*) AS c FROM lv2 GROUP BY source, g)
+         |       GROUP BY source),
+         |s3 AS (SELECT source, CAST(3 AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS n_grams,
+         |         count(*) AS n_distinct
+         |       FROM (SELECT source, g, count(*) AS c FROM lv3 GROUP BY source, g)
+         |       GROUP BY source)
+         |SELECT source, n, n_grams, n_distinct,
+         |  ${sqlRnd("CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6)}
+         |    AS distinct_ratio
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         |ORDER BY source, n""".stripMargin,
+    "q112_oov_rate" ->
+      // Mirror of TextAnalysis.oovRate(vocabK=500): top-500 vocab head
+      // by (ctf desc, term), left join, conditional token-mass sums.
+      s"""WITH tf AS MATERIALIZED (
+         |  SELECT source, term, count(*) AS tf
+         |  FROM (SELECT source, unnest($sqlToks) AS term FROM documents)
+         |  GROUP BY source, term),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term
+         |    ORDER BY ctf DESC, term LIMIT 500)),
+         |agg AS (
+         |  SELECT tf.source,
+         |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tf LEFT JOIN vocab v ON tf.term = v.term
+         |  GROUP BY tf.source)
+         |SELECT source, n_tokens, n_oov,
+         |  ${sqlRnd("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS oov_rate
+         |FROM agg ORDER BY source""".stripMargin,
+    "q113_minhash_calibration" ->
+      // Mirror of Dedup.minhashCalibration over the q48 perturbed
+      // corpus: the q48 sketch chain WITHOUT the threshold, keeping the
+      // signature arrays; n_match via an index-lambda filter over
+      // range(1,13) (end-exclusive), est/exact/err each one rounded op.
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat(text, ' graft dedup probe tail') FROM d0),
+         |withtoks AS (
+         |  SELECT doc_id AS id, ${toksOf("text")} AS toks FROM all_docs),
+         |withsh AS (
+         |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM withtoks),
+         |withhb AS (
+         |  SELECT id, sh, ${minhashBases("sh")} AS hb
+         |  FROM withsh WHERE len(sh) > 0),
+         |withsig AS (
+         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig
+         |  FROM withhb),
+         |withkeys AS (
+         |  SELECT id, ${bandKeys("sig", 4, 3)} AS bkeys FROM withsig),
+         |banded AS (SELECT id, unnest(bkeys) AS bkey FROM withkeys),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.id < b.id),
+         |m AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+         |      AS n_match,
+         |    ${rnd6(jaccard("sa.sh", "sb.sh"))} AS exact_jaccard
+         |  FROM cand c
+         |  JOIN withsig sa ON sa.id = c.id_a
+         |  JOIN withsig sb ON sb.id = c.id_b),
+         |e AS (
+         |  SELECT id_a, id_b, n_match,
+         |    ${sqlRnd("CAST(n_match AS DOUBLE) / CAST(12 AS DOUBLE)", 6)} AS est_jaccard,
+         |    exact_jaccard
+         |  FROM m)
+         |SELECT id_a, id_b, n_match, est_jaccard, exact_jaccard,
+         |  ${sqlRnd("est_jaccard - exact_jaccard", 6)} AS err
+         |FROM e ORDER BY id_a, id_b""".stripMargin,
     "q109_hash_split" ->
       // Mirror of Curation.hashSplit: salted md5-derived bucket of the
       // CONTENT hash (sha256 matches byte-for-byte across engines, the

@@ -145,6 +145,76 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** MinHash calibration report: for every LSH candidate pair, the
+    * sketch's Jaccard ESTIMATE (matching signature components / k)
+    * side by side with the exact shingle Jaccard — the audit that tells
+    * you whether the sketch parameters (numHashes, bands) are honest on
+    * YOUR corpus before you trust them at 100 TB, where exact
+    * verification of every pair is unaffordable and the estimate IS the
+    * dedup decision. The expected |err| is ~sqrt(J(1-J)/k); a corpus
+    * whose measured errors blow past that has adversarial/degenerate
+    * shingle structure and needs a bigger k.
+    *
+    * Same construction discipline as [[nearDupMinhashLsh]] (one md5 per
+    * shingle, explode + single-pass min aggregation, banded self-join);
+    * the signature comparison is a fixed 12-term integer sum, the two
+    * ratios are portable-rounded divisions — fully oracle-mirrorable.
+    *
+    * @return (id_a, id_b, n_match, est_jaccard, exact_jaccard, err)
+    *         for all candidate pairs (no threshold — the report wants
+    *         the misses too), err = est − exact on the rounded values */
+  def minhashCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSh = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .transform(graft.CacheScope.pin)
+    val sigCols = (0 until numHashes)
+      .map(i => min(minhashMix(col("h"), i)).as(s"h$i"))
+    val sig = withSh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), minhashBase(col("s")).as("h"))
+      .groupBy("id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .transform(graft.CacheScope.pin) // banding AND both pair sides read it
+    val bandKeyCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      concat_ws("_", lit(b.toString) +: slice: _*)
+    }
+    val banded = sig.select(col("id"), explode(array(bandKeyCols: _*)).as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sigA = sig.select(col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val nMatch = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sigA, Seq("id_a"))
+      .join(sigB, Seq("id_b"))
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_match", nMatch)
+      .withColumn("est_jaccard", rnd(col("n_match").cast("double") /
+        lit(numHashes.toDouble), 6))
+      .withColumn("exact_jaccard",
+        rnd(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .withColumn("err", rnd(col("est_jaccard") - col("exact_jaccard"), 6))
+      .select("id_a", "id_b", "n_match", "est_jaccard", "exact_jaccard", "err")
+  }
+
   /** SimHash sketch of the token multiset: bit j of the sketch is 1 iff
     * sum over tokens of ±1 (per token-hash bit j) is positive.
     * Integer-only math → bit-identical across engines. `bits` is a plan

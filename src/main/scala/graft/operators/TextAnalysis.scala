@@ -446,10 +446,13 @@ object TextAnalysis {
     * mirrored verbatim in the oracle SQL), so both engines compute
     * bit-identical discounts; the per-bigram probability is then the
     * same fixed association; ln within 1 ulp; portable-rounded mean, no
-    * rank from the float. Precondition: n₁..n₄ > 0 and n₂ₚ buckets
-    * non-degenerate (any natural-language corpus; a corpus with NO
-    * singleton bigrams would divide by zero — Chen & Goodman assume the
-    * same).
+    * rank from the float. Chen & Goodman assume n₁..n₄ > 0 (true of any
+    * natural-language corpus); template-heavy corpora can EMPTY the low
+    * buckets (the sf0.1 documents table has n₁ = n₂ = 0), so each
+    * discount is guarded (empty bucket → D_k = 0, exactly the mass the
+    * λ term loses anyway) and clamped into [0, k], keeping the smoother
+    * a proper distribution on any count spectrum — see the inline
+    * comment.
     *
     * Scale shape: identical to [[kneserNeyLogProb]] — one bigram explode
     * feeds the type table, per-w₁ bucketed successor counts come from
@@ -488,11 +491,27 @@ object TextAnalysis {
       count(lit(1)).as("nbt"))
     val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
     val n3d = col("n3").cast("double"); val n4d = col("n4").cast("double")
-    // fixed association, mirrored verbatim in SQL: */ left-assoc
-    val yv = n1d / (n1d + lit(2.0) * n2d)
-    val d1 = lit(1.0) - lit(2.0) * yv * n2d / n1d
-    val d2 = lit(2.0) - lit(3.0) * yv * n3d / n2d
-    val d3 = lit(3.0) - lit(4.0) * yv * n4d / n3d
+    // fixed association, mirrored verbatim in SQL: */ left-assoc.
+    // Degenerate-bucket guards (CASE short-circuits in both engines, so
+    // the guarded divisions never evaluate): an EMPTY bucket k gets
+    // D_k = 0 — it is never applied to a numerator (no bigram has that
+    // count) and contributes 0·N_k = 0 to λ, whereas the unguarded
+    // closed form is 0/0 = NaN and NaN·0 poisons every score (hit on
+    // the sf0.1 corpus: n1 = n2 = 0, a template-heavy count spectrum).
+    // Discounts additionally clamp into [0, k]: a pathological spectrum
+    // can push the closed form negative (probability > MLE mass) or
+    // past k (negative numerator); inside [0, k] the smoother stays a
+    // proper distribution (λ ≥ 0, p > 0) on ANY input.
+    val yv = when(n1d + lit(2.0) * n2d === 0.0, lit(0.0))
+      .otherwise(n1d / (n1d + lit(2.0) * n2d))
+    def clamp(raw: Column, k: Double): Column =
+      least(greatest(raw, lit(0.0)), lit(k))
+    val d1 = when(col("n1") === 0, lit(0.0))
+      .otherwise(clamp(lit(1.0) - lit(2.0) * yv * n2d / n1d, 1.0))
+    val d2 = when(col("n2") === 0, lit(0.0))
+      .otherwise(clamp(lit(2.0) - lit(3.0) * yv * n3d / n2d, 2.0))
+    val d3 = when(col("n3") === 0, lit(0.0))
+      .otherwise(clamp(lit(3.0) - lit(4.0) * yv * n4d / n3d, 3.0))
     val dc = when(col("cb") === 1, d1).when(col("cb") === 2, d2).otherwise(d3)
     val cud = col("cu").cast("double")
     val lam = (d1 * col("n1w").cast("double") + d2 * col("n2w").cast("double") +
@@ -847,6 +866,70 @@ object TextAnalysis {
         rnd(lit(0.5) * (coalesce(col("ss"), lit(0.0)) +
           log(lit(2.0)) * (lit(2.0) - coalesce(col("sp1"), lit(0.0)) -
             coalesce(col("sp2"), lit(0.0)))), 6).as("jsd"))
+  }
+
+  /** Distinct-n diversity per source — the generation-diversity metric
+    * (distinct n-gram types / n-gram occurrences, n = 1..maxN) applied
+    * as a corpus audit: sources dominated by templates or degenerate
+    * repetition score low at n ≥ 2 long before a human would notice;
+    * healthy prose sits near the Zipf expectation. The long format
+    * (one row per source × n) is what a monitoring dashboard ingests.
+    *
+    * Scale shape per n: occurrence-preserving shingle explode →
+    * (source, gram) partial agg → per-source agg; the three n-levels
+    * union. Ratios are single portable-rounded divisions.
+    *
+    * @return (source, n, n_grams, n_distinct, distinct_ratio) */
+  def distinctNgramDiversity(
+      docs: DataFrame, srcCol: String, textCol: String, maxN: Int = 3): DataFrame = {
+    val base = Par.ensureMapParallelism(docs)
+      .select(col(srcCol).as("source"), col(textCol).as("_t"))
+      .transform(graft.CacheScope.pin) // one scan feeds all n levels
+    def level(n: Int): DataFrame = {
+      val per = base
+        .select(col("source"),
+          explode(wordShinglesAll(col("_t"), n)).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+      per.groupBy("source").agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+        .select(col("source"), lit(n.toLong).as("n"),
+          col("n_grams"), col("n_distinct"),
+          rnd(col("n_distinct").cast("double") /
+            col("n_grams").cast("double"), 6).as("distinct_ratio"))
+    }
+    (1 to maxN).map(level).reduce(_.unionByName(_))
+  }
+
+  /** Per-source out-of-vocabulary rate against the corpus's own top-k
+    * vocabulary head — the tokenizer-coverage audit: how much of each
+    * source's token mass falls outside the k most frequent corpus
+    * terms. A source with an outlier OOV rate is a different language,
+    * a different domain, or noise; the same number drives "do we need
+    * a bigger vocab" decisions for BPE training.
+    *
+    * Scale shape: term-frequency agg → global top-k via orderBy+limit
+    * (TakeOrderedAndProject) → broadcast-join the k-row vocab back to
+    * the per-source term table → conditional per-source sums. The
+    * vocab is the ONLY thing crossing stages and it is k rows.
+    *
+    * @return (source, n_tokens, n_oov, oov_rate) */
+  def oovRate(
+      docs: DataFrame, srcCol: String, textCol: String, vocabK: Int = 500): DataFrame = {
+    val tf = Par.ensureMapParallelism(docs)
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.pin) // vocab head AND the rollup read it
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
+      .orderBy(col("ctf").desc, col("term")).limit(vocabK) // TakeOrderedAndProject
+      .select(col("term"), lit(true).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        rnd(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
   }
 
   /** Corpus vocabulary head: the top-k terms by total frequency with

@@ -38,11 +38,12 @@ class KneserNeySpec extends SparkSpec {
     val cu = all.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val n1 = cb.count(_._2 == 1).toDouble; val n2 = cb.count(_._2 == 2).toDouble
     val n3 = cb.count(_._2 == 3).toDouble; val n4 = cb.count(_._2 == 4).toDouble
-    assert(n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0, "fixture must fill all buckets")
-    val y = n1 / (n1 + 2.0 * n2)
-    val d1 = 1.0 - 2.0 * y * n2 / n1
-    val d2 = 2.0 - 3.0 * y * n3 / n2
-    val d3 = 3.0 - 4.0 * y * n4 / n3
+    // same guards + clamps as the operator (degenerate-spectrum rule)
+    val y = if (n1 + 2.0 * n2 == 0.0) 0.0 else n1 / (n1 + 2.0 * n2)
+    def clamp(raw: Double, k: Double) = math.min(math.max(raw, 0.0), k)
+    val d1 = if (n1 == 0) 0.0 else clamp(1.0 - 2.0 * y * n2 / n1, 1.0)
+    val d2 = if (n2 == 0) 0.0 else clamp(2.0 - 3.0 * y * n3 / n2, 2.0)
+    val d3 = if (n3 == 0) 0.0 else clamp(3.0 - 4.0 * y * n4 / n3, 3.0)
     val nw = cb.groupBy(_._1._1).map { case (w1, m) =>
       w1 -> ((m.count(_._2 == 1).toLong, m.count(_._2 == 2).toLong,
         m.count(_._2 >= 3).toLong))
@@ -75,6 +76,28 @@ class KneserNeySpec extends SparkSpec {
         s"doc $id: got ${got(id)._2}, expected ${expected(id)._2}")
     }
     assert(got(6L) == ((0L, 0.0)), "1-token doc must report (0, 0.0)")
+  }
+
+  test("modifiedKneserNey: degenerate count spectrum (no singletons/doubletons) stays finite") {
+    // the sf0.1 shape: every bigram type has count >= 3, so n1 = n2 = 0
+    // and the unguarded Chen-Goodman closed form is 0/0. With the
+    // guards: y = 0, d1 = d2 = 0, d3 = 3 — full discount on the 3+
+    // bucket, all mass through the continuation term. Hand-check:
+    // corpus ab x3 (3 docs) + bc x4 (4 docs) + scorer "x" (no bigrams):
+    // p(a,b) = max(3-3,0)/3 + (3·1/3)·(1/2) = 1/2
+    // p(b,c) = max(4-3,0)/4 + (3·1/4)·(1/2) = 1/4 + 3/8 = 5/8
+    val corpus = Seq.tabulate(3)(i => (i + 1L, "a b")) ++
+      Seq.tabulate(4)(i => (i + 10L, "b c")) :+ ((20L, "x"))
+    val expected = scalarMkn(corpus)
+    val got = TextAnalysis.modifiedKneserNeyLogProb(
+      corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got(1L) == ((1L, r6(math.log(0.5)))), s"ab doc: ${got(1L)}")
+    assert(got(10L) == ((1L, r6(math.log(0.625)))), s"bc doc: ${got(10L)}")
+    assert(got(20L) == ((0L, 0.0)))
+    assert(got.values.forall(v => !v._2.isNaN && !v._2.isInfinite))
   }
 
   test("modifiedKneserNey: per-context probabilities sum to 1 (proper smoother)") {
