@@ -105,20 +105,29 @@ object Relational {
     * boundaries (30 min), cumulative-sum session ids, per-user session
     * stats — the lag/cumulative-window pattern every behavioral pipeline
     * needs. Timestamps handled as exact micros (see Tables.events). */
-  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    val gapUs = 1800L * 1000000L
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+  /** Lag-gap session spans: one row per (user, session) with start/end
+    * micros and event count — the reusable core of [[qSessionize]] and
+    * the batch twin the streaming sessionizer
+    * (StreamingIngest.sessionizeStream) is equivalence-tested against.
+    * @param ev (user_id, event_id, tus) — tus = event-time micros */
+  def sessionSpans(ev: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    val s1 = ev
+    ev
       .withColumn("prev", lag("tus", 1).over(w))
       .withColumn("new_sess",
         when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("sess_id", sum("new_sess").over(w))
-    s1.groupBy("user_id", "sess_id")
+      .groupBy("user_id", "sess_id")
       .agg(count(lit(1)).as("n_events"),
         min("tus").as("start_us"), max("tus").as("end_us"))
+  }
+
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    sessionSpans(ev, gapUs)
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),

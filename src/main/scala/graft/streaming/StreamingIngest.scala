@@ -176,6 +176,65 @@ object StreamingIngest {
       .toDF("id", "mtype", "data", "seq")
   }
 
+  /** Streaming sessionization with EVENT-TIME timeout — the online form
+    * of the batch lag-gap sessionizer ([[graft.operators.Relational
+    * .sessionSpans]], q09): a user's session CLOSES and emits as soon as
+    * either (a) a later event of the same user arrives past the gap
+    * (in-batch close) or (b) the global watermark passes session_end +
+    * gap (`GroupStateTimeout.EventTimeTimeout` — the state-store timer,
+    * so a user who simply stops is still flushed without waiting for
+    * their next visit). State per user = one open (start, end, count)
+    * triple, checkpointed with the query; emitted sessions are
+    * append-mode final (never revised), which is what a downstream
+    * parquet sink or alerting join wants. Equivalence with the batch
+    * sessionizer on identical input is asserted in StreamingSpec.
+    *
+    * @param events streaming (ts TIMESTAMP, user_id LONG)
+    * @return streaming (user_id, session_start, session_end, n_events),
+    *         closed sessions only */
+  def sessionizeStream(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          def emit(t: (Long, Long, Long)) =
+            (user, new java.sql.Timestamp(t._1), new java.sql.Timestamp(t._2), t._3)
+          if (state.hasTimedOut) {
+            val closed = emit(state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+            var cur = state.getOption.getOrElse((ts.head, ts.head, 0L))
+            for (t <- ts) {
+              cur =
+                if (t - cur._2 > gapMs) { closed ::= emit(cur); (t, t, 1L) }
+                else (cur._1, math.max(cur._2, t), cur._3 + 1)
+            }
+            state.update(cur)
+            // the timer must sit past the current watermark (Spark
+            // rejects stale timers); max() closes an already-overdue
+            // session at the next trigger instead of throwing
+            state.setTimeoutTimestamp(
+              math.max(cur._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.reverse.iterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
   /** Per-user running totals via mapGroupsWithState — the custom-state
     * primitive (KeyValueGroupedDataset) the engine exposes for logic that
     * windowed aggregation can't express (running counters, sessionization,

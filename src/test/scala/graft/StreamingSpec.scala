@@ -180,4 +180,88 @@ class StreamingSpec extends SparkSpec {
     assert(docs.count() == 3) // b1 not reprocessed, duplicate dropped
     assert(docs.select("id").distinct().count() == 3)
   }
+
+  test("sessionizeStream: in-batch gap close + event-time-timeout close") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long)]
+    val sess = StreamingIngest.sessionizeStream(
+      src.toDF.toDF("ts", "user_id"), gapMinutes = 30, watermark = "1 minute")
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    def rows() = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    try {
+      // user 1: 10:00, 10:10, then 11:30 — the 80-min jump closes the
+      // first session WITHIN the batch (no watermark needed)
+      src.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2026-01-01 10:10:00"), 1L),
+        (Timestamp.valueOf("2026-01-01 11:30:00"), 1L))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (1L, "2026-01-01 10:00:00.0", "2026-01-01 10:10:00.0", 2L)), rows())
+      // a far-future sentinel (user 999) advances the global watermark;
+      // the following trigger fires user 1's timer and flushes 11:30
+      src.addData((Timestamp.valueOf("2026-01-02 09:00:00"), 999L))
+      q.processAllAvailable()
+      src.addData((Timestamp.valueOf("2026-01-02 09:00:01"), 999L))
+      q.processAllAvailable()
+      assert(rows().contains(
+        (1L, "2026-01-01 11:30:00.0", "2026-01-01 11:30:00.0", 1L)),
+        s"timeout must flush the open session: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("sessionizeStream ≡ batch lag-gap sessionizer on identical input") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic synthetic trace: 5 users x 40 events with gaps that
+    // straddle the 30-min boundary both ways
+    val base = Timestamp.valueOf("2026-03-01 00:00:00").getTime
+    val events = for {
+      u <- 1L to 5L; i <- 0 until 40
+    } yield {
+      val step = ((u * 7919 + i * 104729) % 50) * 60000L + 1000L // 1s..49min
+      (u, i, step)
+    }
+    // cumulative per-user times
+    val times = events.groupBy(_._1).view.mapValues { es =>
+      es.sortBy(_._2).scanLeft(base) { case (acc, (_, _, s)) => acc + s }.tail
+    }.toMap
+    val flat = times.toSeq.flatMap { case (u, ts) => ts.map(t => (new Timestamp(t), u)) }
+    val src = MemoryStream[(Timestamp, Long)]
+    val sess = StreamingIngest.sessionizeStream(
+      src.toDF.toDF("ts", "user_id"), gapMinutes = 30, watermark = "1 minute")
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_eq").start()
+    try {
+      // feed in three event-time-ordered chunks (realistic progression)
+      val ordered = flat.sortBy(_._1.getTime)
+      ordered.grouped((ordered.size + 2) / 3).foreach { chunk =>
+        src.addData(chunk); q.processAllAvailable()
+      }
+      // sentinel advances the watermark past every open session's timer
+      src.addData((new Timestamp(base + 365L * 86400000L), 999L))
+      q.processAllAvailable()
+      src.addData((new Timestamp(base + 365L * 86400000L + 1000L), 999L))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sessions_eq")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3)))
+        .filter(_._1 != 999L).toSet
+      val batch = graft.operators.Relational.sessionSpans(
+        flat.toDF("ts", "user_id")
+          .select(col("user_id"), lit(0L).as("event_id"),
+            (unix_micros(col("ts")) / 1000L).cast("long").as("tus")),
+        gapUs = 1800000L) // gap in MILLIS to match the ms-grain tus
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+      assert(streamed == batch,
+        s"stream/batch mismatch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
