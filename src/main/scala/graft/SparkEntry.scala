@@ -1206,6 +1206,18 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id")
 
+  /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
+    * cheap pass on the first 16 components, exact full-dim rerank of a
+    * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
+  private def prefixRerankQ(s: SparkSession, dir: String): DataFrame =
+    Ann.topKPrefixRerank(
+      embDocs(s, dir).drop("mtype"), embQueries(s, dir).drop("qtype"),
+      k = 10, prefixDim = 16, shortlist = 50)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+
   /** Distinct-n diversity per source (q111): see
     * [[TextAnalysis.distinctNgramDiversity]]. */
   private def distinctNgramsQ(s: SparkSession, dir: String): DataFrame =
@@ -1756,6 +1768,7 @@ object SparkEntry {
     "q111_distinct_ngrams" -> ((s, d) => distinctNgramsQ(s, d)),
     "q112_oov_rate" -> ((s, d) => oovRateQ(s, d)),
     "q113_minhash_calibration" -> ((s, d) => minhashCalibrationQ(s, d)),
+    "q114_prefix_rerank" -> ((s, d) => prefixRerankQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2241,6 +2254,33 @@ object SparkEntry {
          |${knnChain("", 10)}
          |SELECT qid, id, mtype, ${rnd6("sim")} AS sim, rnk
          |FROM knn
+         |ORDER BY qid, rnk""".stripMargin,
+    "q114_prefix_rerank" ->
+      // Mirror of Ann.topKPrefixRerank(prefixDim=16, shortlist=50,
+      // k=10): both stages are the q10 dot device (strict left fold,
+      // bit-identical) on list_slice / full vectors, (score desc, id)
+      // cuts, sim rounded only at output.
+      s"""WITH docs AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+         |q AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, d.id, d.embedding, q.qvec,
+         |    ${dot("list_slice(q.qvec, 1, 16)", "list_slice(d.embedding, 1, 16)")} AS psim
+         |  FROM q CROSS JOIN docs d),
+         |short AS (
+         |  SELECT qid, id, embedding, qvec FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY psim DESC, id) AS pr
+         |    FROM scored) WHERE pr <= 50),
+         |ex AS (
+         |  SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM short),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM ex)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin,
     "q12_ingest_dedup_delta" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

@@ -256,6 +256,41 @@ object Ann {
       .select("qid", "id", "sim", "rank")
   }
 
+  /** Matryoshka-style prefix-dimension two-stage retrieval: score every
+    * candidate on the FIRST `prefixDim` components only (with MRL-style
+    * embeddings the information-dense head; the cheap pass reads a
+    * prefixDim/dim fraction of the vector bytes — at 100 TB the prefix
+    * can live in its own narrow column/store so the first stage never
+    * touches full vectors), keep a per-query `shortlist`, then re-score
+    * exactly at full dimension. Unlike LSH/IVF this needs NO index
+    * build and no training — the cost model is simply a dim-ratio
+    * discount on the scan — and unlike PQ the first stage is an exact
+    * dot product on a prefix, so the two-stage result is deterministic
+    * and oracle-gateable end-to-end (both stages rank on bit-identical
+    * IEEE sums with id tie-breaks).
+    *
+    * @return (qid, id, sim, rank) — sim is the EXACT full-dim score */
+  def topKPrefixRerank(
+      docs: DataFrame, // (id, embedding)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      prefixDim: Int,
+      shortlist: Int,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    require(shortlist >= k && prefixDim >= 1)
+    val wPre = Window.partitionBy("qid").orderBy(col("psim").desc, col("id"))
+    val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    docs.crossJoin(Knn.maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+      .withColumn("psim", dotProduct(
+        slice(col("qvec"), 1, prefixDim), slice(col("embedding"), 1, prefixDim)))
+      .withColumn("_pr", row_number().over(wPre))
+      .filter(col("_pr") <= shortlist)
+      .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+
   // ---- IVF-flat (coarse quantizer + inverted lists) ---------------------
   // The OTHER standard ANN family besides hyperplane LSH: assign every
   // vector to its nearest coarse centroid (bucket = inverted list), probe

@@ -358,6 +358,36 @@ class AnnRecallSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("prefix-dim rerank: full-corpus shortlist ≡ brute force; recall grows with prefix width") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvec"))
+    val n = docs.count().toInt
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("id")).toSeq).toMap
+    // shortlist = whole corpus -> stage 1 cannot lose anyone: exact
+    val brute = Knn.topK(docs, queries, k = 5).collect()
+      .groupBy(_.getAs[String]("qid")).view
+      .mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("id")).toSeq).toMap
+    val full = resultSet(Ann.topKPrefixRerank(docs, queries, 5, prefixDim = 8, shortlist = n))
+    assert(full == brute, "full-corpus shortlist must equal brute force exactly")
+    // recall@5 must not shrink as the prefix widens at a fixed shortlist
+    def recall(prefixDim: Int): Double = {
+      val a = resultSet(Ann.topKPrefixRerank(docs, queries, 5, prefixDim, shortlist = 25))
+      val per = brute.map { case (q, t) =>
+        a.getOrElse(q, Seq.empty).toSet.intersect(t.toSet).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val (r8, r32) = (recall(8), recall(32))
+    info(f"prefix-rerank recall@5 (shortlist=25): prefix8=$r8%.3f prefix32=$r32%.3f")
+    assert(r32 >= r8, f"wider prefix must not lose recall: $r8%.3f -> $r32%.3f")
+    assert(r32 >= 0.8, f"half-dim prefix should be near-exact on the driver corpus: $r32%.3f")
+  }
+
   test("recall-vs-planes sweep: fewer planes -> bigger buckets -> higher recall (cost trade)") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables.embeddings(spark, sf)
