@@ -160,6 +160,39 @@ object OracleSql {
   def hash60(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** Mirror of Dedup.cdcChunks' rolling hash at position `i` of string
+    * expr `s`: Σ_{j<w} ord(s[i−j])·bʲ mod p — pure Int64 math, exact in
+    * both engines (max sum ≈ 8·1.1e6·1e6 < 2⁶³). The b-powers are
+    * precomputed mod p exactly like the Scala side's Array.iterate. */
+  def cdcHash(s: String, i: String, window: Int, base: Long, p: Long): String = {
+    val pow = Array.iterate(1L, window)(x => x * base % p)
+    val terms = (0 until window).map { j =>
+      val pos = if (j == 0) i else s"$i - $j"
+      s"CAST(ord(substr($s, $pos, 1)) AS BIGINT) * ${pow(j)}"
+    }
+    s"(${terms.mkString(" + ")}) % $p"
+  }
+
+  /** Mirror of Dedup.cdcChunks from a relation with (id, s, len): CTE
+    * steps `<pfx>cut` (boundary positions) and `<pfx>ck` (exploded
+    * chunk occurrences, empties dropped). */
+  def cdcChunksCtes(pfx: String, srcRel: String, window: Int, divisor: Int,
+      base: Long = 31L, p: Long = 1000003L): String =
+    s"""${pfx}cut AS (
+       |  SELECT id, s, len,
+       |    CASE WHEN len < $window THEN []
+       |         ELSE list_filter(range($window, len + 1),
+       |                i -> (${cdcHash("s", "i", window, base, p)}) % $divisor = 0) END AS cuts
+       |  FROM $srcRel),
+       |${pfx}ck AS (
+       |  SELECT id, chunk FROM (
+       |    SELECT id, unnest(list_transform(
+       |      list_zip(list_prepend(1, list_transform(cuts, c -> c + 1)),
+       |               list_append(cuts, len)),
+       |      pr -> substr(s, pr[1], pr[2] - pr[1] + 1))) AS chunk
+       |    FROM ${pfx}cut)
+       |  WHERE length(chunk) > 0)""".stripMargin
+
   /** Mirror of TextFunctions.tokens over an arbitrary text expression. */
   def toksOf(texpr: String): String =
     s"list_filter(string_split_regex(lower($texpr), '[^a-z0-9]+'), x -> len(x) > 0)"

@@ -1206,6 +1206,15 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id")
 
+  /** CDC chunk-grain dedup report (q115): content-defined chunking over
+    * the perturbed twin corpus; twins share every chunk except where
+    * the suffix edit lands (see [[Dedup.cdcDedupStats]]). */
+  private def cdcStatsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDedupStats(
+      perturbedDocs(s, dir, " graft cdc probe tail"), "doc_id", "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -1769,6 +1778,7 @@ object SparkEntry {
     "q112_oov_rate" -> ((s, d) => oovRateQ(s, d)),
     "q113_minhash_calibration" -> ((s, d) => minhashCalibrationQ(s, d)),
     "q114_prefix_rerank" -> ((s, d) => prefixRerankQ(s, d)),
+    "q115_cdc_dedup" -> ((s, d) => cdcStatsQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4242,6 +4252,34 @@ object SparkEntry {
          |SELECT id_a, id_b, n_match, est_jaccard, exact_jaccard,
          |  ${sqlRnd("est_jaccard - exact_jaccard", 6)} AS err
          |FROM e ORDER BY id_a, id_b""".stripMargin,
+    "q115_cdc_dedup" ->
+      // Mirror of Dedup.cdcDedupStats over the perturbed twin corpus:
+      // the integer rolling-hash boundary rule (OracleSql.cdcHash —
+      // Int64-exact in both engines, association-free), chunk substring
+      // reconstruction, md5 chunk identity, distinct-doc counts.
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat(text, ' graft cdc probe tail') FROM d0),
+         |base AS (
+         |  SELECT doc_id AS id, text AS s, length(text) AS len FROM all_docs),
+         |${cdcChunksCtes("", "base", window = 8, divisor = 64)},
+         |ch AS (SELECT id, md5(chunk) AS h FROM ck),
+         |bh AS (SELECT h, count(DISTINCT id) AS nd FROM ch GROUP BY h),
+         |pd AS (
+         |  SELECT ch.id, count(*) AS n_chunks,
+         |    CAST(sum(CASE WHEN bh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM ch JOIN bh ON ch.h = bh.h GROUP BY ch.id)
+         |SELECT b.id,
+         |  coalesce(pd.n_chunks, 0) AS n_chunks,
+         |  coalesce(pd.n_shared, 0) AS n_shared,
+         |  coalesce(${sqlRnd(
+             "CAST(pd.n_shared AS DOUBLE) / CAST(pd.n_chunks AS DOUBLE)", 6)},
+           0.0) AS shared_ratio
+         |FROM base b LEFT JOIN pd ON b.id = pd.id
+         |ORDER BY b.id""".stripMargin,
     "q109_hash_split" ->
       // Mirror of Curation.hashSplit: salted md5-derived bucket of the
       // CONTENT hash (sha256 matches byte-for-byte across engines, the

@@ -145,6 +145,90 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Content-defined chunking (CDC): split text at positions where a
+    * rolling hash of the trailing `window` characters hits 0 mod
+    * `divisor` — the storage-dedup primitive (LBFS/rsync family)
+    * applied to corpus text: chunk boundaries depend only on LOCAL
+    * content, so an edit anywhere shifts at most the chunks it touches
+    * and boundaries RESYNCHRONIZE right after (fixed-stride chunking
+    * misaligns everything downstream of an insertion — the property
+    * spec-pinned in DedupSpec). Mean chunk length ≈ divisor chars.
+    *
+    * The hash is a polynomial over code points,
+    * H(i) = Σ_{j<w} code(s[i−j])·b^j mod p — INTEGER math both engines
+    * compute bit-identically (max |term| ≈ 1.1e6·1e6, sum of 8 < 2⁶³:
+    * exact in Int64, association-free), unlike any md5-per-window
+    * device, and unlike engine hash() it is portable. At 100 TB this is
+    * a pure map stage: w multiplies per character, codegen-friendly, no
+    * shuffle until the chunk-level aggregation.
+    *
+    * @return (id, chunk) — one row per chunk occurrence, in order */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      divisor: Int = 64,
+      base: Long = 31L,
+      prime: Long = 1000003L): DataFrame = {
+    val s = col(textCol)
+    val len = length(s)
+    val pow = Array.iterate(1L, window)(x => x * base % prime)
+    def rollingHash(i: Column): Column =
+      (0 until window).map { j =>
+        ascii(s.substr(i - lit(j), lit(1))).cast("long") * lit(pow(j))
+      }.reduce(_ + _) % prime
+    val cuts = when(len < window, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(window), len),
+        i => rollingHash(i) % divisor === 0))
+    val starts = concat(array(lit(1)), transform(col("_cuts"), c => c + 1))
+    val ends = concat(col("_cuts"), array(col("_len")))
+    Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), s.as("_s"), len.as("_len"), cuts.as("_cuts"))
+      .select(col("id"), col("_s"),
+        zip_with(starts, ends,
+          (st, en) => col("_s").substr(st, en - st + 1)).as("_chunks"))
+      .select(col("id"), explode(col("_chunks")).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+  }
+
+  /** Chunk-grain dedup report over [[cdcChunks]]: per document, how
+    * many of its chunks also occur in at least one OTHER document —
+    * the sub-document contamination/redundancy signal (boilerplate
+    * headers, quoted replies, syndicated passages) that doc-level and
+    * paragraph-level dedup both miss when the shared run does not align
+    * with their unit. shared_ratio near 1 = the doc is assembled from
+    * corpus-common material.
+    *
+    * Scale shape: CDC map stage → (chunk-hash)-keyed distinct-doc agg →
+    * hash-keyed join back → per-doc conditional sum; identity is
+    * md5(chunk) so the shuffle carries 32-char keys, never chunk text.
+    *
+    * @return (id, n_chunks, n_shared, shared_ratio) */
+  def cdcDedupStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      divisor: Int = 64): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, window, divisor)
+      .select(col("id"), md5(col("chunk")).as("h"))
+      .transform(graft.CacheScope.pin) // hash-level agg AND per-doc join
+    val byHash = ch.groupBy("h")
+      .agg(countDistinct(col("id")).as("nd"))
+    val perDoc = ch.join(byHash, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    Par.ensureMapParallelism(docs).select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(rnd(col("n_shared").cast("double") /
+          col("n_chunks").cast("double"), 6), lit(0.0)).as("shared_ratio"))
+  }
+
   /** MinHash calibration report: for every LSH candidate pair, the
     * sketch's Jaccard ESTIMATE (matching signature components / k)
     * side by side with the exact shingle Jaccard — the audit that tells

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (q115): the partition invariant, the
+  * boundary-resynchronization property that distinguishes CDC from
+  * fixed-stride chunking, and the chunk-grain dedup report. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val prose = "the quick brown fox jumps over the lazy dog while " +
+    "seventy silver spoons slowly slid across the antique mahogany table " +
+    "as rain hammered the tin roof and the old clock counted midnight " +
+    "in a language only the house still remembered from better days"
+
+  test("cdcChunks: chunks partition the text exactly (no char lost or duplicated)") {
+    val docs = Seq((1L, prose), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "doc_id", "text").collect()
+      .groupBy(_.getAs[Long]("id")).view
+      .mapValues(_.map(_.getAs[String]("chunk"))).toMap
+    assert(got(1L).mkString == prose, "concatenated chunks must rebuild the text")
+    assert(got(1L).size > 1, s"prose should split into multiple chunks: ${got(1L).size}")
+    assert(got(2L).toSeq == Seq("short"), "sub-window text is one chunk")
+    assert(!got.contains(3L), "empty text yields no chunks")
+  }
+
+  test("cdcChunks: boundaries resynchronize after a prefix edit (the CDC property)") {
+    // an insertion at the FRONT shifts every fixed-stride chunk; CDC
+    // boundaries depend only on the trailing window, so chunks
+    // downstream of the edit are byte-identical
+    val long = Seq.tabulate(8)(i => s"[$i] " + prose).mkString(" ")
+    val docs = Seq((1L, long), (2L, "INSERTED PREFIX >>> " + long))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "doc_id", "text").collect()
+      .groupBy(_.getAs[Long]("id")).view
+      .mapValues(_.map(_.getAs[String]("chunk")).toSeq).toMap
+    // occurrence-level: how many of doc 1's chunk occurrences also
+    // occur in doc 2 (set intersection would collapse the repeats)
+    val in2 = got(2L).toSet
+    val shared = got(1L).count(in2).toDouble / got(1L).size
+    info(f"chunks of the original recovered in the prefixed copy: ${shared * 100}%.0f%%")
+    assert(shared >= 0.9,
+      f"CDC must resync after the edit (fixed-stride would share ~0): $shared%.2f")
+    // and the damage is EXACTLY the head: every chunk after the first matches
+    assert(got(1L).tail == got(2L).tail.takeRight(got(1L).tail.size),
+      "all chunks after the first must be byte-identical")
+  }
+
+  test("cdcChunks: mean chunk length tracks the divisor") {
+    val docs = Seq((1L, prose * 20)).toDF("doc_id", "text")
+    val lens = Dedup.cdcChunks(docs, "doc_id", "text", divisor = 64).collect()
+      .map(_.getAs[String]("chunk").length)
+    val mean = lens.sum.toDouble / lens.size
+    info(f"mean chunk length = $mean%.1f (divisor 64)")
+    assert(mean > 16 && mean < 256, s"mean chunk length out of band: $mean")
+  }
+
+  test("cdcDedupStats: twin docs share nearly all chunks; unique doc shares none") {
+    val long = Seq.tabulate(8)(i => s"[$i] " + prose).mkString(" ")
+    val docs = Seq(
+      (1L, long),
+      (2L, long + " with a small suffix edit"),
+      (3L, "completely unrelated content about submarine cartography and phosphorescent depths"))
+      .toDF("doc_id", "text")
+    val m = Dedup.cdcDedupStats(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("shared_ratio")))).toMap
+    assert(m(1L)._3 >= 0.7, s"suffix twin must share most chunks: ${m(1L)}")
+    assert(m(3L)._2 == 0L && m(3L)._3 == 0.0, s"unique doc: ${m(3L)}")
+    // shared counts are symmetric at the chunk level: doc 2 shares the
+    // same common chunks plus keeps its edited tail private
+    assert(m(2L)._2 <= m(2L)._1 && m(2L)._2 >= m(1L)._2 - 2, s"${m(2L)} vs ${m(1L)}")
+  }
+}
