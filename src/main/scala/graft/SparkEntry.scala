@@ -1215,6 +1215,89 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id")
 
+  /** Semantic dedup (q116): SemDeDup over a planted-twin embedding
+    * corpus — IVF-coarse clusters as the blocking key, drop-if-similar-
+    * to-earlier member (see [[Dedup.semanticDedup]]). Twins (identical
+    * vectors at vec_id+1000000) land in their source's cluster with
+    * cos 1.0 → guaranteed drops; natural near-dups join them at the
+    * 0.25 threshold. */
+  private def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.semanticDedup(base.unionByName(twins), "vec_id", "embedding",
+        dim = 64, nCentroids = 16, threshold = 0.25)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
+  /** Perplexity-band quality gate (q117): char-trigram LM scores rolled
+    * into fixed high/mid/low bands per source (see
+    * [[TextAnalysis.perplexityGate]]); thresholds sit at the corpus
+    * quartiles so every band is populated. */
+  private def perplexityGateQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityGate(Tables.documents(s, dir),
+        "doc_id", "text", "source", loMid = -0.79, midHi = -0.76)
+      .transform(graft.CacheScope.pin)
+      .orderBy("source", "band")
+
+  /** DSIR importance weights (q118): unigram log-likelihood-ratio of the
+    * src0/src1 target slice vs the full-corpus background (see
+    * [[Curation.importanceWeights]]). */
+  private def importanceWeightsQ(s: SparkSession, dir: String): DataFrame =
+    Curation.importanceWeights(Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("source").isin("src0", "src1"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+
+  /** Gopher composite quality rules (q119): the five mechanical filters
+    * with per-rule verdicts (see [[TextAnalysis.gopherRules]]). */
+  private def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+
+  /** Temperature-scaled mixture allocation (q120): per-source token
+    * budget ∝ count^0.5 via integer largest-remainder (see
+    * [[Curation.temperatureMixture]]). */
+  private def temperatureMixtureQ(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMixture(Tables.documents(s, dir), "source", "text",
+        budget = 1000000L)
+      .transform(graft.CacheScope.pin)
+      .orderBy("source")
+
+  /** ANN recall report (q121): per-query recall of the q29 multi-table
+    * LSH arm against the brute exact top-5 — the retrieval-quality
+    * eval loop as an oracle-gated QUERY (recall was previously only
+    * spec/study-measured). Both arms rank on raw bit-identical dots
+    * with (sim desc, id) tie-break, so the hit set is deterministic. */
+  private def annRecallReportQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+      .transform(graft.CacheScope.pin) // both arms read the query batch
+    val ann = Ann.topKMultiTable(docs, qs, k = 5, dim = 64,
+        nPlanes = 4, nTables = 8)
+      .select(col("qid"), col("id"), lit(1L).as("hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    val brute = docs.crossJoin(broadcast(qs)) // deliberate exact arm: tiny query side
+      .withColumn("sim", graft.functions.VectorFunctions.dotProduct(
+        col("qvec"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "id")
+    brute.join(ann, Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        rnd(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid")
+  }
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -1779,6 +1862,12 @@ object SparkEntry {
     "q113_minhash_calibration" -> ((s, d) => minhashCalibrationQ(s, d)),
     "q114_prefix_rerank" -> ((s, d) => prefixRerankQ(s, d)),
     "q115_cdc_dedup" -> ((s, d) => cdcStatsQ(s, d)),
+    "q116_semantic_dedup" -> ((s, d) => semanticDedupQ(s, d)),
+    "q117_perplexity_gate" -> ((s, d) => perplexityGateQ(s, d)),
+    "q118_importance_weights" -> ((s, d) => importanceWeightsQ(s, d)),
+    "q119_gopher_rules" -> ((s, d) => gopherRulesQ(s, d)),
+    "q120_temperature_mixture" -> ((s, d) => temperatureMixtureQ(s, d)),
+    "q121_ann_recall" -> ((s, d) => annRecallReportQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4280,6 +4369,233 @@ object SparkEntry {
            0.0) AS shared_ratio
          |FROM base b LEFT JOIN pd ON b.id = pd.id
          |ORDER BY b.id""".stripMargin,
+    "q116_semantic_dedup" -> {
+      val dots = graft.operators.Ann.sqlCentroidDots("embedding", 64, 16)
+      // Mirror of Dedup.semanticDedup over the planted-twin corpus:
+      // same IVF argmax (first-max tie-break via list_position), the
+      // cluster-keyed b.id < a.id self-join, max cosine rounded AFTER
+      // the max (round-before-rank: the max runs on bit-identical raw
+      // doubles), keep = rounded max below the threshold literal.
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0),
+         |db AS (
+         |  SELECT id, embedding,
+         |    CAST(list_position(dots, list_max(dots)) AS BIGINT) AS cluster
+         |  FROM (SELECT id, embedding, $dots AS dots FROM base)),
+         |best AS (
+         |  SELECT a.id,
+         |    ${rnd6(s"max(${dot("a.embedding", "b.embedding")})")} AS max_sim_prev
+         |  FROM db a JOIN db b ON a.cluster = b.cluster AND b.id < a.id
+         |  GROUP BY a.id)
+         |SELECT d.id, d.cluster,
+         |  coalesce(best.max_sim_prev, -1.0) AS max_sim_prev,
+         |  coalesce(best.max_sim_prev, -1.0) < 0.25 AS keep
+         |FROM db d LEFT JOIN best ON d.id = best.id
+         |ORDER BY d.id""".stripMargin
+    },
+    "q117_perplexity_gate" ->
+      // Mirror of TextAnalysis.perplexityGate: the q99 char-trigram
+      // chain (MATERIALIZED — fan-out base CTEs, the q100 lesson), band
+      // CASE on the ROUNDED per-doc score vs the same double literals,
+      // (source, band) rollup with a portable-rounded mean. Docs absent
+      // from cpd (no trigram) band 'low' = Spark's n_cgrams == 0 arm.
+      s"""WITH ch AS MATERIALIZED (
+         |  SELECT doc_id AS id, source, text FROM documents),
+         |ctri AS MATERIALIZED (
+         |  SELECT id, substring(text, i + 1, 2) AS ctx, substring(text, i + 3, 1) AS nxt
+         |  FROM (SELECT id, text, unnest(range(0, len(text) - 2)) AS i
+         |        FROM ch WHERE len(text) >= 3)),
+         |ctc AS MATERIALIZED (SELECT ctx, nxt, count(*) AS ct FROM ctri GROUP BY ctx, nxt),
+         |ccx AS MATERIALIZED (SELECT ctx, count(*) AS cc FROM ctri GROUP BY ctx),
+         |csc AS (
+         |  SELECT ctri.id, ln(CAST(ctc.ct AS DOUBLE) / CAST(ccx.cc AS DOUBLE)) AS lp
+         |  FROM ctri JOIN ctc ON ctri.ctx = ctc.ctx AND ctri.nxt = ctc.nxt
+         |  JOIN ccx ON ctri.ctx = ccx.ctx),
+         |cpd AS MATERIALIZED (
+         |  SELECT id, count(*) AS n_cgrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS alp
+         |  FROM csc GROUP BY id),
+         |b AS (
+         |  SELECT c.source,
+         |    CASE WHEN p.id IS NULL THEN 'low'
+         |         WHEN p.alp >= -0.76 THEN 'high'
+         |         WHEN p.alp >= -0.79 THEN 'mid'
+         |         ELSE 'low' END AS band,
+         |    coalesce(p.alp, 0.0) AS alp
+         |  FROM ch c LEFT JOIN cpd p ON c.id = p.id)
+         |SELECT source, band, count(*) AS n_docs,
+         |  ${sqlRnd("CAST(sum(CAST(floor(alp * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+             " / (CAST(count(*) AS DOUBLE) * 1000000.0)", 6)} AS mean_logprob
+         |FROM b GROUP BY source, band
+         |ORDER BY source, band""".stripMargin,
+    "q118_importance_weights" ->
+      // Mirror of Curation.importanceWeights: term-keyed count tables
+      // (MATERIALIZED), 1-row corpus constants via CROSS JOIN, per-token
+      // ln-ratio difference on identical integer operands, per-doc sum
+      // portable-rounded, selected on the rounded value.
+      s"""WITH tok0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, source IN ('src0', 'src1') AS is_t,
+         |    unnest($sqlToks) AS term
+         |  FROM documents),
+         |tfall AS MATERIALIZED (SELECT term, count(*) AS ct_r FROM tok0 GROUP BY term),
+         |tft AS MATERIALIZED (SELECT term, count(*) AS ct_t FROM tok0 WHERE is_t GROUP BY term),
+         |c AS MATERIALIZED (
+         |  SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |    CAST(count(*) AS BIGINT) AS n_r,
+         |    CAST(count(DISTINCT term) AS BIGINT) AS v
+         |  FROM tok0),
+         |sc AS (
+         |  SELECT t.id,
+         |    ln(CAST(coalesce(f.ct_t, 0) + 1 AS DOUBLE) / CAST(c.n_t + c.v AS DOUBLE))
+         |  - ln(CAST(a.ct_r + 1 AS DOUBLE) / CAST(c.n_r + c.v AS DOUBLE)) AS lp
+         |  FROM tok0 t
+         |  JOIN tfall a ON t.term = a.term
+         |  LEFT JOIN tft f ON t.term = f.term
+         |  CROSS JOIN c),
+         |pd AS MATERIALIZED (
+         |  SELECT id, count(*) AS n_tokens, ${sqlRnd("sum(lp)", 6)} AS log_weight
+         |  FROM sc GROUP BY id),
+         |d AS (
+         |  SELECT doc_id AS id, source IN ('src0', 'src1') AS is_target
+         |  FROM documents)
+         |SELECT d.id, d.is_target,
+         |  coalesce(pd.n_tokens, 0) AS n_tokens,
+         |  coalesce(pd.log_weight, 0.0) AS log_weight,
+         |  coalesce(pd.log_weight, 0.0) > 0.0 AS selected
+         |FROM d LEFT JOIN pd ON d.id = pd.id
+         |ORDER BY d.id""".stripMargin,
+    "q119_gopher_rules" ->
+      // Mirror of TextAnalysis.gopherRules: whitespace words + lowercase
+      // tokens built once (MATERIALIZED), integer symbol counts via
+      // literal replace, each ratio one rounded double division, rules
+      // compare the ROUNDED values against the same double literals.
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id AS id, text,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+         |    $sqlToks AS toks
+         |  FROM documents),
+         |sig AS MATERIALIZED (
+         |  SELECT id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS mean_wlen,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS frac_alpha,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "((len(text) - len(replace(text, '#', '')))" +
+                 " + (len(text) - len(replace(text, '...', ''))) / 3)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS sym_ratio,
+         |    CAST(${graft.operators.TextAnalysis.GopherStopProbe.map(w =>
+               s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS BIGINT) AS n_stop
+         |  FROM base),
+         |r AS (
+         |  SELECT sig.*,
+         |    n_words >= 50 AND n_words <= 100000 AS r_words,
+         |    mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS r_wlen,
+         |    frac_alpha >= 0.8 AS r_alpha,
+         |    sym_ratio <= 0.1 AS r_sym,
+         |    n_stop >= 2 AS r_stop
+         |  FROM sig)
+         |SELECT id, n_words, mean_wlen, frac_alpha, sym_ratio, n_stop,
+         |  r_words, r_wlen, r_alpha, r_sym, r_stop,
+         |  CAST((CASE WHEN r_words THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_wlen THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_alpha THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_sym THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+         |  (CASE WHEN r_words THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_wlen THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_alpha THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_sym THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_stop THEN 0 ELSE 1 END) = 0 AS pass
+         |FROM r ORDER BY id""".stripMargin,
+    "q120_temperature_mixture" ->
+      // Mirror of Curation.temperatureMixture: sqrt is IEEE-exact in
+      // both engines, weights floor-scaled to integer micro-units, then
+      // pure 64-bit integer largest-remainder allocation (// is DuckDB
+      // floor-div = Spark's div on positives); share rounds the one
+      // closing double division.
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT source, CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS MATERIALIZED (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |      AS weight
+         |  FROM t),
+         |s AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+         |b AS MATERIALIZED (
+         |  SELECT w.source, w.n_tokens, w.weight,
+         |    CAST((1000000 * w.weight) // s.tot AS BIGINT) AS base,
+         |    CAST((1000000 * w.weight) % s.tot AS BIGINT) AS rem
+         |  FROM w CROSS JOIN s),
+         |e AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM b),
+         |r AS (
+         |  SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rn
+         |  FROM b)
+         |SELECT r.source, r.n_tokens, r.weight,
+         |  CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc_tokens,
+         |  ${sqlRnd("CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END" +
+             " AS DOUBLE) / 1000000.0", 6)} AS share
+         |FROM r CROSS JOIN e
+         |ORDER BY r.source""".stripMargin,
+    "q121_ann_recall" -> {
+      // Mirror of annRecallReportQ: the q29 multi-table chain verbatim
+      // (OR-construction candidates, raw-dot rank, top-5) LEFT JOINed
+      // under the brute exact top-5 (all-pairs window — the deliberate
+      // exact arm), per-query hit count and rounded recall.
+      val dTables = (0 until 8).map(t =>
+        s"""  SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+      val qTables = (0 until 8).map(t =>
+        s"""  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+           |  FROM embeddings WHERE vec_id % 100 = 0""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH d AS MATERIALIZED (
+         |$dTables),
+         |q AS MATERIALIZED (
+         |$qTables),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, q.qvec, d.id, d.embedding
+         |  FROM q JOIN d ON q.tbl = d.tbl AND q.bucket = d.bucket),
+         |scored AS (
+         |  SELECT qid, id, ${dot("qvec", "embedding")} AS sim FROM cand),
+         |annranked AS (
+         |  SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored),
+         |ann AS (SELECT qid, id FROM annranked WHERE rnk <= 5),
+         |bq AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |bd AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+         |bscored AS (
+         |  SELECT bq.qid, bd.id, ${dot("bq.qvec", "bd.embedding")} AS sim
+         |  FROM bq CROSS JOIN bd),
+         |branked AS (
+         |  SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM bscored),
+         |brute AS (SELECT qid, id FROM branked WHERE rnk <= 5),
+         |j AS (
+         |  SELECT b.qid, CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM brute b LEFT JOIN ann a ON b.qid = a.qid AND b.id = a.id)
+         |SELECT qid, CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  ${sqlRnd("CAST(sum(hit) AS DOUBLE) / 5.0", 6)} AS recall
+         |FROM j GROUP BY qid
+         |ORDER BY qid""".stripMargin
+    },
     "q109_hash_split" ->
       // Mirror of Curation.hashSplit: salted md5-derived bucket of the
       // CONTENT hash (sha256 matches byte-for-byte across engines, the

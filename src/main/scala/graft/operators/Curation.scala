@@ -195,4 +195,108 @@ object Curation {
       bucket.as("bucket"),
       splitName(bucket, trainPct, valPct).as("split"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how much more likely its tokens are under
+    * the TARGET domain's unigram LM than under the full-corpus
+    * background LM — `log_weight = Σ_tok [ln p_t(w) − ln p_bg(w)]` with
+    * add-one smoothing over the shared vocabulary. Positive weight =
+    * "looks like the target domain"; data selection keeps the top slice
+    * (here surfaced as `selected = log_weight > 0`). This is the
+    * cheap-proxy domain filter that runs where a model-based classifier
+    * is too expensive — exactly the DSIR pitch.
+    *
+    * Exactness: each probability is one IEEE division on integer counts
+    * (bit-identical operands in the mirror), ln within 1 ulp, the sum
+    * portable-rounded (the q71/BM25 device: summing ~300 one-ulp terms
+    * leaves ~1e-13 absolute wobble, absorbed by the 1e-6 rounding grid).
+    *
+    * Scale shape: count tables are term-keyed and map-side combined;
+    * the scorer is two term-keyed joins plus ONE 1-row broadcast of the
+    * corpus constants (the allowed BNLJ); per-doc rollup shuffles one
+    * double per token.
+    *
+    * @param isTarget row predicate marking the target-domain documents
+    * @return (id, is_target, n_tokens, log_weight, selected) */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val tok = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), isTarget.as("is_t"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .transform(graft.CacheScope.pin) // tf tables, constants, scorer all read it
+    val tfT = tok.filter(col("is_t")).groupBy("term")
+      .agg(count(lit(1)).as("ct_t"))
+    val tfAll = tok.groupBy("term").agg(count(lit(1)).as("ct_r"))
+    val consts = tok.agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
+      count(lit(1)).as("n_r"),
+      countDistinct(col("term")).as("v"))
+    val scored = tok
+      .join(tfAll, Seq("term"))
+      .join(tfT, Seq("term"), "left")
+      .crossJoin(broadcast(consts)) // 1-row corpus constants
+      .withColumn("lp",
+        log((coalesce(col("ct_t"), lit(0L)) + 1).cast("double") /
+            (col("n_t") + col("v")).cast("double")) -
+        log((col("ct_r") + 1).cast("double") /
+            (col("n_r") + col("v")).cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), rnd6(sum(col("lp"))).as("log_weight"))
+    docs.select(col(idCol).as("id"), isTarget.as("is_target"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), col("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"),
+        (coalesce(col("log_weight"), lit(0.0)) > 0.0).as("selected"))
+  }
+
+  /** Temperature-scaled mixture allocation (the multilingual/multi-source
+    * sampling rule of mT5/XLM-R, α = 0.5): each source's share of the
+    * token budget is proportional to `count^α` — big sources are
+    * DOWN-weighted relative to proportional sampling, small sources
+    * up-weighted, without the truncation cliff of a hard cap. The
+    * integer largest-remainder method distributes the budget exactly
+    * (allocations sum to `budget` whenever Σweight > 0).
+    *
+    * Exactness: the only float op is `sqrt` (IEEE correctly-rounded,
+    * bit-identical cross-engine); weights are floor-scaled to integer
+    * micro-units and everything after is 64-bit integer arithmetic —
+    * `budget × weight` stays far under Long range for any real corpus
+    * (weights ≈ 1e6·√tokens; re-scale the unit for >1e7-token budgets).
+    *
+    * Scale shape: one token-count aggregation over the corpus (map-side
+    * combined), then all allocation logic runs on the SOURCE-grain frame
+    * — bounded rows, so the unpartitioned remainder window is a
+    * dimension-table sort, not a data-scale one.
+    *
+    * @return (source, n_tokens, weight, alloc_tokens, share) */
+  def temperatureMixture(
+      docs: DataFrame, srcCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val perSrc = Par.ensureMapParallelism(docs)
+      .groupBy(col(srcCol).as("source"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      .transform(graft.CacheScope.pin) // total + base + remainder read it
+    val tot = perSrc.agg(sum(col("weight")).as("tot"))
+    val based = perSrc.crossJoin(broadcast(tot)) // 1-row total
+      .withColumn("base", expr(s"(${budget}L * weight) div tot"))
+      .withColumn("rem", (lit(budget) * col("weight")) % col("tot"))
+      .transform(graft.CacheScope.pin) // extra-count + window read it
+    val extra = based.agg((lit(budget) - sum(col("base"))).as("extra"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source")) // source-grain: bounded rows
+    based.crossJoin(broadcast(extra)) // 1-row remainder count
+      .withColumn("rn", row_number().over(wRem))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("weight"), col("alloc_tokens"),
+        rnd6(col("alloc_tokens").cast("double") / lit(budget.toDouble))
+          .as("share"))
+  }
+
+  private def rnd6(c: Column): Column = graft.functions.PortableMath.rnd(c, 6)
 }

@@ -657,6 +657,50 @@ object Dedup {
       .dropDuplicates("id_a", "id_b") // same pair from several tables
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then
+    * within each cluster drop every document whose cosine similarity to
+    * an EARLIER (smaller-id) cluster member exceeds `threshold` —
+    * "keep the first occurrence of each semantic neighborhood". Catches
+    * paraphrases and re-encodings that share no n-grams, the dup class
+    * every text-grain pass (exact/MinHash/SimHash) is blind to.
+    *
+    * The cluster assignment is the IVF coarse quantizer ([[Ann.ivfBucket]]
+    * — deterministic centroid literals, so the oracle reproduces it; a
+    * production run swaps in [[Ann.trainedCentroids]], changing only the
+    * literals). The keep rule is deterministic and idempotent: a kept
+    * set re-run through the operator keeps everything (no smaller-id
+    * neighbor above threshold survives by construction).
+    *
+    * Scale shape: the pair generator is a CLUSTER-KEYED self-join —
+    * cost Σ_clusters size², never the all-pairs product; nCentroids
+    * scales with corpus size (≈√N keeps per-cluster cost flat), and the
+    * per-cluster max-to-previous aggregation is map-side combinable on
+    * the (cluster, id) key. The id shuffles carry one double (the max),
+    * not vectors.
+    *
+    * @return (id, cluster, max_sim_prev, keep) one row per input doc;
+    *         docs with no smaller-id cluster peer report max_sim_prev
+    *         = -1.0 (below any cosine) and keep = true */
+  def semanticDedup(
+      embs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCentroids: Int, threshold: Double): DataFrame = {
+    val assigned = Par.ensureMapParallelism(embs)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Ann.ivfBucket(col(vecCol), dim, nCentroids).cast("long").as("cluster"))
+      .transform(graft.CacheScope.pin) // both join sides + the final left join
+    val best = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.id") < col("a.id"))
+      .groupBy(col("a.id").as("id"))
+      .agg(rnd(max(dotProduct(col("a.v"), col("b.v"))), 6).as("max_sim_prev"))
+    assigned.select("id", "cluster")
+      .join(best, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("max_sim_prev"), lit(-1.0)).as("max_sim_prev"),
+        (coalesce(col("max_sim_prev"), lit(-1.0)) < threshold).as("keep"))
+  }
+
   /** Benchmark-contamination measurement at n-gram grain: for every
     * test/eval document, the fraction of its distinct `w`-word shingles
     * that appear ANYWHERE in the training corpus. The per-SHINGLE

@@ -968,4 +968,101 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .select("term", "tf", "df", "share", "rnk")
   }
+
+  /** Perplexity-band quality gate: score every document with the
+    * tokenizer-free char-trigram LM ([[charTrigramLogProb]]) and roll
+    * the corpus up into per-(source, band) counts — the triage a data
+    * pipeline runs before spending GPU-filter budget: `high` keeps,
+    * `mid` goes to a stronger (model-based) filter, `low` drops. Bands
+    * are fixed avg-logprob thresholds on the ROUNDED per-doc score, so
+    * the band decision is bit-deterministic; docs too short to have a
+    * trigram land in `low`.
+    *
+    * Scale shape: inherits [[charTrigramLogProb]]'s (count-table joins,
+    * map-side combinable); the rollup adds one shuffle on the bounded
+    * (source, band) key.
+    *
+    * @return (source, band, n_docs, mean_logprob) */
+  def perplexityGate(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      loMid: Double, midHi: Double): DataFrame = {
+    val scored = charTrigramLogProb(docs, idCol, textCol)
+    val src = docs.select(col(idCol).as("id"), col(srcCol).as("source"))
+    src.join(scored, Seq("id"))
+      .withColumn("band",
+        when(col("n_cgrams") === 0, lit("low"))
+          .when(col("avg_logprob") >= midHi, lit("high"))
+          .when(col("avg_logprob") >= loMid, lit("mid"))
+          .otherwise(lit("low")))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        // mean via integer micro-units: per-doc scores sit on the 1e-6
+        // rounding grid, so floor(x*1e6+0.5) recovers them exactly and
+        // the LONG sum is association-free — a double sum here can land
+        // a band mean on a rounding boundary and flip the last decimal
+        // with summation order (measured at sf0.001)
+        rnd(sum(floor(col("avg_logprob") * lit(1e6) + lit(0.5)).cast("long"))
+            .cast("double") / (count(lit(1)).cast("double") * lit(1e6)), 6)
+          .as("mean_logprob"))
+  }
+
+  /** The five stopwords the Gopher-rule check probes for (a deliberately
+    * tiny, fixed probe set — the published heuristic checks exactly this
+    * kind of closed list, Rae et al. 2021 §A1.1). */
+  val GopherStopProbe: Seq[String] = Seq("the", "and", "of", "to", "in")
+
+  /** Gopher-style composite quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): the five mechanical document filters a
+    * pretraining pipeline applies before any model-based scoring —
+    * word-count bounds, mean-word-length bounds, minimum alphabetic-word
+    * fraction, symbol-to-word ratio cap, and a closed-list stopword
+    * probe. Emits every signal AND every per-rule verdict (a pipeline
+    * wants the failure reasons, not just the gate).
+    *
+    * Words here are WHITESPACE words (`split ' '`), not the lowercase
+    * alnum tokens — the published rules are defined on raw words (mean
+    * word length counts punctuation; the alphabetic-fraction rule is
+    * vacuous on pre-stripped tokens). The stopword probe uses the
+    * lowercase tokens, as published.
+    *
+    * Scale shape: pure per-row projection — zero shuffles; every signal
+    * derives from two materialized arrays (words, tokens) built once per
+    * row (the q20 projection-collapse discipline).
+    *
+    * @return (id, n_words, mean_wlen, frac_alpha, sym_ratio, n_stop,
+    *         r_words, r_wlen, r_alpha, r_sym, r_stop, n_fail, pass) */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withArrays = Par.ensureMapParallelism(docs).select(
+      col(idCol).as("id"), col(textCol).as("_t"),
+      filter(split(col(textCol), " "), w => length(w) > 0).as("_ws"),
+      tokens(col(textCol)).as("_toks"))
+    val nHash = length(col("_t")) - length(regexp_replace(col("_t"), "#", ""))
+    val nEll = (length(col("_t")) -
+      length(regexp_replace(col("_t"), "\\.\\.\\.", ""))) / lit(3)
+    def perWord(num: Column): Column = // zero-word docs report 0.0, not null
+      when(size(col("_ws")) > 0,
+        rnd(num.cast("double") / size(col("_ws")).cast("double"), 6))
+        .otherwise(lit(0.0))
+    val sig = withArrays.select(
+      col("id"),
+      size(col("_ws")).cast("long").as("n_words"),
+      perWord(aggregate(col("_ws"), lit(0L), (acc, w) => acc + length(w)))
+        .as("mean_wlen"),
+      perWord(size(filter(col("_ws"), w => w.rlike("[A-Za-z]"))))
+        .as("frac_alpha"),
+      perWord(nHash + nEll).as("sym_ratio"),
+      GopherStopProbe.map(w =>
+          when(array_contains(col("_toks"), w), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop"))
+    sig
+      .withColumn("r_words", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+      .withColumn("r_alpha", col("frac_alpha") >= 0.8)
+      .withColumn("r_sym", col("sym_ratio") <= 0.1)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("n_fail",
+        Seq("r_words", "r_wlen", "r_alpha", "r_sym", "r_stop")
+          .map(r => when(col(r), 0L).otherwise(1L)).reduce(_ + _))
+      .withColumn("pass", col("n_fail") === 0)
+  }
 }

@@ -276,6 +276,30 @@ class PlanAuditSpec extends SparkSpec {
       s"the candidate self-join must be bucket-keyed, never all-pairs:\n$p")
   }
 
+  test("q116 semantic dedup: the pair generator is a cluster-keyed hash join, never all-pairs") {
+    val p = planString(SparkEntry.queries("q116_semantic_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the within-cluster self-join must be keyed on the IVF bucket:\n$p")
+  }
+
+  test("q118 importance weights: term-keyed count joins; only the 1-row constants broadcast is non-keyed") {
+    val p = planString(SparkEntry.queries("q118_importance_weights")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"count-table join degraded to all-pairs:\n$p")
+    // the (n_t, n_r, v) corpus-constants join IS a BNLJ of exactly one
+    // aggregate row (scale-free); a second BNLJ means a term join lost
+    // its key.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"found $bnlj BNLJ nodes; only the 1-row constants join is allowed:\n$p")
+  }
+
+  test("q119 gopher rules: pure per-row projection — zero exchanges before the final sort") {
+    val df = graft.operators.TextAnalysis.gopherRules(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val p = planString(df)
+    assert(!p.contains("Exchange"),
+      s"the rule signals must be shuffle-free map work:\n$p")
+  }
+
   test("q73 contamination: train-set probe plans as a LEFT SEMI hash join") {
     val p = planString(SparkEntry.queries("q73_shingle_contamination")(spark, sf))
     assert(p.contains("LeftSemi"),
