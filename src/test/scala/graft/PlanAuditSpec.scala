@@ -292,11 +292,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj <= 1, s"found $bnlj BNLJ nodes; only the 1-row constants join is allowed:\n$p")
   }
 
-  test("q119 gopher rules: pure per-row projection — zero exchanges before the final sort") {
+  test("q119 gopher rules: per-row projection — no KEYED exchange (only the map-parallelism fan-out)") {
     val df = graft.operators.TextAnalysis.gopherRules(
       Tables.documents(spark, sf), "doc_id", "text")
     val p = planString(df)
-    assert(!p.contains("Exchange"),
+    // Par.ensureMapParallelism's RoundRobin repartition is the one
+    // allowed exchange: it moves no keyed data, it just spreads the
+    // per-row-heavy signal computation across cores when the scan
+    // yields fewer splits than the session parallelism. Any hash/range
+    // exchange would mean the signals stopped being map-only work.
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"the rule signals must be shuffle-free map work:\n$p")
   }
 
