@@ -159,8 +159,15 @@ object Dedup {
     * compute bit-identically (max |term| ≈ 1.1e6·1e6, sum of 8 < 2⁶³:
     * exact in Int64, association-free), unlike any md5-per-window
     * device, and unlike engine hash() it is portable. At 100 TB this is
-    * a pure map stage: w multiplies per character, codegen-friendly, no
-    * shuffle until the chunk-level aggregation.
+    * a pure map stage: the cut positions come from the one-pass codegen
+    * expression [[graft.expressions.CdcCuts]] — O(L·w) per document
+    * (ring buffer over the trailing window), no shuffle until the
+    * chunk-level aggregation. (The previous HOF formulation —
+    * `filter(sequence(w, len), i -> Σ ascii(substr(s, i-j, 1))…)` —
+    * was O(L²·w): every `substr(i, 1)` is an O(i) codepoint scan, and
+    * it ran per position. Measured: 38.7 s → see q115 bench.
+    * [[cdcCutsHof]] preserves that form as the semantics reference the
+    * expression must match, spec-pinned in CdcSpec.)
     *
     * @return (id, chunk) — one row per chunk occurrence, in order */
   def cdcChunks(
@@ -172,24 +179,39 @@ object Dedup {
       base: Long = 31L,
       prime: Long = 1000003L): DataFrame = {
     val s = col(textCol)
+    val cuts = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.CdcCuts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(s),
+        window, divisor, base, prime))
+    val starts = concat(array(lit(1)), transform(col("_cuts"), c => c + 1))
+    val ends = concat(col("_cuts"), array(col("_len")))
+    Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), s.as("_s"), length(s).as("_len"), cuts.as("_cuts"))
+      .select(col("id"), col("_s"),
+        zip_with(starts, ends,
+          (st, en) => col("_s").substr(st, en - st + 1)).as("_chunks"))
+      .select(col("id"), explode(col("_chunks")).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+  }
+
+  /** The pure-public-API cut-position formulation [[cdcChunks]] used
+    * before round 8 — kept ONLY as the semantics reference for
+    * [[graft.expressions.CdcCuts]] (CdcSpec pins element-wise equality
+    * on prose, edge cases, and randomized strings). Do not put this on
+    * a data path: it is O(L²·w) per document (each `substr(i, 1)` scans
+    * from the string head). */
+  private[graft] def cdcCutsHof(
+      s: Column, window: Int, divisor: Int,
+      base: Long, prime: Long): Column = {
     val len = length(s)
     val pow = Array.iterate(1L, window)(x => x * base % prime)
     def rollingHash(i: Column): Column =
       (0 until window).map { j =>
         ascii(s.substr(i - lit(j), lit(1))).cast("long") * lit(pow(j))
       }.reduce(_ + _) % prime
-    val cuts = when(len < window, array().cast("array<int>"))
+    when(len < window, array().cast("array<int>"))
       .otherwise(filter(sequence(lit(window), len),
         i => rollingHash(i) % divisor === 0))
-    val starts = concat(array(lit(1)), transform(col("_cuts"), c => c + 1))
-    val ends = concat(col("_cuts"), array(col("_len")))
-    Par.ensureMapParallelism(docs)
-      .select(col(idCol).as("id"), s.as("_s"), len.as("_len"), cuts.as("_cuts"))
-      .select(col("id"), col("_s"),
-        zip_with(starts, ends,
-          (st, en) => col("_s").substr(st, en - st + 1)).as("_chunks"))
-      .select(col("id"), explode(col("_chunks")).as("chunk"))
-      .filter(length(col("chunk")) > 0)
   }
 
   /** Chunk-grain dedup report over [[cdcChunks]]: per document, how
@@ -679,26 +701,94 @@ object Dedup {
     * the (cluster, id) key. The id shuffles carry one double (the max),
     * not vectors.
     *
+    * SKEW CAP (the [[ngramJaccardPairs]] maxBlock discipline, applied
+    * to the embedding space): a degenerate corpus — one dominant
+    * semantic cluster, or nCentroids sized badly below √N — would make
+    * the within-cluster self-join quadratic in that cluster's size.
+    * Clusters larger than `maxCluster` therefore never pair all-vs-all:
+    * their members reroute through `subTables` independent LSH
+    * hyperplane signatures ([[Ann.lshBucketT]], `subPlanes` bits each),
+    * and pairs form only inside (cluster, table, signature) cells —
+    * cost Σ_cells size², with 2^subPlanes × subTables cells carving up
+    * each oversized cluster. The trade is recall-only, and vanishingly
+    * small exactly where SemDeDup acts: two docs at cosine ≥ t agree on
+    * one table's signature with prob (1 − arccos(t)/π)^subPlanes, and
+    * the OR over tables makes a miss (1−p)^subTables — for t=0.9,
+    * subPlanes=4, subTables=3 that is < 2%; a missed pair only means a
+    * duplicate survives (keep=true), never a false drop. Exact
+    * verification (the dot product) still scores every candidate.
+    *
+    * Idempotence: exact within the uncapped route (a kept set re-run
+    * keeps everything). Across the cap boundary it is one-sided only —
+    * re-running a deduped set can shrink a cluster below `maxCluster`,
+    * widening candidates from sub-blocked to all-pairs, so a survivor
+    * of the capped pass may be dropped on the re-run (never the
+    * reverse: removing docs can only lower any max_sim_prev).
+    *
     * @return (id, cluster, max_sim_prev, keep) one row per input doc;
-    *         docs with no smaller-id cluster peer report max_sim_prev
+    *         docs with no smaller-id candidate peer report max_sim_prev
     *         = -1.0 (below any cosine) and keep = true */
   def semanticDedup(
       embs: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nCentroids: Int, threshold: Double): DataFrame = {
+      dim: Int, nCentroids: Int, threshold: Double,
+      maxCluster: Int = 4096, subPlanes: Int = 4, subTables: Int = 3): DataFrame = {
     val assigned = Par.ensureMapParallelism(embs)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Ann.ivfBucket(col(vecCol), dim, nCentroids).cast("long").as("cluster"))
       .transform(graft.CacheScope.pin) // both join sides + the final left join
-    val best = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cluster") === col("b.cluster") && col("b.id") < col("a.id"))
-      .groupBy(col("a.id").as("id"))
-      .agg(rnd(max(dotProduct(col("a.v"), col("b.v"))), 6).as("max_sim_prev"))
+    val scored = semanticScoredPairs(
+      assigned, dim, maxCluster, subPlanes, subTables)
+    val best = scored
+      .groupBy("id")
+      .agg(rnd(max(col("sim")), 6).as("max_sim_prev"))
     assigned.select("id", "cluster")
       .join(best, Seq("id"), "left")
       .select(col("id"), col("cluster"),
         coalesce(col("max_sim_prev"), lit(-1.0)).as("max_sim_prev"),
         (coalesce(col("max_sim_prev"), lit(-1.0)) < threshold).as("keep"))
+  }
+
+  /** (id, sim) rows for every candidate (later-id, earlier-id) pair of
+    * [[semanticDedup]]'s two-route generator — all-pairs inside small
+    * clusters, LSH-sub-blocked inside oversized ones. A pair co-blocked
+    * in several tables is scored more than once; max() upstream makes
+    * the duplicates harmless, which saves the dropDuplicates shuffle.
+    * Package-private so SemanticDedupSpec can pin the bounded-candidate
+    * guarantee on a planted mega-cluster directly. */
+  private[graft] def semanticScoredPairs(
+      assigned: DataFrame, dim: Int,
+      maxCluster: Int, subPlanes: Int, subTables: Int): DataFrame = {
+    // cluster sizes ride the same cluster-keyed shuffle the small-route
+    // self-join needs anyway (the ngramJaccardPairs `bn` device)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    val sized = assigned
+      .withColumn("cn", count(lit(1)).over(cw))
+      .transform(graft.CacheScope.pin) // small route ×2 + big route ×1
+    val small = sized.filter(col("cn") <= maxCluster)
+    val smallScored = small.as("a")
+      .join(small.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.id") < col("a.id"))
+      .select(col("a.id").as("id"),
+        dotProduct(col("a.v"), col("b.v")).as("sim"))
+    // oversized clusters: explode each member into its subTables
+    // signature cells; pairs require cell equality. Vectors stay in the
+    // exploded relation (subTables × vector shuffle) — acceptable
+    // because this route only ever carries the skew overflow, and it
+    // saves the two id-keyed vector join-backs.
+    val subKeys = (0 until subTables).map { t =>
+      concat_ws("_", lit(t.toString),
+        Ann.lshBucketT(col("v"), dim, subPlanes, t).cast("string"))
+    }
+    val big = sized.filter(col("cn") > maxCluster)
+      .select(col("id"), col("v"), col("cluster"),
+        explode(array(subKeys: _*)).as("sub"))
+    val bigScored = big.as("a")
+      .join(big.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.sub") === col("b.sub") && col("b.id") < col("a.id"))
+      .select(col("a.id").as("id"),
+        dotProduct(col("a.v"), col("b.v")).as("sim"))
+    smallScored.unionByName(bigScored)
   }
 
   /** Benchmark-contamination measurement at n-gram grain: for every

@@ -56,6 +56,46 @@ class CdcSpec extends SparkSpec {
     assert(mean > 16 && mean < 256, s"mean chunk length out of band: $mean")
   }
 
+  test("CdcCuts expression matches the HOF reference formulation exactly") {
+    // the one-pass codegen expression replaced the O(L²·w) HOF form in
+    // round 8; this pin is the license for that swap — element-wise
+    // equal cut positions on prose, edge cases, and seeded-random text
+    val rng = new scala.util.Random(42)
+    val randoms = Seq.tabulate(50) { i =>
+      val n = rng.nextInt(600)
+      (100L + i, Seq.fill(n)((32 + rng.nextInt(95)).toChar).mkString)
+    }
+    val cases = Seq(
+      (1L, prose), (2L, prose * 10), (3L, ""), (4L, "short"),
+      (5L, "x" * 7), (6L, "x" * 8), (7L, "\n\t  mixed   whitespace\n" * 40)
+    ) ++ randoms
+    for ((w, d) <- Seq((8, 64), (4, 32), (1, 16), (12, 128))) {
+      val df = cases.toDF("doc_id", "text").select(
+        col("doc_id"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.CdcCuts(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("text")),
+            w, d, 31L, 1000003L)).as("fast"),
+        Dedup.cdcCutsHof(col("text"), w, d, 31L, 1000003L).as("ref"))
+      val rows = df.collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+          s"w=$w d=$d doc=${r.getLong(0)}: ${r.getSeq[Int](1)} != ${r.getSeq[Int](2)}")
+      }
+    }
+  }
+
+  test("graft_cdc_cuts is callable from SQL via GraftExtensions") {
+    Seq((1L, prose)).toDF("doc_id", "text").createOrReplaceTempView("cdc_sql_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_cdc_cuts(text, 8, 64, 31, 1000003) AS cuts FROM cdc_sql_probe")
+      .collect()(0).getSeq[Int](0)
+    val viaCol = Seq((1L, prose)).toDF("doc_id", "text")
+      .select(Dedup.cdcCutsHof(col("text"), 8, 64, 31L, 1000003L).as("cuts"))
+      .collect()(0).getSeq[Int](0)
+    assert(viaSql == viaCol)
+  }
+
   test("cdcDedupStats: twin docs share nearly all chunks; unique doc shares none") {
     val long = Seq.tabulate(8)(i => s"[$i] " + prose).mkString(" ")
     val docs = Seq(
