@@ -1298,6 +1298,51 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Hashed linear quality classifier (q122): fasttext-style hashed
+    * bag-of-words linear gate with frozen micro-unit weights (see
+    * [[TextAnalysis.hashedLinearClassifier]]). */
+  private def qualityClassifierQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearClassifier(Tables.documents(s, dir), "doc_id", "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+
+  /** Deterministic seeded shuffle + shard assignment (q123): the
+    * training-data emission order (see [[Curation.seededShuffle]]). */
+  private def seededShuffleQ(s: SparkSession, dir: String): DataFrame =
+    Curation.seededShuffle(Tables.documents(s, dir), "doc_id",
+        seed = "graft", nShards = 8)
+      .transform(graft.CacheScope.pin)
+      .orderBy("shard", "pos")
+
+  /** Within-doc repeated-unit removal (q124): the q70 planting device
+    * with IN-DOC repeats — unit 3 always repeats unit 1, and %3 docs
+    * carry the boilerplate twice — so the cleaner has deterministic
+    * work on every doc (see [[Dedup.intraDocDedup]]). */
+  private def intraDocDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val built = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat_ws("\n\n",
+          substring(col("text"), 1, 80),
+          when(col("doc_id") % 3 === 0, lit(BpA))
+            .otherwise(substring(col("text"), 81, 80)),
+          substring(col("text"), 1, 80), // planted in-doc repeat of unit 1
+          when(col("doc_id") % 3 === 0, lit(BpA)) // second boilerplate copy
+            .otherwise(substring(col("text"), 161, 80)),
+          when(col("doc_id") % 5 === 0, lit(BpB))).as("text"))
+    Dedup.intraDocDedup(built, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
+  /** Ordered event funnel (q125): view → click → purchase, each stage
+    * within 30 min of the previous anchor (see
+    * [[Relational.qEventFunnel]]). */
+  private def eventFunnelQ(s: SparkSession, dir: String): DataFrame =
+    Relational.qEventFunnel(s, dir)
+      .transform(graft.CacheScope.pin)
+      .orderBy("user_id")
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -1868,6 +1913,10 @@ object SparkEntry {
     "q119_gopher_rules" -> ((s, d) => gopherRulesQ(s, d)),
     "q120_temperature_mixture" -> ((s, d) => temperatureMixtureQ(s, d)),
     "q121_ann_recall" -> ((s, d) => annRecallReportQ(s, d)),
+    "q122_quality_classifier" -> ((s, d) => qualityClassifierQ(s, d)),
+    "q123_seeded_shuffle" -> ((s, d) => seededShuffleQ(s, d)),
+    "q124_intradoc_dedup" -> ((s, d) => intraDocDedupQ(s, d)),
+    "q125_event_funnel" -> ((s, d) => eventFunnelQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4596,6 +4645,112 @@ object SparkEntry {
          |FROM j GROUP BY qid
          |ORDER BY qid""".stripMargin
     },
+    "q122_quality_classifier" -> {
+      // Mirror of TextAnalysis.hashedLinearClassifier: same frozen
+      // micro-unit weight list indexed by the portable token hash mod
+      // 64; Int64 sum (association-free), one rounded division, bands
+      // on the ROUNDED score. COALESCE covers DuckDB's NULL sum over an
+      // empty token list (Spark's fold starts at 0).
+      val wlist = graft.operators.TextAnalysis.ClassifierWeightsMicro
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, ${toksOf("text")} AS toks FROM documents),
+         |s AS (
+         |  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    COALESCE(CAST(list_aggregate(
+         |      list_transform(toks, x -> ($wlist)[${hash60("x")} % 64 + 1]),
+         |      'sum') AS BIGINT), 0) AS summ
+         |  FROM t),
+         |sc AS (
+         |  SELECT id, n_toks,
+         |    CASE WHEN n_toks = 0 THEN 0.0
+         |         ELSE ${sqlRnd("CAST(summ AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1e6)", 6)}
+         |    END AS score
+         |  FROM s)
+         |SELECT id, n_toks, score,
+         |  CASE WHEN n_toks = 0 THEN 'drop'
+         |       WHEN score > 0.05 THEN 'keep'
+         |       WHEN score < -0.05 THEN 'drop'
+         |       ELSE 'review' END AS band
+         |FROM sc ORDER BY id""".stripMargin
+    },
+    "q123_seeded_shuffle" ->
+      // Mirror of Curation.seededShuffle: portable id hash as the order
+      // key, shard = key mod 8, per-shard rank, round-robin global pos.
+      s"""WITH k AS (
+         |  SELECT doc_id AS id,
+         |    ${hash60("concat('graft:', CAST(doc_id AS VARCHAR))")} AS key
+         |  FROM documents),
+         |p AS (
+         |  SELECT id, key, key % 8 AS shard,
+         |    row_number() OVER (PARTITION BY key % 8 ORDER BY key, id) AS pos
+         |  FROM k)
+         |SELECT id, key, shard, CAST(pos AS BIGINT) AS pos,
+         |  CAST((pos - 1) * 8 + shard AS BIGINT) AS global_pos
+         |FROM p ORDER BY shard, pos""".stripMargin,
+    "q124_intradoc_dedup" ->
+      // Mirror of Dedup.intraDocDedup over the planted in-doc-repeat
+      // corpus: q70's lockstep unnest for (idx, unit), first-occurrence
+      // window per (doc, unit-hash), order-preserving string_agg of the
+      // kept units (string_agg skips the NULLed removed rows).
+      s"""WITH built AS (
+         |  SELECT doc_id, concat_ws(chr(10) || chr(10),
+         |    substr(text, 1, 80),
+         |    CASE WHEN doc_id % 3 = 0 THEN '$BpA'
+         |         ELSE substr(text, 81, 80) END,
+         |    substr(text, 1, 80),
+         |    CASE WHEN doc_id % 3 = 0 THEN '$BpA'
+         |         ELSE substr(text, 161, 80) END,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$BpB' END) AS ptext
+         |  FROM documents),
+         |plist AS (
+         |  SELECT doc_id, string_split(ptext, chr(10) || chr(10)) AS ps
+         |  FROM built),
+         |occ AS (
+         |  SELECT doc_id, idx, unit, sha256(unit) AS uh FROM (
+         |    SELECT doc_id, unnest(range(len(ps))) AS idx, unnest(ps) AS unit
+         |    FROM plist)
+         |  WHERE unit <> ''),
+         |keeper AS (
+         |  SELECT doc_id, idx, unit,
+         |    row_number() OVER (PARTITION BY doc_id, uh ORDER BY idx) AS rn
+         |  FROM occ),
+         |roll AS (
+         |  SELECT doc_id,
+         |    count(*) AS n_units,
+         |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |    string_agg(CASE WHEN rn = 1 THEN unit END,
+         |               chr(10) || chr(10) ORDER BY idx) AS cleaned
+         |  FROM keeper GROUP BY doc_id)
+         |SELECT doc_id, n_units, n_removed,
+         |  CAST(length(cleaned) AS BIGINT) AS cleaned_len,
+         |  sha256(cleaned) AS cleaned_hash
+         |FROM roll ORDER BY doc_id""".stripMargin,
+    "q125_event_funnel" ->
+      // Mirror of Relational.qEventFunnel: earliest-completion funnel,
+      // each stage's min qualifying time within 30 min of the previous
+      // stage's anchor; stage = highest reached.
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(tus) AS s1_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(tus) AS s2_us FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND e.tus >= s1.s1_us AND e.tus <= s1.s1_us + 1800000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(tus) AS s3_us FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.tus >= s2.s2_us AND e.tus <= s2.s2_us + 1800000000
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.s1_us, s2.s2_us, s3.s3_us,
+        |  CAST(1 + (CASE WHEN s2.s2_us IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN s3.s3_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     "q109_hash_split" ->
       // Mirror of Curation.hashSplit: salted md5-derived bucket of the
       // CONTENT hash (sha256 matches byte-for-byte across engines, the

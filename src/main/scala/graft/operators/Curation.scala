@@ -298,5 +298,41 @@ object Curation {
           .as("share"))
   }
 
+  /** Deterministic seeded global shuffle + shard assignment — the
+    * training-data EMISSION ordering step. Model training wants the
+    * corpus in a reproducible pseudo-random order, split into shards a
+    * loader can stream round-robin; `df.orderBy(rand(seed))` is neither
+    * reproducible across engines nor stable under partitioning, so the
+    * order key is the portable id hash instead (the same
+    * hashing-not-RNG argument as [[sampleByHash]]).
+    *
+    * Produces, per row: `shard` = key mod nShards, `pos` = the row's
+    * 1-based rank within its shard (by key, id-tiebroken), and
+    * `global_pos` = (pos−1)·nShards + shard — the round-robin
+    * interleaved curriculum position a multi-shard loader reading one
+    * row per shard per step would see.
+    *
+    * Scale shape: ONE shuffle on the shard key, then a per-shard window
+    * rank; at 100 TB pick nShards ≥ cluster parallelism (shards are the
+    * emission unit AND the parallelism unit — each window partition is
+    * one shard). No global sort is ever materialized: the global order
+    * is a FORMULA over (shard, pos), not an orderBy.
+    *
+    * @return (id, key, shard, pos, global_pos) */
+  def seededShuffle(
+      docs: DataFrame, idCol: String, seed: String, nShards: Int): DataFrame = {
+    require(nShards >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("key"), col("id"))
+    Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"),
+        hash60(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+          .as("key"))
+      .withColumn("shard", col("key") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("global_pos",
+        (col("pos") - 1L) * nShards + col("shard"))
+  }
+
   private def rnd6(c: Column): Column = graft.functions.PortableMath.rnd(c, 6)
 }

@@ -791,6 +791,56 @@ object Dedup {
     smallScored.unionByName(bigScored)
   }
 
+  /** WITHIN-document repeated-unit removal — the Gopher/CCNet "remove
+    * duplicate lines within the page" cleaning step ([[cdcDedupStats]]
+    * and [[paragraphContamination]] measure repetition ACROSS docs;
+    * this one removes it INSIDE each doc, where boilerplate navigation,
+    * repeated headers, and quoted-reply chains live). A unit (split on
+    * `delim`) is kept at its FIRST occurrence within its document and
+    * dropped at every later one; the cleaned text is the kept units
+    * re-joined in original order.
+    *
+    * Scale shape: explode → one shuffle keyed (id, unit-hash) for the
+    * first-occurrence window → one id-keyed re-aggregation. Both keys
+    * carry the doc id, so with the corpus pre-partitioned by id the
+    * exchange is map-local; nothing is ever corpus-global — this is
+    * per-document work however big the corpus.
+    *
+    * @return (id, n_units, n_removed, cleaned_len, cleaned_hash) —
+    *         cleaned_hash = sha256 of the cleaned text, so equality
+    *         against an expected cleaning is one string compare */
+  def intraDocDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n\n"): DataFrame = {
+    val occ = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+          .as(Seq("idx", "unit")))
+      .filter(col("unit") =!= "")
+      .withColumn("uh", sha2(col("unit"), 256))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "uh").orderBy(col("idx"))
+    val marked = occ.withColumn("_rn", row_number().over(w))
+    marked
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        // kept units, original order: sort the (idx, unit) structs and
+        // re-join — collect_list order is nondeterministic, the sort fixes it
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_rn") === 1, struct(col("idx"), col("unit"))))),
+            s => s.getField("unit")),
+          delim).as("_cleaned"))
+      .select(col("id"), col("n_units"), col("n_removed"),
+        length(col("_cleaned")).cast("long").as("cleaned_len"),
+        sha2(col("_cleaned"), 256).as("cleaned_hash"))
+  }
+
   /** Benchmark-contamination measurement at n-gram grain: for every
     * test/eval document, the fraction of its distinct `w`-word shingles
     * that appear ANYWHERE in the training corpus. The per-SHINGLE

@@ -136,6 +136,55 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Ordered multi-step funnel over the event stream — the classic
+    * product-analytics operator: of the users who did step 1, how many
+    * went on to step 2 within `windowUs`, and then step 3 within
+    * `windowUs` of THAT. Earliest-completion semantics (each stage
+    * anchors at the MIN qualifying time after the previous stage),
+    * which is deterministic and the standard funnel definition.
+    *
+    * Shape: three conditional min-aggregations keyed on user_id —
+    * every shuffle is user-keyed, so the three stages co-partition and
+    * AQE collapses the joins to local ones; nothing is ever global. At
+    * 100 TB of events this is the right plan: no session explosion, no
+    * self-join on the raw stream, per-user state is three longs.
+    *
+    * @return (user_id, s1_us, s2_us, s3_us, stage) — sN_us = micros of
+    *         the stage-N anchor event (null if not reached), stage =
+    *         highest stage reached (1..3; users with no step-1 event
+    *         are absent) */
+  def qEventFunnel(
+      spark: SparkSession, sfDir: String,
+      step1: String = "view", step2: String = "click", step3: String = "purchase",
+      windowUs: Long = 1800L * 1000000L): DataFrame =
+    funnel(Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus")),
+      step1, step2, step3, windowUs)
+
+  /** [[qEventFunnel]]'s core over a prepared (user_id, event_type, tus)
+    * relation — separated so specs can drive planted event streams. */
+  def funnel(
+      events: DataFrame,
+      step1: String, step2: String, step3: String,
+      windowUs: Long): DataFrame = {
+    val ev = events.transform(graft.CacheScope.pin) // three stage scans read it
+    val s1 = ev.filter(col("event_type") === step1)
+      .groupBy("user_id").agg(min("tus").as("s1_us"))
+    val s2 = ev.filter(col("event_type") === step2)
+      .join(s1, Seq("user_id"))
+      .filter(col("tus") >= col("s1_us") && col("tus") <= col("s1_us") + windowUs)
+      .groupBy("user_id").agg(min("tus").as("s2_us"))
+    val s3 = ev.filter(col("event_type") === step3)
+      .join(s2, Seq("user_id"))
+      .filter(col("tus") >= col("s2_us") && col("tus") <= col("s2_us") + windowUs)
+      .groupBy("user_id").agg(min("tus").as("s3_us"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("s1_us"), col("s2_us"), col("s3_us"),
+        (lit(1L) + when(col("s2_us").isNotNull, 1L).otherwise(0L)
+          + when(col("s3_us").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
   /** Hierarchical totals via ROLLUP(region, nation) — grouping-sets
     * breadth (subtotal + grand-total rows). */
   def qRevenueRollup(spark: SparkSession, sfDir: String): DataFrame = {

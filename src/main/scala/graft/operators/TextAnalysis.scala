@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.HashFunctions.hash60
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import graft.functions.PortableMath.rnd
@@ -1004,6 +1005,67 @@ object TextAnalysis {
         rnd(sum(floor(col("avg_logprob") * lit(1e6) + lit(0.5)).cast("long"))
             .cast("double") / (count(lit(1)).cast("double") * lit(1e6)), 6)
           .as("mean_logprob"))
+  }
+
+  /** Frozen weights for [[hashedLinearClassifier]] — integer MICRO-units
+    * (w·1e6), so per-doc accumulation is exact Int64 and the oracle
+    * mirrors bit-for-bit with zero float-summation-order risk. The
+    * values are a fixed seeded draw (uniform in ±0.5, seed 20240813) —
+    * a stand-in for trained fasttext-style weights, exactly like the
+    * frozen IVF/PQ codebook literals: a production run swaps in real
+    * training output, changing only the literals. */
+  val ClassifierWeightsMicro: Array[Long] = {
+    val rng = new scala.util.Random(20240813L)
+    Array.fill(64)((rng.nextDouble() - 0.5) * 1e6).map(math.rint(_).toLong)
+  }
+
+  /** Hashed-bag-of-words linear text classifier — the fasttext-style
+    * quality-filter stand-in (Joulin et al. 2016, arXiv:1607.01759: a
+    * linear model over hashed n-gram features is the standard cheap
+    * quality/domain gate run over the WHOLE corpus before any
+    * model-based filtering; CCNet and the LLaMA data pipeline both use
+    * exactly this shape). Each token hashes into one of
+    * `weights.length` feature buckets via the portable 60-bit hash;
+    * the doc score is the mean bucket weight (mean-pooling, the
+    * fasttext default) plus a bias, banded into keep / review / drop.
+    *
+    * Determinism: weights are integer micro-units summed in Int64
+    * (association-free, exact), divided once and rounded at 1e-6 —
+    * the band decision happens on the ROUNDED score, the same
+    * discipline as [[perplexityGate]]. The sigmoid is deliberately NOT
+    * applied: it is monotone, so banding on the linear score is
+    * banding on the probability, without exp() portability risk.
+    *
+    * Scale shape: pure per-row projection (one md5 per token inside a
+    * fold over the materialized token array) — zero shuffles; composes
+    * with any downstream gate the way [[gopherRules]] does.
+    *
+    * @return (id, n_toks, score, band) */
+  def hashedLinearClassifier(
+      docs: DataFrame, idCol: String, textCol: String,
+      weightsMicro: Array[Long] = ClassifierWeightsMicro,
+      biasMicro: Long = 0L,
+      dropBelow: Double = -0.05, keepAbove: Double = 0.05): DataFrame = {
+    val nB = weightsMicro.length
+    val warr = array(weightsMicro.map(lit(_)): _*)
+    val withToks = Par.ensureMapParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+    val sumMicro = aggregate(col("_toks"), lit(0L),
+      (acc, t) => acc + element_at(warr, (hash60(t) % nB).cast("int") + 1))
+    withToks
+      .select(col("id"), size(col("_toks")).cast("long").as("n_toks"),
+        sumMicro.as("_sum"))
+      .withColumn("score",
+        when(col("n_toks") === 0L, lit(0.0))
+          .otherwise(rnd(
+            (col("_sum") + lit(biasMicro)).cast("double") /
+              (col("n_toks").cast("double") * lit(1e6)), 6)))
+      .withColumn("band",
+        when(col("n_toks") === 0L, lit("drop"))
+          .when(col("score") > keepAbove, lit("keep"))
+          .when(col("score") < dropBelow, lit("drop"))
+          .otherwise(lit("review")))
+      .select("id", "n_toks", "score", "band")
   }
 
   /** The five stopwords the Gopher-rule check probes for (a deliberately

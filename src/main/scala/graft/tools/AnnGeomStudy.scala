@@ -43,6 +43,24 @@ object AnnGeomStudy {
     rows.toDF("id", "embedding").repartition(32).cache()
   }
 
+  /** Isotropic companion corpus — unit-norm Gaussians, NO cluster
+    * structure. Used to TRAIN cross-geometry codebooks (the
+    * "frozen-isotropic" arms): quantizers fit on this geometry and then
+    * applied to the clustered corpus measure exactly the mismatch a
+    * production system inherits when its codebooks are trained on one
+    * distribution and served on another. */
+  def isotropicCorpus(
+      spark: SparkSession, n: Int, dim: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val nr = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (f"i$i%06d", v.map(_ / nr))
+    }
+    rows.toDF("id", "embedding").repartition(32).cache()
+  }
+
   def main(args: Array[String]): Unit = {
     val nClusters = args.lift(0).map(_.toInt).getOrElse(600)
     val perCluster = args.lift(1).map(_.toInt).getOrElse(100)
@@ -135,6 +153,34 @@ object AnnGeomStudy {
     val cbs4 = Pq.trainedCodebooks(docs, dim, nSub = 4, nCodes = 256)
     sls.foreach(sl => pqLine("pq4x256-trained", sl,
       s => Pq.topKPqRerankWith(docs, queries, 5, dim, cbs4, s)))
+
+    // cross-geometry PQ (r7 verdict Missing #2): codebooks TRAINED on an
+    // isotropic corpus, APPLIED to the clustered one — the PQ analogue
+    // of the ivf*-frozen-isotropic lines. The IVF study showed
+    // isotropic-trained coarse quantizers mislead on clustered data;
+    // this measures whether the same codebook-placement mismatch costs
+    // ADC rank fidelity, at the same 32-bit/vector budget.
+    val iso = isotropicCorpus(spark, n.toInt, dim, 1234L)
+    val isoCbs8 = Pq.trainedCodebooks(iso, dim, nSub = 8, nCodes = 16)
+    sls.foreach(sl => pqLine("pq8x16-iso-xgeom", sl,
+      s => Pq.topKPqRerankWith(docs, queries, 5, dim, isoCbs8, s)))
+    val isoCbs4 = Pq.trainedCodebooks(iso, dim, nSub = 4, nCodes = 256)
+    sls.foreach(sl => pqLine("pq4x256-iso-xgeom", sl,
+      s => Pq.topKPqRerankWith(docs, queries, 5, dim, isoCbs4, s)))
+    iso.unpersist()
+
+    // IVF-PQ composition on clustered geometry (the q56 envelope was
+    // isotropic-only): fresh coarse quantizer + deterministic codes,
+    // ADC shortlist inside the probed lists, exact rescoring on top.
+    def ivfPqLine(nprobe: Int, shortlist: Int): Unit = {
+      val r = recall(resultSet(Pq.topKIvfPq(
+        docs, queries, 5, dim, nCentroids = 16, nprobe = nprobe,
+        nSub = 8, nCodes = 16, shortlist = shortlist)))
+      println(f"[geom] ivfpq16 det8x16 nprobe=$nprobe shortlist=$shortlist recall@5=$r%.3f")
+    }
+    ivfPqLine(1, 50)
+    ivfPqLine(2, 50)
+    ivfPqLine(2, 200)
     spark.stop()
   }
 }

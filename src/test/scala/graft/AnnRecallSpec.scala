@@ -358,6 +358,46 @@ class AnnRecallSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("clustered corpus: isotropic-trained PQ codebooks avoid the collapse (cross-geometry pin)") {
+    // The r8 cross-geometry arm: PQ codebooks TRAINED on an isotropic
+    // corpus, APPLIED to the clustered one. Mechanism pinned here: the
+    // 8x16 collapse comes from k-means codewords tracking the CLUSTERED
+    // corpus's sub-centers; isotropic-trained codewords spread like the
+    // md5 family's, keeping within-cluster discrimination — so the
+    // cross-geometry codebooks must not do WORSE than the
+    // clustered-trained ones in the few-clusters regime (bench scale
+    // shows the same on 4x256: iso 0.737 vs clustered-trained 0.587 at
+    // shortlist=50 — the "mismatch" is protective for ADC rank
+    // fidelity; see SCALE.md).
+    import graft.operators.Pq
+    val docs = graft.tools.AnnGeomStudy.clusteredCorpus(
+      spark, nClusters = 25, perCluster = 40, dim = 64, sigma = 0.25, seed = 42L)
+    val iso = graft.tools.AnnGeomStudy.isotropicCorpus(spark, 1000, 64, 1234L)
+    val queries = docs.filter(col("id").endsWith("_000"))
+      .select(col("id").as("qid"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = resultSet(df)
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val cbsClustered = Pq.trainedCodebooks(docs, dim = 64, nSub = 8, nCodes = 16)
+    val clustered8 = recall(
+      Pq.topKPqRerankWith(docs, queries, 5, 64, cbsClustered, shortlist = 20))
+    val cbsIso = Pq.trainedCodebooks(iso, dim = 64, nSub = 8, nCodes = 16)
+    val iso8 = recall(
+      Pq.topKPqRerankWith(docs, queries, 5, 64, cbsIso, shortlist = 20))
+    info(f"PQ 8x16 recall@5 at shortlist=20: clustered-trained $clustered8%.3f " +
+      f"vs isotropic-trained $iso8%.3f")
+    assert(iso8 >= clustered8 - 0.02,
+      f"isotropic-trained codebooks must not collapse: $iso8%.3f < $clustered8%.3f")
+    iso.unpersist(); docs.unpersist()
+  }
+
   test("prefix-dim rerank: full-corpus shortlist ≡ brute force; recall grows with prefix width") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables.embeddings(spark, sf)

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the round-8 pipeline additions: the hashed linear
+  * quality classifier (q122), seeded shuffle/sharding (q123), within-doc
+  * repeated-unit removal (q124), and the ordered event funnel (q125). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM-side mirror of HashFunctions.hash60 (md5 first 15 hex → long). */
+  private def hash60jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("hashedLinearClassifier: single-token doc scores exactly its bucket weight") {
+    val ws = TextAnalysis.ClassifierWeightsMicro
+    val docs = Seq((1L, "hello"), (2L, "world"), (3L, ""), (4L, "hello hello"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearClassifier(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Double]("score"),
+          r.getAs[String]("band")))).toMap
+    def expected(tok: String): Double = {
+      val w = ws((hash60jvm(tok) % ws.length).toInt)
+      math.rint(w.toDouble / 1e6 * 1e6) / 1e6
+    }
+    assert(got(1L)._1 == 1L && got(1L)._2 == expected("hello"))
+    assert(got(2L)._2 == expected("world"))
+    assert(got(3L) == ((0L, 0.0, "drop")), "empty doc lands in drop at 0.0")
+    // mean pooling: two copies of one token = the same score as one
+    assert(got(4L)._1 == 2L && got(4L)._2 == got(1L)._2)
+  }
+
+  test("hashedLinearClassifier: bands are thresholds on the rounded score") {
+    // force scores via single-token docs whose bucket weights we know
+    val ws = TextAnalysis.ClassifierWeightsMicro
+    val docs = Seq.tabulate(200)(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearClassifier(docs, "doc_id", "text").collect()
+    got.foreach { r =>
+      val s = r.getAs[Double]("score")
+      val b = r.getAs[String]("band")
+      val want = if (s > 0.05) "keep" else if (s < -0.05) "drop" else "review"
+      assert(b == want, s"score $s banded $b, want $want")
+    }
+    // the frozen weights must actually populate more than one band
+    assert(got.map(_.getAs[String]("band")).toSet.size >= 2)
+  }
+
+  test("seededShuffle: deterministic, partitioning-independent, round-robin formula holds") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val a = Curation.seededShuffle(docs, "doc_id", "graft", 8)
+      .orderBy("shard", "pos").collect()
+    val b = Curation.seededShuffle(docs.repartition(7), "doc_id", "graft", 8)
+      .orderBy("shard", "pos").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "order must not depend on input partitioning")
+    // per-shard positions are contiguous from 1
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"shard $sh positions not contiguous")
+    }
+    // global_pos = (pos-1)*n + shard, and is collision-free
+    assert(a.forall(r => r.getAs[Long]("global_pos") ==
+      (r.getAs[Long]("pos") - 1) * 8 + r.getAs[Long]("shard")))
+    assert(a.map(_.getAs[Long]("global_pos")).distinct.length == a.length)
+    // a different seed produces a different order
+    val c = Curation.seededShuffle(docs, "doc_id", "other", 8)
+      .orderBy("shard", "pos").collect()
+    assert(c.map(_.getAs[Long]("id")).toSeq != a.map(_.getAs[Long]("id")).toSeq)
+  }
+
+  test("intraDocDedup: keeps first occurrence in order, reports removal count") {
+    val docs = Seq(
+      (1L, "alpha\n\nbeta\n\nalpha\n\ngamma"), // one repeat
+      (2L, "solo"),                            // nothing to remove
+      (3L, "x\n\nx\n\nx\n\nx"),                // three repeats
+      (4L, "")                                 // no units at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.intraDocDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("cleaned_len"), r.getAs[String]("cleaned_hash")))).toMap
+    def h(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((4L, 1L, 18L, h("alpha\n\nbeta\n\ngamma"))))
+    assert(got(2L) == ((1L, 0L, 4L, h("solo"))))
+    assert(got(3L) == ((4L, 3L, 1L, h("x"))))
+    assert(!got.contains(4L), "empty doc has no units, no row")
+  }
+
+  test("funnel: earliest-completion anchors and window cutoffs") {
+    val W = 100L
+    val ev = Seq(
+      // user 1: full funnel, in-window each step
+      (1L, "view", 1000L), (1L, "click", 1050L), (1L, "purchase", 1120L),
+      // user 2: click arrives AFTER the window from first view → stage 1
+      (2L, "view", 1000L), (2L, "click", 1200L),
+      // user 3: click before any view never counts → stage 1
+      (3L, "click", 900L), (3L, "view", 1000L),
+      // user 4: anchors are the EARLIEST qualifying events — second
+      // view is ignored, purchase within window of earliest click
+      (4L, "view", 1000L), (4L, "view", 1010L),
+      (4L, "click", 1080L), (4L, "click", 1090L), (4L, "purchase", 1170L),
+      // user 5: no view at all → absent from the funnel
+      (5L, "purchase", 1000L)
+    ).toDF("user_id", "event_type", "tus")
+    val got = Relational.funnel(ev, "view", "click", "purchase", W)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getAs[Long]("stage")))).toMap
+    assert(got(1L) == ((Some(1000L), Some(1050L), Some(1120L), 3L)))
+    assert(got(2L) == ((Some(1000L), None, None, 1L)))
+    assert(got(3L) == ((Some(1000L), None, None, 1L)))
+    assert(got(4L) == ((Some(1000L), Some(1080L), Some(1170L), 3L)))
+    assert(!got.contains(5L))
+  }
+}
