@@ -1343,6 +1343,22 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("user_id")
 
+  /** Count-min heavy hitters (q126): exact top-30 tokens with their
+    * sketch estimates and overestimates (see
+    * [[Sketches.cmsHeavyHitters]]). */
+  private def cmsHeavyHittersQ(s: SparkSession, dir: String): DataFrame =
+    Sketches.cmsHeavyHitters(Tables.documents(s, dir), "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy(col("exact_n").desc, col("token"))
+
+  /** KS distribution drift (q127): two-sample Kolmogorov–Smirnov D on
+    * doc length between src0 and src1 (see [[TextAnalysis.ksDrift]]). */
+  private def ksDriftQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ksDrift(Tables.documents(s, dir), "source",
+        "src0", "src1", length(col("text")))
+      .transform(graft.CacheScope.pin)
+      .orderBy("x_at_max")
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -1639,7 +1655,15 @@ object SparkEntry {
     * community). A doc-id chain (degree ≤ 2, plus ≤ 1 community link)
     * under a doc_id%25 community clique gives the 4-core something real
     * to do: the chain cascades away, the community survives — exactly
-    * the graph-cleanup use case the operator exists for. */
+    * the graph-cleanup use case the operator exists for.
+    *
+    * The ANN-graph composition (k-core over [[Ann.topKMultiTable]]
+    * edges) is proven on planted VECTOR topology in GraphAlgosSpec
+    * ("planted-topology composition"): with a similarity threshold on
+    * the edges it recovers exactly the ≥(k+1)-member tight clusters
+    * and peels a 5-member cluster a threshold alone would keep — and
+    * it documents the cascade hazard (ANN k must exceed the core k,
+    * since rank 1 is the self-match). */
   private def kCoreQ(s: SparkSession, dir: String): DataFrame = {
     val ids = Tables.documents(s, dir).select(col("doc_id"))
     val chain = ids.as("x").join(ids.as("y"),
@@ -1917,6 +1941,8 @@ object SparkEntry {
     "q123_seeded_shuffle" -> ((s, d) => seededShuffleQ(s, d)),
     "q124_intradoc_dedup" -> ((s, d) => intraDocDedupQ(s, d)),
     "q125_event_funnel" -> ((s, d) => eventFunnelQ(s, d)),
+    "q126_cms_heavy_hitters" -> ((s, d) => cmsHeavyHittersQ(s, d)),
+    "q127_ks_drift" -> ((s, d) => ksDriftQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4726,6 +4752,55 @@ object SparkEntry {
          |  CAST(length(cleaned) AS BIGINT) AS cleaned_len,
          |  sha256(cleaned) AS cleaned_hash
          |FROM roll ORDER BY doc_id""".stripMargin,
+    "q126_cms_heavy_hitters" ->
+      // Mirror of Sketches.cmsHeavyHitters: cell counts from the
+      // distinct-token count table (identical to occurrence-grain
+      // counting), seeded-hash60 columns, min-over-rows estimate for
+      // the exact top-30. range(4) is the depth fan-out both sides.
+      s"""WITH toks AS (
+         |  SELECT unnest(${toksOf("text")}) AS t FROM documents),
+         |exact AS (SELECT t, count(*) AS exact_n FROM toks GROUP BY t),
+         |fan AS (
+         |  SELECT t, exact_n, u.r,
+         |    ${hash60("concat(CAST(u.r AS VARCHAR), ':', t)")} % 256 AS c
+         |  FROM exact, range(4) u(r)),
+         |cells AS (
+         |  SELECT r, c, CAST(sum(exact_n) AS BIGINT) AS cell_n
+         |  FROM fan GROUP BY r, c),
+         |top AS (SELECT t, exact_n FROM exact ORDER BY exact_n DESC, t LIMIT 30),
+         |probe AS (
+         |  SELECT t, exact_n, u.r,
+         |    ${hash60("concat(CAST(u.r AS VARCHAR), ':', t)")} % 256 AS c
+         |  FROM top, range(4) u(r)),
+         |est AS (
+         |  SELECT p.t, p.exact_n, min(cells.cell_n) AS cms_n
+         |  FROM probe p JOIN cells ON p.r = cells.r AND p.c = cells.c
+         |  GROUP BY p.t, p.exact_n)
+         |SELECT t AS token, CAST(exact_n AS BIGINT) AS exact_n, cms_n,
+         |  cms_n - exact_n AS overestimate
+         |FROM est ORDER BY exact_n DESC, token""".stripMargin,
+    "q127_ks_drift" ->
+      // Mirror of TextAnalysis.ksDrift: exact two-sample KS on doc
+      // length between src0/src1 — cumulative counts over the union
+      // support, rounded |F_a - F_b|, argmax tie-broken by smallest x.
+      s"""WITH v AS (
+         |  SELECT source AS g, CAST(length(text) AS BIGINT) AS x
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |perx AS (
+         |  SELECT x,
+         |    CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM v GROUP BY x),
+         |cum AS (
+         |  SELECT x,
+         |    sum(na) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS ca,
+         |    sum(nb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cb
+         |  FROM perx),
+         |tot AS (SELECT max(ca) AS ta, max(cb) AS tb FROM cum)
+         |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+         |  ${sqlRnd("abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))", 6)} AS ks_d,
+         |  x AS x_at_max
+         |FROM cum, tot ORDER BY ks_d DESC, x LIMIT 1""".stripMargin,
     "q125_event_funnel" ->
       // Mirror of Relational.qEventFunnel: earliest-completion funnel,
       // each stage's min qualifying time within 30 min of the previous

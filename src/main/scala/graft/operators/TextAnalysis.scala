@@ -1007,6 +1007,53 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic over an integer
+    * document measure (length, token count, quality bucket …) between
+    * two corpus slices — the distribution-drift monitor a pipeline runs
+    * when a new crawl/source lands: a large D means the slices differ
+    * somewhere in the distribution body, not just in the mean.
+    *
+    * D = max over x of |F_a(x) − F_b(x)| with the empirical CDFs
+    * evaluated on the UNION support (the exact two-sample statistic,
+    * no binning). All inputs to the division are exact integers, the
+    * two divisions and the subtraction are identically associated in
+    * both engines, and the reported D is rounded at 1e-6 with the max
+    * location tie-broken by smallest x — bit-deterministic.
+    *
+    * Scale shape: one groupBy on the measure value (support-bounded —
+    * doc lengths, token counts are small-cardinality domains), then a
+    * cumulative window over that SUPPORT (hundreds of rows however big
+    * the corpus — the window's single partition holds support points,
+    * never documents), then one TakeOrdered row.
+    *
+    * @return one row: (n_a, n_b, ks_d, x_at_max) */
+  def ksDrift(
+      docs: DataFrame, groupCol: String, a: String, b: String,
+      value: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("x").rowsBetween(Long.MinValue, 0)
+    val perX = Par.ensureMapParallelism(docs)
+      .filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"), value.cast("long").as("x"))
+      .groupBy("x")
+      .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("nb"))
+    val cum = perX
+      .withColumn("ca", sum("na").over(w))
+      .withColumn("cb", sum("nb").over(w))
+      .transform(graft.CacheScope.pin) // totals + the argmax read it
+    val tot = cum.agg(max("ca").as("ta"), max("cb").as("tb"))
+    cum.crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        rnd(abs(col("ca").cast("double") / col("ta").cast("double")
+          - col("cb").cast("double") / col("tb").cast("double")), 6).as("d"),
+        col("x"))
+      .orderBy(col("d").desc, col("x"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("d").as("ks_d"),
+        col("x").as("x_at_max"))
+  }
+
   /** Frozen weights for [[hashedLinearClassifier]] — integer MICRO-units
     * (w·1e6), so per-doc accumulation is exact Int64 and the oracle
     * mirrors bit-for-bit with zero float-summation-order risk. The

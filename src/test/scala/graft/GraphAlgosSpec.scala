@@ -227,6 +227,62 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.pageRankFixedPoint(none).count() == 0L)
   }
 
+  test("k-core over the ANN graph recovers planted dense clusters (planted-topology composition)") {
+    // q89's scaladoc documents why this composition degenerates on
+    // NATURAL corpora: a KNN graph gives every node out-degree k, so
+    // after symmetrization nobody falls below k and the k-core peels
+    // nothing. The composition becomes discriminating with a similarity
+    // threshold on the ANN edges — "dense semantic neighborhood" mining:
+    // keep edges at cosine ≥ minSim, then k-core. Planted topology
+    // (VERDICT r7 Missing #3): clusters of 30/12/5 members (σ=0.05,
+    // within-cluster cos ≈ 0.995) + 60 scatter points. The 6-core must
+    // keep exactly the two clusters with > 6 members: scatter loses its
+    // (weak) edges to the threshold, and the 5-cluster — internally as
+    // TIGHT as the big ones, so a pure threshold would keep it — has
+    // only 4 strong neighbors per member and is peeled by the degree
+    // rule. That separation is the k-core's discriminating action.
+    import graft.operators.Ann
+    val dim = 16
+    val rng = new scala.util.Random(11)
+    def unit(raw: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat).toSeq
+    }
+    def cluster(tag: String, m: Int): Seq[(String, Seq[Float])] = {
+      val c = Array.fill(dim)(rng.nextGaussian())
+      Seq.tabulate(m)(i =>
+        (s"${tag}_$i", unit(c.map(_ + 0.05 * rng.nextGaussian()))))
+    }
+    val a = cluster("a", 30)
+    val b = cluster("b", 12)
+    val tiny = cluster("t", 5)
+    val scatter = Seq.tabulate(60)(i =>
+      (s"s_$i", unit(Array.fill(dim)(rng.nextGaussian()))))
+    val docs = (a ++ b ++ tiny ++ scatter).toDF("id", "embedding")
+    val qs = docs.select(col("id").as("qid"), col("embedding").as("qvec"))
+    // k = 7 because rank 1 is the query itself (the F5 self-match): 6
+    // real neighbors per node keeps min out-degree at the core
+    // threshold — with only 5, boundary nodes dip below 6 and the peel
+    // CASCADES the whole cluster away (measured: core = ∅)
+    val edges = Ann.topKMultiTable(docs, qs, k = 7, dim = dim,
+        nPlanes = 4, nTables = 8)
+      .filter(col("qid") =!= col("id"))
+      .groupBy(least(col("qid"), col("id")).as("src"),
+        greatest(col("qid"), col("id")).as("dst"))
+      .agg(max(col("sim")).as("sim"))
+    val strong = edges.filter(col("sim") >= 0.8)
+    val core = GraphAlgos.kCore(strong, k = 6).collect()
+      .map(_.getAs[String]("id")).toSet
+    val want = (a ++ b).map(_._1).toSet
+    assert(core == want,
+      s"6-core should be exactly the 30- and 12-clusters; " +
+        s"missing=${want -- core}, extra=${core -- want}")
+    // and the threshold alone would NOT have discriminated: the tiny
+    // cluster's internal edges survive it
+    val tinyStrong = strong.filter(col("src").startsWith("t_")).count()
+    assert(tinyStrong > 0, "tiny cluster must keep strong edges pre-peel")
+  }
+
   test("hitsFixedPoint: hand-computed hubs/authorities with max-normalization") {
     // a→c, b→c, c→d; one iteration:
     // a-raw: c = 2e6, d = 1e6 → max-norm: c = 1e6, d = 5e5

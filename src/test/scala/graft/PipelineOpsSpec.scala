@@ -92,6 +92,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.contains(4L), "empty doc has no units, no row")
   }
 
+  test("cmsHeavyHitters: estimates never undercount; exact when collision-free") {
+    // "alpha" x5, "beta" x3, "gamma" x2 — wide sketch (256 cols, 4 rows)
+    // cannot collide 3 tokens in every row, so all estimates are exact
+    val docs = Seq((1L, ("alpha " * 5) + ("beta " * 3) + ("gamma " * 2)))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Sketches
+      .cmsHeavyHitters(docs, "text", depth = 4, width = 256, topK = 10)
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n"),
+          r.getAs[Long]("overestimate")))).toMap
+    assert(got == Map(
+      "alpha" -> ((5L, 5L, 0L)), "beta" -> ((3L, 3L, 0L)),
+      "gamma" -> ((2L, 2L, 0L))))
+    // width 1 forces total collision: every estimate = total token mass
+    val crushed = graft.operators.Sketches
+      .cmsHeavyHitters(docs, "text", depth = 2, width = 1, topK = 10)
+      .collect()
+    crushed.foreach { r =>
+      assert(r.getAs[Long]("cms_n") == 10L,
+        s"width-1 sketch must report the full mass: $r")
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n"))
+    }
+  }
+
+  test("ksDrift: hand-computed D and argmax tie-break; identical slices drift 0") {
+    val docs = Seq(
+      ("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)
+    ).toDF("source", "x").withColumn("doc_id", lit(0L))
+    val r = TextAnalysis.ksDrift(docs, "source", "a", "b", col("x")).collect()(0)
+    // support {1,2,3}: F_a = .5, 1, 1; F_b = 0, .5, 1 → D=.5 at x∈{1,2},
+    // smallest-x tie-break → 1
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("ks_d") == 0.5 && r.getAs[Long]("x_at_max") == 1L)
+    val same = Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L))
+      .toDF("source", "x")
+    val r2 = TextAnalysis.ksDrift(same, "source", "a", "b", col("x")).collect()(0)
+    assert(r2.getAs[Double]("ks_d") == 0.0)
+  }
+
   test("funnel: earliest-completion anchors and window cutoffs") {
     val W = 100L
     val ev = Seq(

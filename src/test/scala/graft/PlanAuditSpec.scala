@@ -305,6 +305,36 @@ class PlanAuditSpec extends SparkSpec {
       s"the rule signals must be shuffle-free map work:\n$p")
   }
 
+  test("q122 quality classifier: per-row projection — no KEYED exchange (the q119 contract)") {
+    val df = graft.operators.TextAnalysis.hashedLinearClassifier(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val p = planString(df)
+    // same contract as gopherRules: the hashed-feature fold is map-only
+    // work; any keyed exchange means the classifier stopped being a
+    // projection (the final orderBy lives in the Q wrapper, not here)
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"classifier scoring must be shuffle-free map work:\n$p")
+  }
+
+  test("q123 seeded shuffle: exactly one keyed exchange (the shard partition), no global sort below it") {
+    val df = graft.operators.Curation.seededShuffle(
+      Tables.documents(spark, sf), "doc_id", "graft", 8)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the global order is a FORMULA over (shard, pos) — the operator
+    // itself must not range-partition (that would be a global sort)
+    assert(!p.contains("rangepartitioning"),
+      s"seededShuffle must not global-sort; global_pos is computed:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size <= 1,
+      s"one shard-keyed exchange expected:\n$p")
+  }
+
+  test("q125 event funnel: all joins user-keyed, no stream self-join blowup") {
+    val p = planString(SparkEntry.queries("q125_event_funnel")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel stage joins must be user-keyed:\n$p")
+  }
+
   test("q73 contamination: train-set probe plans as a LEFT SEMI hash join") {
     val p = planString(SparkEntry.queries("q73_shingle_contamination")(spark, sf))
     assert(p.contains("LeftSemi"),
