@@ -10,6 +10,19 @@ import graft.operators.Embed
   */
 object OracleSql {
 
+  /** Float-array literal that parses to EXACTLY the intended floats.
+    * Bare numeric list literals unify to a common DECIMAL type in
+    * DuckDB (`typeof([-0.12938572, …]) = DECIMAL(10,9)[]`) and the
+    * DECIMAL→FLOAT conversion is NOT correctly rounded — measured 8 of
+    * 64 elements off by 1–2 float ulps per centroid vector, enough to
+    * flip a 1e-6-rounded score on a half boundary (q128 caught it; the
+    * bucket-grain consumers q18/q47/… never noticed because a 1-ulp
+    * centroid shift almost never flips an argmax). VARCHAR elements
+    * cast via strtof, which IS correctly rounded, so the shortest-
+    * roundtrip `Float.toString` text recovers the exact float. */
+  def floatArrayLit(xs: Array[Float]): String =
+    xs.map(x => s"'$x'").mkString("CAST([", ", ", "] AS FLOAT[])")
+
   /** Mirror of VectorFunctions.dotProduct: element-wise Double products,
     * strict left fold from 0.0. */
   def dot(a: String, b: String): String =

@@ -603,15 +603,19 @@ object SparkEntry {
       val scores = (0 until nCodes).map { j =>
         val c = Pq.centroid(s, j, subDim, nSub)
         val c2 = c.map(x => x.toDouble * x.toDouble).sum
-        val lits = c.map(_.toString).mkString("[", ", ", "]")
-        s"${dot(sub("embedding", s), s"CAST($lits AS FLOAT[])")} * 2.0 - $c2"
+        // string-literal floats + CAST'd double: DuckDB's bare numeric
+        // list/decimal literals round-trip through DECIMAL, whose FLOAT/
+        // DOUBLE conversions are not correctly rounded (OracleSql
+        // .floatArrayLit scaladoc)
+        s"${dot(sub("embedding", s), graft.OracleSql.floatArrayLit(c))}" +
+          s" * 2.0 - CAST('$c2' AS DOUBLE)"
       }.mkString("[", ",\n     ", "]")
       s"CAST(list_position($scores, list_max($scores)) AS INT)"
     }
     val adcTerms = (0 until nSub).map { s =>
       val cb = (0 until nCodes)
-        .map(j => Pq.centroid(s, j, subDim, nSub).map(_.toString)
-          .mkString("[", ", ", "]"))
+        .map(j => Pq.centroid(s, j, subDim, nSub)
+          .map(x => s"'$x'").mkString("[", ", ", "]"))
         .mkString("[", ", ", "]")
       dot(sub("p.qvec", s), s"(CAST($cb AS FLOAT[][]))[d.code[${s + 1}]]")
     }.mkString("(", " + ", ")")
@@ -736,15 +740,19 @@ object SparkEntry {
       val scores = (0 until nCodes).map { j =>
         val c = Pq.centroid(s, j, subDim, nSub)
         val c2 = c.map(x => x.toDouble * x.toDouble).sum
-        val lits = c.map(_.toString).mkString("[", ", ", "]")
-        s"${dot(sub("embedding", s), s"CAST($lits AS FLOAT[])")} * 2.0 - $c2"
+        // string-literal floats + CAST'd double: DuckDB's bare numeric
+        // list/decimal literals round-trip through DECIMAL, whose FLOAT/
+        // DOUBLE conversions are not correctly rounded (OracleSql
+        // .floatArrayLit scaladoc)
+        s"${dot(sub("embedding", s), graft.OracleSql.floatArrayLit(c))}" +
+          s" * 2.0 - CAST('$c2' AS DOUBLE)"
       }.mkString("[", ",\n     ", "]")
       s"CAST(list_position($scores, list_max($scores)) AS INT)"
     }
     val adcTerms = (0 until nSub).map { s =>
       val cb = (0 until nCodes)
-        .map(j => Pq.centroid(s, j, subDim, nSub).map(_.toString)
-          .mkString("[", ", ", "]"))
+        .map(j => Pq.centroid(s, j, subDim, nSub)
+          .map(x => s"'$x'").mkString("[", ", ", "]"))
         .mkString("[", ", ", "]")
       dot(sub("q.qvec", s), s"(CAST($cb AS FLOAT[][]))[d.code[${s + 1}]]")
     }.mkString("(", " + ", ")")
@@ -1359,6 +1367,23 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("x_at_max")
 
+  /** Embedding outlier report (q128): cosine-to-assigned-centroid
+    * z-scores over the embeddings table (see
+    * [[Curation.embeddingOutliers]]). */
+  private def embeddingOutliersQ(s: SparkSession, dir: String): DataFrame =
+    Curation.embeddingOutliers(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, nCentroids = 16)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+
+  /** Event rate spikes (q129): per-type hourly count z-scores (see
+    * [[Relational.qEventSpikes]]). */
+  private def eventSpikesQ(s: SparkSession, dir: String): DataFrame =
+    Relational.qEventSpikes(s, dir)
+      .transform(graft.CacheScope.pin)
+      .orderBy("event_type", "hour")
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -1943,6 +1968,8 @@ object SparkEntry {
     "q125_event_funnel" -> ((s, d) => eventFunnelQ(s, d)),
     "q126_cms_heavy_hitters" -> ((s, d) => cmsHeavyHittersQ(s, d)),
     "q127_ks_drift" -> ((s, d) => ksDriftQ(s, d)),
+    "q128_embedding_outliers" -> ((s, d) => embeddingOutliersQ(s, d)),
+    "q129_event_spikes" -> ((s, d) => eventSpikesQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4801,6 +4828,72 @@ object SparkEntry {
          |  ${sqlRnd("abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))", 6)} AS ks_d,
          |  x AS x_at_max
          |FROM cum, tot ORDER BY ks_d DESC, x LIMIT 1""".stripMargin,
+    "q128_embedding_outliers" -> {
+      // Mirror of Curation.embeddingOutliers: same centroid-dot list
+      // literals, rounded cosine score, integer micro-unit stats, and
+      // the identical mean/std/z operation sequence.
+      val dots = graft.operators.Ann.sqlCentroidDots("embedding", 64, 16)
+      val l2 = graft.operators.Embed.sqlL2Norm("embedding")
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, $dots AS dots, $l2 AS nrm
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT id,
+         |    CAST(list_position(dots, list_max(dots)) AS BIGINT) AS cluster,
+         |    ${sqlRnd("list_max(dots) / nrm", 6)} AS score
+         |  FROM e),
+         |m AS (
+         |  SELECT id, cluster, score,
+         |    CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS su
+         |  FROM b),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(su) AS BIGINT) AS s1,
+         |    CAST(sum(su * su) AS BIGINT) AS s2
+         |  FROM m),
+         |zz AS (
+         |  SELECT id, cluster, score, su,
+         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS meanmu,
+         |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS stdmu
+         |  FROM m, st)
+         |SELECT id, cluster, score,
+         |  CASE WHEN stdmu > 0.0
+         |       THEN ${sqlRnd("(CAST(su AS DOUBLE) - meanmu) / stdmu", 6)}
+         |       ELSE 0.0 END AS z,
+         |  CASE WHEN stdmu > 0.0
+         |       THEN ${sqlRnd("(CAST(su AS DOUBLE) - meanmu) / stdmu", 6)}
+         |       ELSE 0.0 END <= -2.0 AS outlier
+         |FROM zz ORDER BY id""".stripMargin
+    },
+    "q129_event_spikes" ->
+      // Mirror of Relational.qEventSpikes: hour grain = micros div
+      // 3600000000, sparse-hour semantics (only populated hours enter
+      // the per-type distribution), identical mean/std/z tail.
+      s"""WITH ph AS (
+         |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY event_type, hour),
+         |st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+         |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+         |  FROM ph GROUP BY event_type),
+         |zz AS (
+         |  SELECT ph.event_type, ph.hour, CAST(ph.n AS BIGINT) AS n,
+         |    CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE) AS meanh,
+         |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+         |      - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+         |        * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)), 0.0)) AS stdh
+         |  FROM ph JOIN st USING (event_type))
+         |SELECT event_type, hour, n,
+         |  CASE WHEN stdh > 0.0
+         |       THEN ${sqlRnd("(CAST(n AS DOUBLE) - meanh) / stdh", 6)}
+         |       ELSE 0.0 END AS z,
+         |  CASE WHEN stdh > 0.0
+         |       THEN ${sqlRnd("(CAST(n AS DOUBLE) - meanh) / stdh", 6)}
+         |       ELSE 0.0 END >= 2.0 AS spike
+         |FROM zz ORDER BY event_type, hour""".stripMargin,
     "q125_event_funnel" ->
       // Mirror of Relational.qEventFunnel: earliest-completion funnel,
       // each stage's min qualifying time within 30 min of the previous

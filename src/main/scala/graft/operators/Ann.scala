@@ -148,8 +148,8 @@ object Ann {
     * literals with the same left fold. */
   def sqlLshBucket(vec: String, dim: Int, nPlanes: Int): String =
     (0 until nPlanes).map { j =>
-      val lits = planeVector(j, dim).map(_.toString).mkString("[", ", ", "]")
-      val proj = graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
+      val proj = graft.OracleSql.dot(vec,
+        graft.OracleSql.floatArrayLit(planeVector(j, dim)))
       s"(CASE WHEN ($proj) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
@@ -428,8 +428,8 @@ object Ann {
     * the centroid-dot list for a vector expression. */
   def sqlCentroidDots(vec: String, dim: Int, nCentroids: Int): String =
     (0 until nCentroids).map { j =>
-      val lits = centroidVector(j, dim).map(_.toString).mkString("[", ", ", "]")
-      graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
+      graft.OracleSql.dot(vec,
+        graft.OracleSql.floatArrayLit(centroidVector(j, dim)))
     }.mkString("[", ",\n       ", "]")
 
   /** SQL mirror of [[dotsWith]]: the centroid-dot list against an
@@ -437,15 +437,14 @@ object Ann {
     * see [[Codebooks]]). */
   def sqlCentroidDotsWith(vec: String, cents: Array[Array[Float]]): String =
     cents.map { c =>
-      val lits = c.map(_.toString).mkString("[", ", ", "]")
-      graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
+      graft.OracleSql.dot(vec, graft.OracleSql.floatArrayLit(c))
     }.mkString("[", ",\n       ", "]")
 
   /** SQL mirror of [[lshBucketT]]. */
   def sqlLshBucketT(vec: String, dim: Int, nPlanes: Int, t: Int): String =
     (0 until nPlanes).map { j =>
-      val lits = planeVectorT(t, j, dim).map(_.toString).mkString("[", ", ", "]")
-      val proj = graft.OracleSql.dot(vec, s"CAST($lits AS FLOAT[])")
+      val proj = graft.OracleSql.dot(vec,
+        graft.OracleSql.floatArrayLit(planeVectorT(t, j, dim)))
       s"(CASE WHEN ($proj) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 }

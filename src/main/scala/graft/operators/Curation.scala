@@ -334,5 +334,56 @@ object Curation {
         (col("pos") - 1L) * nShards + col("shard"))
   }
 
+  /** Embedding-space outlier report — the encoder-failure / noise
+    * detector a pipeline runs over a fresh embedding batch: a vector
+    * whose cosine to its own (nearest) coarse centroid sits far below
+    * the corpus norm is a mis-encoded, corrupted, or out-of-
+    * distribution item. Score = cos(v, assigned centroid); z-scored
+    * against the corpus; flagged at z ≤ `zFlag`.
+    *
+    * Determinism: the per-row score is rounded to the 1e-6 grid, then
+    * corpus mean/variance accumulate over the INTEGER micro-unit scores
+    * (the perplexityGate device — Int64 sums are association-free
+    * where a double sum's last bits depend on partition order); the
+    * division/sqrt tail runs an identical operation sequence in both
+    * engines on identical inputs, so z is bit-deterministic. Degenerate
+    * corpora (zero variance) report z = 0.
+    *
+    * Scale shape: one map projection (16 centroid dots per row against
+    * plan literals), one 3-long aggregate, one 1-row broadcast back —
+    * no keyed shuffle at all. Int64 micro-sums hold to ~10¹² rows;
+    * beyond that widen to decimal.
+    *
+    * @return (id, cluster, score, z, outlier) — every input row */
+  def embeddingOutliers(
+      embs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCentroids: Int, zFlag: Double = -2.0): DataFrame = {
+    val dots = array((0 until nCentroids).map(j =>
+      graft.functions.VectorFunctions.dotProduct(
+        col("v"), typedLit(graft.operators.Ann.centroidVector(j, dim)))): _*)
+    val scored = Par.ensureMapParallelism(embs)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), dots.as("_dots"),
+        graft.functions.VectorFunctions.sumSquares(col("v")).as("_ss"))
+      .select(col("id"),
+        array_position(col("_dots"), array_max(col("_dots")))
+          .cast("long").as("cluster"),
+        rnd6(array_max(col("_dots")) / sqrt(col("_ss"))).as("score"))
+      .withColumn("su", floor(col("score") * lit(1e6) + lit(0.5)).cast("long"))
+      .transform(graft.CacheScope.pin) // stats + the z projection read it
+    val st = scored.agg(count(lit(1)).as("n"),
+      sum(col("su")).as("s1"), sum(col("su") * col("su")).as("s2"))
+    scored.crossJoin(broadcast(st)) // 1-row corpus stats
+      .withColumn("_mean", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("_std", sqrt(greatest(
+        col("s2").cast("double") / col("n").cast("double")
+          - col("_mean") * col("_mean"), lit(0.0))))
+      .withColumn("z", when(col("_std") > 0.0,
+          rnd6((col("su").cast("double") - col("_mean")) / col("_std")))
+        .otherwise(lit(0.0)))
+      .select(col("id"), col("cluster"), col("score"), col("z"),
+        (col("z") <= zFlag).as("outlier"))
+  }
+
   private def rnd6(c: Column): Column = graft.functions.PortableMath.rnd(c, 6)
 }

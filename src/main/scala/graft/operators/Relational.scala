@@ -185,6 +185,52 @@ object Relational {
           + when(col("s3_us").isNotNull, 1L).otherwise(0L)).as("stage"))
   }
 
+  /** Hourly rate-spike detection per event type — the stream-health
+    * monitor: z-score each (event_type, hour)'s event count against
+    * that type's hourly distribution; hours at z ≥ `zFlag` are spikes
+    * (incident bursts, bot storms, replayed traffic). Only hours that
+    * HAVE events enter the distribution (sparse-hour semantics,
+    * mirrored in the oracle).
+    *
+    * Determinism: counts are exact integers; the mean/std tail is the
+    * same fixed operation sequence both engines run on identical
+    * inputs (the [[Curation.embeddingOutliers]] argument); zero-
+    * variance types report z = 0.
+    *
+    * Shape: one (type, hour)-keyed partial-aggregated count, one
+    * 5-row per-type stats aggregate broadcast back — the hour grain
+    * bounds every post-scan relation regardless of event volume.
+    *
+    * @return (event_type, hour, n, z, spike) — every populated hour */
+  def qEventSpikes(
+      spark: SparkSession, sfDir: String, zFlag: Double = 2.0): DataFrame =
+    eventSpikes(Tables.events(spark, sfDir)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus")),
+      zFlag)
+
+  /** [[qEventSpikes]]'s core over a prepared (event_type, tus) relation
+    * — separated so specs can drive planted event streams. */
+  def eventSpikes(events: DataFrame, zFlag: Double): DataFrame = {
+    val perHour = events
+      .select(col("event_type"), expr("tus div 3600000000").as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.CacheScope.pin) // stats + the z projection read it
+    val st = perHour.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"),
+        sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+    perHour.join(broadcast(st), Seq("event_type"))
+      .withColumn("_mean", col("s1").cast("double") / col("nh").cast("double"))
+      .withColumn("_std", sqrt(greatest(
+        col("s2").cast("double") / col("nh").cast("double")
+          - col("_mean") * col("_mean"), lit(0.0))))
+      .withColumn("z", when(col("_std") > 0.0,
+          rnd((col("n").cast("double") - col("_mean")) / col("_std"), 6))
+        .otherwise(lit(0.0)))
+      .select(col("event_type"), col("hour"), col("n"), col("z"),
+        (col("z") >= zFlag).as("spike"))
+  }
+
   /** Hierarchical totals via ROLLUP(region, nation) — grouping-sets
     * breadth (subtotal + grand-total rows). */
   def qRevenueRollup(spark: SparkSession, sfDir: String): DataFrame = {

@@ -131,6 +131,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("ks_d") == 0.0)
   }
 
+  test("embeddingOutliers: junk vector flags, centroid-aligned vectors do not") {
+    import graft.operators.Ann
+    val dim = 8
+    // 12 vectors sitting ON centroids (cos 1.0 to their own cluster)
+    // plus one junk vector built to be far from every centroid — its
+    // max-centroid-cosine sits far below the corpus norm
+    val aligned = (0 until 12).map(i =>
+      (i.toLong, Ann.centroidVector(i % 4, dim).toSeq))
+    // orthogonalize a probe against all 4 centroids (Gram-Schmidt) —
+    // max cosine ≈ 0 where everyone else scores 1.0
+    val cents = (0 until 4).map(j => Ann.centroidVector(j, dim).map(_.toDouble))
+    var probe = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0 else -1.0)
+    cents.foreach { c =>
+      val d = probe.zip(c).map { case (a, b) => a * b }.sum
+      probe = probe.zip(c).map { case (a, b) => a - d * b }
+    }
+    val nrm = math.sqrt(probe.map(x => x * x).sum)
+    val junk = (99L, probe.map(x => (x / nrm).toFloat).toSeq)
+    val df = (aligned :+ junk).toDF("id", "v")
+    val got = graft.operators.Curation
+      .embeddingOutliers(df, "id", "v", dim, 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("score"), r.getAs[Double]("z"),
+          r.getAs[Boolean]("outlier")))).toMap
+    assert(got(99L)._1 < 0.5 && got(99L)._3,
+      s"junk vector must flag: ${got(99L)}")
+    aligned.foreach { case (i, _) =>
+      assert(got(i)._1 > 0.999 && !got(i)._3, s"id $i: ${got(i)}")
+    }
+  }
+
+  test("eventSpikes: burst hour flags, uniform type does not, zero-variance type reports z=0") {
+    val H = 3600000000L
+    val burst = (0 until 4).map(h => ("burst", h * H + 5L)) ++ // 1/hour
+      Seq.fill(20)(("burst", 4 * H + 5L))                      // 20 in hour 4
+    val flat = (0 until 5).map(h => ("flat", h * H + 5L))      // 1/hour always
+    val ev = (burst ++ flat).toDF("event_type", "tus")
+    val got = graft.operators.Relational.eventSpikes(ev, zFlag = 2.0)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("z"), r.getAs[Boolean]("spike")))).toMap
+    assert(got(("burst", 4L))._1 == 20L && got(("burst", 4L))._3,
+      s"burst hour must flag: ${got(("burst", 4L))}")
+    (0 until 4).foreach { h =>
+      assert(!got(("burst", h.toLong))._3, s"quiet hour $h flagged") }
+    (0 until 5).foreach { h =>
+      val (n, z, s) = got(("flat", h.toLong))
+      assert(n == 1L && z == 0.0 && !s, s"flat hour $h: ${got(("flat", h.toLong))}")
+    }
+  }
+
   test("funnel: earliest-completion anchors and window cutoffs") {
     val W = 100L
     val ev = Seq(
