@@ -1384,6 +1384,58 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("event_type", "hour")
 
+  /** End-to-end curation gauntlet (q130): the composed quality
+    * pipeline a pretraining run actually executes — mechanical rules
+    * gate ([[TextAnalysis.gopherRules]] at n_fail ≤ 1; the synthetic
+    * corpus has no stopword mass, so the strict all-rules gate would
+    * keep nothing — the threshold is the operator's tuning knob),
+    * then the classifier gate ([[TextAnalysis.hashedLinearClassifier]]
+    * band ≠ drop), then exact dedup among survivors
+    * ([[Dedup.dedupExact]], first-id-wins), then the temperature
+    * mixture over what remains ([[Curation.temperatureMixture]]).
+    * Output: per-source attrition through every stage plus the final
+    * token allocation — the table a data-engineering review actually
+    * wants from a curation run. */
+  private def curationGauntletQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .transform(graft.CacheScope.pin) // every stage + the raw counts read it
+    val rulesOk = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .filter(col("n_fail") <= 1)
+      .select(col("id").as("doc_id"))
+      .transform(graft.CacheScope.pin) // stage count + the surv semi-join
+    val clsOk = TextAnalysis.hashedLinearClassifier(docs, "doc_id", "text")
+      .filter(col("band") =!= "drop")
+      .select(col("id").as("doc_id"))
+    val surv = docs
+      .join(rulesOk, Seq("doc_id"), "left_semi")
+      .join(clsOk, Seq("doc_id"), "left_semi")
+      .transform(graft.CacheScope.pin) // stage count + dedup read it
+    val kept = Dedup.dedupExact(surv, "doc_id", "text")
+      .transform(graft.CacheScope.pin) // stage count + mixture read it
+    val mix = Curation.temperatureMixture(kept, "source", "text", 1000000L)
+    val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val nRules = docs.join(rulesOk, Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_rules"))
+    val nCls = surv.groupBy("source").agg(count(lit(1)).as("n_cls"))
+    val nKept = kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+    raw
+      .join(nRules, Seq("source"), "left")
+      .join(nCls, Seq("source"), "left")
+      .join(nKept, Seq("source"), "left")
+      .join(mix.select(col("source"), col("n_tokens"),
+        col("alloc_tokens"), col("share")), Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_rules"), lit(0L)).as("n_rules"),
+        coalesce(col("n_cls"), lit(0L)).as("n_cls"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("alloc_tokens"), lit(0L)).as("alloc_tokens"),
+        coalesce(col("share"), lit(0.0)).as("share"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("source")
+  }
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -1970,6 +2022,7 @@ object SparkEntry {
     "q127_ks_drift" -> ((s, d) => ksDriftQ(s, d)),
     "q128_embedding_outliers" -> ((s, d) => embeddingOutliersQ(s, d)),
     "q129_event_spikes" -> ((s, d) => eventSpikesQ(s, d)),
+    "q130_curation_gauntlet" -> ((s, d) => curationGauntletQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4894,6 +4947,113 @@ object SparkEntry {
          |       THEN ${sqlRnd("(CAST(n AS DOUBLE) - meanh) / stdh", 6)}
          |       ELSE 0.0 END >= 2.0 AS spike
          |FROM zz ORDER BY event_type, hour""".stripMargin,
+    "q130_curation_gauntlet" -> {
+      // Mirror of curationGauntletQ: the q119 signal CTEs (n_fail),
+      // the q122 classifier score, the q21 first-id-wins dedup window,
+      // and the q120 mixture CTEs — chained over survivors instead of
+      // the raw corpus, with per-source stage counts joined at the end.
+      val wlist = graft.operators.TextAnalysis.ClassifierWeightsMicro
+        .mkString("[", ", ", "]")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id AS id, text, source,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+         |    $sqlToks AS toks
+         |  FROM documents),
+         |sig AS MATERIALIZED (
+         |  SELECT id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS mean_wlen,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS frac_alpha,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "((len(text) - len(replace(text, '#', '')))" +
+                 " + (len(text) - len(replace(text, '...', ''))) / 3)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS sym_ratio,
+         |    CAST(${graft.operators.TextAnalysis.GopherStopProbe.map(w =>
+               s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS BIGINT) AS n_stop
+         |  FROM base),
+         |rulesok AS (
+         |  SELECT id FROM sig
+         |  WHERE (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
+         |      + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 0 ELSE 1 END)
+         |      + (CASE WHEN frac_alpha >= 0.8 THEN 0 ELSE 1 END)
+         |      + (CASE WHEN sym_ratio <= 0.1 THEN 0 ELSE 1 END)
+         |      + (CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END) <= 1),
+         |cls AS (
+         |  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    COALESCE(CAST(list_aggregate(
+         |      list_transform(toks, x -> ($wlist)[${hash60("x")} % 64 + 1]),
+         |      'sum') AS BIGINT), 0) AS summ
+         |  FROM base),
+         |clsok AS (
+         |  SELECT id FROM (
+         |    SELECT id, n_toks,
+         |      CASE WHEN n_toks = 0 THEN 0.0
+         |           ELSE ${sqlRnd("CAST(summ AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1e6)", 6)}
+         |      END AS score
+         |    FROM cls)
+         |  WHERE NOT (n_toks = 0 OR score < -0.05)),
+         |surv AS MATERIALIZED (
+         |  SELECT b.id, b.text, b.source, b.toks FROM base b
+         |  JOIN rulesok USING (id) JOIN clsok USING (id)),
+         |kept AS MATERIALIZED (
+         |  SELECT id, text, source, toks FROM (
+         |    SELECT id, text, source, toks,
+         |      row_number() OVER (PARTITION BY sha256(text) ORDER BY id) AS rn
+         |    FROM surv)
+         |  WHERE rn = 1),
+         |t AS MATERIALIZED (
+         |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM kept GROUP BY source),
+         |w AS MATERIALIZED (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |      AS weight
+         |  FROM t),
+         |s AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+         |b2 AS MATERIALIZED (
+         |  SELECT w.source, w.n_tokens, w.weight,
+         |    CAST((1000000 * w.weight) // s.tot AS BIGINT) AS base,
+         |    CAST((1000000 * w.weight) % s.tot AS BIGINT) AS rem
+         |  FROM w CROSS JOIN s),
+         |e AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM b2),
+         |r AS (
+         |  SELECT b2.*, row_number() OVER (ORDER BY rem DESC, source) AS rn
+         |  FROM b2),
+         |mix AS (
+         |  SELECT r.source, r.n_tokens,
+         |    CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END AS BIGINT)
+         |      AS alloc_tokens,
+         |    ${sqlRnd("CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END" +
+             " AS DOUBLE) / 1000000.0", 6)} AS share
+         |  FROM r CROSS JOIN e),
+         |raw AS (SELECT source, count(*) AS n_raw FROM base GROUP BY source),
+         |st1 AS (
+         |  SELECT source, count(*) AS n_rules FROM base
+         |  JOIN rulesok USING (id) GROUP BY source),
+         |st2 AS (SELECT source, count(*) AS n_cls FROM surv GROUP BY source),
+         |st3 AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
+         |SELECT raw.source, raw.n_raw,
+         |  COALESCE(st1.n_rules, 0) AS n_rules,
+         |  COALESCE(st2.n_cls, 0) AS n_cls,
+         |  COALESCE(st3.n_kept, 0) AS n_kept,
+         |  COALESCE(mix.n_tokens, 0) AS n_tokens,
+         |  COALESCE(mix.alloc_tokens, 0) AS alloc_tokens,
+         |  COALESCE(mix.share, 0.0) AS share
+         |FROM raw
+         |LEFT JOIN st1 USING (source)
+         |LEFT JOIN st2 USING (source)
+         |LEFT JOIN st3 USING (source)
+         |LEFT JOIN mix USING (source)
+         |ORDER BY raw.source""".stripMargin
+    },
     "q125_event_funnel" ->
       // Mirror of Relational.qEventFunnel: earliest-completion funnel,
       // each stage's min qualifying time within 30 min of the previous

@@ -335,6 +335,51 @@ class PlanAuditSpec extends SparkSpec {
       s"funnel stage joins must be user-keyed:\n$p")
   }
 
+  test("q126 count-min: top-k is TakeOrdered (no global sort), probe join keyed on (r, c)") {
+    val df = graft.operators.Sketches.cmsHeavyHitters(
+      Tables.documents(spark, sf), "text")
+    val p = planString(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrdered, not a full sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the cell-probe join must be keyed:\n$p")
+  }
+
+  test("q128 embedding outliers: only the 1-row stats broadcast is non-keyed; no keyed shuffle at all") {
+    val df = graft.operators.Curation.embeddingOutliers(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 64, 16)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-stats crossJoin(broadcast(1 row)) is the single
+    // allowed BNLJ (the q118 contract); scoring itself is map work
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"found $bnlj BNLJ nodes; only the 1-row stats join is allowed:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"outlier scoring must not shuffle keyed data:\n$p")
+  }
+
+  test("q129 event spikes: per-type stats ride a broadcast hash join back") {
+    val p = planString(SparkEntry.queries("q129_event_spikes")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the stats join is event_type-keyed:\n$p")
+  }
+
+  test("q130 curation gauntlet: composed pipeline is keyed end-to-end (only the two 1-row mixture broadcasts are not)") {
+    val p = planString(SparkEntry.queries("q130_curation_gauntlet")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // temperatureMixture carries two 1-row crossJoin(broadcast(agg))
+    // steps (total weight, remainder count) — scale-free by the q118
+    // argument. The plan STRING prints one of them twice (the pinned
+    // base/rem relation re-prints its defining subtree inside its
+    // InMemoryRelation), so the textual count is 3; anything beyond
+    // means a gate join lost its key. Verified by reading the three
+    // sites: every BNLJ builds on a 1-row aggregate.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 3, s"found $bnlj BNLJ nodes; only the 1-row mixture joins (one cache-reprinted) are allowed:\n$p")
+    assert(p.contains("LeftSemi"), s"the gates must plan as semi joins:\n$p")
+  }
+
   test("q73 contamination: train-set probe plans as a LEFT SEMI hash join") {
     val p = planString(SparkEntry.queries("q73_shingle_contamination")(spark, sf))
     assert(p.contains("LeftSemi"),
