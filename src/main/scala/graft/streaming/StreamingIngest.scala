@@ -235,6 +235,80 @@ object StreamingIngest {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Streaming form of the q125 ordered funnel
+    * ([[graft.operators.Relational.funnel]]): per-user earliest-
+    * completion anchors computed incrementally, the funnel row emitted
+    * when the user goes event-time idle (the sessionization close).
+    *
+    * Exactness under out-of-order arrival (the part a naive running
+    * min gets wrong): s1 = min step1 time can DECREASE when a late
+    * event lands inside the watermark, which re-opens the s2/s3
+    * windows — so the state keeps the step2/step3 candidate times and
+    * resolves the chain only at emission. The state stays BOUNDED
+    * because s1 only ever decreases: step2 times above s1+W and step3
+    * times above s1+2W can never qualify under any FUTURE s1 either,
+    * and are pruned on every update — per-user state is the event
+    * mass inside a fixed 2W window, not the user's history.
+    *
+    * Column/unit contract matches the batch operator: (user_id, s1_us,
+    * s2_us, s3_us, stage), micros, users with no step-1 event absent.
+    * The equivalence is spec-pinned on replay (StreamingSpec), the
+    * sessionizeStream precedent. */
+  def funnelStream(
+      events: DataFrame, // (ts: Timestamp, user_id: Long, event_type: String)
+      step1: String = "view", step2: String = "click", step3: String = "purchase",
+      windowMs: Long = 1800000L,
+      idleMinutes: Int = 60,
+      watermark: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleMs = idleMinutes * 60000L
+    // state: (minStep1 or -1, step2 times, step3 times, max event time)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .as[(java.sql.Timestamp, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, List[Long], List[Long], Long),
+        (Long, Long, Option[Long], Option[Long], Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[(Long, List[Long], List[Long], Long)]) =>
+          if (state.hasTimedOut) {
+            val (mv, clicks, purchases, _) = state.get
+            state.remove()
+            if (mv < 0) Iterator.empty
+            else {
+              val s2 = clicks.filter(t => t >= mv && t <= mv + windowMs)
+                .sorted.headOption
+              val s3 = s2.flatMap(a => purchases
+                .filter(t => t >= a && t <= a + windowMs).sorted.headOption)
+              val stage = 1L + s2.size + s3.size
+              Iterator.single((user, mv * 1000L,
+                s2.map(_ * 1000L), s3.map(_ * 1000L), stage))
+            }
+          } else {
+            var (mv, clicks, purchases, maxSeen) =
+              state.getOption.getOrElse((-1L, Nil, Nil, 0L))
+            rows.foreach { case (ts, _, tpe) =>
+              val t = ts.getTime
+              maxSeen = math.max(maxSeen, t)
+              if (tpe == step1) mv = if (mv < 0) t else math.min(mv, t)
+              else if (tpe == step2) clicks ::= t
+              else if (tpe == step3) purchases ::= t
+            }
+            if (mv >= 0) { // see scaladoc: safe because s1 only decreases
+              clicks = clicks.filter(_ <= mv + windowMs)
+              purchases = purchases.filter(_ <= mv + 2 * windowMs)
+            }
+            state.update((mv, clicks, purchases, maxSeen))
+            state.setTimeoutTimestamp(
+              math.max(maxSeen + idleMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "s1_us", "s2_us", "s3_us", "stage")
+  }
+
   /** Per-user running totals via mapGroupsWithState — the custom-state
     * primitive (KeyValueGroupedDataset) the engine exposes for logic that
     * windowed aggregation can't express (running counters, sessionization,

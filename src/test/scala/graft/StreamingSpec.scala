@@ -264,4 +264,59 @@ class StreamingSpec extends SparkSpec {
         s"stream/batch mismatch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
     } finally q.stop()
   }
+
+  test("funnelStream ≡ batch funnel on identical input (incl. out-of-order late view)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2026-04-01 00:00:00").getTime
+    def t(min: Long) = new Timestamp(base + min * 60000L)
+    // deterministic trace covering every funnel edge: full completion,
+    // window expiry, click-before-view, anchor-not-latest, no-view user,
+    // and — the streaming-specific hazard — a LATE view that arrives
+    // after the clicks it re-qualifies (user 6: clicks at 10..15 arrive
+    // first, the view at 5 arrives in a later batch, still in-watermark)
+    val trace: Seq[(Timestamp, Long, String)] = Seq(
+      (t(0), 1L, "view"), (t(5), 1L, "click"), (t(12), 1L, "purchase"),
+      (t(0), 2L, "view"), (t(40), 2L, "click"),
+      (t(0), 3L, "click"), (t(10), 3L, "view"),
+      (t(0), 4L, "view"), (t(2), 4L, "view"),
+      (t(8), 4L, "click"), (t(9), 4L, "click"), (t(17), 4L, "purchase"),
+      (t(1), 5L, "purchase"),
+      (t(10), 6L, "click"), (t(15), 6L, "click"), (t(20), 6L, "purchase"))
+    val lateView = (t(5), 6L, "view")
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingIngest.funnelStream(
+      src.toDF.toDF("ts", "user_id", "event_type"),
+      windowMs = 30 * 60000L, idleMinutes = 60, watermark = "3 hours")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_eq").start()
+    try {
+      src.addData(trace); q.processAllAvailable()
+      src.addData(lateView); q.processAllAvailable() // out-of-order, in-watermark
+      // sentinel advances the watermark far past every idle timer
+      src.addData((new Timestamp(base + 30L * 86400000L), 999L, "view"))
+      q.processAllAvailable()
+      src.addData((new Timestamp(base + 30L * 86400000L + 1000L), 999L, "view"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, s1_us, s2_us, s3_us, stage FROM funnel_eq")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4)))
+        .filter(_._1 != 999L).toSet
+      val batch = graft.operators.Relational.funnel(
+        (trace :+ lateView).toDF("ts", "user_id", "event_type")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus")),
+        "view", "click", "purchase", windowUs = 30L * 60000000L)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s1_us"),
+          Option(r.get(2)), Option(r.get(3)), r.getAs[Long]("stage"))).toSet
+      assert(streamed == batch,
+        s"stream/batch mismatch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+      // the late-view user must have completed the funnel THROUGH the
+      // re-qualified clicks — the exact case a running-min design loses
+      assert(streamed.exists(r => r._1 == 6L && r._5 == 3L),
+        s"late view must re-open the funnel chain: $streamed")
+    } finally q.stop()
+  }
 }
