@@ -1436,6 +1436,31 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Substring-grain contamination rollup (q131): the q61 decision
+    * table at SUBSTRING grain — winnowing fingerprints → candidate
+    * pairs → per-train-doc suffix automaton for the exact LCS (see
+    * [[SubstringDedup.contaminationRollup]]). Eval docs are planted:
+    * every %10 doc contributes a 120-char mid-slice wrapped in unique
+    * padding, so each has exactly one ≥100-char true overlap. NO SQL
+    * oracle — a suffix automaton is not expressible in DuckDB SQL and
+    * a brute substring join is O(L⁴); correctness is spec-gated
+    * (SubstringDedupSpec proves exact equality to driver-side brute
+    * LCS), this entry surfaces the operator in the bench and the
+    * driver's rows-only check. */
+  private def substringRollupQ(s: SparkSession, dir: String): DataFrame = {
+    val train = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val eval = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("EVALPAD-"), col("doc_id").cast("string"), lit(" >> "),
+          substring(col("text"), 60, 120),
+          lit(" << unique tail "), md5(col("text"))).as("text"))
+    SubstringDedup.contaminationRollup(train, eval, minOverlap = 100,
+        idCol = "doc_id", textCol = "text")
+      .transform(graft.CacheScope.pin)
+      .orderBy("eval_id")
+  }
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -2023,6 +2048,7 @@ object SparkEntry {
     "q128_embedding_outliers" -> ((s, d) => embeddingOutliersQ(s, d)),
     "q129_event_spikes" -> ((s, d) => eventSpikesQ(s, d)),
     "q130_curation_gauntlet" -> ((s, d) => curationGauntletQ(s, d)),
+    "q131_substring_rollup" -> ((s, d) => substringRollupQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
