@@ -319,4 +319,49 @@ class StreamingSpec extends SparkSpec {
         s"late view must re-open the funnel chain: $streamed")
     } finally q.stop()
   }
+
+  test("funnelStream: open funnel state survives a checkpoint restart") {
+    val dir = Files.createTempDirectory("graft_funnelstate").toString
+    val (outDir, ckpt) = (s"$dir/out", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2026-05-01 00:00:00").getTime
+    def t(min: Long) = new Timestamp(base + min * 60000L)
+    val src = MemoryStream[(Timestamp, Long, String)]
+    // parquet via foreachBatch, not the memory sink: memory-sink queries
+    // refuse checkpoint RECOVERY (the dedup-cache test precedent)
+    def startQuery() = StreamingIngest.funnelStream(
+      src.toDF.toDF("ts", "user_id", "event_type"),
+      windowMs = 30 * 60000L, idleMinutes = 60, watermark = "2 hours")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q = startQuery()
+    try {
+      // view + click land, funnel still OPEN (no idle timeout yet)
+      src.addData((t(0), 1L, "view"), (t(5), 1L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart: the purchase arrives AFTER recovery; the buffered
+    // anchors must still be there for the stage-3 completion
+    val q2 = startQuery()
+    try {
+      src.addData((t(20), 1L, "purchase"))
+      q2.processAllAvailable()
+      // sentinel advances the watermark past user 1's idle timer
+      src.addData((new Timestamp(base + 30L * 86400000L), 999L, "view"))
+      q2.processAllAvailable()
+      src.addData((new Timestamp(base + 30L * 86400000L + 1000L), 999L, "view"))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3), r.getLong(4)))
+        .filter(_._1 == 1L)
+      assert(rows.length == 1, s"exactly one funnel row for user 1: ${rows.toSeq}")
+      val (_, s1, s2, s3, stage) = rows.head
+      assert(stage == 3L && s1 == t(0).getTime * 1000L &&
+        s2 == t(5).getTime * 1000L && s3 == t(20).getTime * 1000L,
+        s"pre-restart anchors must survive: ${rows.toSeq}")
+    } finally q2.stop()
+  }
 }
