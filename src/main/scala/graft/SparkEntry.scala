@@ -1461,6 +1461,23 @@ object SparkEntry {
       .orderBy("eval_id")
   }
 
+  /** Cluster-balanced diversity sample (q132): at most 20 picks per
+    * IVF cluster over the embeddings table (see
+    * [[Curation.clusterBalancedSample]]). */
+  private def clusterBalancedSampleQ(s: SparkSession, dir: String): DataFrame =
+    Curation.clusterBalancedSample(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, nCentroids = 16, perCluster = 20)
+      .transform(graft.CacheScope.pin)
+      .orderBy("cluster", "rk")
+
+  /** Weekly retention cohorts (q133): see
+    * [[Relational.qRetentionCohorts]]. */
+  private def retentionCohortsQ(s: SparkSession, dir: String): DataFrame =
+    Relational.qRetentionCohorts(s, dir)
+      .transform(graft.CacheScope.pin)
+      .orderBy("cohort_week", "week_offset")
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -2049,6 +2066,8 @@ object SparkEntry {
     "q129_event_spikes" -> ((s, d) => eventSpikesQ(s, d)),
     "q130_curation_gauntlet" -> ((s, d) => curationGauntletQ(s, d)),
     "q131_substring_rollup" -> ((s, d) => substringRollupQ(s, d)),
+    "q132_cluster_balanced_sample" -> ((s, d) => clusterBalancedSampleQ(s, d)),
+    "q133_retention_cohorts" -> ((s, d) => retentionCohortsQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -5080,6 +5099,47 @@ object SparkEntry {
          |LEFT JOIN mix USING (source)
          |ORDER BY raw.source""".stripMargin
     },
+    "q132_cluster_balanced_sample" -> {
+      // Mirror of Curation.clusterBalancedSample: same centroid-dot
+      // argmax cluster (string-literal floats), salted-hash rank within
+      // cluster, cap 20.
+      val dots = graft.operators.Ann.sqlCentroidDots("embedding", 64, 16)
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, $dots AS dots FROM embeddings),
+         |b AS (
+         |  SELECT id,
+         |    CAST(list_position(dots, list_max(dots)) AS BIGINT) AS cluster,
+         |    ${hash60("concat('cbs:', CAST(id AS VARCHAR))")} AS key
+         |  FROM e),
+         |r AS (
+         |  SELECT id, cluster,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY key, id) AS BIGINT) AS rk
+         |  FROM b)
+         |SELECT id, cluster, rk FROM r WHERE rk <= 20
+         |ORDER BY cluster, rk""".stripMargin
+    },
+    "q133_retention_cohorts" ->
+      // Mirror of Relational.qRetentionCohorts: integer week index
+      // (micros floor-div), per-user min week cohort, distinct weekly
+      // activity, sparse (cohort, offset) grain.
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000) // 604800000000 AS week
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_week, count(*) AS n_cohort FROM first GROUP BY cohort_week),
+        |active AS (
+        |  SELECT f.cohort_week, ev.week - f.cohort_week AS week_offset,
+        |    count(*) AS n_active
+        |  FROM ev JOIN first f USING (user_id)
+        |  GROUP BY f.cohort_week, ev.week - f.cohort_week)
+        |SELECT a.cohort_week, a.week_offset, s.n_cohort, a.n_active,
+        |  floor((CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS retention
+        |FROM active a JOIN sizes s USING (cohort_week)
+        |ORDER BY a.cohort_week, a.week_offset""".stripMargin,
     "q125_event_funnel" ->
       // Mirror of Relational.qEventFunnel: earliest-completion funnel,
       // each stage's min qualifying time within 30 min of the previous

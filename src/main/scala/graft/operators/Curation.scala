@@ -385,5 +385,38 @@ object Curation {
         (col("z") <= zFlag).as("outlier"))
   }
 
+  /** Cluster-balanced (diversity-preserving) sampling over an embedding
+    * column: cap every IVF coarse cluster at `perCluster` deterministic
+    * picks. Metadata-stratified sampling ([[sampleStratified]]) balances
+    * what the data SAYS it is; this balances what the data IS in
+    * embedding space — the de-biasing step for fine-tuning/eval sets
+    * where a dominant semantic mode (boilerplate, one topic) would
+    * otherwise swamp the sample. Within a cluster the picks are the
+    * lowest salted-hash ranks (id-tiebroken): reproducible, engine-
+    * independent, stable under repartition — the [[sampleByHash]]
+    * argument. Clusters smaller than the cap keep everything.
+    *
+    * Scale shape: one map projection (centroid dots against plan
+    * literals), ONE cluster-keyed shuffle for the rank window;
+    * nCentroids ≈ √N keeps window partitions flat.
+    *
+    * @return (id, cluster, rk) for selected rows, rk = 1..perCluster */
+  def clusterBalancedSample(
+      embs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCentroids: Int, perCluster: Int): DataFrame = {
+    require(perCluster >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("key"), col("id"))
+    Par.ensureMapParallelism(embs)
+      .select(col(idCol).as("id"),
+        graft.operators.Ann.ivfBucket(col(vecCol), dim, nCentroids)
+          .cast("long").as("cluster"))
+      .withColumn("key",
+        hash60(concat(lit("cbs:"), col("id").cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCluster)
+      .select("id", "cluster", "rk")
+  }
+
   private def rnd6(c: Column): Column = graft.functions.PortableMath.rnd(c, 6)
 }

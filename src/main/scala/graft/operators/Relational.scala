@@ -231,6 +231,42 @@ object Relational {
         (col("z") >= zFlag).as("spike"))
   }
 
+  /** Weekly retention cohorts over the event stream — the other classic
+    * product-analytics table next to the funnel: users grouped by the
+    * week of their FIRST event (the cohort), then for each later week
+    * the fraction of the cohort still active. Sparse semantics: only
+    * (cohort, offset) cells with at least one active user appear
+    * (offset 0 always does — the cohort's own week).
+    *
+    * Shape: user-keyed min-aggregation for the cohort, distinct
+    * (user, week) activity, one join back on user, then aggregation on
+    * the (cohort_week, week_offset) grain — every post-scan relation
+    * is bounded by users or by weeks², never by raw event volume.
+    *
+    * @return (cohort_week, week_offset, n_cohort, n_active, retention) */
+  def qRetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      // `div`, not `/`: Column./ is Double division (the Tables.events
+      // precision gotcha); the week index must be an exact integer
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      .transform(graft.CacheScope.pin) // cohort min AND activity read it
+    val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      .transform(graft.CacheScope.pin) // sizes AND the activity join
+    val sizes = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    val active = ev.distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("n_cohort"), col("n_active"),
+        rnd(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+  }
+
   /** Hierarchical totals via ROLLUP(region, nation) — grouping-sets
     * breadth (subtotal + grand-total rows). */
   def qRevenueRollup(spark: SparkSession, sfDir: String): DataFrame = {

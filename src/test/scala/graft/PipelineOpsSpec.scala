@@ -181,6 +181,62 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterBalancedSample: caps dominant clusters, keeps small ones whole, partitioning-independent") {
+    import graft.operators.Ann
+    val dim = 8
+    // planted imbalance: 200 vectors on centroid 0, 5 on centroid 2
+    val docs = (
+      (0 until 200).map(i => (i.toLong, Ann.centroidVector(0, dim).toSeq)) ++
+      (0 until 5).map(i => (1000L + i, Ann.centroidVector(2, dim).toSeq))
+    ).toDF("id", "v")
+    val got = graft.operators.Curation
+      .clusterBalancedSample(docs, "id", "v", dim, 4, perCluster = 20)
+      .collect()
+    val byCluster = got.groupBy(_.getAs[Long]("cluster")).view
+      .mapValues(_.length).toMap
+    assert(byCluster.values.forall(_ <= 20), s"cap violated: $byCluster")
+    assert(byCluster.size == 2 && byCluster.values.sum == 25,
+      s"dominant capped at 20, small kept whole (5): $byCluster")
+    // deterministic under repartition (the hashing-not-RNG contract)
+    val again = graft.operators.Curation
+      .clusterBalancedSample(docs.repartition(7), "id", "v", dim, 4, 20)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == got.map(_.toString).sorted.toSeq)
+  }
+
+  test("qRetentionCohorts core math: offsets, sparse cells, rate denominators") {
+    // use the operator's own building blocks on a planted week table:
+    // cohort A (users 1,2 first week 0): u1 active weeks 0,1,3; u2 week 0
+    // cohort B (user 3 first week 1): active weeks 1,2
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 3L), (2L, 0L), (3L, 1L), (3L, 2L), (3L, 2L)
+    ).map { case (u, w) => (u, new java.sql.Timestamp(w * weekUs / 1000)) }
+      .toDF("user_id", "ts")
+    ev.createOrReplaceTempView("planted_events")
+    // drive the same logic inline (the operator reads Tables.events)
+    val res = {
+      val e = ev.select(col("user_id"),
+        expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      val first = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+      e.distinct().join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("cohort_week"))
+        .collect()
+        .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+          ((r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort")))).toMap
+    }
+    assert(res == Map(
+      (0L, 0L) -> ((2L, 2L)), // both cohort-A users active week 0
+      (0L, 1L) -> ((1L, 2L)), // only u1 returns week 1
+      (0L, 3L) -> ((1L, 2L)), // sparse: week 2 cell absent
+      (1L, 0L) -> ((1L, 1L)),
+      (1L, 1L) -> ((1L, 1L))), s"$res")
+  }
+
   test("funnel: earliest-completion anchors and window cutoffs") {
     val W = 100L
     val ev = Seq(
