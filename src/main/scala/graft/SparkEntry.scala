@@ -1478,6 +1478,28 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("cohort_week", "week_offset")
 
+  /** Token co-occurrence communities (q134): LPA over the PMI
+    * collocation graph — topic discovery as a composition of two
+    * proven operators ([[TextAnalysis.pmiCollocations]] top-200 edges,
+    * [[GraphAlgos.labelPropagation]] 5 rounds). The third
+    * analytics-over-derived-graph family next to the brute (q90) and
+    * ANN-built (q94) similarity graphs: this one's structure comes
+    * from TEXT statistics, not embeddings. The top-200 cut is
+    * cross-engine exact because PMI rounds before ranking (the q71
+    * device, inherited from q104). */
+  private def tokenCommunitiesQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextAnalysis.pmiCollocations(
+      Tables.documents(s, dir), "doc_id", "text", k = 200, minCount = 5)
+    val edges = pairs
+      .select(least(col("w1"), col("w2")).as("src"),
+        greatest(col("w1"), col("w2")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    GraphAlgos.labelPropagation(edges, maxIter = 5)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -2068,6 +2090,7 @@ object SparkEntry {
     "q131_substring_rollup" -> ((s, d) => substringRollupQ(s, d)),
     "q132_cluster_balanced_sample" -> ((s, d) => clusterBalancedSampleQ(s, d)),
     "q133_retention_cohorts" -> ((s, d) => retentionCohortsQ(s, d)),
+    "q134_token_communities" -> ((s, d) => tokenCommunitiesQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -5140,6 +5163,33 @@ object SparkEntry {
         |  floor((CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS retention
         |FROM active a JOIN sizes s USING (cohort_week)
         |ORDER BY a.cohort_week, a.week_offset""".stripMargin,
+    "q134_token_communities" ->
+      // The q104 PMI chain at k=200 feeding the q90/q94 shared LPA tail
+      // — the analytics SQL is verbatim-shared across all three graph
+      // constructions (brute-sim, ANN-sim, and now PMI-text).
+      s"""WITH tok AS (SELECT $sqlToks AS toks FROM documents),
+         |bi AS MATERIALIZED (
+         |  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+         |  FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM tok)),
+         |pair AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2),
+         |lft AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         |rgt AS MATERIALIZED (SELECT w2, count(*) AS c2 FROM bi GROUP BY w2),
+         |tot AS (SELECT count(*) AS n FROM bi),
+         |sc AS (
+         |  SELECT p.w1, p.w2,
+         |    ${sqlRnd(
+               "ln((CAST(p.n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE)) / " +
+                 "(CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE)))", 6)} AS pmi
+         |  FROM pair p
+         |  JOIN lft l ON p.w1 = l.w1
+         |  JOIN rgt r ON p.w2 = r.w2
+         |  CROSS JOIN tot
+         |  WHERE p.n_pair >= 5),
+         |top AS (SELECT * FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 200),
+         |sg AS MATERIALIZED (
+         |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |  FROM top WHERE w1 <> w2),
+         |$sqlLpaTail""".stripMargin,
     "q125_event_funnel" ->
       // Mirror of Relational.qEventFunnel: earliest-completion funnel,
       // each stage's min qualifying time within 30 min of the previous
