@@ -1500,6 +1500,30 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Funnel conversion by cohort (q135): the q125 funnel joined under
+    * the q133 cohort assignment — per first-event-week cohort, how many
+    * users reach each funnel stage and the stage-3 conversion rate.
+    * The composition a growth review actually reads: "are newer
+    * cohorts converting better?" */
+  private def funnelByCohortQ(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val fn = Relational.qEventFunnel(s, dir)
+    val cohort = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    fn.join(cohort, Seq("user_id"))
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_entered"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_stage2"),
+        sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_stage3"))
+      .select(col("cohort_week"), col("n_entered"), col("n_stage2"),
+        col("n_stage3"),
+        rnd(col("n_stage3").cast("double") / col("n_entered").cast("double"), 6)
+          .as("conversion"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("cohort_week")
+  }
+
   /** Prefix-dimension two-stage retrieval (q114): Matryoshka-style
     * cheap pass on the first 16 components, exact full-dim rerank of a
     * 50-deep shortlist (see [[Ann.topKPrefixRerank]]). */
@@ -2091,6 +2115,7 @@ object SparkEntry {
     "q132_cluster_balanced_sample" -> ((s, d) => clusterBalancedSampleQ(s, d)),
     "q133_retention_cohorts" -> ((s, d) => retentionCohortsQ(s, d)),
     "q134_token_communities" -> ((s, d) => tokenCommunitiesQ(s, d)),
+    "q135_funnel_by_cohort" -> ((s, d) => funnelByCohortQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -5190,6 +5215,44 @@ object SparkEntry {
          |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
          |  FROM top WHERE w1 <> w2),
          |$sqlLpaTail""".stripMargin,
+    "q135_funnel_by_cohort" ->
+      // q125's funnel CTE chain joined under the q133 cohort
+      // assignment, rolled to the cohort grain with a stage-3
+      // conversion rate.
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(tus) AS s1_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(tus) AS s2_us FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND e.tus >= s1.s1_us AND e.tus <= s1.s1_us + 1800000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(tus) AS s3_us FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.tus >= s2.s2_us AND e.tus <= s2.s2_us + 1800000000
+        |  GROUP BY e.user_id),
+        |fn AS (
+        |  SELECT s1.user_id,
+        |    CAST(1 + (CASE WHEN s2.s2_us IS NOT NULL THEN 1 ELSE 0 END)
+        |           + (CASE WHEN s3.s3_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |          LEFT JOIN s3 ON s1.user_id = s3.user_id),
+        |cohort AS (
+        |  SELECT user_id, min(tus // 604800000000) AS cohort_week
+        |  FROM ev GROUP BY user_id),
+        |roll AS (
+        |  SELECT c.cohort_week,
+        |    count(*) AS n_entered,
+        |    CAST(sum(CASE WHEN fn.stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stage2,
+        |    CAST(sum(CASE WHEN fn.stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stage3
+        |  FROM fn JOIN cohort c ON fn.user_id = c.user_id
+        |  GROUP BY c.cohort_week)
+        |SELECT cohort_week, n_entered, n_stage2, n_stage3,
+        |  floor((CAST(n_stage3 AS DOUBLE) / CAST(n_entered AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS conversion
+        |FROM roll ORDER BY cohort_week""".stripMargin,
     "q125_event_funnel" ->
       // Mirror of Relational.qEventFunnel: earliest-completion funnel,
       // each stage's min qualifying time within 30 min of the previous

@@ -380,6 +380,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"the gates must plan as semi joins:\n$p")
   }
 
+  test("q132/q133/q134: new-family queries stay keyed (no cartesian anywhere, BNLJ only where 1-row)") {
+    Seq("q133_retention_cohorts", "q134_token_communities").foreach { q =>
+      val p = planString(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // q134's PMI stage carries the one allowed 1-row totals BNLJ
+      // (q104's contract); retention has none
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      val cap = if (q.startsWith("q134")) 1 else 0
+      assert(bnlj <= cap, s"$q: $bnlj BNLJ nodes (cap $cap):\n$p")
+    }
+    val p132 = planString(graft.operators.Curation.clusterBalancedSample(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 64, 16, 20))
+    assert(!p132.contains("CartesianProduct") &&
+      !p132.contains("BroadcastNestedLoopJoin"), p132)
+    // one cluster-keyed exchange for the rank window, nothing else keyed
+    assert("hashpartitioning".r.findAllIn(p132).size <= 1, p132)
+  }
+
   test("q73 contamination: train-set probe plans as a LEFT SEMI hash join") {
     val p = planString(SparkEntry.queries("q73_shingle_contamination")(spark, sf))
     assert(p.contains("LeftSemi"),
