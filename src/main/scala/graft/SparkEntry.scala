@@ -913,6 +913,25 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("id")
 
+  /** Dedup-cluster size histogram (q136): the corpus-redundancy
+    * fingerprint on top of the q48 chain — how many near-dup clusters
+    * exist at each size. A heavy tail here is the "one boilerplate,
+    * a million copies" signature that decides whether doc-grain dedup
+    * is worth running before the expensive passes. Shares the q48
+    * clustering verbatim (the q110 composition device). */
+  private def dupClusterHistogramQ(s: SparkSession, dir: String): DataFrame =
+    GraphAlgos.dedupClusters(
+        Dedup.nearDupMinhashLsh(perturbedDocs(s, dir, " graft dedup probe tail"),
+          "doc_id", "text", shingleWidth = 3, numHashes = 12, bands = 4,
+          threshold = 0.6),
+        maxIter = 4)
+      .groupBy(col("keeper"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("csize")
+
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupSimhash(perturbedDocs(s, dir, " the"), "doc_id", "text", bits = 16)
       .transform(graft.CacheScope.pin)
@@ -2116,6 +2135,7 @@ object SparkEntry {
     "q133_retention_cohorts" -> ((s, d) => retentionCohortsQ(s, d)),
     "q134_token_communities" -> ((s, d) => tokenCommunitiesQ(s, d)),
     "q135_funnel_by_cohort" -> ((s, d) => funnelByCohortQ(s, d)),
+    "q136_dup_cluster_histogram" -> ((s, d) => dupClusterHistogramQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4482,6 +4502,13 @@ object SparkEntry {
       s"""$dedupClusterChainSql
          |SELECT id, component AS keeper, id = component AS is_keeper
          |FROM cl4 ORDER BY id""".stripMargin,
+    "q136_dup_cluster_histogram" ->
+      // The q48 cluster chain VERBATIM (the q110 device), rolled to the
+      // size-histogram grain.
+      s"""$dedupClusterChainSql
+         |SELECT csize, count(*) AS n_clusters FROM (
+         |  SELECT component, count(*) AS csize FROM cl4 GROUP BY component)
+         |GROUP BY csize ORDER BY csize""".stripMargin,
     "q110_leakfree_split" ->
       // Mirror of Curation.leakFreeSplit over the q48 cluster chain
       // (VERBATIM — the shared prefix proves the composition is the
