@@ -932,6 +932,26 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("csize")
 
+  /** Quality-gate agreement matrix (q137): cross-tab of the Gopher
+    * rule failure count against the classifier band — the audit run
+    * before composing gates (q130): if the mechanical rules and the
+    * learned gate disagree on most of the corpus, the gauntlet's
+    * attrition is arbitrary, not quality-driven. */
+  private def gateAgreementQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.CacheScope.pin) // both gates read it
+    val rules = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select(col("id"), col("n_fail"))
+    val cls = TextAnalysis.hashedLinearClassifier(docs, "doc_id", "text")
+      .select(col("id"), col("band"))
+    rules.join(cls, Seq("id"))
+      .groupBy("n_fail", "band")
+      .agg(count(lit(1)).as("n_docs"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("n_fail", "band")
+  }
+
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupSimhash(perturbedDocs(s, dir, " the"), "doc_id", "text", bits = 16)
       .transform(graft.CacheScope.pin)
@@ -2136,6 +2156,7 @@ object SparkEntry {
     "q134_token_communities" -> ((s, d) => tokenCommunitiesQ(s, d)),
     "q135_funnel_by_cohort" -> ((s, d) => funnelByCohortQ(s, d)),
     "q136_dup_cluster_histogram" -> ((s, d) => dupClusterHistogramQ(s, d)),
+    "q137_gate_agreement" -> ((s, d) => gateAgreementQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4502,6 +4523,66 @@ object SparkEntry {
       s"""$dedupClusterChainSql
          |SELECT id, component AS keeper, id = component AS is_keeper
          |FROM cl4 ORDER BY id""".stripMargin,
+    "q137_gate_agreement" -> {
+      // q130's sig + cls CTEs (verbatim fragments), cross-tabbed.
+      val wlist = graft.operators.TextAnalysis.ClassifierWeightsMicro
+        .mkString("[", ", ", "]")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id AS id, text,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+         |    $sqlToks AS toks
+         |  FROM documents),
+         |sig AS MATERIALIZED (
+         |  SELECT id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS mean_wlen,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS frac_alpha,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "((len(text) - len(replace(text, '#', '')))" +
+                 " + (len(text) - len(replace(text, '...', ''))) / 3)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS sym_ratio,
+         |    CAST(${graft.operators.TextAnalysis.GopherStopProbe.map(w =>
+               s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS BIGINT) AS n_stop
+         |  FROM base),
+         |nf AS (
+         |  SELECT id,
+         |    CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
+         |       + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 0 ELSE 1 END)
+         |       + (CASE WHEN frac_alpha >= 0.8 THEN 0 ELSE 1 END)
+         |       + (CASE WHEN sym_ratio <= 0.1 THEN 0 ELSE 1 END)
+         |       + (CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+         |  FROM sig),
+         |cls AS (
+         |  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    COALESCE(CAST(list_aggregate(
+         |      list_transform(toks, x -> ($wlist)[${hash60("x")} % 64 + 1]),
+         |      'sum') AS BIGINT), 0) AS summ
+         |  FROM base),
+         |bands AS (
+         |  SELECT id,
+         |    CASE WHEN n_toks = 0 THEN 'drop'
+         |         WHEN score > 0.05 THEN 'keep'
+         |         WHEN score < -0.05 THEN 'drop'
+         |         ELSE 'review' END AS band
+         |  FROM (
+         |    SELECT id, n_toks,
+         |      CASE WHEN n_toks = 0 THEN 0.0
+         |           ELSE ${sqlRnd("CAST(summ AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1e6)", 6)}
+         |      END AS score
+         |    FROM cls))
+         |SELECT nf.n_fail, bands.band, count(*) AS n_docs
+         |FROM nf JOIN bands ON nf.id = bands.id
+         |GROUP BY nf.n_fail, bands.band
+         |ORDER BY nf.n_fail, bands.band""".stripMargin
+    },
     "q136_dup_cluster_histogram" ->
       // The q48 cluster chain VERBATIM (the q110 device), rolled to the
       // size-histogram grain.
