@@ -1480,12 +1480,16 @@ object SparkEntry {
     * pairs → per-train-doc suffix automaton for the exact LCS (see
     * [[SubstringDedup.contaminationRollup]]). Eval docs are planted:
     * every %10 doc contributes a 120-char mid-slice wrapped in unique
-    * padding, so each has exactly one ≥100-char true overlap. NO SQL
-    * oracle — a suffix automaton is not expressible in DuckDB SQL and
-    * a brute substring join is O(L⁴); correctness is spec-gated
-    * (SubstringDedupSpec proves exact equality to driver-side brute
-    * LCS), this entry surfaces the operator in the bench and the
-    * driver's rows-only check. */
+    * padding, so each has a ≥100-char true overlap with its source
+    * (and any doc sharing a ≥100-char run with the slice region —
+    * exact duplicates among them). The ENGINE is fixture-agnostic
+    * (winnowing + automaton, exact at any alphabet); the DuckDB
+    * oracle (r9) exploits the fixture's strict [a-z ] alphabet to
+    * reduce the truth to substring-containment probes of the single
+    * long [a-z ]-run in each eval doc — see the oracle comment.
+    * Correctness is doubly gated: SubstringDedupSpec proves exact
+    * equality to driver-side brute LCS on arbitrary-alphabet
+    * fixtures; the oracle hash-checks this query end-to-end. */
   private def substringRollupQ(s: SparkSession, dir: String): DataFrame = {
     val train = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val eval = Tables.documents(s, dir)
@@ -5254,6 +5258,61 @@ object SparkEntry {
          |LEFT JOIN st3 USING (source)
          |LEFT JOIN mix USING (source)
          |ORDER BY raw.source""".stripMargin
+    },
+    "q131_substring_rollup" -> {
+      // Mirror of substringRollupQ WITHOUT a suffix automaton: the
+      // oracle leans on two fixture facts the engine does not need.
+      // (1) The corpus alphabet is strictly [a-z ] (verified: zero
+      // docs match [^a-z ]), while every padding char class in the
+      // planted eval text (EVALPAD/digits/'-'/'>'/'<'/the md5 hex with
+      // digits) leaves [a-z ]-runs of < 100 chars except ONE: the
+      // planted ' ' || slice || ' ' run (<= 122 chars — the boundary
+      // spaces from '>> ' / ' <<' can extend a match past the 120-char
+      // slice when the source text flanks the slice with spaces).
+      // (2) Any eval↔train common substring is a substring of that run,
+      // so per (eval, train) the true LCS = the longest of the run's
+      // >= 100-char substrings contained in the train text — at most
+      // 276 containment probes per pair, and candidate pairs are
+      // pre-filtered by the 78-char core every >= 100-char window of
+      // the run must contain (positions 23..100 — st <= L-99 <= 23 and
+      // st+len-1 >= 100 for run length L <= 122). The engine computes
+      // the same truth with zero fixture assumptions (winnowing
+      // fingerprints + automaton LCS); rollup tie-break is (lcs DESC,
+      // train_id as VARCHAR) on both sides.
+      """WITH ev AS MATERIALIZED (
+        |  SELECT CAST(doc_id + 5000000 AS VARCHAR) AS eval_id,
+        |         ' ' || substr(text, 60, 120) || ' ' AS run
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND length(substr(text, 60, 120)) >= 98),
+        |cand AS MATERIALIZED (
+        |  SELECT e.eval_id, e.run,
+        |         CAST(t.doc_id AS VARCHAR) AS train_id, t.text AS ttext
+        |  FROM ev e JOIN documents t
+        |    ON contains(t.text, substr(e.run, 23, 78))),
+        |lens AS (
+        |  SELECT c.eval_id, c.train_id,
+        |    max(CASE WHEN contains(c.ttext,
+        |          substr(c.run, CAST(s.st AS INTEGER), CAST(l.len AS INTEGER)))
+        |        THEN l.len END) AS lcs_len
+        |  FROM cand c
+        |  CROSS JOIN range(100, 123) l(len)
+        |  CROSS JOIN range(1, 24) s(st)
+        |  WHERE s.st + l.len - 1 <= length(c.run)
+        |  GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT eval_id, train_id, lcs_len FROM lens
+        |  WHERE lcs_len IS NOT NULL),
+        |r AS (
+        |  SELECT eval_id, train_id, lcs_len,
+        |    row_number() OVER (PARTITION BY eval_id
+        |                       ORDER BY lcs_len DESC, train_id) AS rn,
+        |    count(*) OVER (PARTITION BY eval_id) AS nh
+        |  FROM hits)
+        |SELECT eval_id, CAST(nh AS BIGINT) AS n_train_hits,
+        |  CAST(lcs_len AS INTEGER) AS max_lcs_len,
+        |  train_id AS worst_train_id
+        |FROM r WHERE rn = 1
+        |ORDER BY eval_id""".stripMargin
     },
     "q132_cluster_balanced_sample" -> {
       // Mirror of Curation.clusterBalancedSample: same centroid-dot
