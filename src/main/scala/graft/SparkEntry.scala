@@ -1273,7 +1273,14 @@ object SparkEntry {
     val twins = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     Dedup.semanticDedup(base.unionByName(twins), "vec_id", "embedding",
-        dim = 64, nCentroids = 16, threshold = 0.25)
+        dim = 64, nCentroids = 16, threshold = 0.25,
+        // UNCAPPED explicitly: the DuckDB mirror implements only the
+        // all-pairs route, so the oracle-compared query must pin that
+        // exact semantics regardless of the operator's default cap
+        // (which would legitimately diverge if a cluster ever exceeded
+        // it at a compared scale); the capped reroute stays spec-gated
+        // in SemanticDedupSpec's planted-mega-cluster test
+        maxCluster = Int.MaxValue)
       .transform(graft.CacheScope.pin)
       .orderBy("id")
   }
@@ -1504,6 +1511,40 @@ object SparkEntry {
       .orderBy("eval_id")
   }
 
+  /** Corpus-grain substring removal (q138): the Lee-et-al ExactSubstr
+    * dedup step — the operator the q61/q73/q131 DETECTION surface was
+    * building toward: actually cut every ≥64-char span that also
+    * occurs in an earlier doc and emit the cleaned corpus (see
+    * [[SubstringDedup.removeDuplicateSpans]]). Runs over a planted
+    * corpus derived from the documents ids: doc i's body is a 320-char
+    * md5 chain (hex, unique per doc — no natural ≥64-char cross-doc
+    * runs), and every %5==2 doc embeds a 160-char slice of doc
+    * (i−2)'s body between '#' sentinels (chars outside the hex
+    * alphabet, so the shared run cannot extend into the flanks). The
+    * ground truth is therefore constructible: recipients lose exactly
+    * the planted 160 chars, everyone else passes through — which the
+    * DuckDB mirror states directly while the ENGINE derives it
+    * fixture-agnostically (fingerprint self-join + automaton coverage
+    * + interval-union cut). */
+  private def substringRemovalQ(s: SparkSession, dir: String): DataFrame = {
+    def hexbody(id: Column): Column =
+      concat((0 until 10).map(j =>
+        md5(concat(id.cast("string"), lit(":" + j)))): _*)
+    val corpus = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 2,
+        concat(substring(hexbody(col("doc_id")), 1, 100), lit("#"),
+          substring(hexbody(col("doc_id") - 2), 17, 160), lit("#"),
+          substring(hexbody(col("doc_id")), 101, 220)))
+        .otherwise(hexbody(col("doc_id"))).as("text"))
+    SubstringDedup.removeDuplicateSpans(corpus, minLen = 64,
+        idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), length(col("text")).cast("long").as("clean_len"),
+        col("n_cut").cast("long").as("cut_chars"),
+        sha2(col("text"), 256).as("clean_sha"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -1552,7 +1593,10 @@ object SparkEntry {
     val weekUs = 7L * 86400L * 1000000L
     val fn = Relational.qEventFunnel(s, dir)
     val cohort = Tables.events(s, dir)
-      .select(col("user_id"), expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      .select(col("user_id"),
+        // floorDiv: DuckDB `//` floors where Spark `div` truncates
+        graft.functions.PortableMath.floorDiv(
+          expr("unix_micros(ts)"), weekUs).as("week"))
       .groupBy("user_id").agg(min("week").as("cohort_week"))
     fn.join(cohort, Seq("user_id"))
       .groupBy("cohort_week")
@@ -1775,6 +1819,21 @@ object SparkEntry {
   private def simGraphAnnQ(s: SparkSession, dir: String): DataFrame =
     simGraphAnnEdges(s, dir).select("src", "dst").orderBy("src", "dst")
 
+  /** Force both cross-query memoized graph builds ([[simGraphKnn]],
+    * [[simGraphAnnEdges]]) to materialize NOW. The bench calls this
+    * once, untimed, before any pass: the memos are the only state
+    * deliberately shared across queries (built once, read by the whole
+    * analytics family — the at-scale shape), so (a) per-query leak
+    * cleanup can use a simple before/after persistent-RDD diff without
+    * ever seeing the shared checkpoints as "new", and (b) the one-time
+    * build cost stops landing on whichever family member happens to run
+    * first in pass 1. */
+  def prewarmSharedGraphs(s: SparkSession, dir: String): Unit = {
+    simGraphKnn(s, dir)      // localCheckpoint() is eager — builds here
+    simGraphAnnEdges(s, dir)
+    ()
+  }
+
   /** Triangle census over the ANN-BUILT similarity graph (q93): the
     * end-to-end composition the 100 TB story needs — sub-linear
     * bucket-keyed graph construction ([[simGraphAnnEdges]], q91) feeding
@@ -1993,7 +2052,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q02_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
     "q03_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
+    "q04_order_priority" -> ((s, d) => Relational.q4OrderPriority(s, d)),
     "q05_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
     "q06_top_orders_per_customer" ->
       ((s, d) => Relational.qTopOrdersPerCustomer(s, d)
@@ -2161,6 +2222,7 @@ object SparkEntry {
     "q135_funnel_by_cohort" -> ((s, d) => funnelByCohortQ(s, d)),
     "q136_dup_cluster_histogram" -> ((s, d) => dupClusterHistogramQ(s, d)),
     "q137_gate_agreement" -> ((s, d) => gateAgreementQ(s, d)),
+    "q138_substring_removal" -> ((s, d) => substringRemovalQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2557,6 +2619,27 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_min_cost_supplier" ->
+      // Mirror of Relational.q2MinCostSupplier: window-min over the
+      // part key; min() of exact parquet doubles needs no rounding.
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, s_suppkey, s_name, n_name,
+        |    min(l_extendedprice) AS offer
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |  GROUP BY l_partkey, s_suppkey, s_name, n_name),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |                               ORDER BY offer, s_suppkey) AS rk
+        |  FROM offers)
+        |SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name, offer
+        |FROM r WHERE rk = 1
+        |ORDER BY p_partkey""".stripMargin,
     "q03_shipping_priority" ->
       s"""SELECT l_orderkey,
         |  ${sqlRnd("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue
@@ -2567,6 +2650,19 @@ object SparkEntry {
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      // Mirror of Relational.q4OrderPriority: EXISTS as a semi join;
+      // lateness compared in exact micros (epoch_us on the NTZ
+      // timestamps = Spark's unix_micros under the UTC session).
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) = 1
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + 7776000000000)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q05_local_supplier" ->
       s"""SELECT r_name, n_name,
         |  ${sqlRnd("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
@@ -5313,6 +5409,36 @@ object SparkEntry {
         |  train_id AS worst_train_id
         |FROM r WHERE rn = 1
         |ORDER BY eval_id""".stripMargin
+    },
+    "q138_substring_removal" -> {
+      // Mirror of substringRemovalQ: the planted construction makes
+      // the cleaned corpus STATABLE — recipients (%5==2) lose exactly
+      // the 160-char donor slice (the '#' sentinels sit outside the
+      // hex alphabet, so no shared run can extend into the flanks and
+      // no natural ≥64-char run exists between distinct md5 chains),
+      // everyone else passes through. The engine derives the same
+      // truth with zero fixture assumptions.
+      val own = (0 until 10).map(j =>
+        s"md5(CAST(doc_id AS VARCHAR) || ':$j')").mkString(" || ")
+      val donor = (0 until 10).map(j =>
+        s"md5(CAST(doc_id - 2 AS VARCHAR) || ':$j')").mkString(" || ")
+      s"""WITH hb AS MATERIALIZED (
+         |  SELECT doc_id, $own AS own, $donor AS donor
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 2
+         |      THEN substr(own, 1, 100) || '#' || substr(donor, 17, 160)
+         |           || '#' || substr(own, 101, 220)
+         |      ELSE own END AS text,
+         |    CASE WHEN doc_id % 5 = 2
+         |      THEN substr(own, 1, 100) || '#' || '#' || substr(own, 101, 220)
+         |      ELSE own END AS clean
+         |  FROM hb)
+         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+         |  CAST(length(text) - length(clean) AS BIGINT) AS cut_chars,
+         |  sha256(clean) AS clean_sha
+         |FROM c ORDER BY doc_id""".stripMargin
     },
     "q132_cluster_balanced_sample" -> {
       // Mirror of Curation.clusterBalancedSample: same centroid-dot

@@ -26,4 +26,20 @@ object PortableMath {
     val p = math.pow(10, digits).toLong
     s"floor(($inner) * $p.0 + 0.5) / $p.0"
   }
+
+  /** FLOOR division of a long column by a positive literal, matching
+    * DuckDB's `//`. Spark's `div` truncates toward zero, so the two
+    * disagree on negative dividends (pre-epoch timestamps in the
+    * hour/week grain columns: -1 div 3600 = 0 but -1 // 3600 = -1).
+    * `x - pmod(x, m)` is the largest multiple of m that is ≤ x, and
+    * integral-dividing an exact multiple is the same under both
+    * conventions — integer-exact at any magnitude (no double
+    * round-trip; `Column./` would detour through DOUBLE). */
+  def floorDiv(c: Column, m: Long): Column = {
+    require(m > 0, s"floorDiv needs a positive divisor, got $m")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val multiple = (c - pmod(c, lit(m))).cast("long")
+    Bridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(multiple), Bridge.expression(lit(m))))
+  }
 }

@@ -41,16 +41,53 @@ object Ingest {
   // flatMaps embedOpt, so an undecodable row emits nothing
   // (MultimodalSpec proves poisoned rows drop).
 
-  /** New-docs-only delta vs the existing corpus (both keyed by `id`):
-    * within-batch first-wins, then anti-join against existing ids. */
-  def dedupDelta(prepared: DataFrame, existing: DataFrame): DataFrame = {
+  /** Within-batch first-wins dedup (lowest `seq` keeps the row — the
+    * reference's serial-arrival order in a parallel batch). */
+  private def batchFirstWins(prepared: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("seq"))
-    val batchFirst = prepared
+    prepared
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
-    batchFirst.join(existing.select("id"), Seq("id"), "left_anti")
+  }
+
+  /** New-docs-only delta vs the existing corpus (both keyed by `id`):
+    * within-batch first-wins, then anti-join against existing ids. */
+  def dedupDelta(prepared: DataFrame, existing: DataFrame): DataFrame =
+    batchFirstWins(prepared)
+      .join(existing.select("id"), Seq("id"), "left_anti")
+
+  /** [[dedupDelta]] with a Bloom pre-filter in front of the store
+    * anti-join — the 100 TB shape: when the incoming batch is small and
+    * the store is enormous, the anti-join's store-side scan dominates
+    * every micro-batch. A Bloom filter over the store's ids (built once,
+    * maintained incrementally — it unions) routes rows the filter says
+    * are DEFINITELY absent straight to the output, so only the
+    * "maybe present" residue (true duplicates + the fpp sliver) pays the
+    * store probe. Exactly equivalent to [[dedupDelta]] whenever `bloom`
+    * contains at least every existing id (no false negatives by Bloom
+    * construction; false positives only shift rows to the probed route,
+    * where the exact anti-join settles them) — IngestBloomSpec pins the
+    * equivalence, including under a near-1 fpp.
+    *
+    * Duplicate ids always land on the SAME side of the split (the
+    * predicate is a pure function of id), so first-wins runs before the
+    * split and stays exact. */
+  def dedupDeltaBloom(
+      prepared: DataFrame, existing: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val spark = prepared.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightExist = udf((id: String) => bc.value.mightContainString(id))
+    val first = batchFirstWins(prepared)
+      // materialize the split predicate ONCE: both branches filter on
+      // it, and projection collapse would otherwise clone the UDF call
+      .withColumn("_maybe", mightExist(col("id")))
+    val definitelyNew = first.filter(!col("_maybe")).drop("_maybe")
+    val probed = first.filter(col("_maybe")).drop("_maybe")
+      .join(existing.select("id"), Seq("id"), "left_anti")
+    definitelyNew.unionByName(probed)
   }
 
   /** Full upsert: existing ∪ delta (the reference's append-only store —

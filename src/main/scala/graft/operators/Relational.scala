@@ -40,6 +40,38 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q2-style min-cost supplier (q02): for every part, the
+    * EUROPE supplier quoting the lowest observed price — the
+    * correlated-subquery shape (`price = (SELECT min … WHERE same
+    * part)`) expressed as a window min + filter, which Spark executes
+    * as ONE partial-aggregated shuffle on the part key instead of a
+    * re-scan per row. The fixture has no partsupp table, so the quote
+    * is each supplier's minimum l_extendedprice for the part
+    * (min of exact parquet doubles — no summation-order hazard, no
+    * rounding needed). Ties on price break to the smallest suppkey.
+    * Dimension chain supplier→nation→region is broadcast. */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select("s_suppkey", "s_name", "n_name")
+    val offers = Tables.lineitem(spark, sfDir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+      .agg(min("l_extendedprice").as("offer"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("offer"), col("s_suppkey"))
+    offers
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("offer"))
+      .orderBy("p_partkey")
+  }
+
   /** Join breadth: customer ⨝ orders ⨝ lineitem with a selective filter —
     * exercises broadcast-hash join selection + filter pushdown to the
     * parquet scans. */
@@ -56,6 +88,34 @@ object Relational {
           .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
+  }
+
+  /** TPC-H Q4-style order-priority check (q04): per priority band, how
+    * many 1997-Q1 orders had at least one LATE line (shipped more than
+    * 90 days after the order date) — the EXISTS shape as a LEFT SEMI
+    * hash join on the order key (the non-equi lateness predicate rides
+    * the join condition, so no lineitem aggregation materializes), with
+    * the selective quarter filter pushed to the orders scan. Date
+    * arithmetic in exact micros under the UTC session (o_orderdate
+    * reads TIMESTAMP_NTZ → cast, the Tables.events precedent). */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val lateUs = 90L * 86400L * 1000000L
+    val ord = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1997 &&
+        quarter(col("o_orderdate")) === 1)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("_ship_us"))
+    ord
+      .withColumn("_ord_us",
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("_ship_us") > col("_ord_us") + lit(lateUs),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
   }
 
   /** Multi-hop dimension join through nation/region (5-way) with a
@@ -212,7 +272,11 @@ object Relational {
     * — separated so specs can drive planted event streams. */
   def eventSpikes(events: DataFrame, zFlag: Double): DataFrame = {
     val perHour = events
-      .select(col("event_type"), expr("tus div 3600000000").as("hour"))
+      .select(col("event_type"),
+        // floor (not truncate) division: DuckDB's `//` floors, and the
+        // grains must agree for pre-epoch (negative-micros) timestamps
+        graft.functions.PortableMath.floorDiv(col("tus"), 3600000000L)
+          .as("hour"))
       .groupBy("event_type", "hour")
       .agg(count(lit(1)).as("n"))
       .transform(graft.CacheScope.pin) // stats + the z projection read it
@@ -247,10 +311,12 @@ object Relational {
   def qRetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
     val ev = Tables.events(spark, sfDir)
-      // `div`, not `/`: Column./ is Double division (the Tables.events
-      // precision gotcha); the week index must be an exact integer
+      // floorDiv, not `/` or `div`: Column./ is Double division (the
+      // Tables.events precision gotcha) and `div` truncates where
+      // DuckDB's `//` floors (pre-epoch timestamps)
       .select(col("user_id"),
-        expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+        graft.functions.PortableMath.floorDiv(
+          expr("unix_micros(ts)"), weekUs).as("week"))
       .transform(graft.CacheScope.pin) // cohort min AND activity read it
     val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
       .transform(graft.CacheScope.pin) // sizes AND the activity join

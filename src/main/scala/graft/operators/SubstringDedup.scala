@@ -108,6 +108,40 @@ object SubstringDedup {
       }
       (best, if (bestEnd < 0) -1 else bestEnd - best + 1)
     }
+
+    /** Merged 0-based [start, end] intervals of every position of `t`
+      * lying inside a substring of length ≥ `minLen` shared with the
+      * automaton's string — the union over end positions i of
+      * [i − l_i + 1, i] where l_i (the longest match ending at i) is
+      * ≥ minLen. Since i advances by 1 and l_i by at most 1, starts are
+      * non-decreasing and the union merges in the same single pass that
+      * computes the match-length profile — O(|t|) beyond the stream. */
+    def coverageIntervals(t: String, minLen: Int): List[(Int, Int)] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      var v = 0; var l = 0
+      var curS = -1; var curE = -1
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        while (v != 0 && !next(v).containsKey(c)) {
+          v = link(v); l = len(v)
+        }
+        val u = next(v).get(c)
+        if (u != null) { v = u; l += 1 }
+        else { v = 0; l = 0 }
+        if (l >= minLen) {
+          val st = i - l + 1
+          if (curS >= 0 && st <= curE + 1) curE = i
+          else {
+            if (curS >= 0) buf += ((curS, curE))
+            curS = st; curE = i
+          }
+        }
+        i += 1
+      }
+      if (curS >= 0) buf += ((curS, curE))
+      buf.toList
+    }
   }
 
   /** Winnowed fingerprint set of each doc: xxhash64 over every char
@@ -226,5 +260,97 @@ object SubstringDedup {
       .filter(col("_rn") === 1)
       .select(col("eval_id"), col("n_train_hits"),
         col("lcs_len").as("max_lcs_len"), col("train_id").as("worst_train_id"))
+  }
+
+  /** Corpus-grain exact substring REMOVAL (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the
+    * ExactSubstr step): emit the CLEANED corpus, cutting from every
+    * document each character position that lies inside a substring of
+    * length ≥ `minLen` also occurring in an EARLIER document
+    * (first-occurrence-wins by id order: the earliest holder keeps its
+    * copy untouched; every later doc loses the duplicated span and
+    * keeps the remainder, concatenated in order).
+    *
+    * Composition of the proven [[contamination]] machinery turned on
+    * itself: winnowed-fingerprint self-join for candidate (earlier,
+    * later) pairs (equi-join on fingerprint value, `<` on id — never
+    * pairs²), then ONE suffix automaton per earlier doc streamed with
+    * each later partner to produce the exact covered intervals
+    * ([[SuffixAutomaton.coverageIntervals]]), unioned per later doc,
+    * and a single per-row cut. Per-group state is O(longest single
+    * doc); the interval union per doc is bounded by |doc|/minLen
+    * entries — both executor-memory safe at any corpus size.
+    *
+    * A doc that is an exact duplicate of an earlier doc cleans to the
+    * empty string (its every position is covered) — the doc-grain
+    * q21/q61 semantics recovered as the degenerate case.
+    *
+    * @return (idCol, textCol, n_cut) — the cleaned text and how many
+    *         characters were removed; docs with nothing shared pass
+    *         through with n_cut = 0 */
+  def removeDuplicateSpans(
+      docs: DataFrame, minLen: Int,
+      k: Int = 20, w: Int = 6,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    require(k >= 2 && w >= 1, s"degenerate fingerprint params k=$k w=$w")
+    require(minLen >= k + w - 1,
+      s"winnowing guarantees detection only at >= k + w - 1 = ${k + w - 1} " +
+        s"chars; got minLen=$minLen (shrink k or w)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+    // ids keep their native type through the `<` order (numeric ids
+    // must order numerically) and only flatten to string for the
+    // typed groupByKey
+    val pairs = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("_early"), col("b._id").as("_late"))
+      .distinct()
+    val cands = pairs
+      .join(docs.select(col(idCol).as("_early"), col(textCol).as("_atext")),
+        Seq("_early"))
+      .join(docs.select(col(idCol).as("_late"), col(textCol).as("_btext")),
+        Seq("_late"))
+      .select(col("_early").cast("string"), col("_late").cast("string"),
+        col("_atext"), col("_btext"))
+      .as[(String, String, String, String)]
+    // one automaton per EARLIER doc serves all its later partners
+    val intervals = cands
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        var sam: SuffixAutomaton = null
+        rows.flatMap { case (_, bid, atext, btext) =>
+          if (sam == null) sam = new SuffixAutomaton(atext)
+          sam.coverageIntervals(btext, minLen)
+            .map { case (st, en) => (bid, st, en) }
+        }
+      }
+      .toDF("_sid", "_st", "_en")
+      .groupBy("_sid")
+      .agg(collect_list(struct(col("_st"), col("_en"))).as("_ivs"))
+    val cut = udf { (text: String, ivs: Seq[org.apache.spark.sql.Row]) =>
+      if (ivs == null || ivs.isEmpty) (text, 0)
+      else {
+        // union of per-pair interval lists (each already merged); a
+        // classic sorted sweep, then one pass building the remainder
+        val sorted = ivs.map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
+        val sb = new StringBuilder
+        var cursor = 0
+        var cutN = 0
+        sorted.foreach { case (st, en) =>
+          if (st > cursor) sb.append(text.substring(cursor, st))
+          val e = en + 1
+          if (e > cursor) { cutN += e - math.max(cursor, st); cursor = e }
+        }
+        if (cursor < text.length) sb.append(text.substring(cursor))
+        (sb.toString, cutN)
+      }
+    }
+    docs
+      .join(intervals, col(idCol).cast("string") === col("_sid"), "left")
+      .withColumn("_cut", cut(col(textCol), col("_ivs")))
+      .select(col(idCol), col("_cut._1").as(textCol),
+        col("_cut._2").as("n_cut"))
   }
 }

@@ -81,7 +81,22 @@ object StreamingIngest {
       docsDir: String,
       edgesDir: String,
       conf: GraftConf,
-      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Auto()): Unit = {
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Auto()): Unit =
+    processBatchWith(spark, batch, docsDir, edgesDir, conf, retrieval,
+      Ingest.dedupDelta).unpersist()
+
+  /** [[processBatch]] with a pluggable delta function (the bloom-fronted
+    * writer swaps in [[Ingest.dedupDeltaBloom]]); returns the still-
+    * checkpointed delta so the caller can fold its ids into incremental
+    * structures (a Bloom filter) before unpersisting. */
+  private[graft] def processBatchWith(
+      spark: SparkSession,
+      batch: DataFrame,
+      docsDir: String,
+      edgesDir: String,
+      conf: GraftConf,
+      retrieval: graft.operators.Retrieval,
+      deltaFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     // probe through the Hadoop FileSystem API, not java.io.File: the
     // store dir can live on any supported filesystem (HDFS/S3/...) where
     // a local-FS check would always say "absent" and silently skip the
@@ -106,7 +121,7 @@ object StreamingIngest {
     // "edges > 0" was satisfied by batch 1 alone). Checkpointing
     // materializes the micro-batch (tiny) and CUTS the lineage, so the
     // append cannot invalidate it.
-    val delta = Ingest.dedupDelta(Ingest.prepare(batch, conf), existing)
+    val delta = deltaFn(Ingest.prepare(batch, conf), existing)
       .select("id", "mtype", "data", "embedding", "seq")
       .localCheckpoint()
 
@@ -121,7 +136,57 @@ object StreamingIngest {
       GraphBuild.edgeDelta(knn, conf)
         .write.mode("append").parquet(edgesDir)
     }
-    delta.unpersist()
+    delta
+  }
+
+  /** [[ingestWriter]] with a driver-held Bloom filter fronting the
+    * per-batch store anti-join ([[Ingest.dedupDeltaBloom]]) — the shape
+    * a 100 TB store forces: the filter answers "definitely new" for
+    * almost every genuinely-new row, so the store-side scan of the
+    * anti-join runs only over the "maybe" residue (true duplicates plus
+    * the fpp sliver) instead of on every micro-batch.
+    *
+    * Filter lifecycle: rebuilt ONCE per query start from the store's
+    * ids (a single distributed scan — `df.stat.bloomFilter`), then
+    * merged incrementally with each batch delta's ids (Bloom filters of
+    * identical geometry union losslessly); after a checkpoint-recovery
+    * restart the rebuild re-covers everything the store holds, so the
+    * no-false-negative precondition survives crashes. fpp degrades as
+    * the store outgrows `expectedItems` — degradation is PERFORMANCE
+    * (more probed rows), never correctness (the exact anti-join settles
+    * every maybe), so sizing is a tuning knob, not a safety knob. */
+  def ingestWriterBloom(
+      stream: DataFrame,
+      docsDir: String,
+      edgesDir: String,
+      conf: GraftConf = GraftConf.default,
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Auto(),
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataStreamWriter[org.apache.spark.sql.Row] = {
+    var bloom: org.apache.spark.util.sketch.BloomFilter = null
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val docsPath = new org.apache.hadoop.fs.Path(docsDir)
+        val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (bloom == null)
+          bloom =
+            if (fs.exists(docsPath))
+              spark.read.parquet(docsDir).stat
+                .bloomFilter("id", expectedItems, fpp)
+            else
+              org.apache.spark.util.sketch.BloomFilter
+                .create(expectedItems, fpp)
+        val delta = processBatchWith(spark, batch, docsDir, edgesDir, conf,
+          retrieval, Ingest.dedupDeltaBloom(_, _, bloom))
+        // fold the appended ids in AFTER the store append succeeded —
+        // distributed build + lossless merge, no driver-side collect
+        if (!delta.isEmpty)
+          bloom.mergeInPlace(
+            delta.stat.bloomFilter("id", expectedItems, fpp))
+        delta.unpersist()
+        ()
+    }
   }
 
   /** Watermarked sliding-window event rollup — the streaming counterpart
@@ -253,7 +318,16 @@ object StreamingIngest {
     * Column/unit contract matches the batch operator: (user_id, s1_us,
     * s2_us, s3_us, stage), micros, users with no step-1 event absent.
     * The equivalence is spec-pinned on replay (StreamingSpec), the
-    * sessionizeStream precedent. */
+    * sessionizeStream precedent.
+    *
+    * Emission grain caveat: state is REMOVED after the idle-timeout
+    * emission, so a user whose activity resumes after an idle gap
+    * starts a fresh funnel and emits one row PER IDLE SESSION, while
+    * the batch funnel emits exactly one row per user — the documented
+    * stream≡batch equivalence holds when each user's events fit one
+    * idle session (the replay spec's shape). Downstream per-user
+    * consumers (the q135 cohort join) must aggregate or dedup by
+    * user_id when sessions can recur. */
   def funnelStream(
       events: DataFrame, // (ts: Timestamp, user_id: Long, event_type: String)
       step1: String = "view", step2: String = "click", step3: String = "purchase",

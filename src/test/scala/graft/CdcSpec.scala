@@ -67,7 +67,14 @@ class CdcSpec extends SparkSpec {
     }
     val cases = Seq(
       (1L, prose), (2L, prose * 10), (3L, ""), (4L, "short"),
-      (5L, "x" * 7), (6L, "x" * 8), (7L, "\n\t  mixed   whitespace\n" * 40)
+      (5L, "x" * 7), (6L, "x" * 8), (7L, "\n\t  mixed   whitespace\n" * 40),
+      // unicode parity (the scaladoc claims CODEPOINT-exact equality):
+      // multi-byte BMP (latin-1 supplement, CJK) and supplementary-plane
+      // codepoints (surrogate pairs in compute()'s iteration)
+      (8L, "héllo wörld — üñïçødé ¿prose? " * 30),
+      (9L, "日本語のテキストと中文文本が混在する例です。" * 25),
+      (10L, ("plane-1: 𝒜𝒝𝒞 emoji 😀" +
+        "🚀 mixed ascii tail ") * 30)
     ) ++ randoms
     for ((w, d) <- Seq((8, 64), (4, 32), (1, 16), (12, 128))) {
       val df = cases.toDF("doc_id", "text").select(

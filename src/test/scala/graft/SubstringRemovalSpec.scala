@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.SubstringDedup
+import org.apache.spark.sql.DataFrame
+
+/** Corpus-grain substring REMOVAL gate (SubstringDedup.
+  * removeDuplicateSpans): planted fixtures with disjoint character
+  * classes make expected cleaned text exact; a seeded-random
+  * small-alphabet corpus (dense natural overlaps) is checked against a
+  * driver-side brute coverage reference; idempotence is asserted on
+  * both. The q138 oracle adds the end-to-end hash gate over the
+  * md5-chain planted corpus. */
+class SubstringRemovalSpec extends SparkSpec {
+
+  import SubstringDedup.SuffixAutomaton
+
+  private def cleanMap(df: DataFrame): Map[String, (String, Int)] =
+    df.collect().map(r => (r.getAs[Any]("id").toString,
+      (r.getAs[String]("text"), r.getAs[Int]("n_cut")))).toMap
+
+  test("coverageIntervals: exact merged intervals from the match profile") {
+    val sam = new SuffixAutomaton("zzabcdefqq")
+    // 'abcdef' at [2,7]; 'abcde' at [10,14]
+    assert(sam.coverageIntervals("XXabcdefYYabcdeZZ", 5) ==
+      List((2, 7), (10, 14)))
+    assert(sam.coverageIntervals("XXabcdefYYabcdeZZ", 6) == List((2, 7)))
+    assert(sam.coverageIntervals("XXabcdefYYabcdeZZ", 7) == Nil)
+    assert(sam.coverageIntervals("", 1) == Nil)
+    // adjacent coverage merges: 'abc' then 'def' both match, the
+    // profile at minLen=3 covers [0,5] as one interval
+    assert(new SuffixAutomaton("abcXdef").coverageIntervals("abcdef", 3) ==
+      List((0, 5)))
+  }
+
+  test("planted spans: exact cut, adjacent-union across two earlier partners") {
+    import spark.implicits._
+    val textA = "abcdefghijklmnopqrstuvwxyz" * 3 // 78 chars, lowercase
+    val textB = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" * 3 // 78 chars, uppercase
+    val sliceA = textA.substring(5, 45)  // 40 chars
+    val sliceB = textB.substring(7, 47)  // 40 chars
+    // c embeds sliceA directly followed by sliceB: the two per-partner
+    // coverage intervals are ADJACENT and must cut as one 80-char block
+    val textC = "0123456789" + sliceA + sliceB + "9876543210"
+    val docs = Seq((1L, textA), (2L, textB), (3L, textC)).toDF("id", "text")
+    val got = cleanMap(
+      SubstringDedup.removeDuplicateSpans(docs, minLen = 10, k = 4, w = 5))
+    assert(got("1") == ((textA, 0)), "earliest holder untouched")
+    assert(got("2") == ((textB, 0)))
+    assert(got("3") == (("0123456789" + "9876543210", 80)), s"${got("3")}")
+  }
+
+  test("exact duplicate cleans to the empty string; first occurrence wins") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((10L, t), (20L, t), (30L, "zzz" + t + "qqq"))
+      .toDF("id", "text")
+    val got = cleanMap(
+      SubstringDedup.removeDuplicateSpans(docs, minLen = 10, k = 4, w = 5))
+    assert(got("10") == ((t, 0)))
+    assert(got("20") == (("", t.length)), "exact dup fully covered")
+    assert(got("30") == (("zzz" + "qqq", t.length)), "embedded copy cut")
+  }
+
+  private def bruteClean(
+      docs: Seq[(Long, String)], minLen: Int): Map[String, (String, Int)] =
+    docs.map { case (id, t) =>
+      val earlier = docs.filter(_._1 < id).map(_._2)
+      val covered = Array.fill(t.length)(false)
+      for (a <- earlier; q <- 0 to t.length - minLen)
+        if (a.contains(t.substring(q, q + minLen))) {
+          var l = minLen
+          while (q + l < t.length && a.contains(t.substring(q, q + l + 1)))
+            l += 1
+          (q until q + l).foreach(covered(_) = true)
+        }
+      val clean =
+        t.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+      (id.toString, (clean, covered.count(identity)))
+    }.toMap
+
+  test("brute-reference equality on a dense small-alphabet random corpus") {
+    import spark.implicits._
+    // 2-letter alphabet: ~10 shared 12-gram pairs per doc pair in
+    // expectation — coverage is patchy and genuinely exercises the
+    // interval union (a 3-letter alphabet at this length is near-empty)
+    val rnd = new scala.util.Random(4242)
+    val docs = (1L to 8L).map { id =>
+      val n = 150 + rnd.nextInt(100)
+      (id, Array.fill(n)("ab".charAt(rnd.nextInt(2))).mkString)
+    }
+    val expected = bruteClean(docs, minLen = 12)
+    val got = cleanMap(SubstringDedup.removeDuplicateSpans(
+      docs.toDF("id", "text"), minLen = 12, k = 4, w = 5))
+    assert(got == expected)
+  }
+
+  test("idempotence: clean(clean(x)) == clean(x) on planted and random corpora") {
+    import spark.implicits._
+    // 3-letter alphabet: sparse natural overlaps, so cut seams are
+    // overwhelmingly unlikely to form NEW >=12-char runs matching an
+    // earlier doc (idempotence is a fixture property, not a theorem —
+    // a seam-spanning re-match is possible in principle; Lee et al.
+    // iterate to convergence for exactly that reason)
+    val rnd = new scala.util.Random(777)
+    val random = (1L to 6L).map { id =>
+      val n = 120 + rnd.nextInt(80)
+      (id, Array.fill(n)("abc".charAt(rnd.nextInt(3))).mkString)
+    }
+    val planted = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz" * 2),
+      (2L, "0000" + ("abcdefghijklmnopqrstuvwxyz" * 2).substring(3, 33) + "1111"))
+    for (corpus <- Seq(random, planted)) {
+      val once = SubstringDedup.removeDuplicateSpans(
+        corpus.toDF("id", "text"), minLen = 12, k = 4, w = 5)
+      val onceRows = once.select("id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      val twice = cleanMap(SubstringDedup.removeDuplicateSpans(
+        onceRows.toDF("id", "text"), minLen = 12, k = 4, w = 5))
+      onceRows.foreach { case (id, t) =>
+        assert(twice(id.toString) == ((t, 0)),
+          s"doc $id changed on second clean: '${twice(id.toString)._1}' vs '$t'")
+      }
+    }
+  }
+}
