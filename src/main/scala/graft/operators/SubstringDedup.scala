@@ -298,7 +298,30 @@ object SubstringDedup {
         s"chars; got minLen=$minLen (shrink k or w)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = fingerprints(docs, idCol, textCol, k, w)
+    // Exact-duplicate short-circuit (scale guard): a text duplicated N
+    // times would feed N(N-1)/2 pairs through the fingerprint join —
+    // and exact duplication is the dominant redundancy of a raw crawl.
+    // Copies beyond the first (by id) are fully covered by their keeper
+    // whenever the text can host a qualifying span, so they resolve to
+    // "" via ONE sha256 hash-aggregation; only DISTINCT texts enter the
+    // pairwise machinery. No coverage is lost: any span a later doc
+    // shares with a non-keeper it also shares (same text) with the
+    // keeper, whose id is the group MINIMUM — strictly earlier.
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy("_h").orderBy(col(idCol))
+    val ranked = docs
+      .select(col(idCol), col(textCol))
+      .withColumn("_h", sha2(col(textCol).cast("binary"), 256))
+      .withColumn("_rn", row_number().over(wDup))
+      .transform(graft.CacheScope.pin) // keepers + dup tails read it
+    val keepers = ranked.filter(col("_rn") === 1).drop("_h", "_rn")
+    val dupDone = ranked.filter(col("_rn") > 1)
+      .select(col(idCol),
+        when(length(col(textCol)) >= minLen, lit(""))
+          .otherwise(col(textCol)).as(textCol),
+        when(length(col(textCol)) >= minLen, length(col(textCol)))
+          .otherwise(lit(0)).as("n_cut"))
+    val fp = fingerprints(keepers, idCol, textCol, k, w)
     // ids keep their native type through the `<` order (numeric ids
     // must order numerically) and only flatten to string for the
     // typed groupByKey
@@ -308,9 +331,9 @@ object SubstringDedup {
       .select(col("a._id").as("_early"), col("b._id").as("_late"))
       .distinct()
     val cands = pairs
-      .join(docs.select(col(idCol).as("_early"), col(textCol).as("_atext")),
+      .join(keepers.select(col(idCol).as("_early"), col(textCol).as("_atext")),
         Seq("_early"))
-      .join(docs.select(col(idCol).as("_late"), col(textCol).as("_btext")),
+      .join(keepers.select(col(idCol).as("_late"), col(textCol).as("_btext")),
         Seq("_late"))
       .select(col("_early").cast("string"), col("_late").cast("string"),
         col("_atext"), col("_btext"))
@@ -347,10 +370,11 @@ object SubstringDedup {
         (sb.toString, cutN)
       }
     }
-    docs
+    keepers
       .join(intervals, col(idCol).cast("string") === col("_sid"), "left")
       .withColumn("_cut", cut(col(textCol), col("_ivs")))
       .select(col(idCol), col("_cut._1").as(textCol),
         col("_cut._2").as("n_cut"))
+      .unionByName(dupDone)
   }
 }

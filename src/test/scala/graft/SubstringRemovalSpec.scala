@@ -94,6 +94,25 @@ class SubstringRemovalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("exact-dup short-circuit at multiplicity: semantics match brute") {
+    import spark.implicits._
+    // a text duplicated 4x (would be 6 pairs through the fingerprint
+    // join without the short-circuit), a doc embedding one of its
+    // spans, and a duplicated doc SHORTER than minLen (must pass
+    // through uncut — too short to host a qualifying span)
+    val base = "abcdefghijklmnopqrstuvwxyz" * 3
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), (4L, base),
+      (5L, "00000" + base.substring(10, 40) + "11111"),
+      (6L, "tiny"), (7L, "tiny"))
+    val expected = bruteClean(docs, minLen = 12)
+    val got = cleanMap(SubstringDedup.removeDuplicateSpans(
+      docs.toDF("id", "text"), minLen = 12, k = 4, w = 5))
+    assert(got == expected)
+    assert(got("2") == (("", base.length)) && got("4") == (("", base.length)))
+    assert(got("7") == (("tiny", 0)), "below-minLen dup must stay intact")
+  }
+
   test("idempotence: clean(clean(x)) == clean(x) on planted and random corpora") {
     import spark.implicits._
     // 3-letter alphabet: sparse natural overlaps, so cut seams are
