@@ -1584,6 +1584,28 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** WEIGHTED token communities (q139): [[tokenCommunitiesQ]]'s twin
+    * with PMI magnitude as the vote — collocation strength decides
+    * membership where q134 counts only topology. Weights are the q95
+    * milli-quantization floor(pmi·1000 + 0.5) of the ROUNDED pmi (the
+    * round-before-rank value the mirror reproduces bit-for-bit), so
+    * the integer Σw argmax is exact on both engines; non-positive-PMI
+    * edges carry no vote and drop (the operator's w > 0 filter). The
+    * weighted-LPA SQL tail is shared verbatim with q95 — the fourth
+    * analytics-over-derived-graph pairing. */
+  private def weightedTokenCommunitiesQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextAnalysis.pmiCollocations(
+      Tables.documents(s, dir), "doc_id", "text", k = 200, minCount = 5)
+    val edges = pairs
+      .select(least(col("w1"), col("w2")).as("src"),
+        greatest(col("w1"), col("w2")).as("dst"),
+        floor(col("pmi") * 1000.0 + 0.5).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+    GraphAlgos.labelPropagationWeighted(edges, maxIter = 5)
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
   /** Funnel conversion by cohort (q135): the q125 funnel joined under
     * the q133 cohort assignment — per first-event-week cohort, how many
     * users reach each funnel stage and the stage-3 conversion rate.
@@ -2223,6 +2245,8 @@ object SparkEntry {
     "q136_dup_cluster_histogram" -> ((s, d) => dupClusterHistogramQ(s, d)),
     "q137_gate_agreement" -> ((s, d) => gateAgreementQ(s, d)),
     "q138_substring_removal" -> ((s, d) => substringRemovalQ(s, d)),
+    "q139_weighted_token_communities" ->
+      ((s, d) => weightedTokenCommunitiesQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2546,6 +2570,61 @@ object SparkEntry {
        |  SELECT DISTINCT u AS id, u AS label FROM sgsym),
        |$rounds
        |SELECT id, label AS community FROM l5
+       |ORDER BY id""".stripMargin
+  }
+
+  /** The q104 PMI-collocation chain at k=200/minCount=5, ending in a
+    * `top` CTE carrying (w1, w2, pmi) — pmi ROUNDED to 6 before the
+    * rank (the q71 device), so both the cut and any weight derived
+    * from it are bit-exact cross-engine. Shared by q134 (unweighted
+    * edges) and q139 (milli-weighted edges). */
+  private lazy val sqlPmiTop200Ctes: String =
+    s"""tok AS (SELECT $sqlToks AS toks FROM documents),
+       |bi AS MATERIALIZED (
+       |  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+       |  FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM tok)),
+       |pair AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2),
+       |lft AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+       |rgt AS MATERIALIZED (SELECT w2, count(*) AS c2 FROM bi GROUP BY w2),
+       |tot AS (SELECT count(*) AS n FROM bi),
+       |sc AS (
+       |  SELECT p.w1, p.w2,
+       |    ${sqlRnd(
+             "ln((CAST(p.n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE)) / " +
+               "(CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE)))", 6)} AS pmi
+       |  FROM pair p
+       |  JOIN lft l ON p.w1 = l.w1
+       |  JOIN rgt r ON p.w2 = r.w2
+       |  CROSS JOIN tot
+       |  WHERE p.n_pair >= 5),
+       |top AS (SELECT * FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 200)""".stripMargin
+
+  /** Weighted-LPA tail over an `sgw` edge CTE carrying (a, b, w):
+    * symmetrize, identity labels, five unrolled rounds of Σw votes +
+    * (Σw desc, label) argmax — the weighted twin of [[sqlLpaTail]].
+    * Shared by q95 (milli-weighted brute sim graph) and q139
+    * (milli-weighted PMI collocation graph). */
+  private val sqlWeightedLpaTail: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""wct$k AS (
+         |  SELECT e.u AS id, l.label, sum(e.w) AS c
+         |  FROM sgwsym e JOIN wl${k - 1} l ON e.v = l.id
+         |  GROUP BY e.u, l.label),
+         |wam$k AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |    FROM wct$k) WHERE rn = 1),
+         |wl$k AS MATERIALIZED (
+         |  SELECT p.id, coalesce(a.label, p.label) AS label
+         |  FROM wl${k - 1} p LEFT JOIN wam$k a ON p.id = a.id)""".stripMargin
+    }.mkString(",\n")
+    s"""sgwsym AS MATERIALIZED (
+       |  SELECT a AS u, b AS v, w FROM sgw UNION ALL SELECT b, a, w FROM sgw),
+       |wl0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS id, u AS label FROM sgwsym),
+       |$rounds
+       |SELECT id, label AS community FROM wl5
        |ORDER BY id""".stripMargin
   }
 
@@ -3498,27 +3577,13 @@ object SparkEntry {
          |SELECT component, count(*) AS n_nodes FROM sgl10
          |GROUP BY component
          |ORDER BY component""".stripMargin,
-    "q95_weighted_lpa" -> {
+    "q95_weighted_lpa" ->
       // Mirror of GraphAlgos.labelPropagationWeighted(maxIter=5) over
       // the milli-weighted brute sim graph: identical dot products →
-      // identical floor(sim·1000+0.5) weights; five unrolled rounds of
-      // Σw + (Σw desc, label) argmax. HAVING w > 0 mirrors the Scala
+      // identical floor(sim·1000+0.5) weights; shared weighted tail
+      // ([[sqlWeightedLpaTail]]). HAVING w > 0 mirrors the Scala
       // side's positive-weight filter (filter-before vs having-after
       // coincide because both directions carry the identical sim).
-      val rounds = (1 to 5).map { k =>
-        s"""wct$k AS (
-           |  SELECT e.u AS id, l.label, sum(e.w) AS c
-           |  FROM sgwsym e JOIN wl${k - 1} l ON e.v = l.id
-           |  GROUP BY e.u, l.label),
-           |wam$k AS (
-           |  SELECT id, label FROM (
-           |    SELECT id, label,
-           |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
-           |    FROM wct$k) WHERE rn = 1),
-           |wl$k AS MATERIALIZED (
-           |  SELECT p.id, coalesce(a.label, p.label) AS label
-           |  FROM wl${k - 1} p LEFT JOIN wam$k a ON p.id = a.id)""".stripMargin
-      }.mkString(",\n")
       s"""WITH $sqlSimGraphCtes,
          |sgw AS MATERIALIZED (
          |  SELECT least(qid, id) AS a, greatest(qid, id) AS b,
@@ -3526,14 +3591,7 @@ object SparkEntry {
          |  FROM sgknn WHERE rnk <= 5 AND qid <> id
          |  GROUP BY 1, 2
          |  HAVING max(CAST(floor(sim * 1000.0 + 0.5) AS BIGINT)) > 0),
-         |sgwsym AS MATERIALIZED (
-         |  SELECT a AS u, b AS v, w FROM sgw UNION ALL SELECT b, a, w FROM sgw),
-         |wl0 AS MATERIALIZED (
-         |  SELECT DISTINCT u AS id, u AS label FROM sgwsym),
-         |$rounds
-         |SELECT id, label AS community FROM wl5
-         |ORDER BY id""".stripMargin
-    },
+         |$sqlWeightedLpaTail""".stripMargin,
     "q90_label_propagation" ->
       // LPA rounds over the brute-built sim graph (tail shared with q94
       // — isolated-node keep is vacuous here: every node has neighbors).
@@ -5485,29 +5543,24 @@ object SparkEntry {
       // The q104 PMI chain at k=200 feeding the q90/q94 shared LPA tail
       // — the analytics SQL is verbatim-shared across all three graph
       // constructions (brute-sim, ANN-sim, and now PMI-text).
-      s"""WITH tok AS (SELECT $sqlToks AS toks FROM documents),
-         |bi AS MATERIALIZED (
-         |  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
-         |  FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM tok)),
-         |pair AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2),
-         |lft AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
-         |rgt AS MATERIALIZED (SELECT w2, count(*) AS c2 FROM bi GROUP BY w2),
-         |tot AS (SELECT count(*) AS n FROM bi),
-         |sc AS (
-         |  SELECT p.w1, p.w2,
-         |    ${sqlRnd(
-               "ln((CAST(p.n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE)) / " +
-                 "(CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE)))", 6)} AS pmi
-         |  FROM pair p
-         |  JOIN lft l ON p.w1 = l.w1
-         |  JOIN rgt r ON p.w2 = r.w2
-         |  CROSS JOIN tot
-         |  WHERE p.n_pair >= 5),
-         |top AS (SELECT * FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 200),
+      s"""WITH $sqlPmiTop200Ctes,
          |sg AS MATERIALIZED (
          |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
          |  FROM top WHERE w1 <> w2),
          |$sqlLpaTail""".stripMargin,
+    "q139_weighted_token_communities" ->
+      // q134's PMI chain, but the edge CARRIES the collocation
+      // strength: the q95 milli-quantization of the rounded pmi feeds
+      // the shared weighted tail — same fourth pairing as the Scala
+      // side. HAVING > 0 mirrors the operator's positive-weight drop.
+      s"""WITH $sqlPmiTop200Ctes,
+         |sgw AS MATERIALIZED (
+         |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+         |         max(CAST(floor(pmi * 1000.0 + 0.5) AS BIGINT)) AS w
+         |  FROM top WHERE w1 <> w2
+         |  GROUP BY 1, 2
+         |  HAVING max(CAST(floor(pmi * 1000.0 + 0.5) AS BIGINT)) > 0),
+         |$sqlWeightedLpaTail""".stripMargin,
     "q135_funnel_by_cohort" ->
       // q125's funnel CTE chain joined under the q133 cohort
       // assignment, rolled to the cohort grain with a stage-3
