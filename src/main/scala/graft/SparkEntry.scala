@@ -1442,7 +1442,35 @@ object SparkEntry {
     * Output: per-source attrition through every stage plus the final
     * token allocation — the table a data-engineering review actually
     * wants from a curation run. */
-  private def curationGauntletQ(s: SparkSession, dir: String): DataFrame = {
+  private def curationGauntletQ(s: SparkSession, dir: String): DataFrame =
+    gauntletReport(s, dir) { surv =>
+      Dedup.dedupExact(surv, "doc_id", "text")
+    }
+
+  /** Gauntlet variant with a NEAR-dup dedup stage (q140): the q130
+    * chain with [[Dedup.dedupExact]] swapped for the q48 MinHash-LSH
+    * clustering — survivors that are ≥0.6-Jaccard near-dups of an
+    * earlier survivor drop (cluster keeper = min id, the first-wins
+    * rule generalized transitively), which also subsumes exact dups
+    * (Jaccard 1). The mixture then allocates over genuinely-distinct
+    * content — the variant a template-heavy crawl needs, where exact
+    * dedup leaves near-identical boilerplate inflating a source's
+    * token share. Gate prefix + report tail shared with q130. */
+  private def curationGauntletNearDupQ(s: SparkSession, dir: String): DataFrame =
+    gauntletReport(s, dir) { surv =>
+      val pairs = Dedup.nearDupMinhashLsh(surv, "doc_id", "text",
+        shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.6)
+      val drops = GraphAlgos.dedupClusters(pairs, maxIter = 4)
+        .filter(!col("is_keeper"))
+        .select(col("id").cast("long").as("doc_id"))
+      surv.join(drops, Seq("doc_id"), "left_anti")
+    }
+
+  /** The shared gauntlet frame (q130/q140): rules gate → classifier
+    * gate → caller-chosen dedup stage over the survivors → temperature
+    * mixture, reported as per-source attrition. */
+  private def gauntletReport(s: SparkSession, dir: String)(
+      dedupStage: DataFrame => DataFrame): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("source"))
       .transform(graft.CacheScope.pin) // every stage + the raw counts read it
@@ -1457,7 +1485,7 @@ object SparkEntry {
       .join(rulesOk, Seq("doc_id"), "left_semi")
       .join(clsOk, Seq("doc_id"), "left_semi")
       .transform(graft.CacheScope.pin) // stage count + dedup read it
-    val kept = Dedup.dedupExact(surv, "doc_id", "text")
+    val kept = dedupStage(surv)
       .transform(graft.CacheScope.pin) // stage count + mixture read it
     val mix = Curation.temperatureMixture(kept, "source", "text", 1000000L)
     val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
@@ -2247,6 +2275,7 @@ object SparkEntry {
     "q138_substring_removal" -> ((s, d) => substringRemovalQ(s, d)),
     "q139_weighted_token_communities" ->
       ((s, d) => weightedTokenCommunitiesQ(s, d)),
+    "q140_gauntlet_neardup" -> ((s, d) => curationGauntletNearDupQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2572,6 +2601,111 @@ object SparkEntry {
        |SELECT id, label AS community FROM l5
        |ORDER BY id""".stripMargin
   }
+
+  /** Gauntlet gate prefix (q130/q140): base signals, rules gate,
+    * classifier gate, ending in a `surv` CTE carrying (id, text,
+    * source, toks). */
+  private lazy val sqlGauntletPrefix: String = {
+    val wlist = graft.operators.TextAnalysis.ClassifierWeightsMicro
+      .mkString("[", ", ", "]")
+    s"""base AS MATERIALIZED (
+         |  SELECT doc_id AS id, text, source,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+         |    $sqlToks AS toks
+         |  FROM documents),
+         |sig AS MATERIALIZED (
+         |  SELECT id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS mean_wlen,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS frac_alpha,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "((len(text) - len(replace(text, '#', '')))" +
+                 " + (len(text) - len(replace(text, '...', ''))) / 3)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS sym_ratio,
+         |    CAST(${graft.operators.TextAnalysis.GopherStopProbe.map(w =>
+               s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS BIGINT) AS n_stop
+         |  FROM base),
+         |rulesok AS (
+         |  SELECT id FROM sig
+         |  WHERE (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
+         |      + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 0 ELSE 1 END)
+         |      + (CASE WHEN frac_alpha >= 0.8 THEN 0 ELSE 1 END)
+         |      + (CASE WHEN sym_ratio <= 0.1 THEN 0 ELSE 1 END)
+         |      + (CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END) <= 1),
+         |cls AS (
+         |  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    COALESCE(CAST(list_aggregate(
+         |      list_transform(toks, x -> ($wlist)[${hash60("x")} % 64 + 1]),
+         |      'sum') AS BIGINT), 0) AS summ
+         |  FROM base),
+         |clsok AS (
+         |  SELECT id FROM (
+         |    SELECT id, n_toks,
+         |      CASE WHEN n_toks = 0 THEN 0.0
+         |           ELSE ${sqlRnd("CAST(summ AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1e6)", 6)}
+         |      END AS score
+         |    FROM cls)
+         |  WHERE NOT (n_toks = 0 OR score < -0.05)),
+         |surv AS MATERIALIZED (
+         |  SELECT b.id, b.text, b.source, b.toks FROM base b
+         |  JOIN rulesok USING (id) JOIN clsok USING (id))""".stripMargin
+  }
+
+  /** Gauntlet report tail (q130/q140) over a `kept` CTE: the q120
+    * mixture CTEs + per-source attrition joins. */
+  private lazy val sqlGauntletTail: String =
+    s"""|t AS MATERIALIZED (
+         |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM kept GROUP BY source),
+         |w AS MATERIALIZED (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |      AS weight
+         |  FROM t),
+         |s AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+         |b2 AS MATERIALIZED (
+         |  SELECT w.source, w.n_tokens, w.weight,
+         |    CAST((1000000 * w.weight) // s.tot AS BIGINT) AS base,
+         |    CAST((1000000 * w.weight) % s.tot AS BIGINT) AS rem
+         |  FROM w CROSS JOIN s),
+         |e AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM b2),
+         |r AS (
+         |  SELECT b2.*, row_number() OVER (ORDER BY rem DESC, source) AS rn
+         |  FROM b2),
+         |mix AS (
+         |  SELECT r.source, r.n_tokens,
+         |    CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END AS BIGINT)
+         |      AS alloc_tokens,
+         |    ${sqlRnd("CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END" +
+             " AS DOUBLE) / 1000000.0", 6)} AS share
+         |  FROM r CROSS JOIN e),
+         |raw AS (SELECT source, count(*) AS n_raw FROM base GROUP BY source),
+         |st1 AS (
+         |  SELECT source, count(*) AS n_rules FROM base
+         |  JOIN rulesok USING (id) GROUP BY source),
+         |st2 AS (SELECT source, count(*) AS n_cls FROM surv GROUP BY source),
+         |st3 AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
+         |SELECT raw.source, raw.n_raw,
+         |  COALESCE(st1.n_rules, 0) AS n_rules,
+         |  COALESCE(st2.n_cls, 0) AS n_cls,
+         |  COALESCE(st3.n_kept, 0) AS n_kept,
+         |  COALESCE(mix.n_tokens, 0) AS n_tokens,
+         |  COALESCE(mix.alloc_tokens, 0) AS alloc_tokens,
+         |  COALESCE(mix.share, 0.0) AS share
+         |FROM raw
+         |LEFT JOIN st1 USING (source)
+         |LEFT JOIN st2 USING (source)
+         |LEFT JOIN st3 USING (source)
+         |LEFT JOIN mix USING (source)
+         |ORDER BY raw.source""".stripMargin
 
   /** The q104 PMI-collocation chain at k=200/minCount=5, ending in a
     * `top` CTE carrying (w1, w2, pmi) — pmi ROUNDED to 6 before the
@@ -5306,113 +5440,54 @@ object SparkEntry {
          |       THEN ${sqlRnd("(CAST(n AS DOUBLE) - meanh) / stdh", 6)}
          |       ELSE 0.0 END >= 2.0 AS spike
          |FROM zz ORDER BY event_type, hour""".stripMargin,
-    "q130_curation_gauntlet" -> {
+    "q130_curation_gauntlet" ->
       // Mirror of curationGauntletQ: the q119 signal CTEs (n_fail),
       // the q122 classifier score, the q21 first-id-wins dedup window,
       // and the q120 mixture CTEs — chained over survivors instead of
       // the raw corpus, with per-source stage counts joined at the end.
-      val wlist = graft.operators.TextAnalysis.ClassifierWeightsMicro
-        .mkString("[", ", ", "]")
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT doc_id AS id, text, source,
-         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
-         |    $sqlToks AS toks
-         |  FROM documents),
-         |sig AS MATERIALIZED (
-         |  SELECT id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
-               "CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)" +
-                 " / CAST(len(ws) AS DOUBLE)", 6)}
-         |      ELSE 0.0 END AS mean_wlen,
-         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
-               "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)" +
-                 " / CAST(len(ws) AS DOUBLE)", 6)}
-         |      ELSE 0.0 END AS frac_alpha,
-         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
-               "((len(text) - len(replace(text, '#', '')))" +
-                 " + (len(text) - len(replace(text, '...', ''))) / 3)" +
-                 " / CAST(len(ws) AS DOUBLE)", 6)}
-         |      ELSE 0.0 END AS sym_ratio,
-         |    CAST(${graft.operators.TextAnalysis.GopherStopProbe.map(w =>
-               s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
-               .mkString(" + ")} AS BIGINT) AS n_stop
-         |  FROM base),
-         |rulesok AS (
-         |  SELECT id FROM sig
-         |  WHERE (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
-         |      + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 0 ELSE 1 END)
-         |      + (CASE WHEN frac_alpha >= 0.8 THEN 0 ELSE 1 END)
-         |      + (CASE WHEN sym_ratio <= 0.1 THEN 0 ELSE 1 END)
-         |      + (CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END) <= 1),
-         |cls AS (
-         |  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks,
-         |    COALESCE(CAST(list_aggregate(
-         |      list_transform(toks, x -> ($wlist)[${hash60("x")} % 64 + 1]),
-         |      'sum') AS BIGINT), 0) AS summ
-         |  FROM base),
-         |clsok AS (
-         |  SELECT id FROM (
-         |    SELECT id, n_toks,
-         |      CASE WHEN n_toks = 0 THEN 0.0
-         |           ELSE ${sqlRnd("CAST(summ AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1e6)", 6)}
-         |      END AS score
-         |    FROM cls)
-         |  WHERE NOT (n_toks = 0 OR score < -0.05)),
-         |surv AS MATERIALIZED (
-         |  SELECT b.id, b.text, b.source, b.toks FROM base b
-         |  JOIN rulesok USING (id) JOIN clsok USING (id)),
+      // Gate prefix + report tail shared with q140.
+      s"""WITH $sqlGauntletPrefix,
          |kept AS MATERIALIZED (
          |  SELECT id, text, source, toks FROM (
          |    SELECT id, text, source, toks,
          |      row_number() OVER (PARTITION BY sha256(text) ORDER BY id) AS rn
          |    FROM surv)
          |  WHERE rn = 1),
-         |t AS MATERIALIZED (
-         |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
-         |  FROM kept GROUP BY source),
-         |w AS MATERIALIZED (
-         |  SELECT source, n_tokens,
-         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
-         |      AS weight
-         |  FROM t),
-         |s AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
-         |b2 AS MATERIALIZED (
-         |  SELECT w.source, w.n_tokens, w.weight,
-         |    CAST((1000000 * w.weight) // s.tot AS BIGINT) AS base,
-         |    CAST((1000000 * w.weight) % s.tot AS BIGINT) AS rem
-         |  FROM w CROSS JOIN s),
-         |e AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM b2),
-         |r AS (
-         |  SELECT b2.*, row_number() OVER (ORDER BY rem DESC, source) AS rn
-         |  FROM b2),
-         |mix AS (
-         |  SELECT r.source, r.n_tokens,
-         |    CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END AS BIGINT)
-         |      AS alloc_tokens,
-         |    ${sqlRnd("CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END" +
-             " AS DOUBLE) / 1000000.0", 6)} AS share
-         |  FROM r CROSS JOIN e),
-         |raw AS (SELECT source, count(*) AS n_raw FROM base GROUP BY source),
-         |st1 AS (
-         |  SELECT source, count(*) AS n_rules FROM base
-         |  JOIN rulesok USING (id) GROUP BY source),
-         |st2 AS (SELECT source, count(*) AS n_cls FROM surv GROUP BY source),
-         |st3 AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
-         |SELECT raw.source, raw.n_raw,
-         |  COALESCE(st1.n_rules, 0) AS n_rules,
-         |  COALESCE(st2.n_cls, 0) AS n_cls,
-         |  COALESCE(st3.n_kept, 0) AS n_kept,
-         |  COALESCE(mix.n_tokens, 0) AS n_tokens,
-         |  COALESCE(mix.alloc_tokens, 0) AS alloc_tokens,
-         |  COALESCE(mix.share, 0.0) AS share
-         |FROM raw
-         |LEFT JOIN st1 USING (source)
-         |LEFT JOIN st2 USING (source)
-         |LEFT JOIN st3 USING (source)
-         |LEFT JOIN mix USING (source)
-         |ORDER BY raw.source""".stripMargin
-    },
+         |$sqlGauntletTail""".stripMargin,
+    "q140_gauntlet_neardup" ->
+      // q130 with the dedup stage swapped for the q48 MinHash-LSH
+      // cluster chain over the SURVIVORS (shingles from surv's toks —
+      // the same tokenizer): non-keepers drop, un-clustered docs pass.
+      s"""WITH $sqlGauntletPrefix,
+         |wsh AS MATERIALIZED (
+         |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM surv),
+         |whb AS (
+         |  SELECT id, sh, ${minhashBases("sh")} AS hb
+         |  FROM wsh WHERE len(sh) > 0),
+         |wsig AS (
+         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM whb),
+         |wkeys AS (
+         |  SELECT id, sh, ${bandKeys("sig", 4, 3)} AS bkeys FROM wsig),
+         |gbanded AS MATERIALIZED (
+         |  SELECT id, sh, unnest(bkeys) AS bkey FROM wkeys),
+         |gcand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM gbanded a JOIN gbanded b ON a.bkey = b.bkey AND a.id < b.id),
+         |gpairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM gcand c
+         |  JOIN wsh sa ON sa.id = c.id_a
+         |  JOIN wsh sb ON sb.id = c.id_b
+         |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.6),
+         |gsym AS (
+         |  SELECT id_a AS u, id_b AS v FROM gpairs
+         |  UNION ALL SELECT id_b, id_a FROM gpairs),
+         |${ccUnrolled("g", 4)},
+         |drops AS (SELECT id FROM gl4 WHERE id <> component),
+         |kept AS MATERIALIZED (
+         |  SELECT s.id, s.text, s.source, s.toks FROM surv s
+         |  LEFT JOIN drops d ON s.id = d.id WHERE d.id IS NULL),
+         |$sqlGauntletTail""".stripMargin,
     "q131_substring_rollup" -> {
       // Mirror of substringRollupQ WITHOUT a suffix automaton: the
       // oracle leans on two fixture facts the engine does not need.
