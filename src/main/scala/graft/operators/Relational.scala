@@ -270,15 +270,27 @@ object Relational {
 
   /** [[qEventSpikes]]'s core over a prepared (event_type, tus) relation
     * — separated so specs can drive planted event streams. */
-  def eventSpikes(events: DataFrame, zFlag: Double): DataFrame = {
-    val perHour = events
-      .select(col("event_type"),
-        // floor (not truncate) division: DuckDB's `//` floors, and the
-        // grains must agree for pre-epoch (negative-micros) timestamps
-        graft.functions.PortableMath.floorDiv(col("tus"), 3600000000L)
-          .as("hour"))
-      .groupBy("event_type", "hour")
-      .agg(count(lit(1)).as("n"))
+  def eventSpikes(events: DataFrame, zFlag: Double): DataFrame =
+    eventSpikesFromCounts(
+      events
+        .select(col("event_type"),
+          // floor (not truncate) division: DuckDB's `//` floors, and the
+          // grains must agree for pre-epoch (negative-micros) timestamps
+          graft.functions.PortableMath.floorDiv(col("tus"), 3600000000L)
+            .as("hour"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n")),
+      zFlag)
+
+  /** The z-score tail over an ALREADY-AGGREGATED (event_type, hour, n)
+    * relation — shared by the batch scan path above and the streaming
+    * ledger path ([[graft.streaming.StreamingIngest.hourlyCountsWriter]]
+    * + [[spikesFromLedger]]): at scale the event-grain count is the
+    * only expensive stage, and a stream maintains it INCREMENTALLY;
+    * this hour-grain tail is scale-free and can rerun on every ledger
+    * read. */
+  def eventSpikesFromCounts(counts: DataFrame, zFlag: Double): DataFrame = {
+    val perHour = counts
       .transform(graft.CacheScope.pin) // stats + the z projection read it
     val st = perHour.groupBy("event_type")
       .agg(count(lit(1)).as("nh"),
@@ -294,6 +306,20 @@ object Relational {
       .select(col("event_type"), col("hour"), col("n"), col("z"),
         (col("z") >= zFlag).as("spike"))
   }
+
+  /** Spike report from a streaming hourly-count ledger dir (written by
+    * [[graft.streaming.StreamingIngest.hourlyCountsWriter]] — the
+    * parquet STREAMING sink, so finalized windows land exactly once):
+    * the scale-free z tail re-derives the report from the incrementally
+    * maintained counts. The defensive per-(type, hour) re-sum makes a
+    * ledger assembled from several runs/unions equivalent too. */
+  def spikesFromLedger(
+      spark: SparkSession, ledgerDir: String,
+      zFlag: Double = 2.0): DataFrame =
+    eventSpikesFromCounts(
+      spark.read.parquet(ledgerDir)
+        .groupBy("event_type", "hour").agg(sum("n").as("n")),
+      zFlag)
 
   /** Weekly retention cohorts over the event stream — the other classic
     * product-analytics table next to the funnel: users grouped by the

@@ -189,6 +189,34 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming half of the q129 spike monitor: watermarked 1-hour
+    * tumbling counts per event type, appended (finalized windows only,
+    * exactly once via the parquet streaming sink the caller attaches)
+    * to a ledger the scale-free z tail re-reads
+    * ([[graft.operators.Relational.spikesFromLedger]]). This is the
+    * right decomposition at volume: the event-grain count is the only
+    * stage that touches every row and the stream maintains it
+    * INCREMENTALLY; the hour-grain stats are a few rows per type and
+    * rerun in milliseconds on every monitor refresh. The hour index is
+    * the same epoch-aligned floorDiv the batch twin uses, so
+    * ledger-derived spikes equal the batch report on identical input
+    * (spec-pinned on an out-of-order replay).
+    *
+    * @param events streaming (ts TIMESTAMP, event_type STRING, ...)
+    * @return append-mode writer of (event_type, hour, n) */
+  def hourlyCountsWriter(
+      events: DataFrame,
+      watermark: String = "2 hours"): DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        graft.functions.PortableMath.floorDiv(
+          expr("unix_micros(window.start)"), 3600000000L).as("hour"),
+        col("n"))
+      .writeStream.outputMode(OutputMode.Append)
+
   /** Watermarked sliding-window event rollup — the streaming counterpart
     * of Relational.qEventRollup: counts + sums per (window, event_type)
     * with late data bounded by the watermark. */

@@ -65,6 +65,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spike monitor: ledger-derived spikes equal the batch report on out-of-order replay") {
+    val dir = Files.createTempDirectory("graft_spikeledger").toString
+    val (ledger, ckpt) = (s"$dir/ledger", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    val q = StreamingIngest
+      .hourlyCountsWriter(src.toDF.toDF("ts", "event_type"), "2 hours")
+      .format("parquet").option("path", ledger)
+      .option("checkpointLocation", ckpt).start()
+    // planted shape: 'click' runs 7 quiet hours (1/hour) then an
+    // 8-event burst hour — mean 1.875, std ~2.31, burst z ~2.65 ≥ 2;
+    // arrivals are OUT OF ORDER inside the watermark and split across
+    // batches — the finalized hourly counts must not care
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val quiet = (8 to 14).map(h => t(h, 7 + h) -> "click")
+    // the burst's LATEST event leads the list: batch 1 advances the
+    // max event time to 15:08, batch 2 then delivers event-time-EARLIER
+    // burst rows (15:01..15:07) — out of order, but above the 13:08
+    // watermark, so the aggregation must fold them in, not drop them
+    val burst = (t(15, 8) -> "click") +: (1 to 7).map(m => t(15, m) -> "click")
+    val views = Seq(t(8, 15) -> "view", t(12, 45) -> "view")
+    val events = quiet ++ views ++ burst
+    try {
+      src.addData(events.take(10): _*) // quiet + views + the 15:08 row
+      q.processAllAvailable()
+      src.addData(events.drop(10): _*) // 15:01..15:07, within watermark
+      q.processAllAvailable()
+      // watermark sentinel: a far-future event closes every real
+      // window; its own window never finalizes, so it stays out of the
+      // ledger and out of the batch comparison set
+      src.addData(Timestamp.valueOf("2026-01-02 12:00:00") -> "sentinel")
+      q.processAllAvailable()
+      src.addData(Timestamp.valueOf("2026-01-02 13:00:00") -> "sentinel")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.operators.Relational
+      .spikesFromLedger(spark, ledger, zFlag = 2.0)
+    val batch = graft.operators.Relational.eventSpikes(
+      events.toDF("ts", "event_type")
+        .select(col("event_type"), expr("unix_micros(ts)").as("tus")),
+      zFlag = 2.0)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour"),
+        r.getAs[Long]("n"), r.getAs[Double]("z"), r.getAs[Boolean]("spike")))
+      .toSet
+    assert(key(streamed) == key(batch),
+      s"stream=${key(streamed)} batch=${key(batch)}")
+    // the planted burst is the one flagged spike
+    assert(key(streamed).count(_._5) == 1)
+    assert(key(streamed).find(_._5).get._3 == 8L, "burst hour count")
+  }
+
   test("mapGroupsWithState: running totals persist across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Double)]
