@@ -399,6 +399,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p132).size <= 1, p132)
   }
 
+  test("q138 substring removal: fingerprint-keyed joins only, no all-pairs anywhere") {
+    val p = planString(SparkEntry.queries("q138_substring_removal")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"the candidate stage must stay a fingerprint equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the exact-dup short-circuit is a window over the text hash, not a
+    // self-join: exactly zero non-equi join nodes expected
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), s"expected hash/merge joins:\n$p")
+  }
+
+  test("q139/q140: weighted communities + near-dup gauntlet stay keyed (1-row BNLJ only)") {
+    Seq("q139_weighted_token_communities" -> 1, // PMI totals broadcast
+      // q140: the mixture's source-grain cross joins (weight×tot,
+      // base×extra — verified over ≤|sources|-row relations; the
+      // unpinned mixture branch repeats one, hence 3 not 2)
+      "q140_gauntlet_neardup" -> 3
+    ).foreach { case (q, cap) =>
+      val p = planString(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= cap, s"$q: $bnlj BNLJ nodes (cap $cap):\n$p")
+    }
+  }
+
   test("q73 contamination: train-set probe plans as a LEFT SEMI hash join") {
     val p = planString(SparkEntry.queries("q73_shingle_contamination")(spark, sf))
     assert(p.contains("LeftSemi"),
