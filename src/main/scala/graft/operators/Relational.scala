@@ -344,6 +344,15 @@ object Relational {
         graft.functions.PortableMath.floorDiv(
           expr("unix_micros(ts)"), weekUs).as("week"))
       .transform(graft.CacheScope.pin) // cohort min AND activity read it
+    retentionFromActivity(ev)
+  }
+
+  /** The cohort tail over a (user_id, week) activity relation — shared
+    * by the batch scan above (event-grain rows, deduped here) and the
+    * streaming ledger path ([[graft.streaming.StreamingIngest
+    * .weeklyActiveWriter]] + [[retentionFromLedger]]). Everything past
+    * the input is bounded by users or weeks², never raw event volume. */
+  def retentionFromActivity(ev: DataFrame): DataFrame = {
     val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
       .transform(graft.CacheScope.pin) // sizes AND the activity join
     val sizes = first.groupBy("cohort_week")
@@ -358,6 +367,16 @@ object Relational {
         rnd(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
           .as("retention"))
   }
+
+  /** Retention report from a streaming weekly-activity ledger dir
+    * (written by [[graft.streaming.StreamingIngest.weeklyActiveWriter]]
+    * — finalized (user, week) rows exactly once): the user-grain tail
+    * re-derives cohorts on every read. The spike-monitor decomposition
+    * applied to retention: the stream maintains the only event-volume
+    * stage (distinct weekly activity) incrementally. */
+  def retentionFromLedger(spark: SparkSession, ledgerDir: String): DataFrame =
+    retentionFromActivity(
+      spark.read.parquet(ledgerDir).select("user_id", "week").distinct())
 
   /** Hierarchical totals via ROLLUP(region, nation) — grouping-sets
     * breadth (subtotal + grand-total rows). */

@@ -217,6 +217,32 @@ object StreamingIngest {
         col("n"))
       .writeStream.outputMode(OutputMode.Append)
 
+  /** Streaming half of the q133 retention monitor ([[hourlyCountsWriter]]'s
+    * decomposition applied to cohorts): 7-day tumbling windows per user
+    * — epoch-aligned, so the window index IS the batch twin's
+    * floorDiv(micros, weekUs) — emit one finalized (user_id, week) row
+    * per active week, exactly once via the parquet streaming sink the
+    * caller attaches; [[graft.operators.Relational.retentionFromLedger]]
+    * re-derives the cohort table from the ledger at user-grain cost.
+    * State per (user, open window) is one count — the watermark closes
+    * it a delay after the week ends.
+    *
+    * @param events streaming (ts TIMESTAMP, user_id LONG, ...)
+    * @return append-mode writer of (user_id, week) */
+  def weeklyActiveWriter(
+      events: DataFrame,
+      watermark: String = "2 hours"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val weekUs = 7L * 86400L * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "7 days"), col("user_id"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("user_id"),
+        graft.functions.PortableMath.floorDiv(
+          expr("unix_micros(window.start)"), weekUs).as("week"))
+      .writeStream.outputMode(OutputMode.Append)
+  }
+
   /** Watermarked sliding-window event rollup — the streaming counterpart
     * of Relational.qEventRollup: counts + sums per (window, event_type)
     * with late data bounded by the watermark. */

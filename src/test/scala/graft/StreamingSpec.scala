@@ -117,6 +117,60 @@ class StreamingSpec extends SparkSpec {
     assert(key(streamed).find(_._5).get._3 == 8L, "burst hour count")
   }
 
+  test("retention monitor: ledger-derived cohorts equal the batch report on replay") {
+    val dir = Files.createTempDirectory("graft_retledger").toString
+    val (ledger, ckpt) = (s"$dir/ledger", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long)]
+    val q = StreamingIngest
+      .weeklyActiveWriter(src.toDF.toDF("ts", "user_id"), "2 hours")
+      .format("parquet").option("path", ledger)
+      .option("checkpointLocation", ckpt).start()
+    // two cohorts: users 1-3 start week A (2026-01-05..), user 4
+    // starts week B; user 1 active all three weeks, user 2 churns
+    // after A, user 3 skips B but returns in C, user 4 active B+C
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2026-01-$d%02d $h%02d:00:00")
+    // epoch weeks break on Thursdays; 2026-01-01 is a Thursday, so
+    // week A = Jan 1-7, B = Jan 8-14, C = Jan 15-21
+    val events = Seq(
+      t(5, 10) -> 1L, t(6, 11) -> 2L, t(7, 9) -> 3L, // week A
+      t(5, 23) -> 1L,                                // in-batch duplicate
+      t(13, 8) -> 4L,                                // week B, advances time
+      t(12, 10) -> 1L, // week B but EARLIER than the max seen: delivered
+      // in batch 2, after the watermark reached Jan 13 06:00 — the
+      // still-open B window (ends Jan 15) must fold it in, and the
+      // offset-1 retention row below DEPENDS on it
+      t(19, 10) -> 1L, t(20, 12) -> 3L, t(21, 7) -> 4L) // week C
+    try {
+      src.addData(events.take(5): _*)
+      q.processAllAvailable()
+      src.addData(events.drop(5): _*)
+      q.processAllAvailable()
+      src.addData(Timestamp.valueOf("2026-02-15 12:00:00") -> 999L)
+      q.processAllAvailable()
+      src.addData(Timestamp.valueOf("2026-02-16 12:00:00") -> 999L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val weekUs = 7L * 86400L * 1000000L
+    val streamed = graft.operators.Relational.retentionFromLedger(spark, ledger)
+    val batch = graft.operators.Relational.retentionFromActivity(
+      events.toDF("ts", "user_id")
+        .select(col("user_id"),
+          graft.functions.PortableMath.floorDiv(
+            expr("unix_micros(ts)"), weekUs).as("week")))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_cohort"), r.getAs[Long]("n_active"),
+        r.getAs[Double]("retention"))).toSet
+    assert(key(streamed) == key(batch),
+      s"stream=${key(streamed)} batch=${key(batch)}")
+    // cohort A: 3 users, offset-1 retention 1/3 (only user 1), offset-2
+    // 2/3 (users 1 and 3 — the returner)
+    val a = key(streamed).filter(t => t._3 == 3L)
+    assert(a.exists(t => t._2 == 1L && t._4 == 1L))
+    assert(a.exists(t => t._2 == 2L && t._4 == 2L))
+  }
+
   test("mapGroupsWithState: running totals persist across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Double)]
