@@ -1573,6 +1573,51 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Removal-aware mixture (q141): [[SubstringDedup
+    * .removeDuplicateSpans]] composed INTO the curation allocation —
+    * cut every ≥64-char cross-doc span first, then let
+    * [[Curation.temperatureMixture]] allocate the token budget over
+    * what remains. The point a real pretraining mixture needs: a
+    * source inflated by copied spans loses exactly its duplicated
+    * token mass BEFORE the sqrt-temperature weighting, so the
+    * allocation funds unique content, not replication. Planted corpus
+    * = q138's md5-chain device with SPACE-separated blocks (so token
+    * counts are non-trivial) and a source label doc_id % 4; every
+    * %8==2 doc embeds a 160-char slice of doc (i−2) between '#'
+    * sentinels — %8==2 ⇒ doc_id ≡ 2 (mod 4), so ALL duplication lands
+    * in src2 and the allocation shift is visible per source. The ground truth (who loses what) is SQL-statable;
+    * the engine derives it fixture-agnostically. */
+  private def removalMixtureQ(s: SparkSession, dir: String): DataFrame = {
+    def body(id: Column): Column =
+      concat_ws(" ", (0 until 10).map(j =>
+        md5(concat(id.cast("string"), lit(":" + j)))): _*)
+    val corpus = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("src"), (col("doc_id") % 4).cast("string")).as("source"),
+      when(col("doc_id") % 8 === 2,
+        concat(substring(body(col("doc_id")), 1, 100), lit("#"),
+          substring(body(col("doc_id") - 2), 17, 160), lit("#"),
+          substring(body(col("doc_id")), 101, 229)))
+        .otherwise(body(col("doc_id"))).as("text"))
+      .transform(graft.CacheScope.pin) // removal + raw counts read it
+    val cleaned = SubstringDedup.removeDuplicateSpans(
+        corpus.select(col("doc_id"), col("text")), minLen = 64,
+        idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), col("text").as("clean_text"), col("n_cut"))
+    val joined = corpus.join(cleaned, Seq("doc_id"))
+      .transform(graft.CacheScope.pin) // mixture + both count sides
+    val mix = Curation.temperatureMixture(
+      joined.select(col("source"), col("clean_text").as("text")),
+      "source", "text", budget = 1000000L)
+    val raw = joined.groupBy("source").agg(
+      sum(size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long")).as("n_raw_tokens"),
+      sum(col("n_cut").cast("long")).as("cut_chars"))
+    raw.join(mix.select(col("source"), col("n_tokens").as("n_clean_tokens"),
+        col("alloc_tokens"), col("share")), Seq("source"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("source")
+  }
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -2276,6 +2321,7 @@ object SparkEntry {
     "q139_weighted_token_communities" ->
       ((s, d) => weightedTokenCommunitiesQ(s, d)),
     "q140_gauntlet_neardup" -> ((s, d) => curationGauntletNearDupQ(s, d)),
+    "q141_removal_mixture" -> ((s, d) => removalMixtureQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -5572,6 +5618,66 @@ object SparkEntry {
          |  CAST(length(text) - length(clean) AS BIGINT) AS cut_chars,
          |  sha256(clean) AS clean_sha
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q141_removal_mixture" -> {
+      // Mirror of removalMixtureQ: the q138 planted-clean device
+      // (space-separated md5 blocks, '#' sentinel flanks) + the q120
+      // mixture CTEs over the CLEANED token counts.
+      val own = (0 until 10).map(j =>
+        s"md5(CAST(doc_id AS VARCHAR) || ':$j')").mkString(", ")
+      val donor = (0 until 10).map(j =>
+        s"md5(CAST(doc_id - 2 AS VARCHAR) || ':$j')").mkString(", ")
+      s"""WITH hb AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    'src' || CAST(doc_id % 4 AS VARCHAR) AS source,
+         |    concat_ws(' ', $own) AS own,
+         |    concat_ws(' ', $donor) AS donor
+         |  FROM documents),
+         |c AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 8 = 2
+         |      THEN substr(own, 1, 100) || '#' || substr(donor, 17, 160)
+         |           || '#' || substr(own, 101, 229)
+         |      ELSE own END AS text,
+         |    CASE WHEN doc_id % 8 = 2
+         |      THEN substr(own, 1, 100) || '#' || '#' || substr(own, 101, 229)
+         |      ELSE own END AS clean
+         |  FROM hb),
+         |raw AS MATERIALIZED (
+         |  SELECT source,
+         |    CAST(sum(len(${toksOf("text")})) AS BIGINT) AS n_raw_tokens,
+         |    CAST(sum(length(text) - length(clean)) AS BIGINT) AS cut_chars
+         |  FROM c GROUP BY source),
+         |t AS MATERIALIZED (
+         |  SELECT source, CAST(sum(len(${toksOf("clean")})) AS BIGINT) AS n_tokens
+         |  FROM c GROUP BY source),
+         |w AS MATERIALIZED (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |      AS weight
+         |  FROM t),
+         |s AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+         |b2 AS MATERIALIZED (
+         |  SELECT w.source, w.n_tokens, w.weight,
+         |    CAST((1000000 * w.weight) // s.tot AS BIGINT) AS base,
+         |    CAST((1000000 * w.weight) % s.tot AS BIGINT) AS rem
+         |  FROM w CROSS JOIN s),
+         |e AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM b2),
+         |r AS (
+         |  SELECT b2.*, row_number() OVER (ORDER BY rem DESC, source) AS rn
+         |  FROM b2),
+         |mix AS (
+         |  SELECT r.source, r.n_tokens,
+         |    CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END AS BIGINT)
+         |      AS alloc_tokens,
+         |    ${sqlRnd("CAST(r.base + CASE WHEN r.rn <= e.extra THEN 1 ELSE 0 END" +
+             " AS DOUBLE) / 1000000.0", 6)} AS share
+         |  FROM r CROSS JOIN e)
+         |SELECT raw.source, raw.n_raw_tokens,
+         |  mix.n_tokens AS n_clean_tokens, raw.cut_chars,
+         |  mix.alloc_tokens, mix.share
+         |FROM raw JOIN mix USING (source)
+         |ORDER BY raw.source""".stripMargin
     },
     "q132_cluster_balanced_sample" -> {
       // Mirror of Curation.clusterBalancedSample: same centroid-dot
