@@ -223,6 +223,43 @@ object Pq {
       .select("qid", "id", "sim", "rank")
   }
 
+  /** Frozen random rotation — the training-free OPQ baseline (Ge et
+    * al., "Optimized Product Quantization", CVPR 2013: the R in
+    * min‖x − R⁻¹·q(Rx)‖; random orthogonal R is the standard no-train
+    * instance). PQ's loss concentrates when a few subspaces carry most
+    * of the variance — exactly what clustered corpora do — and an
+    * orthogonal rotation spreads that energy across subquantizers
+    * while preserving every dot product and norm, so the exact rerank
+    * stage is rotation-invariant and only the CODES see the rotated
+    * geometry. Built by modified Gram-Schmidt (double precision) on a
+    * seeded Gaussian matrix: full rank with probability 1,
+    * deterministic seed → a plan literal, no broadcast, no training
+    * job — the same deployment story as the md5 plane family. */
+  def randomRotation(dim: Int, seed: Long = 11L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val m = Array.fill(dim, dim)(rnd.nextGaussian())
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += m(i)(k) * m(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { m(i)(k) -= d * m(j)(k); k += 1 }
+      }
+      val n = math.sqrt(m(i).map(x => x * x).sum)
+      require(n > 1e-9, s"degenerate Gram-Schmidt at row $i (seed $seed)")
+      for (k <- 0 until dim) m(i)(k) /= n
+    }
+    m.map(_.map(_.toFloat))
+  }
+
+  /** R·v as a column: element i = ⟨R_i, v⟩ — dim codegen'd dot
+    * products against row literals (the [[Ann]] plane device), no UDF,
+    * no shuffle. Apply to BOTH sides before coding; downstream exact
+    * rescoring is unchanged by orthogonality. */
+  def rotateVec(vec: Column, r: Array[Array[Float]]): Column =
+    array(r.map(row => dotProduct(vec, typedLit(row)).cast("float")): _*)
+
   /** SQL mirror fragments. */
   def sqlCentroidLits(s: Int, subDim: Int, nSub: Int, nCodes: Int): String =
     codebook(s, subDim, nSub, nCodes)

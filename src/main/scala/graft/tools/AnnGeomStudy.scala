@@ -169,6 +169,26 @@ object AnnGeomStudy {
       s => Pq.topKPqRerankWith(docs, queries, 5, dim, isoCbs4, s)))
     iso.unpersist()
 
+    // random-rotation PQ (r8 forward list): the training-free OPQ
+    // baseline — rotate docs AND queries with one frozen orthogonal R,
+    // train codebooks on the ROTATED corpus, shortlist+rerank in
+    // rotated space (exact scores are R-invariant, so recall is
+    // measured against the same unrotated truth). Tests whether
+    // spreading cluster energy across subspaces fixes the 8x16
+    // collapse that clustered-trained codebooks exhibit.
+    val rot = Pq.randomRotation(dim, 11L)
+    val rotDocs = docs.select(col("id"),
+      Pq.rotateVec(col("embedding"), rot).as("embedding")).cache()
+    val rotQs = queries.select(col("qid"),
+      Pq.rotateVec(col("qvec"), rot).as("qvec")).cache()
+    val rrCbs8 = Pq.trainedCodebooks(rotDocs, dim, nSub = 8, nCodes = 16)
+    sls.foreach(sl => pqLine("pq8x16-rr-trained", sl,
+      s => Pq.topKPqRerankWith(rotDocs, rotQs, 5, dim, rrCbs8, s)))
+    val rrCbs4 = Pq.trainedCodebooks(rotDocs, dim, nSub = 4, nCodes = 256)
+    sls.foreach(sl => pqLine("pq4x256-rr-trained", sl,
+      s => Pq.topKPqRerankWith(rotDocs, rotQs, 5, dim, rrCbs4, s)))
+    rotDocs.unpersist(); rotQs.unpersist()
+
     // IVF-PQ composition on clustered geometry (the q56 envelope was
     // isotropic-only): fresh coarse quantizer + deterministic codes,
     // ADC shortlist inside the probed lists, exact rescoring on top.

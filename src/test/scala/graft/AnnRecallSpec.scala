@@ -398,6 +398,62 @@ class AnnRecallSpec extends SparkSpec {
     iso.unpersist(); docs.unpersist()
   }
 
+  test("random rotation: orthogonal, dot-preserving, and no worse than clustered-trained PQ") {
+    import graft.operators.Pq
+    val dim = 64
+    val r = Pq.randomRotation(dim, 11L)
+    // R·Rᵀ = I within float Gram-Schmidt tolerance
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = (0 until dim).map(k => r(i)(k).toDouble * r(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-5, s"R R^T [$i][$j] = $d")
+    }
+    // dots preserved: |<Ra, Rb> - <a, b>| small on random vectors
+    val rnd = new scala.util.Random(3L)
+    def rot(v: Array[Float]) =
+      r.map(row => (0 until dim).map(k => row(k).toDouble * v(k)).sum.toFloat)
+    (1 to 5).foreach { _ =>
+      val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val b = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until dim).map(k => x(k).toDouble * y(k)).sum
+      assert(math.abs(dot(rot(a), rot(b)) - dot(a, b)) < 1e-3)
+    }
+    // the OPQ-baseline claim on the planted-cluster fixture: rotating
+    // before coding spreads cluster energy across subspaces, so
+    // RR-trained 8x16 must not do worse than clustered-trained 8x16
+    // (the collapse arm) at the same shortlist
+    val docs = graft.tools.AnnGeomStudy.clusteredCorpus(
+      spark, nClusters = 25, perCluster = 40, dim = dim, sigma = 0.25, seed = 42L)
+    val queries = docs.filter(col("id").endsWith("_000"))
+      .select(col("id").as("qid"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = resultSet(df)
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val cbsClustered = Pq.trainedCodebooks(docs, dim, nSub = 8, nCodes = 16)
+    val clustered8 = recall(
+      Pq.topKPqRerankWith(docs, queries, 5, dim, cbsClustered, shortlist = 20))
+    val rotDocs = docs.select(col("id"),
+      Pq.rotateVec(col("embedding"), r).as("embedding"))
+    val rotQs = queries.select(col("qid"),
+      Pq.rotateVec(col("qvec"), r).as("qvec"))
+    val cbsRr = Pq.trainedCodebooks(rotDocs, dim, nSub = 8, nCodes = 16)
+    val rr8 = recall(
+      Pq.topKPqRerankWith(rotDocs, rotQs, 5, dim, cbsRr, shortlist = 20))
+    info(f"PQ 8x16 recall@5 at shortlist=20: clustered-trained $clustered8%.3f " +
+      f"vs RR-trained $rr8%.3f")
+    assert(rr8 >= clustered8 - 0.02,
+      f"random-rotation PQ must not collapse: $rr8%.3f < $clustered8%.3f")
+    docs.unpersist()
+  }
+
   test("prefix-dim rerank: full-corpus shortlist ≡ brute force; recall grows with prefix width") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables.embeddings(spark, sf)
