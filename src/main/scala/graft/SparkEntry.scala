@@ -2322,6 +2322,11 @@ object SparkEntry {
       ((s, d) => weightedTokenCommunitiesQ(s, d)),
     "q140_gauntlet_neardup" -> ((s, d) => curationGauntletNearDupQ(s, d)),
     "q141_removal_mixture" -> ((s, d) => removalMixtureQ(s, d)),
+    "q142_quantile_gate" -> ((s, d) =>
+      graft.operators.TextAnalysis.quantileGate(
+          Tables.documents(s, d), "doc_id", "text", "source")
+        .transform(graft.CacheScope.pin)
+        .orderBy("source", "band")),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -5123,6 +5128,59 @@ object SparkEntry {
          |SELECT source, band, count(*) AS n_docs,
          |  ${sqlRnd("CAST(sum(CAST(floor(alp * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
              " / (CAST(count(*) AS DOUBLE) * 1000000.0)", 6)} AS mean_logprob
+         |FROM b GROUP BY source, band
+         |ORDER BY source, band""".stripMargin,
+    "q142_quantile_gate" ->
+      // Mirror of TextAnalysis.quantileGate: the q117 char-trigram
+      // chain, then DISCRETE (type-1) quantile thresholds over the
+      // micro-unit score support — k-th smallest with k =
+      // floor((n-1)*q)+1, pure integer comparisons, no interpolation
+      // to diverge — and the q117 band/rollup tail against the derived
+      // thresholds.
+      s"""WITH ch AS MATERIALIZED (
+         |  SELECT doc_id AS id, source, text FROM documents),
+         |ctri AS MATERIALIZED (
+         |  SELECT id, substring(text, i + 1, 2) AS ctx, substring(text, i + 3, 1) AS nxt
+         |  FROM (SELECT id, text, unnest(range(0, len(text) - 2)) AS i
+         |        FROM ch WHERE len(text) >= 3)),
+         |ctc AS MATERIALIZED (SELECT ctx, nxt, count(*) AS ct FROM ctri GROUP BY ctx, nxt),
+         |ccx AS MATERIALIZED (SELECT ctx, count(*) AS cc FROM ctri GROUP BY ctx),
+         |csc AS (
+         |  SELECT ctri.id, ln(CAST(ctc.ct AS DOUBLE) / CAST(ccx.cc AS DOUBLE)) AS lp
+         |  FROM ctri JOIN ctc ON ctri.ctx = ctc.ctx AND ctri.nxt = ctc.nxt
+         |  JOIN ccx ON ctri.ctx = ccx.ctx),
+         |cpd AS MATERIALIZED (
+         |  SELECT id, count(*) AS n_cgrams,
+         |    ${sqlRnd("sum(lp) / CAST(count(*) AS DOUBLE)", 6)} AS alp
+         |  FROM csc GROUP BY id),
+         |m AS MATERIALIZED (
+         |  SELECT id, CAST(floor(alp * 1000000.0 + 0.5) AS BIGINT) AS micro
+         |  FROM cpd),
+         |cumt AS MATERIALIZED (
+         |  SELECT micro, sum(c) OVER (ORDER BY micro
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT micro, count(*) AS c FROM m GROUP BY micro)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+         |tlo AS (
+         |  SELECT min(micro) AS t_lo FROM cumt CROSS JOIN nn
+         |  WHERE cum >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.25) AS BIGINT) + 1),
+         |thi AS (
+         |  SELECT min(micro) AS t_hi FROM cumt CROSS JOIN nn
+         |  WHERE cum >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.75) AS BIGINT) + 1),
+         |b AS (
+         |  SELECT c.source,
+         |    CASE WHEN p.id IS NULL THEN 'low'
+         |         WHEN p.micro >= thi.t_hi THEN 'high'
+         |         WHEN p.micro >= tlo.t_lo THEN 'mid'
+         |         ELSE 'low' END AS band,
+         |    coalesce(p.micro, 0) AS micro, tlo.t_lo, thi.t_hi
+         |  FROM ch c LEFT JOIN m p ON c.id = p.id
+         |  CROSS JOIN tlo CROSS JOIN thi)
+         |SELECT source, band, count(*) AS n_docs,
+         |  ${sqlRnd("CAST(sum(micro) AS DOUBLE)" +
+             " / (CAST(count(*) AS DOUBLE) * 1000000.0)", 6)} AS mean_logprob,
+         |  ${sqlRnd("CAST(min(t_lo) AS DOUBLE) / 1000000.0", 6)} AS thr_lo,
+         |  ${sqlRnd("CAST(min(t_hi) AS DOUBLE) / 1000000.0", 6)} AS thr_hi
          |FROM b GROUP BY source, band
          |ORDER BY source, band""".stripMargin,
     "q118_importance_weights" ->

@@ -1007,6 +1007,64 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  /** [[perplexityGate]] with DATA-DERIVED thresholds: band boundaries
+    * at the corpus's own discrete quantiles of the per-doc LM score
+    * instead of frozen literals — the knob a real curation run turns
+    * ("drop the worst quartile") without hand-picking cutoffs per
+    * corpus. Exactness device: scores sit on the 1e-6 rounding grid,
+    * so their micro-unit integers are exact; the threshold is the
+    * k-th smallest micro value (k = floor((n−1)·q) + 1, the type-1
+    * discrete quantile — NO interpolation, hence no cross-engine float
+    * arithmetic to diverge; use binary-exact q like 0.25/0.75). Bands:
+    * score < t(qLo) → low, < t(qHi) → mid, else high; no-trigram docs
+    * band low (the [[perplexityGate]] convention).
+    *
+    * Scale shape: the quantile runs on the SUPPORT (distinct micro
+    * values, grouped counts + one cumulative window over support rows
+    * — the [[ksDrift]] device: the window's single partition holds
+    * support points, never documents), and the two 1-row thresholds
+    * broadcast back.
+    *
+    * @return (source, band, n_docs, mean_logprob, thr_lo, thr_hi) */
+  def quantileGate(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      qLo: Double = 0.25, qHi: Double = 0.75): DataFrame = {
+    require(qLo >= 0 && qHi <= 1 && qLo <= qHi, s"bad quantiles $qLo/$qHi")
+    val scored = charTrigramLogProb(docs, idCol, textCol)
+      .withColumn("micro",
+        floor(col("avg_logprob") * lit(1e6) + lit(0.5)).cast("long"))
+      .transform(graft.CacheScope.pin) // thresholds + banding read it
+    val valid = scored.filter(col("n_cgrams") > 0)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("micro")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = valid.groupBy("micro").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .transform(graft.CacheScope.pin) // both threshold probes read it
+    val n = valid.agg(count(lit(1)).as("n"))
+    def thr(q: Double, as: String) = cum
+      .crossJoin(broadcast(n)) // 1-row total (scale-free BNLJ)
+      .filter(col("cum") >=
+        floor((col("n") - 1).cast("double") * lit(q)).cast("long") + lit(1L))
+      .agg(min("micro").as(as))
+    val src = docs.select(col(idCol).as("id"), col(srcCol).as("source"))
+    src.join(scored, Seq("id"))
+      .crossJoin(broadcast(thr(qLo, "t_lo")))
+      .crossJoin(broadcast(thr(qHi, "t_hi")))
+      .withColumn("band",
+        when(col("n_cgrams") === 0, lit("low"))
+          .when(col("micro") >= col("t_hi"), lit("high"))
+          .when(col("micro") >= col("t_lo"), lit("mid"))
+          .otherwise(lit("low")))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        rnd(sum(col("micro")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6)), 6).as("mean_logprob"),
+        rnd(first(col("t_lo")).cast("double") / lit(1e6), 6).as("thr_lo"),
+        rnd(first(col("t_hi")).cast("double") / lit(1e6), 6).as("thr_hi"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic over an integer
     * document measure (length, token count, quality bucket …) between
     * two corpus slices — the distribution-drift monitor a pipeline runs
