@@ -2322,6 +2322,7 @@ object SparkEntry {
       ((s, d) => weightedTokenCommunitiesQ(s, d)),
     "q140_gauntlet_neardup" -> ((s, d) => curationGauntletNearDupQ(s, d)),
     "q141_removal_mixture" -> ((s, d) => removalMixtureQ(s, d)),
+    "q143_custdist" -> ((s, d) => Relational.qCustDist(s, d)),
     "q142_quantile_gate" -> ((s, d) =>
       graft.operators.TextAnalysis.quantileGate(
           Tables.documents(s, d), "doc_id", "text", "source")
@@ -2927,6 +2928,15 @@ object SparkEntry {
         |      AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + 7776000000000)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q143_custdist" ->
+      // Mirror of Relational.qCustDist (TPC-H Q13 shape): LEFT join
+      // keeps zero-order customers; count(o_orderkey) skips nulls.
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q05_local_supplier" ->
       s"""SELECT r_name, n_name,
         |  ${sqlRnd("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,

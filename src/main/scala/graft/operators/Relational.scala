@@ -118,6 +118,23 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q13-style customer distribution (q143): how many customers
+    * placed k orders, INCLUDING k = 0 — the left-outer-join-then-
+    * histogram shape (two aggregation levels over one join). The
+    * zero bucket is the part an inner join silently loses; the LEFT
+    * join + count(o_orderkey) (nulls uncounted) keeps it exact. Both
+    * aggregations partial-aggregate map-side; the join is key-shuffled
+    * on custkey and the histogram grain is tiny. */
+  def qCustDist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** Multi-hop dimension join through nation/region (5-way) with a
     * broadcast chain — the TPC-H Q5 shape. */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
