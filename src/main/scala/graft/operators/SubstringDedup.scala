@@ -154,18 +154,20 @@ object SubstringDedup {
     val grams = docs
       .select(col(idCol).as("_id"), col(textCol).as("_text"))
       .filter(length(col("_text")) >= k)
-      .select(col("_id"), col("_text"),
+      .select(col("_id"), col("_text"), length(col("_text")).as("_len"),
         posexplode(sequence(lit(0), length(col("_text")) - k)))
-      .select(col("_id"), col("pos"),
+      .select(col("_id"), col("pos"), col("_len"),
         xxhash64(expr("substring(_text, pos + 1, " + k + ")")).as("h"))
     val wSpec = Window.partitionBy("_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     grams
-      .withColumn("_nGrams", count(lit(1)).over(
-        Window.partitionBy("_id")))
       .withColumn("fp", min("h").over(wSpec))
-      // only positions that head a FULL w-window (the guarantee's unit)
-      .filter(col("pos") <= col("_nGrams") - w)
+      // only positions that head a FULL w-window (the guarantee's
+      // unit): the doc has _len − k + 1 grams, so the last full-window
+      // head sits at pos = _len − (k + w − 1) — a plain length
+      // expression, which saves the per-doc count window an earlier
+      // version paid (one window pass instead of two)
+      .filter(col("pos") <= col("_len") - lit(k + w - 1))
       .select(col("_id"), col("fp"))
       .distinct()
   }
