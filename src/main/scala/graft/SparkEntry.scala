@@ -1618,6 +1618,148 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Cross-corpus decontamination REMOVAL (q144): the *action* behind
+    * the q61/q73/q131 detection reports — cut from every train doc each
+    * ≥64-char span shared with an eval doc and keep the remainder (see
+    * [[SubstringDedup.removeContaminatedSpans]]). Planted corpus =
+    * the q138 md5-chain device crossed: train doc i is a 320-char hex
+    * chain; every %7==3 doc spawns an eval doc embedding chars 33..192
+    * of that chain between '#' sentinels (outside the hex alphabet, so
+    * the shared run is pinned exactly). Ground truth is therefore
+    * SQL-statable — contaminated docs lose exactly the 160-char slice —
+    * while the ENGINE derives it fixture-agnostically (cross-corpus
+    * fingerprint join + per-eval-doc automaton coverage). */
+  private def decontaminationRemovalQ(s: SparkSession, dir: String): DataFrame = {
+    def hexbody(id: Column): Column =
+      concat((0 until 10).map(j =>
+        md5(concat(id.cast("string"), lit(":" + j)))): _*)
+    val train = Tables.documents(s, dir)
+      .select(col("doc_id"), hexbody(col("doc_id")).as("text"))
+    val eval = Tables.documents(s, dir)
+      .filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("EV#"), substring(hexbody(col("doc_id")), 33, 160),
+          lit("#"),
+          md5(concat(col("doc_id").cast("string"), lit(":ev")))).as("text"))
+    SubstringDedup.removeContaminatedSpans(train, eval, minLen = 64,
+        idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), length(col("text")).cast("long").as("clean_len"),
+        col("n_cut").cast("long").as("cut_chars"),
+        sha2(col("text"), 256).as("clean_sha"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
+  /** Quality-aware dedup keep policy (q145): near-dup clusters keep
+    * their BEST member, not their first — the keep rule production
+    * pipelines actually want (the canonical copy of a boilerplate
+    * cluster is the cleanest one, not the one with the smallest id).
+    * Composition of two proven operators sharing one pinned corpus
+    * scan: the q48 MinHash-LSH + connected-components clustering and
+    * the q122 hashed linear classifier; per cluster the member with the
+    * highest (rounded) score wins, ties to the smallest id. Scale
+    * shape: the clustering is band-keyed, the scoring is zero-shuffle,
+    * the keep rule is one cluster-keyed window — nothing new shuffles. */
+  private def qualityKeepQ(s: SparkSession, dir: String): DataFrame = {
+    val corpus = perturbedDocs(s, dir, " graft dedup probe tail")
+      .transform(graft.CacheScope.pin) // clustering + classifier read it
+    val clusters = GraphAlgos.dedupClusters(
+        Dedup.nearDupMinhashLsh(corpus, "doc_id", "text",
+          shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.6),
+        maxIter = 4)
+      .select(col("id").cast("long").as("id"),
+        col("keeper").cast("long").as("cluster"))
+    val scored = TextAnalysis.hashedLinearClassifier(corpus, "doc_id", "text")
+      .select(col("id").cast("long").as("id"), col("score"), col("band"))
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("score").desc, col("id"))
+    clusters.join(scored, Seq("id"))
+      .withColumn("kept", row_number().over(byQuality) === 1)
+      .select(col("id"), col("cluster"), col("score"), col("band"), col("kept"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("id")
+  }
+
+  /** Substring removal to FIXPOINT (q146): [[SubstringDedup
+    * .removeDuplicateSpansIterated]] on a corpus PLANTED to need two
+    * passes — the Lee-et-al seam re-match the single-pass q138
+    * documents as a caveat, made concrete. Role classes by doc_id mod
+    * 9: every %9==4 doc B carries P·Z·Q between '#' sentinels, where Z
+    * (64 chars) duplicates earlier doc %9==0 (flanked by '%' there)
+    * and P·Q (40+40) is held CONTIGUOUSLY by earlier doc %9==2
+    * (flanked by '%'). Pass 1 cuts exactly Z (P and Q are each below
+    * minLen=64); the cut makes P·Q contiguous in B, which pass 2 then
+    * cuts (80 ≥ 64) — total 144 chars, B ends as prefix·'##'·suffix.
+    * The distinct sentinel alphabets ('#' in B, '%' in the donors)
+    * pin every match boundary, so the fixpoint truth is SQL-statable;
+    * the engine derives it fixture-agnostically. */
+  private def removalFixpointQ(s: SparkSession, dir: String): DataFrame = {
+    def hexbody(id: Column): Column =
+      concat((0 until 10).map(j =>
+        md5(concat(id.cast("string"), lit(":" + j)))): _*)
+    def ns(id: Column, tag: String, len: Int): Column =
+      substring(concat(
+        md5(concat(id.cast("string"), lit(s":${tag}0"))),
+        md5(concat(id.cast("string"), lit(s":${tag}1")))), 1, len)
+    val id = col("doc_id")
+    val corpus = Tables.documents(s, dir).select(id,
+      when(id % 9 === 4,
+        concat(substring(hexbody(id), 1, 40), lit("#"),
+          ns(id, "p", 40), ns(id, "z", 64), ns(id, "q", 40),
+          lit("#"), substring(hexbody(id), 41, 280)))
+        .when(id % 9 === 2,
+          concat(substring(hexbody(id), 1, 100), lit("%"),
+            ns(id + 2, "p", 40), ns(id + 2, "q", 40),
+            lit("%"), substring(hexbody(id), 101, 220)))
+        .when(id % 9 === 0,
+          concat(substring(hexbody(id), 1, 100), lit("%"),
+            ns(id + 4, "z", 64),
+            lit("%"), substring(hexbody(id), 101, 220)))
+        .otherwise(hexbody(id)).as("text"))
+    SubstringDedup.removeDuplicateSpansIterated(corpus, minLen = 64,
+        maxIter = 4, idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), length(col("text")).cast("long").as("clean_len"),
+        col("n_cut").as("cut_chars"), sha2(col("text"), 256).as("clean_sha"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source overlap matrix (q147): pairwise 3-shingle Jaccard
+    * between every pair of the corpus's sources — the diagnostic that
+    * decides whether two acquisition channels are the same crawl in
+    * different clothes (e.g. a web dump vs its filtered derivative)
+    * before the mixture allocates budget to both. Scale shape: one
+    * shingle-explode + distinct (shingle-keyed shuffle), a
+    * shingle-keyed equi-join whose per-key fanout is bounded by
+    * sources² (never docs²), and a broadcast totals×totals frame so
+    * zero-overlap pairs still emit a row. */
+  private def sourceOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+          .as("g"))
+      .distinct()
+      .transform(graft.CacheScope.pin) // totals + both join sides
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      .transform(graft.CacheScope.pin)
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a")))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))),
+        col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        rnd(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L)))
+            .cast("double"), 6).as("jacc"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("src_a", "src_b")
+  }
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -2328,6 +2470,16 @@ object SparkEntry {
           Tables.documents(s, d), "doc_id", "text", "source")
         .transform(graft.CacheScope.pin)
         .orderBy("source", "band")),
+    "q144_decontamination_removal" -> ((s, d) => decontaminationRemovalQ(s, d)),
+    "q145_quality_keep" -> ((s, d) => qualityKeepQ(s, d)),
+    "q146_removal_fixpoint" -> ((s, d) => removalFixpointQ(s, d)),
+    "q147_source_overlap" -> ((s, d) => sourceOverlapQ(s, d)),
+    "q148_zipf_fit" -> ((s, d) =>
+      graft.operators.TextAnalysis.zipfFit(
+          Tables.documents(s, d), "source", "text")
+        .transform(graft.CacheScope.pin)
+        .orderBy("source")),
+    "q149_returned_customers" -> ((s, d) => Relational.qReturnedCustomers(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -5767,6 +5919,180 @@ object SparkEntry {
          |SELECT id, cluster, rk FROM r WHERE rk <= 20
          |ORDER BY cluster, rk""".stripMargin
     },
+    "q144_decontamination_removal" -> {
+      // Mirror of decontaminationRemovalQ: the planted construction
+      // makes the cleaned train corpus STATABLE — %7==3 docs lose
+      // exactly chars 33..192 of their 320-char hex chain (the eval
+      // side flanks the embedded slice with '#', outside the hex
+      // alphabet, so the shared run cannot extend; distinct md5 chains
+      // share no natural ≥64-char run). The engine derives the same
+      // truth fixture-agnostically from the cross-corpus fingerprint
+      // join + per-eval-doc automaton coverage.
+      val own = (0 until 10).map(j =>
+        s"md5(CAST(doc_id AS VARCHAR) || ':$j')").mkString(" || ")
+      s"""WITH hb AS MATERIALIZED (
+         |  SELECT doc_id, $own AS own FROM documents),
+         |c AS (
+         |  SELECT doc_id, own AS text,
+         |    CASE WHEN doc_id % 7 = 3
+         |      THEN substr(own, 1, 32) || substr(own, 193, 128)
+         |      ELSE own END AS clean
+         |  FROM hb)
+         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+         |  CAST(length(text) - length(clean) AS BIGINT) AS cut_chars,
+         |  sha256(clean) AS clean_sha
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q145_quality_keep" -> {
+      // Mirror of qualityKeepQ: the q48 cluster chain VERBATIM (the
+      // q110/q136 composition device) + the q122 classifier fragments
+      // scored over the SAME perturbed corpus (all_docs), then one
+      // cluster-keyed argmax — score DESC, id ASC (round-before-rank:
+      // the score is rounded to 6 dp on both engines before ordering).
+      val wlist = graft.operators.TextAnalysis.ClassifierWeightsMicro
+        .mkString("[", ", ", "]")
+      s"""$dedupClusterChainSql,
+         |qt AS (SELECT doc_id AS id, ${toksOf("text")} AS toks FROM all_docs),
+         |cls AS (
+         |  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    COALESCE(CAST(list_aggregate(
+         |      list_transform(toks, x -> ($wlist)[${hash60("x")} % 64 + 1]),
+         |      'sum') AS BIGINT), 0) AS summ
+         |  FROM qt),
+         |sc AS (
+         |  SELECT id, n_toks,
+         |    CASE WHEN n_toks = 0 THEN 0.0
+         |         ELSE ${sqlRnd("CAST(summ AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1e6)", 6)}
+         |    END AS score
+         |  FROM cls),
+         |bnd AS (
+         |  SELECT id, score,
+         |    CASE WHEN n_toks = 0 THEN 'drop'
+         |         WHEN score > 0.05 THEN 'keep'
+         |         WHEN score < -0.05 THEN 'drop'
+         |         ELSE 'review' END AS band
+         |  FROM sc),
+         |j AS (
+         |  SELECT cl4.id, cl4.component AS cluster, b.score, b.band,
+         |    row_number() OVER (PARTITION BY cl4.component
+         |                       ORDER BY b.score DESC, cl4.id) AS rn
+         |  FROM cl4 JOIN bnd b ON cl4.id = b.id)
+         |SELECT id, cluster, score, band, rn = 1 AS kept
+         |FROM j ORDER BY id""".stripMargin
+    },
+    "q146_removal_fixpoint" -> {
+      // Mirror of removalFixpointQ: the two-pass truth is statable
+      // because the sentinel alphabets differ per role ('#' flanks in
+      // the recipient, '%' in both donors) — pass 1 cuts exactly Z,
+      // pass 2 exactly P·Q, so %9==4 docs end as prefix·'##'·suffix
+      // and every other doc passes through its planted form unchanged.
+      val own = (0 until 10).map(j =>
+        s"md5(CAST(doc_id AS VARCHAR) || ':$j')").mkString(" || ")
+      def ns(idExpr: String, tag: String, len: Int): String =
+        s"substr(md5(CAST($idExpr AS VARCHAR) || ':${tag}0') || " +
+          s"md5(CAST($idExpr AS VARCHAR) || ':${tag}1'), 1, $len)"
+      s"""WITH hb AS MATERIALIZED (
+         |  SELECT doc_id, $own AS own FROM documents),
+         |c AS MATERIALIZED (
+         |  SELECT doc_id, own,
+         |    CASE WHEN doc_id % 9 = 4
+         |      THEN substr(own, 1, 40) || '#' || ${ns("doc_id", "p", 40)}
+         |           || ${ns("doc_id", "z", 64)} || ${ns("doc_id", "q", 40)}
+         |           || '#' || substr(own, 41, 280)
+         |    WHEN doc_id % 9 = 2
+         |      THEN substr(own, 1, 100) || '%' || ${ns("doc_id + 2", "p", 40)}
+         |           || ${ns("doc_id + 2", "q", 40)}
+         |           || '%' || substr(own, 101, 220)
+         |    WHEN doc_id % 9 = 0
+         |      THEN substr(own, 1, 100) || '%' || ${ns("doc_id + 4", "z", 64)}
+         |           || '%' || substr(own, 101, 220)
+         |    ELSE own END AS text
+         |  FROM hb),
+         |cl AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN doc_id % 9 = 4
+         |      THEN substr(own, 1, 40) || '##' || substr(own, 41, 280)
+         |      ELSE text END AS clean
+         |  FROM c)
+         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+         |  CAST(length(text) - length(clean) AS BIGINT) AS cut_chars,
+         |  sha256(clean) AS clean_sha
+         |FROM cl ORDER BY doc_id""".stripMargin
+    },
+    "q147_source_overlap" ->
+      // Mirror of sourceOverlapQ: distinct (source, 3-shingle) rows,
+      // per-source totals, shingle-keyed pair intersection counts, and
+      // a totals×totals frame so zero-overlap source pairs still emit.
+      s"""WITH wt AS MATERIALIZED (
+         |  SELECT source, ${toksOf("text")} AS toks FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT source, g FROM (
+         |    SELECT source, unnest(${wordShingles("toks", 3)}) AS g FROM wt)),
+         |tot AS MATERIALIZED (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT ta.source AS src_a, tb.source AS src_b, ta.n AS n_a, tb.n AS n_b,
+         |  COALESCE(i.n_common, 0) AS n_common,
+         |  ${sqlRnd("CAST(COALESCE(i.n_common, 0) AS DOUBLE) / " +
+             "CAST(ta.n + tb.n - COALESCE(i.n_common, 0) AS DOUBLE)", 6)} AS jacc
+         |FROM tot ta JOIN tot tb ON ta.source < tb.source
+         |LEFT JOIN inter i ON i.src_a = ta.source AND i.src_b = tb.source
+         |ORDER BY src_a, src_b""".stripMargin,
+    "q148_zipf_fit" ->
+      // Mirror of TextAnalysis.zipfFit: per-source token counts,
+      // top-200 by (count DESC, token) rank, explicit least-squares
+      // sums over (ln rank, ln count), slope/intercept rounded to 6 dp
+      // at the end only (never the built-in regr_* aggregates — their
+      // internal summation is engine-specific).
+      s"""WITH wt AS MATERIALIZED (
+         |  SELECT source, unnest(${toksOf("text")}) AS tok FROM documents),
+         |cnt AS MATERIALIZED (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM wt GROUP BY source, tok),
+         |rk AS (
+         |  SELECT source, cnt,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY cnt DESC, tok) AS rnk
+         |  FROM cnt),
+         |xy AS (
+         |  SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+         |    ln(CAST(cnt AS DOUBLE)) AS y
+         |  FROM rk WHERE rnk <= 200),
+         |ag AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |    sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(x * y) AS sxy
+         |  FROM xy GROUP BY source),
+         |sl AS (
+         |  SELECT source, n_terms, sx, sy,
+         |    (CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+         |      (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope_raw
+         |  FROM ag)
+         |SELECT source, n_terms,
+         |  ${sqlRnd("slope_raw", 6)} AS slope,
+         |  ${sqlRnd("(sy - slope_raw * sx) / CAST(n_terms AS DOUBLE)", 6)}
+         |    AS intercept
+         |FROM sl ORDER BY source""".stripMargin,
+    "q149_returned_customers" ->
+      // Mirror of Relational.qReturnedCustomers (TPC-H Q10 shape):
+      // revenue rounded to 2 dp BEFORE the top-20 rank (round-before-
+      // rank), custkey as the unique tie-break.
+      s"""SELECT * FROM (
+         |  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         |    ${sqlRnd("sum(l.l_extendedprice * (1.0 - l.l_discount))", 2)}
+         |      AS revenue,
+         |    CAST(count(*) AS BIGINT) AS n_items
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  WHERE l.l_returnflag = 'R'
+         |  GROUP BY 1, 2, 3, 4)
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q133_retention_cohorts" ->
       // Mirror of Relational.qRetentionCohorts: integer week index
       // (micros floor-div), per-user min week cohort, distinct weekly

@@ -135,6 +135,32 @@ object Relational {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
 
+  /** Returned-item revenue report — the TPC-H Q10 shape: customers
+    * ranked by the revenue they returned ('R' lineitems), with their
+    * nation. The fact side filters BEFORE the join chain (returnflag
+    * pushdown reaches the lineitem scan), orders join is orderkey-keyed,
+    * customer/nation ride broadcasts; top-20 cut ranks on the ROUNDED
+    * revenue (round-before-rank) with custkey as the unique tie-break,
+    * and plans as TakeOrdered — no global sort of the aggregate. */
+  def qReturnedCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("_rev"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(rnd(sum(col("_rev")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** Multi-hop dimension join through nation/region (5-way) with a
     * broadcast chain — the TPC-H Q5 shape. */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {

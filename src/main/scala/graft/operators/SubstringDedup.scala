@@ -290,6 +290,27 @@ object SubstringDedup {
     * @return (idCol, textCol, n_cut) — the cleaned text and how many
     *         characters were removed; docs with nothing shared pass
     *         through with n_cut = 0 */
+  /** The per-row interval-union cut shared by the removal operators:
+    * given the original text and the collected per-pair interval lists
+    * (each already merged within its pair), union them with a sorted
+    * sweep and emit (remaining text, characters removed). */
+  private val cutUdf = udf { (text: String, ivs: Seq[org.apache.spark.sql.Row]) =>
+    if (ivs == null || ivs.isEmpty) (text, 0)
+    else {
+      val sorted = ivs.map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
+      val sb = new StringBuilder
+      var cursor = 0
+      var cutN = 0
+      sorted.foreach { case (st, en) =>
+        if (st > cursor) sb.append(text.substring(cursor, st))
+        val e = en + 1
+        if (e > cursor) { cutN += e - math.max(cursor, st); cursor = e }
+      }
+      if (cursor < text.length) sb.append(text.substring(cursor))
+      (sb.toString, cutN)
+    }
+  }
+
   def removeDuplicateSpans(
       docs: DataFrame, minLen: Int,
       k: Int = 20, w: Int = 6,
@@ -354,29 +375,151 @@ object SubstringDedup {
       .toDF("_sid", "_st", "_en")
       .groupBy("_sid")
       .agg(collect_list(struct(col("_st"), col("_en"))).as("_ivs"))
-    val cut = udf { (text: String, ivs: Seq[org.apache.spark.sql.Row]) =>
-      if (ivs == null || ivs.isEmpty) (text, 0)
-      else {
-        // union of per-pair interval lists (each already merged); a
-        // classic sorted sweep, then one pass building the remainder
-        val sorted = ivs.map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
-        val sb = new StringBuilder
-        var cursor = 0
-        var cutN = 0
-        sorted.foreach { case (st, en) =>
-          if (st > cursor) sb.append(text.substring(cursor, st))
-          val e = en + 1
-          if (e > cursor) { cutN += e - math.max(cursor, st); cursor = e }
-        }
-        if (cursor < text.length) sb.append(text.substring(cursor))
-        (sb.toString, cutN)
-      }
-    }
     keepers
       .join(intervals, col(idCol).cast("string") === col("_sid"), "left")
-      .withColumn("_cut", cut(col(textCol), col("_ivs")))
+      .withColumn("_cut", cutUdf(col(textCol), col("_ivs")))
       .select(col(idCol), col("_cut._1").as(textCol),
         col("_cut._2").as("n_cut"))
       .unionByName(dupDone)
+  }
+
+  /** Cross-corpus decontamination REMOVAL — the *action* the q61/q73/
+    * q131 detection surface reports on (GPT-3 appendix C / Lee et al.
+    * practice: when a training document shares a long verbatim run with
+    * a held-out benchmark, cut the run and keep the remainder rather
+    * than dropping the whole document). Cuts from every TRAIN doc each
+    * character position lying inside a substring of length ≥ `minLen`
+    * that also occurs in ANY eval doc.
+    *
+    * Same two-stage scale shape as [[removeDuplicateSpans]], with the
+    * pair generation crossed: winnowed fingerprints of BOTH corpora,
+    * equi-join on fingerprint value for (eval, train) candidates (never
+    * |train|×|eval|), then ONE suffix automaton per EVAL doc streamed
+    * with each candidate train text ([[SuffixAutomaton
+    * .coverageIntervals]] on the train side), per-train-doc interval
+    * union, one cut pass. Per-group state is O(longest eval doc); the
+    * eval set is the small side by construction (a benchmark, not a
+    * corpus), so groups are few and light.
+    *
+    * A train doc that is an exact copy of an eval doc cleans to the
+    * empty string — doc-grain decontamination (q61) recovered as the
+    * degenerate case.
+    *
+    * @param train   (id, text) — the corpus to clean
+    * @param eval    (id, text) — the held-out set to protect
+    * @param minLen  cut spans of at least this many characters; must be
+    *                ≥ k + w − 1 (the winnowing guarantee)
+    * @return train as (idCol, textCol, n_cut) — cleaned text and
+    *         characters removed; uncontaminated docs pass through with
+    *         n_cut = 0 */
+  /** The eval-side half of [[removeContaminatedSpans]], precomputable:
+    * winnowed fingerprints of the protected corpus as (_eid, fp) rows.
+    * A STREAMING decontamination gate builds this once (the benchmark
+    * set is fixed) and probes it with every arriving micro-batch
+    * instead of re-fingerprinting the eval corpus per batch. */
+  def contaminationIndex(
+      eval: DataFrame, k: Int = 20, w: Int = 6,
+      idCol: String = "id", textCol: String = "text"): DataFrame =
+    fingerprints(eval, idCol, textCol, k, w)
+      .withColumnRenamed("_id", "_eid")
+
+  def removeContaminatedSpans(
+      train: DataFrame, eval: DataFrame, minLen: Int,
+      k: Int = 20, w: Int = 6,
+      idCol: String = "id", textCol: String = "text",
+      evalIndex: Option[DataFrame] = None): DataFrame = {
+    require(k >= 2 && w >= 1, s"degenerate fingerprint params k=$k w=$w")
+    require(minLen >= k + w - 1,
+      s"winnowing guarantees detection only at >= k + w - 1 = ${k + w - 1} " +
+        s"chars; got minLen=$minLen (shrink k or w)")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val tDocs = train.select(col(idCol), col(textCol))
+    val tFp = fingerprints(tDocs, idCol, textCol, k, w)
+      .withColumnRenamed("_id", "_tid")
+    val eFp = evalIndex.getOrElse(contaminationIndex(eval, k, w, idCol, textCol))
+    val pairs = eFp.join(tFp, Seq("fp")).select("_eid", "_tid").distinct()
+    val cands = pairs
+      .join(eval.select(col(idCol).as("_eid"), col(textCol).as("_etext")),
+        Seq("_eid"))
+      .join(tDocs.select(col(idCol).as("_tid"), col(textCol).as("_ttext")),
+        Seq("_tid"))
+      .select(col("_eid").cast("string"), col("_tid").cast("string"),
+        col("_etext"), col("_ttext"))
+      .as[(String, String, String, String)]
+    // one automaton per EVAL doc serves all its candidate train partners
+    val intervals = cands
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        var sam: SuffixAutomaton = null
+        rows.flatMap { case (_, tid, etext, ttext) =>
+          if (sam == null) sam = new SuffixAutomaton(etext)
+          sam.coverageIntervals(ttext, minLen)
+            .map { case (st, en) => (tid, st, en) }
+        }
+      }
+      .toDF("_sid", "_st", "_en")
+      .groupBy("_sid")
+      .agg(collect_list(struct(col("_st"), col("_en"))).as("_ivs"))
+    tDocs
+      .join(intervals, col(idCol).cast("string") === col("_sid"), "left")
+      .withColumn("_cut", cutUdf(col(textCol), col("_ivs")))
+      .select(col(idCol), col("_cut._1").as(textCol),
+        col("_cut._2").as("n_cut"))
+  }
+
+  /** [[removeDuplicateSpans]] iterated to a FIXPOINT (Lee et al. §4.1
+    * run ExactSubstr repeatedly for exactly this reason): cutting a
+    * span can create a NEW duplicate at the seam — the text left of the
+    * cut concatenated with the text right of it may itself be a ≥minLen
+    * run held by an earlier document — so a single pass under-removes.
+    * Repeats the removal until a pass cuts nothing (or `maxIter`),
+    * accumulating per-doc cut counts.
+    *
+    * Each pass is materialized via `localCheckpoint` before the next
+    * builds on it (the iterative-DataFrame discipline every fixpoint
+    * operator in the repo follows — plan nesting is never deeper than
+    * one pass), and each pass's operator-internal cache pins are
+    * released as soon as its checkpoint lands (`CacheScope
+    * .materializeAndRelease`), so driver/storage state is O(one pass)
+    * regardless of iteration count. Convergence needs one tiny
+    * aggregate action per pass — a driver-side scalar, not a collect.
+    *
+    * In practice the fixpoint lands in 2–3 passes (each pass strictly
+    * shrinks total text, and seam re-matches need the cut flanks to
+    * reconstruct an earlier doc's run — rare outside adversarial
+    * corpora), so `maxIter` is a backstop, not a tuning knob.
+    *
+    * @return (idCol, textCol, n_cut) — n_cut totalled across passes */
+  def removeDuplicateSpansIterated(
+      docs: DataFrame, minLen: Int, maxIter: Int = 5,
+      k: Int = 20, w: Int = 6,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1; got $maxIter")
+    var cur = docs
+      .select(col(idCol), col(textCol), lit(0L).as("n_cut"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val (next, roundCut) = graft.CacheScope.materializeAndRelease {
+        removeDuplicateSpans(
+            cur.select(col(idCol), col(textCol)), minLen, k, w, idCol, textCol)
+          .withColumnRenamed("n_cut", "_round_cut")
+          .join(cur.select(col(idCol), col("n_cut").as("_prev")), Seq(idCol))
+          .select(col(idCol), col(textCol),
+            (col("_prev") + col("_round_cut").cast("long")).as("n_cut"),
+            col("_round_cut"))
+      } { df =>
+        val ck = df.localCheckpoint()
+        val mx = ck.agg(coalesce(max(col("_round_cut")), lit(0)))
+          .head.getInt(0)
+        (ck.drop("_round_cut"), mx)
+      }
+      cur = next
+      converged = roundCut == 0
+      it += 1
+    }
+    cur
   }
 }

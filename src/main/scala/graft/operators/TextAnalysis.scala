@@ -1232,4 +1232,51 @@ object TextAnalysis {
           .map(r => when(col(r), 0L).otherwise(1L)).reduce(_ + _))
       .withColumn("pass", col("n_fail") === 0)
   }
+
+  /** Per-source Zipf-law fit: least-squares slope/intercept of
+    * ln(freq) against ln(rank) over each source's `topN` most frequent
+    * tokens — the corpus-health scalar that flags a channel whose
+    * frequency curve is NOT Zipfian (template/boilerplate-dominated
+    * sources flatten the head; OCR noise fattens the tail). Natural
+    * text sits near slope −1 (Zipf 1949); machine-generated filler
+    * does not.
+    *
+    * Scale shape: one token-keyed count aggregation (map-side partial),
+    * one source-keyed top-N window over the COUNT table (vocabulary
+    * grain, not corpus grain), and a per-source closed-form fold —
+    * nothing touches the corpus twice. Determinism: ranks tie-break on
+    * the token string; the regression sums are doubles rounded to 6 dp
+    * only at the end (the klFromCorpus precedent — term magnitudes
+    * leave ~1e-13 of headroom under the 1e-6 grid).
+    *
+    * @return (srcCol, n_terms, slope, intercept) */
+  def zipfFit(
+      docs: DataFrame, srcCol: String, textCol: String,
+      topN: Int = 200): DataFrame = {
+    val counts = Par.ensureMapParallelism(docs)
+      .select(col(srcCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(srcCol), col("_tok"))
+      .agg(count(lit(1)).as("_cnt"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol).orderBy(col("_cnt").desc, col("_tok"))
+    val xy = counts
+      .withColumn("_rank", row_number().over(byFreq))
+      .filter(col("_rank") <= topN)
+      .select(col(srcCol),
+        log(col("_rank").cast("double")).as("_x"),
+        log(col("_cnt").cast("double")).as("_y"))
+    xy.groupBy(srcCol)
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+      .withColumn("_n", col("n_terms").cast("double"))
+      .withColumn("_slope",
+        (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")))
+      .select(col(srcCol), col("n_terms"),
+        rnd(col("_slope"), 6).as("slope"),
+        rnd((col("_sy") - col("_slope") * col("_sx")) / col("_n"), 6)
+          .as("intercept"))
+  }
 }

@@ -189,6 +189,48 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming decontamination gate: every arriving micro-batch of
+    * documents is scrubbed against a STATIC eval/benchmark corpus with
+    * [[graft.operators.SubstringDedup.removeContaminatedSpans]] (cut
+    * each ≥minLen span shared with an eval doc, keep the remainder)
+    * before landing in the clean store — the q144 operator as an ingest
+    * stage. Rows land as (id, text, n_cut, batch_id).
+    *
+    * Stream ≡ batch BY CONSTRUCTION: the gate is per-document against
+    * fixed eval state, so no cross-batch state exists and the union of
+    * per-batch outputs equals the batch operator on the union of
+    * batches regardless of how arrivals split (spec-pinned). The
+    * eval-side fingerprint index is built ONCE on the first batch and
+    * cached for the query's lifetime ([[graft.operators.SubstringDedup
+    * .contaminationIndex]]) — per batch only the arriving docs are
+    * fingerprinted, and the probe is a fingerprint-keyed equi-join
+    * against the cached index.
+    *
+    * @param stream   streaming (id, text)
+    * @param eval     static (id, text) — the benchmark set to protect
+    * @param cleanDir parquet dir for the cleaned corpus (append-only)
+    */
+  def decontaminatingWriter(
+      stream: DataFrame,
+      eval: DataFrame,
+      cleanDir: String,
+      minLen: Int = 64, k: Int = 20, w: Int = 6)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    var index: DataFrame = null
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (index == null)
+          index = graft.operators.SubstringDedup
+            .contaminationIndex(eval, k, w).persist()
+        graft.operators.SubstringDedup
+          .removeContaminatedSpans(batch, eval, minLen, k, w,
+            evalIndex = Some(index))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(cleanDir)
+        ()
+    }
+  }
+
   /** Streaming half of the q129 spike monitor: watermarked 1-hour
     * tumbling counts per event type, appended (finalized windows only,
     * exactly once via the parquet streaming sink the caller attaches)

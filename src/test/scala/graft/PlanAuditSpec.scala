@@ -470,4 +470,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
       s"per-superstep localCheckpoint must truncate lineage:\n$p")
   }
+
+  test("q144/q145: decontamination removal + quality keep stay keyed end-to-end") {
+    // q144: cross-corpus fingerprint equi-join, per-eval-doc automaton
+    // groups, interval join back — never |train|×|eval|
+    val p144 = planString(
+      SparkEntry.queries("q144_decontamination_removal")(spark, sf))
+    assert(!p144.contains("CartesianProduct") &&
+      !p144.contains("BroadcastNestedLoopJoin"),
+      s"q144 candidate/interval joins must be keyed:\n$p144")
+    // q145: band-keyed clustering + zero-shuffle scoring + one
+    // cluster-keyed window; the cc supersteps are checkpoint-truncated
+    val p145 = planString(SparkEntry.queries("q145_quality_keep")(spark, sf))
+    assert(!p145.contains("CartesianProduct") &&
+      !p145.contains("BroadcastNestedLoopJoin"),
+      s"q145 cluster/score joins must be keyed:\n$p145")
+  }
+
+  test("q147 source overlap: shingle-keyed intersection; only the sources² totals frame is non-equi") {
+    val p = planString(SparkEntry.queries("q147_source_overlap")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the totals×totals `<` join runs over two ≤|sources|-row broadcast
+    // relations (so zero-overlap pairs still emit a row) — that BNLJ is
+    // scale-free by construction; the shingle intersection itself must
+    // stay an equi-join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1,
+      s"found $bnlj BNLJ nodes; only the totals-frame join is allowed:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"the shingle intersection must plan as a hash/merge join:\n$p")
+  }
 }

@@ -470,4 +470,44 @@ class StreamingSpec extends SparkSpec {
         s"pre-restart anchors must survive: ${rows.toSeq}")
     } finally q2.stop()
   }
+
+  test("decontaminating ingest: stream equals the batch operator across batch splits") {
+    val dir = Files.createTempDirectory("graft_decontam").toString
+    val (cleanDir, ckpt) = (s"$dir/clean", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val s1 = "abcdefghijklmnopqrstuvwxyz"
+    val eval = Seq((100L, "EV#" + s1 + "#tail-x")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "0000" + s1 + "1111"),                   // embedded eval span
+      (2L, "9876543210" * 5),                       // clean passthrough
+      (3L, "EV#" + s1 + "#tail-x"),                 // exact eval copy
+      (4L, "pref" + s1.substring(0, 15) + "suff"))  // 15-char overlap
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingIngest.decontaminatingWriter(
+        src.toDF.toDF("id", "text"), eval, cleanDir,
+        minLen = 12, k = 4, w = 5)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val read = (df: org.apache.spark.sql.DataFrame) => df
+      .select("id", "text", "n_cut").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val streamed = read(spark.read.parquet(cleanDir))
+    val batch = read(graft.operators.SubstringDedup.removeContaminatedSpans(
+      docs.toDF("id", "text"), eval, minLen = 12, k = 4, w = 5))
+    // per-doc gate against fixed eval state = no cross-batch coupling:
+    // the union of per-batch outputs IS the batch result
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.find(_._1 == 1L).get._2 == "0000" + "1111")
+    assert(streamed.find(_._1 == 3L).get._2 == "", "eval copy scrubbed empty")
+    assert(streamed.find(_._1 == 2L).get._3 == 0)
+    // arrival batch recorded per row
+    val bids = spark.read.parquet(cleanDir).select("id", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bids(1L) == 0L && bids(4L) == 1L, s"batch ids: $bids")
+  }
 }

@@ -113,6 +113,108 @@ class SubstringRemovalSpec extends SparkSpec {
     assert(got("7") == (("tiny", 0)), "below-minLen dup must stay intact")
   }
 
+  /** Brute coverage of `t` against a set of source texts: every
+    * position inside a ≥minLen substring of `t` contained in ANY
+    * source (maximal extension, same semantics as bruteClean's inner
+    * loop). */
+  private def bruteCovered(
+      t: String, sources: Seq[String], minLen: Int): (String, Int) = {
+    val covered = Array.fill(t.length)(false)
+    for (a <- sources; q <- 0 to t.length - minLen)
+      if (a.contains(t.substring(q, q + minLen))) {
+        var l = minLen
+        while (q + l < t.length && a.contains(t.substring(q, q + l + 1)))
+          l += 1
+        (q until q + l).foreach(covered(_) = true)
+      }
+    val clean =
+      t.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+    (clean, covered.count(identity))
+  }
+
+  test("removeContaminatedSpans: planted slice cut, copies empty, clean docs pass") {
+    import spark.implicits._
+    val s1 = "abcdefghijklmnopqrstuvwxyz" // 26-char contaminated span
+    val train = Seq(
+      (1L, "0000" + s1 + "1111"),            // embeds an eval span
+      (2L, "9876543210" * 5),                // untouched
+      (3L, "EV#" + s1 + "#tail-x"))          // exact copy of eval doc
+      .toDF("id", "text")
+    val eval = Seq((100L, "EV#" + s1 + "#tail-x")).toDF("id", "text")
+    val got = cleanMap(SubstringDedup.removeContaminatedSpans(
+      train, eval, minLen = 12, k = 4, w = 5))
+    assert(got.keySet == Set("1", "2", "3"), "eval docs never emitted")
+    assert(got("1") == (("0000" + "1111", 26)))
+    assert(got("2") == (("9876543210" * 5, 0)))
+    assert(got("3") == (("", ("EV#" + s1 + "#tail-x").length)),
+      "train doc equal to an eval doc cleans to empty")
+  }
+
+  test("removeContaminatedSpans: brute-reference equality on a dense random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    def mk(n: Int) = Array.fill(n)("ab".charAt(rnd.nextInt(2))).mkString
+    val train = (1L to 8L).map(id => (id, mk(150 + rnd.nextInt(100))))
+    val eval = (101L to 103L).map(id => (id, mk(120 + rnd.nextInt(60))))
+    val evalTexts = eval.map(_._2)
+    val expected = train.map { case (id, t) =>
+      (id.toString, bruteCovered(t, evalTexts, 12))
+    }.toMap
+    val got = cleanMap(SubstringDedup.removeContaminatedSpans(
+      train.toDF("id", "text"), eval.toDF("id", "text"),
+      minLen = 12, k = 4, w = 5))
+    assert(got == expected)
+  }
+
+  test("iterated removal reaches the fixpoint a single pass misses (seam re-match)") {
+    import spark.implicits._
+    val P = "alphabravo"    // 10 chars — below minLen alone
+    val Q = "charliedel"    // 10 chars — below minLen alone
+    val Z = "zuluxrayzulu"  // 12 chars — cut in pass 1
+    val e2 = "33333%" + Z + "%44444"      // id 1: earliest holder of Z
+    val e1 = "11111%" + P + Q + "%22222"  // id 2: holds P·Q CONTIGUOUS
+    val b = "55555#" + P + Z + Q + "#66666"
+    val docs = Seq((1L, e2), (2L, e1), (3L, b)).toDF("id", "text")
+    // pass 1 cuts exactly Z: P and Q are each 10 < 12, and the distinct
+    // sentinel alphabets ('#' vs '%') pin the match boundaries
+    val once = cleanMap(
+      SubstringDedup.removeDuplicateSpans(docs, minLen = 12, k = 4, w = 5))
+    assert(once("3") == (("55555#" + P + Q + "#66666", Z.length)),
+      "single pass must leave the seam")
+    // ...which makes P·Q contiguous — now a 20-char run held by the
+    // earlier doc 2, so the fixpoint cuts it too
+    val fixed = SubstringDedup.removeDuplicateSpansIterated(
+        docs, minLen = 12, maxIter = 5, k = 4, w = 5)
+      .collect().map(r => (r.getAs[Any]("id").toString,
+        (r.getAs[String]("text"), r.getAs[Long]("n_cut")))).toMap
+    assert(fixed("1") == ((e2, 0L)) && fixed("2") == ((e1, 0L)),
+      "earliest holders untouched at the fixpoint")
+    assert(fixed("3") == (("55555##66666", (Z.length + P.length + Q.length).toLong)),
+      s"fixpoint must also cut the seam: ${fixed("3")}")
+    // maxIter=1 degrades to the single pass
+    val one = SubstringDedup.removeDuplicateSpansIterated(
+        docs, minLen = 12, maxIter = 1, k = 4, w = 5)
+      .collect().map(r => (r.getAs[Any]("id").toString,
+        r.getAs[String]("text"))).toMap
+    assert(one("3") == "55555#" + P + Q + "#66666")
+  }
+
+  test("iterated removal converges immediately when one pass suffices") {
+    import spark.implicits._
+    val textA = "abcdefghijklmnopqrstuvwxyz" * 3
+    val docs = Seq(
+      (1L, textA),
+      (2L, "0123456789" + textA.substring(5, 45) + "9876543210"))
+      .toDF("id", "text")
+    val once = cleanMap(
+      SubstringDedup.removeDuplicateSpans(docs, minLen = 10, k = 4, w = 5))
+    val fixed = SubstringDedup.removeDuplicateSpansIterated(
+        docs, minLen = 10, maxIter = 5, k = 4, w = 5)
+      .collect().map(r => (r.getAs[Any]("id").toString,
+        (r.getAs[String]("text"), r.getAs[Long]("n_cut").toInt))).toMap
+    assert(fixed == once, "fixpoint == single pass on a seam-free corpus")
+  }
+
   test("idempotence: clean(clean(x)) == clean(x) on planted and random corpora") {
     import spark.implicits._
     // 3-letter alphabet: sparse natural overlaps, so cut seams are
