@@ -210,6 +210,63 @@ object OracleSql {
   def toksOf(texpr: String): String =
     s"list_filter(string_split_regex(lower($texpr), '[^a-z0-9]+'), x -> len(x) > 0)"
 
+  /** Mirror of Bpe.learnMerges as a k-step CTE chain over `documents`:
+    * `v0` is the collapsed (word, freq, sym) vocabulary; each step i
+    * produces `p{i}` (adjacent-pair counts via list_zip with the
+    * off-by-one tail pair NULL-filtered), `b{i}` (the 1-row argmax with
+    * the (freq DESC, lhs, rhs) tie-break) and `v{i}` (the vocabulary
+    * after the greedy left-to-right merge — list_reduce over a
+    * chr(31)-joined accumulator string; the "last symbol == lhs" test
+    * is the sep-boundary LIKE, safe because symbols are [a-z0-9]+).
+    * Appending x (not lhs||rhs) on a merge is exact because the
+    * accumulator already ends with the complete symbol lhs. Returns the
+    * chain WITHOUT a leading WITH so callers can append their own CTEs. */
+  def bpeChain(k: Int, docsRel: String = "documents"): String = {
+    val v0 =
+      s"""v0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    string_split(word, '') AS sym
+         |  FROM (SELECT unnest(${toksOf("text")}) AS word FROM $docsRel)
+         |  GROUP BY word)""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT p[1] AS lhs, p[2] AS rhs, CAST(sum(freq) AS BIGINT) AS freq
+         |  FROM (SELECT freq, unnest(list_zip(sym, sym[2:])) AS p FROM v${i - 1})
+         |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, freq FROM p$i
+         |        ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT v.word, v.freq,
+         |    string_split(list_reduce(v.sym, (acc, x) ->
+         |      CASE WHEN (acc = b.lhs OR acc LIKE '%' || chr(31) || b.lhs)
+         |                AND x = b.rhs
+         |           THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS sym
+         |  FROM v${i - 1} v CROSS JOIN b$i b)""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
+  }
+
+  /** Mirror of Bpe.applyMerges: replay the learned merges b1..bk (from
+    * a [[bpeChain]] in the same WITH clause) over an arbitrary word
+    * relation `wordsRel` (one column `word`, distinct) — the held-out
+    * side of a fertility evaluation. Produces w0..w{k}; w{k} is the
+    * (word, sym) segmentation under the learned tokenizer. */
+  def bpeApplyChain(k: Int, wordsRel: String): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, string_split(word, '') AS sym FROM $wordsRel)""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""w$i AS (
+         |  SELECT w.word,
+         |    string_split(list_reduce(w.sym, (acc, x) ->
+         |      CASE WHEN (acc = b.lhs OR acc LIKE '%' || chr(31) || b.lhs)
+         |                AND x = b.rhs
+         |           THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS sym
+         |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+    }
+    (w0 +: steps).mkString(",\n")
+  }
+
   /** Mirror of TextFunctions.wordShingles given a token-list expression
     * (w is unrolled, as in the Spark side). */
   def wordShingles(toks: String, w: Int): String = {

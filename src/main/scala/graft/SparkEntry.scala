@@ -1760,6 +1760,53 @@ object SparkEntry {
       .orderBy("src_a", "src_b")
   }
 
+  /** BPE merge learning (q150): the first 8 byte-pair merges learned
+    * from the documents corpus — [[Bpe.learnMerges]] over the collapsed
+    * (word, freq) vocabulary, k 1-row argmax collects, never a corpus
+    * rescan. The reference counts tokens with a pretrained tokenizer
+    * (vec.py:9-14); this is the training side of that contract. */
+  private def bpeMergesQ(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) =
+      Bpe.learnMerges(Bpe.vocabulary(Tables.documents(s, dir), "text"), 8)
+    Bpe.mergeTable(s, merges)
+      .select(col("step"), col("lhs"), col("rhs"),
+        col("freq").as("pair_freq"))
+      .orderBy("step")
+  }
+
+  /** BPE segmentation stats (q151): per-source token counts after the
+    * 8 learned merges — the corpus side is one explode + broadcast
+    * join against the final vocabulary ([[Bpe.segmentStats]]). */
+  private def bpeSegmentQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, finalVocab) = Bpe.learnMerges(Bpe.vocabulary(docs, "text"), 8)
+    Bpe.segmentStats(docs, "source", "text", finalVocab)
+      .transform(graft.CacheScope.pin)
+      .orderBy("source")
+  }
+
+  /** BPE held-out fertility (q156): merges learn on the even-doc_id
+    * half only, then segment BOTH halves via [[Bpe.applyMerges]] — the
+    * tokenizer-fit diagnostic a real pipeline tracks (tokens/word
+    * inflation on text the tokenizer never saw). The full-corpus
+    * vocabulary collapses once; the k merges replay as k chained HOF
+    * rewrites inside one projection (no rescan per merge). */
+  private def bpeFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val (merges, _) =
+      Bpe.learnMerges(Bpe.vocabulary(train, "text"), 8)
+    val segmented = Bpe.applyMerges(
+      Bpe.vocabulary(docs, "text").select("word"), merges)
+    val split = docs.select(
+      when(col("doc_id") % 2 === 0, lit("train"))
+        .otherwise(lit("heldout")).as("split"),
+      col("text"))
+    Bpe.segmentStats(split, "split", "text", segmented)
+      .transform(graft.CacheScope.pin)
+      .orderBy("split")
+  }
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -2480,6 +2527,13 @@ object SparkEntry {
         .transform(graft.CacheScope.pin)
         .orderBy("source")),
     "q149_returned_customers" -> ((s, d) => Relational.qReturnedCustomers(s, d)),
+    "q150_bpe_merges" -> ((s, d) => bpeMergesQ(s, d)),
+    "q151_bpe_segment" -> ((s, d) => bpeSegmentQ(s, d)),
+    "q152_promo_revenue" -> ((s, d) => Relational.qPromoRevenue(s, d)),
+    "q153_large_orders" -> ((s, d) => Relational.qLargeOrders(s, d)),
+    "q154_brand_revenue" -> ((s, d) => Relational.qBrandRevenue(s, d)),
+    "q155_dormant_customers" -> ((s, d) => Relational.qDormantCustomers(s, d)),
+    "q156_bpe_fertility" -> ((s, d) => bpeFertilityQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -6093,6 +6147,134 @@ object SparkEntry {
          |  WHERE l.l_returnflag = 'R'
          |  GROUP BY 1, 2, 3, 4)
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q150_bpe_merges" ->
+      // Mirror of Bpe.learnMerges: the k-step chain from OracleSql
+      // .bpeChain (pair counts via list_zip, (freq DESC, lhs, rhs)
+      // argmax, greedy left-to-right list_reduce merge). The merge
+      // table is the UNION of the per-step 1-row argmaxes.
+      s"""WITH ${bpeChain(8)}
+         |SELECT * FROM (
+         |${(1 to 8).map(i =>
+               s"  SELECT $i AS step, lhs, rhs, freq AS pair_freq FROM b$i")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY step""".stripMargin,
+    "q151_bpe_segment" ->
+      // Mirror of Bpe.segmentStats over the q150 chain's final
+      // vocabulary v8: corpus words join their learned segmentation,
+      // per-source token mass / subword types / chars-per-token.
+      s"""WITH ${bpeChain(8)},
+         |wt AS MATERIALIZED (
+         |  SELECT source, unnest(${toksOf("text")}) AS word FROM documents),
+         |j AS MATERIALIZED (
+         |  SELECT w.source, w.word, v.sym FROM wt w JOIN v8 v USING (word)),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(len(sym)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(length(word)) AS BIGINT) AS n_chars
+         |  FROM j GROUP BY source),
+         |ty AS (
+         |  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+         |  FROM (SELECT source, unnest(sym) AS tok FROM j) GROUP BY source)
+         |SELECT p.source, n_words, n_tokens, n_types, n_chars,
+         |  ${sqlRnd("CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)}
+         |    AS chars_per_token,
+         |  ${sqlRnd("CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)}
+         |    AS tokens_per_word
+         |FROM per p JOIN ty USING (source) ORDER BY source""".stripMargin,
+    "q156_bpe_fertility" ->
+      // Mirror of bpeFertilityQ: the learn chain runs over the even-
+      // doc_id half only; the apply chain (OracleSql.bpeApplyChain)
+      // replays b1..b8 over the FULL corpus vocabulary; stats join per
+      // doc-half split. Presumes the corpus yields >= 8 merges (q150's
+      // 8-row result is the standing witness — an exhausted b_i would
+      // empty the chain).
+      s"""WITH ${bpeChain(8, "documents WHERE doc_id % 2 = 0")},
+         |${bpeApplyChain(8, "(SELECT DISTINCT unnest(" + toksOf("text") +
+             ") AS word FROM documents)")},
+         |wt AS MATERIALIZED (
+         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'train'
+         |              ELSE 'heldout' END AS split,
+         |    unnest(${toksOf("text")}) AS word
+         |  FROM documents),
+         |j AS MATERIALIZED (
+         |  SELECT w.split, w.word, v.sym FROM wt w JOIN w8 v USING (word)),
+         |per AS (
+         |  SELECT split, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(len(sym)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(length(word)) AS BIGINT) AS n_chars
+         |  FROM j GROUP BY split),
+         |ty AS (
+         |  SELECT split, CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+         |  FROM (SELECT split, unnest(sym) AS tok FROM j) GROUP BY split)
+         |SELECT p.split, n_words, n_tokens, n_types, n_chars,
+         |  ${sqlRnd("CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)}
+         |    AS chars_per_token,
+         |  ${sqlRnd("CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)}
+         |    AS tokens_per_word
+         |FROM per p JOIN ty USING (split) ORDER BY split""".stripMargin,
+    "q152_promo_revenue" ->
+      // Mirror of Relational.qPromoRevenue (TPC-H Q14 shape): the pct
+      // divides the two ROUNDED sums (same operands as Spark).
+      s"""WITH m AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         |    ${sqlRnd("sum(CASE WHEN p_type = 'PROMO' " +
+               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)", 2)}
+         |      AS promo_revenue,
+         |    ${sqlRnd("sum(l_extendedprice * (1.0 - l_discount))", 2)}
+         |      AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1)
+         |SELECT ship_month, promo_revenue, total_revenue,
+         |  ${sqlRnd("100.0 * promo_revenue / total_revenue", 6)} AS promo_pct
+         |FROM m ORDER BY ship_month""".stripMargin,
+    "q153_large_orders" ->
+      // Mirror of Relational.qLargeOrders (TPC-H Q18 shape): the
+      // lineitem rollup filters BEFORE the joins; l_quantity sums are
+      // integer-valued doubles (exact, no rounding).
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1) q
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE sum_qty > 250.0
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q154_brand_revenue" ->
+      // Mirror of Relational.qBrandRevenue (TPC-H Q19 shape): the
+      // disjunction is the same first-match CASE; the coarse p_size
+      // range mirrors the Spark-side scan-pushdown filter (it is
+      // implied by the branches, so it never changes the result).
+      s"""WITH j AS (
+         |  SELECT CASE
+         |      WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1.0 AND 11.0 THEN 'Brand#12'
+         |      WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10.0 AND 20.0 THEN 'Brand#23'
+         |      WHEN p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20.0 AND 30.0 THEN 'Brand#15'
+         |    END AS brand,
+         |    l_extendedprice * (1.0 - l_discount) AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_size BETWEEN 1 AND 15)
+         |SELECT brand, ${sqlRnd("sum(rev)", 2)} AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM j WHERE brand IS NOT NULL GROUP BY brand ORDER BY brand""".stripMargin,
+    "q155_dormant_customers" ->
+      // Mirror of Relational.qDormantCustomers (TPC-H Q22 shape): the
+      // global positive-balance average rounds to 6 dp on BOTH sides
+      // before the comparison (raw partial-sum order differs between
+      // engines; the 1e-9-relative noise would make the > knife-edge).
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+         |  ${sqlRnd("sum(c_acctbal)", 2)} AS total_acctbal
+         |FROM customer c
+         |WHERE c_acctbal > (
+         |    SELECT ${sqlRnd("avg(c_acctbal)", 6)} FROM customer
+         |    WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey
+         |      AND year(o_orderdate) = 1998)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q133_retention_cohorts" ->
       // Mirror of Relational.qRetentionCohorts: integer week index
       // (micros floor-div), per-user min week cohort, distinct weekly

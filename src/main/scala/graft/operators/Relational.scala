@@ -161,6 +161,112 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Promotion-revenue share by ship month — the TPC-H Q14 shape: a
+    * conditional aggregate over the lineitem⨝part join (promo share =
+    * CASE-summed revenue / total revenue). Part is the dimension side
+    * and rides a broadcast, so the fact table is never shuffled; both
+    * sums partial-aggregate map-side on the month grain. The ratio is
+    * computed from the two ROUNDED sums (portable division operands),
+    * then rounded itself. */
+  def qPromoRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        rnd(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .otherwise(lit(0.0))), 2).as("promo_revenue"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      .withColumn("promo_pct",
+        rnd(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy("ship_month")
+
+  /** Large-volume orders — the TPC-H Q18 shape: orders whose total
+    * line quantity exceeds a threshold, with their customer. The
+    * lineitem aggregation runs FIRST (one partial-aggregated shuffle
+    * on orderkey) and the selective HAVING collapses it to a few
+    * hundred rows before any join — orders/customer then attach to
+    * the tiny survivor set (survivors broadcast), so neither dimension
+    * scan shuffles. l_quantity is integer-valued: the sum is exact,
+    * no rounding needed. Top-100 ranks on quantity with orderkey as
+    * the unique tie-break and plans as TakeOrdered. */
+  def qLargeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Disjunctive brand/size/quantity revenue — the TPC-H Q19 shape:
+    * an OR-of-ANDs predicate spanning both join sides. The per-branch
+    * p_size bounds push to the part scan as a single coarse range
+    * (size <= 15 covers all branches) and the residual disjunction
+    * evaluates post-join; part rides a broadcast so the fact side
+    * streams. One global aggregate row per qualifying branch keeps
+    * the output deterministic. */
+  def qBrandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val branch =
+      when(col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) &&
+        col("l_quantity").between(1.0, 11.0), lit("Brand#12"))
+        .when(col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 10) &&
+          col("l_quantity").between(10.0, 20.0), lit("Brand#23"))
+        .when(col("p_brand") === "Brand#15" &&
+          col("p_size").between(1, 15) &&
+          col("l_quantity").between(20.0, 30.0), lit("Brand#15"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter(col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("_branch", branch)
+      .filter(col("_branch").isNotNull)
+      .groupBy(col("_branch").as("brand"))
+      .agg(
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("brand")
+  }
+
+  /** Dormant high-balance customers — the TPC-H Q22 shape: customers
+    * whose balance exceeds the global positive-balance average and who
+    * placed NO order in 1998, rolled up by market segment. The global
+    * average is a 1-row aggregate broadcast into the filter (the
+    * scalar-subquery shape); the "no 1998 order" EXISTS negation is a
+    * LEFT ANTI hash join against the year-filtered orders projection
+    * (the year filter pushes to the orders scan). Balance sums round
+    * to 2 dp for portability. */
+  def qDormantCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(rnd(avg("c_acctbal"), 6).as("_avg_bal"))
+    val active98 = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1998)
+      .select("o_custkey")
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("_avg_bal"))
+      .join(active98, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        rnd(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Multi-hop dimension join through nation/region (5-way) with a
     * broadcast chain — the TPC-H Q5 shape. */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {

@@ -487,6 +487,42 @@ class PlanAuditSpec extends SparkSpec {
       s"q145 cluster/score joins must be keyed:\n$p145")
   }
 
+  test("q153 large orders: lineitem rollup collapses BEFORE any join; survivors broadcast") {
+    val p = planString(Relational.qLargeOrders(spark, sf))
+    // the quantity rollup is partial-aggregated (two HashAggregate
+    // levels) and the post-HAVING survivor set joins orders via hash
+    // join — never a cartesian
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"customer side must broadcast:\n$p")
+  }
+
+  test("q155 dormant customers: scalar-avg broadcast + LEFT ANTI hash join; year filter pushed") {
+    val p = planString(Relational.qDormantCustomers(spark, sf))
+    // the 1-row global average rides the only BNLJ (scale-free); the
+    // no-1998-order negation must be a keyed LEFT ANTI hash join
+    assert(p.contains("LeftAnti"), s"EXISTS negation must plan anti:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row avg broadcast may be non-equi:\n$p")
+  }
+
+  test("q150/q151 BPE: pair counts partial-aggregate; corpus is touched only via vocab collapse + broadcast segment join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val vocab = operators.Bpe.vocabulary(docs, "text")
+    val pv = planString(vocab)
+    assert("HashAggregate".r.findAllIn(pv).size >= 2,
+      s"vocab collapse must map-side combine:\n$pv")
+    val pc = planString(operators.Bpe.pairCounts(
+      vocab.select(col("word"), col("freq"),
+        org.apache.spark.sql.functions.split(col("word"), "").as("sym"))))
+    assert("HashAggregate".r.findAllIn(pc).size >= 2,
+      s"pair counts must map-side combine:\n$pc")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("Join"), pc)
+  }
+
   test("q147 source overlap: shingle-keyed intersection; only the sources² totals frame is non-equi") {
     val p = planString(SparkEntry.queries("q147_source_overlap")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
