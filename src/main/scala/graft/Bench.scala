@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
 /** Bench main (driver contract): run every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
   *
@@ -89,8 +91,24 @@ object Bench {
     // page cache + JIT state that a real per-round run never sees, and a
     // transient system-wide stall (GC, IO) then lands on ONE pass of
     // every query instead of all reps of one query.
-    val passes = (1 to reps).map { _ =>
-      val pass = selected.map { case (name, fn) => name -> runOnce(fn) }.toMap
+    //
+    // The raw (pass, query, secs) stream is appended to BENCH_PROGRESS
+    // .jsonl AS IT HAPPENS: round 9's fatal lesson is that a task-thread
+    // OOM calls System.exit and skips every end-of-run write, so an
+    // end-only artifact turns one poisoned query into a zeroed round.
+    val progress = Paths.get("BENCH_PROGRESS.jsonl")
+    try Files.deleteIfExists(progress) catch { case _: Throwable => () }
+    def logProgress(pass: Int, name: String, secs: Option[Double]): Unit =
+      try Files.writeString(progress,
+        s"""{"pass":$pass,"query":"$name","sec":${secs.map(_.toString).getOrElse("null")}}\n""",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    val passes = (1 to reps).map { p =>
+      val pass = selected.map { case (name, fn) =>
+        val r = runOnce(fn)
+        logProgress(p, name, r)
+        name -> r
+      }.toMap
       // broadcast variables (one per broadcast join) are reclaimed by
       // the ContextCleaner only after their references are GC'd; a GC
       // nudge per pass keeps pass N+1 from paying pass N's debris

@@ -237,11 +237,13 @@ object OracleSql {
          |        ORDER BY freq DESC, lhs, rhs LIMIT 1),
          |v$i AS MATERIALIZED (
          |  SELECT v.word, v.freq,
+         |    CASE WHEN b.lhs IS NULL THEN v.sym ELSE
          |    string_split(list_reduce(v.sym, (acc, x) ->
          |      CASE WHEN (acc = b.lhs OR acc LIKE '%' || chr(31) || b.lhs)
          |                AND x = b.rhs
-         |           THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS sym
-         |  FROM v${i - 1} v CROSS JOIN b$i b)""".stripMargin
+         |           THEN acc || x ELSE acc || chr(31) || x END), chr(31))
+         |    END AS sym
+         |  FROM v${i - 1} v LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
     (v0 +: steps).mkString(",\n")
   }
@@ -258,11 +260,13 @@ object OracleSql {
     val steps = (1 to k).map { i =>
       s"""w$i AS (
          |  SELECT w.word,
+         |    CASE WHEN b.lhs IS NULL THEN w.sym ELSE
          |    string_split(list_reduce(w.sym, (acc, x) ->
          |      CASE WHEN (acc = b.lhs OR acc LIKE '%' || chr(31) || b.lhs)
          |                AND x = b.rhs
-         |           THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS sym
-         |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+         |           THEN acc || x ELSE acc || chr(31) || x END), chr(31))
+         |    END AS sym
+         |  FROM w${i - 1} w LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
     (w0 +: steps).mkString(",\n")
   }

@@ -120,16 +120,30 @@ object Bpe {
 
   /** Apply an already-learned merge sequence to an arbitrary word
     * relation (column `word`) — the merges need NOT come from this
-    * corpus, which is what makes held-out evaluation possible. The k
-    * merges fold into k chained HOF rewrites inside ONE projection over
-    * the collapsed vocabulary: no corpus rescan, no shuffle, no join
-    * per merge. Unseen words degrade gracefully to whatever prefix of
-    * the merge sequence applies (worst case: single characters) —
-    * byte-pair vocabularies have no OOV. */
-  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.foldLeft(words.withColumn("sym", split(col("word"), ""))) {
-      (df, m) => df.withColumn("sym", mergeOnce(col("sym"), m.lhs, m.rhs))
+    * corpus, which is what makes held-out evaluation possible. Unseen
+    * words degrade gracefully to whatever prefix of the merge sequence
+    * applies (worst case: single characters) — byte-pair vocabularies
+    * have no OOV.
+    *
+    * Each merge rewrite is `localCheckpoint`ed before the next is
+    * stacked — the SAME per-step discipline [[learnMerges]] applies,
+    * and for the same reason: [[mergeOnce]] references its input
+    * expression ~5× through nested `aggregate` lambdas, so chaining k
+    * rewrites in one projection grows the optimizer/codegen tree
+    * ~5^k-fold (k=8 OOMed an 8 GiB heap on 500 docs in round 9). The
+    * input is the collapsed vocabulary — O(distinct words), corpus-size
+    * independent — so k tiny materializations are noise. */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var v = words.withColumn("sym", split(col("word"), ""))
+      .localCheckpoint()
+    merges.foreach { m =>
+      val prev = v
+      v = v.withColumn("sym", mergeOnce(col("sym"), m.lhs, m.rhs))
+        .localCheckpoint()
+      prev.unpersist()
     }
+    v
+  }
 
   /** Segment a corpus with a learned vocabulary and report per-source
     * token statistics: token count, distinct subword types, character

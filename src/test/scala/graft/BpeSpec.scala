@@ -111,6 +111,69 @@ class BpeSpec extends SparkSpec {
     assert(seg("srcB")._2 == 5L && seg("srcB")._1 < 5L)
   }
 
+  /** Driver-side replay of a learned merge sequence over arbitrary
+    * words — the brute mirror of Bpe.applyMerges. */
+  private def bruteApply(
+      words: Seq[String], merges: Seq[(String, String)]): Map[String, List[String]] =
+    words.map { w =>
+      var s = w.split("").toList
+      for ((l, r) <- merges) {
+        val out = collection.mutable.ListBuffer.empty[String]
+        for (x <- s) {
+          if (out.nonEmpty && out.last == l && x == r)
+            out(out.length - 1) = l + r
+          else out += x
+        }
+        s = out.toList
+      }
+      w -> s
+    }.toMap
+
+  test("applyMerges == brute replay on held-out words (incl. OOV)") {
+    import spark.implicits._
+    val trainWords = Seq("hello" -> 3L, "lll" -> 4L, "abab" -> 5L,
+      "he" -> 2L, "llama" -> 1L)
+    val (merges, _) = Bpe.learnMerges(trainWords.toDF("word", "freq"), 6)
+    // held-out mixes seen words, recombinations, and fully-OOV chars
+    val heldout = Seq("hello", "ball", "ababab", "qqq", "z", "lllll")
+    val got = Bpe.applyMerges(heldout.toDF("word"), merges)
+      .collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Seq[String]]("sym").toList)
+      .toMap
+    val want = bruteApply(heldout, merges.map(m => (m.lhs, m.rhs)))
+    assert(got == want)
+  }
+
+  test("applyMerges on the training vocab == learnMerges' own segmentation") {
+    import spark.implicits._
+    val words = Seq("hello" -> 3L, "lll" -> 4L, "abab" -> 5L,
+      "he" -> 2L, "x" -> 9L, "llama" -> 1L)
+    val (merges, fin) = Bpe.learnMerges(words.toDF("word", "freq"), 8)
+    val learned = fin.collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Seq[String]]("sym").toList)
+      .toMap
+    val applied = Bpe.applyMerges(words.map(_._1).toDF("word"), merges)
+      .collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Seq[String]]("sym").toList)
+      .toMap
+    assert(applied == learned)
+  }
+
+  test("q156 fertility pipeline completes end-to-end at sf0.001") {
+    // Round-9 regression guard: this exact pipeline (learn-on-half,
+    // applyMerges at k=8, segmentStats) OOMed the harness JVM because
+    // applyMerges stacked 8 un-checkpointed HOF rewrites. The spec
+    // asserts completion + shape, not values (the q156 oracle pins
+    // values cross-engine).
+    val rows = SparkEntry.queries("q156_bpe_fertility")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "heldout"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("segmentation join is broadcast (corpus side never shuffles)") {
     import spark.implicits._
     val docs = Seq((1L, "s", "ab ab cd")).toDF("doc_id", "source", "text")
