@@ -1807,6 +1807,40 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** Passage chunking (q157): 64-token windows every 48 tokens over the
+    * documents corpus — the retrieval/packing grain every RAG index and
+    * context-bounded training pipeline stores ([[Chunking.chunkWindows]]:
+    * pure per-row HOFs, no shuffle). */
+  private def chunkWindowsQ(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+      window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Chunk-grain retrieval (q158): the RAG ingestion composition —
+    * chunk ([[Chunking.chunkWindows]] 32/24) → embed each chunk
+    * ([[Embed.embedText]]) → cosine top-5 per query ([[Knn.topK]]).
+    * Retrieval at chunk grain is WHY a pipeline chunks: the corpus side
+    * stays one per-row projection feeding the same KNN operator the
+    * whole-document path uses (q10), so the composition inherits its
+    * scale story (broadcast query batch, no corpus shuffle). */
+  private def chunkRetrievalQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = Chunking.chunkWindows(Tables.documents(s, dir),
+      "doc_id", "text", window = 32, stride = 24)
+      .select(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_idx").cast("string")).as("id"),
+        Embed.embedText(col("chunk_text"), 16).as("embedding"))
+    val queries = Seq(("qa", "data quality pipeline"),
+      ("qb", "vector similarity graph"))
+      .toDF("qid", "qtext")
+      .select(col("qid"), Embed.embedText(col("qtext"), 16).as("qvec"))
+    Knn.topK(chunks, queries, k = 5)
+      .select(col("qid"), col("id"), rnd(col("sim"), 6).as("sim"),
+        col("rank").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -2534,6 +2568,8 @@ object SparkEntry {
     "q154_brand_revenue" -> ((s, d) => Relational.qBrandRevenue(s, d)),
     "q155_dormant_customers" -> ((s, d) => Relational.qDormantCustomers(s, d)),
     "q156_bpe_fertility" -> ((s, d) => bpeFertilityQ(s, d)),
+    "q157_chunk_windows" -> ((s, d) => chunkWindowsQ(s, d)),
+    "q158_chunk_retrieval" -> ((s, d) => chunkRetrievalQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -6212,6 +6248,56 @@ object SparkEntry {
          |  ${sqlRnd("CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)}
          |    AS tokens_per_word
          |FROM per p JOIN ty USING (split) ORDER BY split""".stripMargin,
+    "q157_chunk_windows" ->
+      // Mirror of Chunking.chunkWindows(64, 48): stride-aligned starts
+      // 0..ceil(max(n-64,0)/48); DuckDB list slices are 1-based
+      // inclusive and clamp at the tail, same as Spark's slice.
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksOf("text")} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 64, 0)
+         |      / 48.0) AS BIGINT))) AS chunk_idx
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, chunk_idx,
+         |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
+         |    ' ') AS chunk_text,
+         |  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])
+         |    AS BIGINT) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q158_chunk_retrieval" ->
+      // Mirror of chunkRetrievalQ: chunk (32/48-stride-24) -> embedCte
+      // (bit-exact hash embeddings) -> the q10 dot device + (sim desc,
+      // id) rank cut; sim rounded only at output.
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksOf("text")} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+         |      / 24.0) AS BIGINT))) AS ci
+         |  FROM t WHERE len(toks) > 0),
+         |ch0 AS (
+         |  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(ci AS VARCHAR)
+         |    AS id,
+         |    array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ')
+         |    AS ctext
+         |  FROM c),
+         |${embedCte("d", "ch0", "id", "ctext", 16)},
+         |q0 AS (SELECT * FROM (VALUES
+         |  ('qa', 'data quality pipeline'),
+         |  ('qb', 'vector similarity graph')) v(qid, qtext)),
+         |${embedCte("q", "q0", "qid", "qtext", 16)},
+         |scored AS (
+         |  SELECT q.qid, d.id, ${dot("q.embedding", "d.embedding")} AS sim
+         |  FROM qemb q CROSS JOIN demb d),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+         |      AS rnk
+         |  FROM scored)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     "q152_promo_revenue" ->
       // Mirror of Relational.qPromoRevenue (TPC-H Q14 shape): the pct
       // divides the two ROUNDED sums (same operands as Spark).
