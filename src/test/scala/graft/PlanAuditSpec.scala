@@ -523,6 +523,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pc.contains("CartesianProduct") && !pc.contains("Join"), pc)
   }
 
+  test("q157 chunking: shuffle-free until the final output sort") {
+    // chunkWindows is tokenize + transform + posexplode — one narrow
+    // pipeline. The ONLY exchange allowed in q157 is the range partition
+    // feeding the result's total order; the chunk production itself must
+    // stream map-side (at 100 TB the sort is the consumer's choice, the
+    // chunker contributes zero shuffles).
+    val p = planString(operators.Chunking.chunkWindows(
+      Tables.documents(spark, sf), "doc_id", "text", 64, 48))
+    assert(!p.contains("Exchange"), s"chunker must not shuffle:\n$p")
+    // codegen stages print as "*(n)" in executedPlan.toString
+    assert(p.contains("*("), s"chunk projection must stay codegen'd:\n$p")
+  }
+
+  test("q158 chunk retrieval: corpus side streams into the KNN (queries broadcast)") {
+    val p = finalPlan(SparkEntry.queries("q158_chunk_retrieval")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch must broadcast:\n$p")
+  }
+
   test("q147 source overlap: shingle-keyed intersection; only the sources² totals frame is non-equi") {
     val p = planString(SparkEntry.queries("q147_source_overlap")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
