@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling spot-check (VERDICT r9 residual gap #2: no sf1
+  * fixture exists, so SCALE.md's envelopes were analytical only).
+  * Inflates the sf0.1 corpus in-memory by m = 1 / 3 / 10 — 10× sf0.1 is
+  * the sf1-equivalent row count — with PER-COPY PERTURBATION (vowel
+  * rotation + copy tag for text, component rotation for embeddings) so
+  * dedup/ANN workloads keep a realistic near-dup spectrum instead of
+  * m-sized exact-dup cliques, then times the scale-critical operator
+  * families and prints the growth exponent between consecutive arms
+  * (log-time ratio / log-size ratio; 1.0 = linear, 2.0 = quadratic).
+  *
+  * Run: `sbt "runMain graft.tools.ScaleProbe [sfDir]"` — numbers
+  * recorded in SCALE.md §"measured scaling". Every probed operator is
+  * the engine's own public entry point, untouched.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // per-copy text perturbation: rotate the vowel alphabet by copy%5
+    // and tag the head token — neighboring copies are near- but never
+    // exact-duplicates, like a crawl's template family
+    def inflateDocs(m: Int): DataFrame = {
+      val base = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "source")
+      val copies = spark.range(m).select(col("id").as("copy"))
+      base.crossJoin(copies)
+        .select(
+          (col("doc_id") * m + col("copy")).as("doc_id"),
+          concat(lit("c"), col("copy").cast("string"), lit(" "),
+            col("text")).as("_t0"),
+          col("source"), col("copy"))
+        .withColumn("text",
+          when(col("copy") % 5 === 0, col("_t0"))
+            .when(col("copy") % 5 === 1, translate(col("_t0"), "aeiou", "eioua"))
+            .when(col("copy") % 5 === 2, translate(col("_t0"), "aeiou", "iouae"))
+            .when(col("copy") % 5 === 3, translate(col("_t0"), "aeiou", "ouaei"))
+            .otherwise(translate(col("_t0"), "aeiou", "uaeio")))
+        .select("doc_id", "text", "source")
+        .localCheckpoint() // build cost excluded from every probe
+    }
+
+    def inflateEmb(m: Int): DataFrame = {
+      val base = graft.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding")
+      val copies = spark.range(m).select(col("id").as("copy"))
+      base.crossJoin(copies)
+        .select(
+          (col("vec_id") * m + col("copy")).as("vec_id"),
+          // rotate components by copy%8 — stays unit-norm, decorrelates
+          concat(
+            slice(col("embedding"), (col("copy") % 8 + 1).cast("int"), lit(64)),
+            slice(col("embedding"), lit(1), (col("copy") % 8).cast("int")))
+            .as("embedding"))
+        .localCheckpoint()
+    }
+
+    def time[A](body: => A): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    val arms = Seq(1, 3, 10)
+    val results = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Double)]]
+    def rec(op: String, m: Int, sec: Double): Unit = {
+      results.getOrElseUpdate(op, scala.collection.mutable.ArrayBuffer.empty)
+        .append((m, sec))
+      println(f"[scaleprobe] $op%-24s m=$m%2d sec=$sec%7.2f")
+    }
+
+    for (m <- arms) {
+      val docs = inflateDocs(m)
+      val emb = inflateEmb(m)
+      val queries = graft.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvec"))
+
+      rec("exact_dedup", m, time {
+        graft.operators.Dedup.dedupExact(docs, "doc_id", "text").count()
+      })
+      rec("minhash_lsh_neardup", m, time {
+        graft.operators.Dedup.nearDupMinhashLsh(
+          docs, "doc_id", "text", threshold = 0.8).count()
+      })
+      rec("chunk_windows", m, time {
+        graft.operators.Chunking.chunkWindows(
+          docs, "doc_id", "text", 64, 48).count()
+      })
+      rec("trigram_lm", m, time {
+        graft.CacheScope.materializeAndRelease(
+          graft.operators.TextAnalysis.trigramLogProb(docs, "doc_id", "text")
+        ) { df => df.write.format("noop").mode("overwrite").save() }
+      })
+      rec("pmi_collocations", m, time {
+        graft.CacheScope.materializeAndRelease(
+          graft.operators.TextAnalysis.pmiCollocations(
+            docs, "doc_id", "text", k = 200)
+        ) { df => df.write.format("noop").mode("overwrite").save() }
+      })
+      rec("bpe_learn8", m, time {
+        graft.operators.Bpe.learnMerges(
+          graft.operators.Bpe.vocabulary(docs, "text"), 8)
+      })
+      rec("ann_multitable", m, time {
+        graft.operators.Ann.topKMultiTable(
+          emb.select(col("vec_id").cast("string").as("id"), col("embedding")),
+          queries, k = 10, dim = 64, nPlanes = 4, nTables = 8).count()
+      })
+      rec("substring_contamination", m, time {
+        graft.CacheScope.materializeAndRelease(
+          graft.operators.SubstringDedup.contamination(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0),
+            minOverlap = 40, idCol = "doc_id", textCol = "text")
+        ) { df => df.write.format("noop").mode("overwrite").save() }
+      })
+      // drop this arm's checkpoints before the next inflation
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    println("\n[scaleprobe] growth exponents (1.0 = linear):")
+    for ((op, xs) <- results.toSeq.sortBy(_._1)) {
+      val sorted = xs.sortBy(_._1).toList
+      val exps = sorted.zip(sorted.tail).map { case ((m1, t1), (m2, t2)) =>
+        f"${math.log(t2 / t1) / math.log(m2.toDouble / m1)}%.2f"
+      }.mkString(" / ")
+      println(f"[scaleprobe] $op%-24s exps($arms%s) = $exps")
+    }
+    spark.stop()
+  }
+}
