@@ -2570,6 +2570,11 @@ object SparkEntry {
     "q156_bpe_fertility" -> ((s, d) => bpeFertilityQ(s, d)),
     "q157_chunk_windows" -> ((s, d) => chunkWindowsQ(s, d)),
     "q158_chunk_retrieval" -> ((s, d) => chunkRetrievalQ(s, d)),
+    "q159_forecast_revenue" -> ((s, d) => Relational.qForecastRevenue(s, d)),
+    "q160_volume_shipping" -> ((s, d) => Relational.qVolumeShipping(s, d)),
+    "q161_market_share" -> ((s, d) => Relational.qMarketShare(s, d)),
+    "q162_top_supplier" -> ((s, d) => Relational.qTopSupplier(s, d)),
+    "q163_small_qty_revenue" -> ((s, d) => Relational.qSmallQtyRevenue(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -6298,6 +6303,96 @@ object SparkEntry {
          |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    "q159_forecast_revenue" ->
+      // Mirror of Relational.qForecastRevenue (TPC-H Q6 shape). All
+      // q159-q163 revenues accumulate in EXACT integer 1e-4 units
+      // (cents × discount-hundredths): a double sum can land within an
+      // ulp of a .005 cent boundary where 2 dp rounding is not portable.
+      s"""SELECT ${sqlRnd(
+             "sum(CAST(round(l_extendedprice * 100.0) AS BIGINT) * " +
+             "CAST(round(l_discount * 100.0) AS BIGINT)) / 10000.0", 2)}
+         |  AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24.0""".stripMargin,
+    "q160_volume_shipping" ->
+      // Mirror of Relational.qVolumeShipping (TPC-H Q7 shape over all
+      // directed nation pairs).
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  count(*) AS n_items,
+         |  ${sqlRnd(
+             "sum(CAST(round(l_extendedprice * 100.0) AS BIGINT) * " +
+             "(100 - CAST(round(l_discount * 100.0) AS BIGINT))) / 10000.0",
+             2)} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q161_market_share" ->
+      // Mirror of Relational.qMarketShare (TPC-H Q8 shape): share =
+      // rounded nation sum / rounded total sum, rounded (q14 device).
+      s"""WITH v AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    n1.n_name AS supp_nation,
+         |    CAST(round(l_extendedprice * 100.0) AS BIGINT) *
+         |      (100 - CAST(round(l_discount * 100.0) AS BIGINT)) AS vol_u
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'),
+         |a AS (
+         |  SELECT o_year,
+         |    ${sqlRnd("sum(CASE WHEN supp_nation = 'NATION_3' " +
+               "THEN vol_u ELSE 0 END) / 10000.0", 2)} AS nation_volume,
+         |    ${sqlRnd("sum(vol_u) / 10000.0", 2)} AS total_volume
+         |  FROM v GROUP BY 1)
+         |SELECT o_year, nation_volume, total_volume,
+         |  ${sqlRnd("nation_volume / total_volume", 6)} AS mkt_share
+         |FROM a ORDER BY o_year""".stripMargin,
+    "q162_top_supplier" ->
+      // Mirror of Relational.qTopSupplier (TPC-H Q15 shape): equality
+      // against the max runs on the ROUNDED per-supplier revenue.
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${sqlRnd(
+               "sum(CAST(round(l_extendedprice * 100.0) AS BIGINT) * " +
+               "(100 - CAST(round(l_discount * 100.0) AS BIGINT))) / 10000.0",
+               2)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q163_small_qty_revenue" ->
+      // Mirror of Relational.qSmallQtyRevenue (TPC-H Q17 shape): the
+      // correlated avg becomes a per-part aggregate; threshold compare
+      // on bit-identical doubles (one IEEE division, ×0.2).
+      s"""WITH bp AS (
+         |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+         |pa AS (
+         |  SELECT l_partkey, 0.2 * avg(l_quantity) AS thr
+         |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM bp)
+         |  GROUP BY 1)
+         |SELECT count(*) AS n_items,
+         |  ${sqlRnd("sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) " +
+             "/ 100.0 / 7.0", 2)} AS avg_yearly
+         |FROM lineitem JOIN pa USING (l_partkey)
+         |WHERE l_partkey IN (SELECT p_partkey FROM bp)
+         |  AND l_quantity < thr""".stripMargin,
     "q152_promo_revenue" ->
       // Mirror of Relational.qPromoRevenue (TPC-H Q14 shape): the pct
       // divides the two ROUNDED sums (same operands as Spark).

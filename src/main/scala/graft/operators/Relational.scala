@@ -267,6 +267,156 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Exact 1e-4-unit lineitem revenue: prices carry 2 dp (cents) and
+    * discounts 2 dp, so price·(1−discount) is EXACT in integer
+    * ten-thousandths — the Int64 sum is association-free and the
+    * revenue is bit-identical across engines and partition orders.
+    * The r10 q160 lesson: a double revenue sum can land within an ulp
+    * of a .005 cent boundary, where rnd(·,2) stops being portable —
+    * sums that feed a 2 dp output (or an equality, q162) must
+    * accumulate in micro-units. Max sum ≈ 1e8 rows · 1e9 units ≪ 2⁶³. */
+  private def volMicro: Column =
+    round(col("l_extendedprice") * 100.0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100.0).cast("long"))
+
+  /** Forecast-revenue change — the TPC-H Q6 shape: a pure scan-filter
+    * aggregate (date range + discount band + quantity cap, no join at
+    * all). The value of the shape is what the PLAN must look like:
+    * every predicate pushes to the parquet scan and the single global
+    * sum partial-aggregates map-side — the cheapest possible pass over
+    * an arbitrarily large fact table. Discount bounds compare doubles
+    * that both engines read verbatim from the same parquet, so the
+    * band edges are exact; price·discount accumulates in exact 1e-4
+    * units ([[volMicro]] argument). */
+  def qForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(rnd(sum(round(col("l_extendedprice") * 100.0).cast("long") *
+        round(col("l_discount") * 100.0).cast("long"))
+        .cast("double") / lit(10000.0), 2).as("revenue"))
+
+  /** Bilateral shipping volume — the TPC-H Q7 shape generalized to ALL
+    * directed nation pairs (the fixture's nations are uniform, so the
+    * classic two-nation filter degenerates to zero rows at small SF):
+    * supplier nation × customer nation × ship year revenue. The two
+    * nation lookups ride one broadcast each; the fact table shuffles
+    * once for the (pair, year) aggregate, partial-aggregated map-side. */
+  def qVolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("_sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("_ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("_sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("_ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(count(lit(1)).as("n_items"),
+        rnd(sum(volMicro).cast("double") / lit(10000.0), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** National market share — the TPC-H Q8 shape: within ASIA-customer
+    * STANDARD-part order volume, the share supplied by NATION_3, per
+    * order year. All five dimension legs broadcast; the fact table
+    * shuffles once on the year grain; the share divides the two
+    * ROUNDED sums (the q14 device). */
+  def qMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("_sk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter(col("p_type") === "STANDARD").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("_sk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        rnd(sum(when(col("supp_nation") === "NATION_3", volMicro)
+          .otherwise(lit(0L))).cast("double") / lit(10000.0), 2)
+          .as("nation_volume"),
+        rnd(sum(volMicro).cast("double") / lit(10000.0), 2)
+          .as("total_volume"))
+      .withColumn("mkt_share",
+        rnd(col("nation_volume") / col("total_volume"), 6))
+      .orderBy("o_year")
+  }
+
+  /** Top supplier by half-year revenue — the TPC-H Q15 shape: per-
+    * supplier revenue over a ship-date window, keep the max. The
+    * revenue CTE aggregates once (map-side partial); the max is a
+    * 1-row broadcast compared against the ROUNDED per-supplier revenue
+    * (both engines round before the equality, so float fold order
+    * cannot split the tie). */
+  def qTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+      .groupBy("l_suppkey")
+      .agg(rnd(sum(volMicro).cast("double") / lit(10000.0), 2)
+        .as("total_revenue"))
+      .transform(graft.CacheScope.pin) // max + equality filter read it
+    val mx = rev.agg(max("total_revenue").as("_mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("_mx"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Small-quantity-order revenue — the TPC-H Q17 shape: lineitems of
+    * one brand whose quantity undercuts 20% of that part's average
+    * quantity; the correlated scalar subquery becomes a per-part
+    * aggregate joined back. The per-part averages are computed over the
+    * FULL lineitem (as in the spec) but only brand parts survive the
+    * join, and the brand filter pushes into the part scan + semi-joins
+    * the averages before the fact-side join. avg is one IEEE division
+    * on exact integer-valued operands, so the 0.2·avg threshold is
+    * bit-identical cross-engine. */
+  def qSmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val brandParts = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#1").select("p_partkey"))
+    val perPart = Tables.lineitem(spark, sfDir)
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg((lit(0.2) * avg("l_quantity")).as("_thr"))
+    Tables.lineitem(spark, sfDir)
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(perPart), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("_thr"))
+      .agg(count(lit(1)).as("n_items"),
+        rnd(sum(round(col("l_extendedprice") * 100.0).cast("long"))
+          .cast("double") / lit(100.0) / lit(7.0), 2).as("avg_yearly"))
+  }
+
   /** Multi-hop dimension join through nation/region (5-way) with a
     * broadcast chain — the TPC-H Q5 shape. */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
