@@ -167,6 +167,16 @@ object OracleSql {
   /** Portable rounding, re-exported for assembly convenience. */
   def rnd6(inner: String): String = sqlRnd(inner, 6)
 
+  /** Exact 1e-4-unit lineitem revenue — mirror of Relational.volMicro:
+    * prices carry 2 dp and discounts 2 dp, so price·(1−discount) is an
+    * exact Int64 in ten-thousandths and the sum is association-free
+    * (a double revenue sum can land within an ulp of a .005 cent
+    * boundary, where 2 dp rounding stops being engine-portable — the
+    * r10 q160 finding). */
+  val sqlVolU: String =
+    "CAST(round(l_extendedprice * 100.0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100.0) AS BIGINT))"
+
   // ---- sketch fragments (mirror Dedup.* and TextFunctions.*) ------------
 
   /** Mirror of HashFunctions.hash60. */

@@ -3123,8 +3123,8 @@ object SparkEntry {
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  ${sqlRnd("sum(l_extendedprice)", 2)} AS sum_base_price,
-        |  ${sqlRnd("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc_price,
+        |  ${sqlRnd("sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0", 2)} AS sum_base_price,
+        |  ${sqlRnd(s"sum($sqlVolU) / 10000.0", 2)} AS sum_disc_price,
         |  ${sqlRnd("avg(l_quantity)", 6)} AS avg_qty,
         |  ${sqlRnd("avg(l_discount)", 6)} AS avg_disc,
         |  count(*) AS count_order
@@ -3154,7 +3154,7 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
     "q03_shipping_priority" ->
       s"""SELECT l_orderkey,
-        |  ${sqlRnd("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue
+        |  ${sqlRnd(s"sum($sqlVolU) / 10000.0", 2)} AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -3186,7 +3186,7 @@ object SparkEntry {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q05_local_supplier" ->
       s"""SELECT r_name, n_name,
-        |  ${sqlRnd("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
+        |  ${sqlRnd(s"sum($sqlVolU) / 10000.0", 2)} AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -3575,11 +3575,11 @@ object SparkEntry {
     },
     "q31_revenue_rollup" ->
       s"""SELECT region, nation,
-         |  ${sqlRnd("sum(rev)", 2)} AS revenue,
+         |  ${sqlRnd("sum(rev_u) / 10000.0", 2)} AS revenue,
          |  count(*) AS n_items
          |FROM (
          |  SELECT r_name AS region, n_name AS nation,
-         |         l_extendedprice * (1.0 - l_discount) AS rev
+         |         $sqlVolU AS rev_u
          |  FROM lineitem
          |  JOIN supplier ON l_suppkey = s_suppkey
          |  JOIN nation ON s_nationkey = n_nationkey
@@ -3604,7 +3604,7 @@ object SparkEntry {
       s"""SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
          |  month(o_orderdate) AS m,
          |  count(*) AS n_orders,
-         |  ${sqlRnd("sum(o_totalprice)", 2)} AS revenue
+         |  ${sqlRnd("sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0", 2)} AS revenue
          |FROM orders
          |GROUP BY 1, 2, 3
          |ORDER BY y, m""".stripMargin,
@@ -3627,7 +3627,7 @@ object SparkEntry {
     "q36_customer_order_summary" ->
       s"""SELECT c_custkey, c_mktsegment,
          |  count(o_orderkey) AS n_orders,
-         |  ${sqlRnd("coalesce(sum(o_totalprice), 0.0)", 2)} AS total_spend
+         |  ${sqlRnd("coalesce(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)), 0) / 100.0", 2)} AS total_spend
          |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey, c_mktsegment
          |ORDER BY c_custkey""".stripMargin,
@@ -3635,7 +3635,7 @@ object SparkEntry {
       s"""SELECT o_orderpriority, o_orderstatus,
          |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
          |  count(*) AS n,
-         |  ${sqlRnd("sum(o_totalprice)", 2)} AS revenue
+         |  ${sqlRnd("sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0", 2)} AS revenue
          |FROM orders
          |GROUP BY CUBE (o_orderpriority, o_orderstatus)
          |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
@@ -4725,9 +4725,12 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
     "q45_revenue_pivot" ->
       s"""SELECT o_orderpriority,
-         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)} AS rev_f,
-         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)} AS rev_o,
-         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)} AS rev_p
+         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'F' THEN " +
+              "CAST(round(o_totalprice * 100.0) AS BIGINT) END) / 100.0", 2)} AS rev_f,
+         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'O' THEN " +
+              "CAST(round(o_totalprice * 100.0) AS BIGINT) END) / 100.0", 2)} AS rev_o,
+         |  ${sqlRnd("sum(CASE WHEN o_orderstatus = 'P' THEN " +
+              "CAST(round(o_totalprice * 100.0) AS BIGINT) END) / 100.0", 2)} AS rev_p
          |FROM orders
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
@@ -4868,9 +4871,12 @@ object SparkEntry {
       // UNION-ALL mirror of the unpivot over the same declared pivot
       s"""WITH wide AS (
          |  SELECT o_orderpriority,
-         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)} AS rev_f,
-         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)} AS rev_o,
-         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)} AS rev_p
+         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'F' THEN " +
+              "CAST(round(o_totalprice * 100.0) AS BIGINT) END) / 100.0", 2)} AS rev_f,
+         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'O' THEN " +
+              "CAST(round(o_totalprice * 100.0) AS BIGINT) END) / 100.0", 2)} AS rev_o,
+         |    ${sqlRnd("sum(CASE WHEN o_orderstatus = 'P' THEN " +
+              "CAST(round(o_totalprice * 100.0) AS BIGINT) END) / 100.0", 2)} AS rev_p
          |  FROM orders GROUP BY o_orderpriority),
          |long AS (
          |  SELECT o_orderpriority, 'rev_f' AS status, rev_f AS revenue FROM wide
@@ -4949,11 +4955,11 @@ object SparkEntry {
          |ORDER BY event_type, k_bucket""".stripMargin,
     "q64_revenue_grouping_sets" ->
       s"""SELECT region, nation,
-         |  ${sqlRnd("sum(rev)", 2)} AS revenue,
+         |  ${sqlRnd("sum(rev_u) / 10000.0", 2)} AS revenue,
          |  count(*) AS n_items
          |FROM (
          |  SELECT r_name AS region, n_name AS nation,
-         |         l_extendedprice * (1.0 - l_discount) AS rev
+         |         $sqlVolU AS rev_u
          |  FROM lineitem
          |  JOIN supplier ON l_suppkey = s_suppkey
          |  JOIN nation ON s_nationkey = n_nationkey
@@ -6178,7 +6184,8 @@ object SparkEntry {
       // rank), custkey as the unique tie-break.
       s"""SELECT * FROM (
          |  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
-         |    ${sqlRnd("sum(l.l_extendedprice * (1.0 - l.l_discount))", 2)}
+         |    ${sqlRnd("sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT) * " +
+          "(100 - CAST(round(l.l_discount * 100.0) AS BIGINT))) / 10000.0", 2)}
          |      AS revenue,
          |    CAST(count(*) AS BIGINT) AS n_items
          |  FROM lineitem l
@@ -6399,9 +6406,9 @@ object SparkEntry {
       s"""WITH m AS (
          |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
          |    ${sqlRnd("sum(CASE WHEN p_type = 'PROMO' " +
-               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)", 2)}
+               s"THEN $sqlVolU ELSE 0 END) / 10000.0", 2)}
          |      AS promo_revenue,
-         |    ${sqlRnd("sum(l_extendedprice * (1.0 - l_discount))", 2)}
+         |    ${sqlRnd(s"sum($sqlVolU) / 10000.0", 2)}
          |      AS total_revenue
          |  FROM lineitem JOIN part ON l_partkey = p_partkey
          |  GROUP BY 1)
@@ -6434,10 +6441,10 @@ object SparkEntry {
          |      WHEN p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
          |        AND l_quantity BETWEEN 20.0 AND 30.0 THEN 'Brand#15'
          |    END AS brand,
-         |    l_extendedprice * (1.0 - l_discount) AS rev
+         |    $sqlVolU AS rev_u
          |  FROM lineitem JOIN part ON l_partkey = p_partkey
          |  WHERE p_size BETWEEN 1 AND 15)
-         |SELECT brand, ${sqlRnd("sum(rev)", 2)} AS revenue,
+         |SELECT brand, ${sqlRnd("sum(rev_u) / 10000.0", 2)} AS revenue,
          |  CAST(count(*) AS BIGINT) AS n_items
          |FROM j WHERE brand IS NOT NULL GROUP BY brand ORDER BY brand""".stripMargin,
     "q155_dormant_customers" ->
@@ -6446,7 +6453,7 @@ object SparkEntry {
       // before the comparison (raw partial-sum order differs between
       // engines; the 1e-9-relative noise would make the > knife-edge).
       s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
-         |  ${sqlRnd("sum(c_acctbal)", 2)} AS total_acctbal
+         |  ${sqlRnd("sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0", 2)} AS total_acctbal
          |FROM customer c
          |WHERE c_acctbal > (
          |    SELECT ${sqlRnd("avg(c_acctbal)", 6)} FROM customer

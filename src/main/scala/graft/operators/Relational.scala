@@ -32,8 +32,9 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"), // integer-valued doubles: exact
-        rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
-        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        rnd(sum(round(col("l_extendedprice") * 100.0).cast("long"))
+          .cast("double") / lit(100.0), 2).as("sum_base_price"),
+        rnd(sum(volMicro).cast("double") / lit(10000.0), 2)
           .as("sum_disc_price"),
         rnd(avg("l_quantity"), 6).as("avg_qty"),
         rnd(avg("l_discount"), 6).as("avg_disc"),
@@ -84,8 +85,7 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
       .agg(
-        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        rnd(sum(volMicro).cast("double") / lit(10000.0), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -145,8 +145,7 @@ object Relational {
   def qReturnedCustomers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("_rev"))
+      .select(col("l_orderkey"), volMicro.as("_rev"))
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, sfDir)
@@ -156,7 +155,8 @@ object Relational {
         .select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-      .agg(rnd(sum(col("_rev")), 2).as("revenue"),
+      .agg(rnd(sum(col("_rev")).cast("double") / lit(10000.0), 2)
+        .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -175,10 +175,10 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
-        rnd(sum(when(col("p_type") === "PROMO",
-          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .otherwise(lit(0.0))), 2).as("promo_revenue"),
-        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        rnd(sum(when(col("p_type") === "PROMO", volMicro)
+          .otherwise(lit(0L))).cast("double") / lit(10000.0), 2)
+          .as("promo_revenue"),
+        rnd(sum(volMicro).cast("double") / lit(10000.0), 2)
           .as("total_revenue"))
       .withColumn("promo_pct",
         rnd(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
@@ -236,8 +236,7 @@ object Relational {
       .filter(col("_branch").isNotNull)
       .groupBy(col("_branch").as("brand"))
       .agg(
-        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        rnd(sum(volMicro).cast("double") / lit(10000.0), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("brand")
   }
@@ -263,7 +262,8 @@ object Relational {
       .join(active98, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_custs"),
-        rnd(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        rnd(sum(round(col("c_acctbal") * 100.0).cast("long"))
+          .cast("double") / lit(100.0), 2).as("total_acctbal"))
       .orderBy("c_mktsegment")
   }
 
@@ -429,8 +429,7 @@ object Relational {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        rnd(sum(volMicro).cast("double") / lit(10000.0), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -688,14 +687,14 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name").as("region"), col("n_name").as("nation"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        volMicro.as("rev_u"))
       .createOrReplaceTempView("rev_src_q31")
     // the rollup runs through the SQL parser: Spark's DataFrame resolver
     // flags post-rollup references to grouping columns as ambiguous
     // (the nullable grouping output shadows the input attribute)
     spark.sql(
       """SELECT region, nation,
-        |  floor(sum(rev) * 100.0D + 0.5D) / 100.0D AS revenue,
+        |  floor(sum(rev_u) / 100.0D + 0.5D) / 100.0D AS revenue,
         |  count(*) AS n_items
         |FROM rev_src_q31
         |GROUP BY ROLLUP (region, nation)
@@ -733,12 +732,12 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name").as("region"), col("n_name").as("nation"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        volMicro.as("rev_u"))
       .createOrReplaceTempView("rev_src_q64")
     // through the SQL parser for the same resolver reason as q31
     spark.sql(
       """SELECT region, nation,
-        |  floor(sum(rev) * 100.0D + 0.5D) / 100.0D AS revenue,
+        |  floor(sum(rev_u) / 100.0D + 0.5D) / 100.0D AS revenue,
         |  count(*) AS n_items
         |FROM rev_src_q64
         |GROUP BY GROUPING SETS ((region), (nation), ())
@@ -767,7 +766,8 @@ object Relational {
         quarter(col("o_orderdate")).as("q"),
         month(col("o_orderdate")).as("m"))
       .agg(count(lit(1)).as("n_orders"),
-        rnd(sum("o_totalprice"), 2).as("revenue"))
+        rnd(sum(round(col("o_totalprice") * 100.0).cast("long"))
+          .cast("double") / lit(100.0), 2).as("revenue"))
       .orderBy("y", "m")
 
   /** Outer-join breadth: every customer with their order count and total
@@ -780,7 +780,8 @@ object Relational {
       .groupBy("c_custkey", "c_mktsegment")
       .agg(
         count(col("o_orderkey")).as("n_orders"), // count(col): nulls not counted
-        rnd(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+        rnd(coalesce(sum(round(col("o_totalprice") * 100.0).cast("long")),
+          lit(0L)).cast("double") / lit(100.0), 2).as("total_spend"))
       .orderBy("c_custkey")
 
   /** CUBE with grouping_id over order priority × status — all four
@@ -788,13 +789,14 @@ object Relational {
     * resolver quirk as ROLLUP). */
   def qOrderCube(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir)
-      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100.0).cast("long").as("price_u"))
       .createOrReplaceTempView("orders_q37")
     spark.sql(
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
         |  count(*) AS n,
-        |  floor(sum(o_totalprice) * 100.0D + 0.5D) / 100.0D AS revenue
+        |  sum(price_u) / 100.0D AS revenue
         |FROM orders_q37
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
@@ -961,7 +963,8 @@ object Relational {
       // no coalesce: an absent (priority, status) combo is a NULL cell in
       // pivot AND a NULL SUM in the oracle's CASE mirror — exact match
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(rnd(sum("o_totalprice"), 2))
+      .agg(rnd(sum(round(col("o_totalprice") * 100.0).cast("long"))
+        .cast("double") / lit(100.0), 2))
       .withColumnsRenamed(Map(
         "F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
       .orderBy("o_orderpriority")
