@@ -231,6 +231,41 @@ object StreamingIngest {
     }
   }
 
+  /** Chunk-grain RAG ingestion transform — the q157/q158 pipeline
+    * (fixed-token windows → deterministic embed) as ONE declarative
+    * plan that serves batch and stream identically: chunking and
+    * embedding are stateless per-row HOFs, so Structured Streaming
+    * runs the exact batch plan per micro-batch with no state store,
+    * no watermark, and no cross-batch coordination. This is the shape
+    * a production RAG indexer wants: documents arrive, chunks + unit
+    * vectors append to the index, the retrieval side (q158's KNN)
+    * reads the same schema whether the index was built in batch or
+    * streamed in over weeks.
+    *
+    * @param docs (doc_id BIGINT, text STRING) — static or streaming
+    * @return (chunk_id, doc_id, chunk_idx, n_tokens, embedding) */
+  def chunkEmbed(
+      docs: DataFrame, window: Int = 32, stride: Int = 24,
+      dim: Int = 16): DataFrame =
+    graft.operators.Chunking
+      .chunkWindows(docs, "doc_id", "text", window, stride)
+      .select(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_idx").cast("string")).as("chunk_id"),
+        col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        graft.operators.Embed.embedText(col("chunk_text"), dim)
+          .as("embedding"))
+
+  /** [[chunkEmbed]] wired as an append-mode stream writer; caller
+    * attaches the sink path + checkpoint and starts it. Exactly-once
+    * lands on the parquet sink's batch-id commit log, as with every
+    * writer in this object. */
+  def chunkIndexWriter(
+      docs: DataFrame, window: Int = 32, stride: Int = 24,
+      dim: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+    chunkEmbed(docs, window, stride, dim)
+      .writeStream.outputMode(OutputMode.Append)
+
   /** Streaming half of the q129 spike monitor: watermarked 1-hour
     * tumbling counts per event type, appended (finalized windows only,
     * exactly once via the parquet streaming sink the caller attaches)

@@ -510,4 +510,46 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(bids(1L) == 0L && bids(4L) == 1L, s"batch ids: $bids")
   }
+
+  test("streaming chunk index ≡ batch chunk+embed on replay across batches") {
+    val dir = Files.createTempDirectory("graft_chunk_stream").toString
+    val (idxDir, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val stream = src.toDF.toDF("doc_id", "text")
+    val q = StreamingIngest.chunkIndexWriter(stream, window = 4, stride = 3)
+      .option("checkpointLocation", ckpt)
+      .option("path", idxDir)
+      .start()
+    val docs = Seq(
+      1L -> "one two three four five six seven",      // 2 chunks + tail
+      2L -> "tiny",                                    // sub-window
+      3L -> "",                                        // no tokens -> no rows
+      4L -> (1 to 11).map(i => s"w$i").mkString(" "))  // multi-window
+    try {
+      src.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      src.addData(docs(2), docs(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("chunk_id", "doc_id", "chunk_idx", "n_tokens", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Seq[Float]](4).toList))
+      .toSet
+    val streamed = canon(spark.read.parquet(idxDir))
+    val batch = canon(StreamingIngest.chunkEmbed(
+      docs.toDF("doc_id", "text"), window = 4, stride = 3))
+    // chunk+embed is stateless per-row: the union of per-batch outputs
+    // IS the batch result, bit-for-bit including the embeddings
+    assert(streamed == batch)
+    assert(streamed.exists(_._1 == "4:2"), "doc 4 reaches chunk_idx 2")
+    assert(!streamed.exists(_._2 == 3L), "tokenless doc emits no chunks")
+    streamed.foreach { case (_, _, _, n, emb) =>
+      assert(emb.length == 16 && n >= 1)
+      val nrm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-6, s"unit norm, got $nrm")
+    }
+  }
 }
