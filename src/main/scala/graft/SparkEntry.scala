@@ -1766,8 +1766,12 @@ object SparkEntry {
     * rescan. The reference counts tokens with a pretrained tokenizer
     * (vec.py:9-14); this is the training side of that contract. */
   private def bpeMergesQ(s: SparkSession, dir: String): DataFrame = {
-    val (merges, _) =
+    val (merges, fin) =
       Bpe.learnMerges(Bpe.vocabulary(Tables.documents(s, dir), "text"), 8)
+    // the merge table is already driver-side; the checkpointed final
+    // vocabulary has no consumer here — release its blocks eagerly
+    // instead of leaning on the harness leak sweep (ADVICE r9 low #4)
+    fin.unpersist()
     Bpe.mergeTable(s, merges)
       .select(col("step"), col("lhs"), col("rhs"),
         col("freq").as("pair_freq"))
