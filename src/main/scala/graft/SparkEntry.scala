@@ -1845,6 +1845,24 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Chunk-grain boilerplate report (q164): retrieval-index chunks
+    * (disjoint 16-token windows — the q157 grain, stride = window)
+    * that recur across documents — the "exclude from retrieval /
+    * downweight in training" candidate list a RAG index audit
+    * produces. Scale shape: the shuffle key is md5(chunk_text)
+    * (32-char keys, never chunk text), one map-side-combined
+    * aggregation; the survivors (n_docs ≥ 2) are a tiny tail of the
+    * chunk population. */
+  private def chunkBoilerplateQ(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+      window = 16, stride = 16)
+      .select(md5(col("chunk_text")).as("chunk_key"), col("doc_id"))
+      .groupBy("chunk_key")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_key"))
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -2579,6 +2597,7 @@ object SparkEntry {
     "q161_market_share" -> ((s, d) => Relational.qMarketShare(s, d)),
     "q162_top_supplier" -> ((s, d) => Relational.qTopSupplier(s, d)),
     "q163_small_qty_revenue" -> ((s, d) => Relational.qSmallQtyRevenue(s, d)),
+    "q164_chunk_boilerplate" -> ((s, d) => chunkBoilerplateQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -6264,6 +6283,27 @@ object SparkEntry {
          |  ${sqlRnd("CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)}
          |    AS tokens_per_word
          |FROM per p JOIN ty USING (split) ORDER BY split""".stripMargin,
+    "q164_chunk_boilerplate" ->
+      // Mirror of chunkBoilerplateQ: disjoint 16-token chunks keyed by
+      // md5 of the joined token text (hex lowercase in both engines).
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksOf("text")} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 16, 0)
+         |      / 16.0) AS BIGINT))) AS ci
+         |  FROM t WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(toks[ci * 16 + 1 : ci * 16 + 16], ' '))
+         |      AS chunk_key
+         |  FROM c)
+         |SELECT chunk_key,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_occ
+         |FROM ch GROUP BY 1
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, chunk_key""".stripMargin,
     "q157_chunk_windows" ->
       // Mirror of Chunking.chunkWindows(64, 48): stride-aligned starts
       // 0..ceil(max(n-64,0)/48); DuckDB list slices are 1-based
