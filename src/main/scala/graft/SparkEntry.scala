@@ -1863,6 +1863,49 @@ object SparkEntry {
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_key"))
 
+  /** Chunk-pooled document embeddings (q165): the long-document
+    * embedding path — embed at the chunk grain (q158's 32/24 windows),
+    * mean-pool per document, re-normalize. This is how a production
+    * pipeline embeds documents longer than the encoder context: the
+    * doc vector is the centroid of its chunk vectors.
+    *
+    * Exactness: chunk components quantize to the exact 1e-6 grid
+    * (floor(x·1e6 + 0.5) on bit-identical floats), so the per-element
+    * pooling sum is an association-free Int64; the mean, norm fold
+    * (strict left fold from 0.0) and normalized components are then
+    * fixed IEEE associations on identical operands, rounded at 6 dp
+    * only at output. Scale shape: one (doc, element) partial-aggregated
+    * shuffle at dim fan-out, one per-doc assembly — no vector ever
+    * crosses the wire as text. */
+  private def chunkPooledEmbQ(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Chunking.chunkWindows(Tables.documents(s, dir),
+      "doc_id", "text", window = 32, stride = 24)
+      .select(col("doc_id"), Embed.embedText(col("chunk_text"), 16).as("emb"))
+    val els = chunks
+      .select(col("doc_id"), posexplode(transform(col("emb"),
+        x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+    val pooled = els
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n"))))
+        .as("e"))
+      .select(col("doc_id"),
+        element_at(col("e"), 1).getField("n").as("n_chunks"),
+        transform(col("e"), t => t.getField("s").cast("double") /
+          (t.getField("n").cast("double") * lit(1000000.0))).as("m"))
+      .withColumn("_nrm",
+        sqrt(aggregate(col("m"), lit(0.0), (a, x) => a + x * x)))
+    pooled
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(col("m"),
+          x => when(col("_nrm") === 0.0, lit(0.0))
+            .otherwise(rnd(x / col("_nrm"), 6)))))
+      .select(col("doc_id"), col("n_chunks"),
+        (col("pos") + 1).cast("long").as("j"), col("col").as("comp"))
+      .orderBy("doc_id", "j")
+  }
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -2598,6 +2641,7 @@ object SparkEntry {
     "q162_top_supplier" -> ((s, d) => Relational.qTopSupplier(s, d)),
     "q163_small_qty_revenue" -> ((s, d) => Relational.qSmallQtyRevenue(s, d)),
     "q164_chunk_boilerplate" -> ((s, d) => chunkBoilerplateQ(s, d)),
+    "q165_chunk_pooled_emb" -> ((s, d) => chunkPooledEmbQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -6283,6 +6327,47 @@ object SparkEntry {
          |  ${sqlRnd("CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)}
          |    AS tokens_per_word
          |FROM per p JOIN ty USING (split) ORDER BY split""".stripMargin,
+    "q165_chunk_pooled_emb" ->
+      // Mirror of chunkPooledEmbQ: chunk (32/24) -> embedCte -> exact
+      // 1e-6-grid quantization -> Int64 element sums -> mean, strict
+      // left-fold norm, per-element normalize, 6 dp only at output.
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksOf("text")} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+         |      / 24.0) AS BIGINT))) AS ci
+         |  FROM t WHERE len(toks) > 0),
+         |ch0 AS (
+         |  SELECT doc_id,
+         |    array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ')
+         |    AS ctext
+         |  FROM c),
+         |${embedCte("d", "ch0", "doc_id", "ctext", 16)},
+         |e AS (
+         |  SELECT doc_id, j,
+         |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS u
+         |  FROM demb CROSS JOIN (SELECT unnest(range(1, 17)) AS j) r),
+         |g AS (
+         |  SELECT doc_id, j, sum(u) AS s, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_id,
+         |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+         |      ORDER BY j) AS m,
+         |    CAST(max(n) AS BIGINT) AS n_chunks
+         |  FROM g GROUP BY doc_id),
+         |q AS (
+         |  SELECT doc_id, n_chunks, m,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(m, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM p)
+         |SELECT doc_id, n_chunks, CAST(j AS BIGINT) AS j,
+         |  CASE WHEN nrm = 0.0 THEN 0.0
+         |       ELSE ${sqlRnd("m[j] / nrm", 6)} END AS comp
+         |FROM q CROSS JOIN (SELECT unnest(range(1, 17)) AS j) r
+         |ORDER BY doc_id, j""".stripMargin,
     "q164_chunk_boilerplate" ->
       // Mirror of chunkBoilerplateQ: disjoint 16-token chunks keyed by
       // md5 of the joined token text (hex lowercase in both engines).
