@@ -1877,33 +1877,34 @@ object SparkEntry {
     * only at output. Scale shape: one (doc, element) partial-aggregated
     * shuffle at dim fan-out, one per-doc assembly — no vector ever
     * crosses the wire as text. */
-  private def chunkPooledEmbQ(s: SparkSession, dir: String): DataFrame = {
-    val chunks = Chunking.chunkWindows(Tables.documents(s, dir),
-      "doc_id", "text", window = 32, stride = 24)
-      .select(col("doc_id"), Embed.embedText(col("chunk_text"), 16).as("emb"))
-    val els = chunks
-      .select(col("doc_id"), posexplode(transform(col("emb"),
-        x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum("col").as("s"), count(lit(1)).as("n"))
-    val pooled = els
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n"))))
-        .as("e"))
-      .select(col("doc_id"),
-        element_at(col("e"), 1).getField("n").as("n_chunks"),
-        transform(col("e"), t => t.getField("s").cast("double") /
-          (t.getField("n").cast("double") * lit(1000000.0))).as("m"))
-      .withColumn("_nrm",
-        sqrt(aggregate(col("m"), lit(0.0), (a, x) => a + x * x)))
-    pooled
+  private def chunkPooledEmbQ(s: SparkSession, dir: String): DataFrame =
+    Chunking.pooledEmbeddings(Tables.documents(s, dir), "doc_id", "text",
+      window = 32, stride = 24, dim = 16)
+      .select(col("doc_id"), col("n_chunks"), posexplode(col("embedding")))
       .select(col("doc_id"), col("n_chunks"),
-        posexplode(transform(col("m"),
-          x => when(col("_nrm") === 0.0, lit(0.0))
-            .otherwise(rnd(x / col("_nrm"), 6)))))
-      .select(col("doc_id"), col("n_chunks"),
-        (col("pos") + 1).cast("long").as("j"), col("col").as("comp"))
+        (col("pos") + 1).cast("long").as("j"),
+        rnd(col("col").cast("double"), 6).as("comp"))
       .orderBy("doc_id", "j")
+
+  /** Doc-grain retrieval over chunk-pooled vectors (q166): the q165
+    * pooled embeddings feeding the same KNN operator the chunk- and
+    * whole-doc paths use — long documents retrieved by the centroid of
+    * their chunks. Same scale story as q10/q158: query batch
+    * broadcast, pooled corpus streams scan→score. */
+  private def chunkDocRetrievalQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsEmb = Chunking.pooledEmbeddings(
+      Tables.documents(s, dir), "doc_id", "text",
+      window = 32, stride = 24, dim = 16)
+      .select(col("doc_id").cast("string").as("id"), col("embedding"))
+    val queries = Seq(("qa", "data quality pipeline"),
+      ("qb", "vector similarity graph"))
+      .toDF("qid", "qtext")
+      .select(col("qid"), Embed.embedText(col("qtext"), 16).as("qvec"))
+    Knn.topK(docsEmb, queries, k = 5)
+      .select(col("qid"), col("id"), rnd(col("sim"), 6).as("sim"),
+        col("rank").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
   }
 
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
@@ -2642,6 +2643,7 @@ object SparkEntry {
     "q163_small_qty_revenue" -> ((s, d) => Relational.qSmallQtyRevenue(s, d)),
     "q164_chunk_boilerplate" -> ((s, d) => chunkBoilerplateQ(s, d)),
     "q165_chunk_pooled_emb" -> ((s, d) => chunkPooledEmbQ(s, d)),
+    "q166_chunk_doc_retrieval" -> ((s, d) => chunkDocRetrievalQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2759,6 +2761,52 @@ object SparkEntry {
       "+ 0.3 * (1.0 - least(p_ratio * 4.0, 1.0))"
 
   /** embeddings.parquet docs/queries CTEs feeding the shared KNN chain. */
+  /** Shared q165/q166 CTE chain: documents → 32/24 chunks → embedCte →
+    * exact 1e-6-grid Int64 element sums → per-doc mean + strict-left-
+    * fold norm → unit-norm FLOAT vector. Ends with
+    * `pooledv(doc_id, n_chunks, embedding)` — the oracle twin of
+    * [[Chunking.pooledEmbeddings]]. */
+  private lazy val chunkPooledCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, ${OracleSql.toksOf("text")} AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+       |      / 24.0) AS BIGINT))) AS ci
+       |  FROM t WHERE len(toks) > 0),
+       |ch0 AS (
+       |  SELECT doc_id,
+       |    array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ')
+       |    AS ctext
+       |  FROM c),
+       |${OracleSql.embedCte("d", "ch0", "doc_id", "ctext", 16)},
+       |pe AS (
+       |  SELECT doc_id, j,
+       |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS u
+       |  FROM demb CROSS JOIN (SELECT unnest(range(1, 17)) AS j) r),
+       |pg AS (
+       |  SELECT doc_id, j, sum(u) AS s, count(*) AS n
+       |  FROM pe GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT doc_id,
+       |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |      ORDER BY j) AS m,
+       |    CAST(max(n) AS BIGINT) AS n_chunks
+       |  FROM pg GROUP BY doc_id),
+       |pq AS (
+       |  SELECT doc_id, n_chunks, m,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(m, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM pp),
+       |pooledv AS (
+       |  SELECT doc_id, n_chunks,
+       |    CASE WHEN nrm = 0.0
+       |         THEN list_transform(m, x -> CAST(0.0 AS FLOAT))
+       |         ELSE list_transform(m, x -> CAST(x / nrm AS FLOAT)) END
+       |      AS embedding
+       |  FROM pq)""".stripMargin
+
   private val sqlEmbCtes: String =
     """docs AS (
       |  SELECT CAST(vec_id AS VARCHAR) AS id,
@@ -6328,46 +6376,35 @@ object SparkEntry {
          |    AS tokens_per_word
          |FROM per p JOIN ty USING (split) ORDER BY split""".stripMargin,
     "q165_chunk_pooled_emb" ->
-      // Mirror of chunkPooledEmbQ: chunk (32/24) -> embedCte -> exact
-      // 1e-6-grid quantization -> Int64 element sums -> mean, strict
-      // left-fold norm, per-element normalize, 6 dp only at output.
-      s"""WITH t AS (
-         |  SELECT doc_id, ${toksOf("text")} AS toks FROM documents),
-         |c AS (
-         |  SELECT doc_id, toks,
-         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
-         |      / 24.0) AS BIGINT))) AS ci
-         |  FROM t WHERE len(toks) > 0),
-         |ch0 AS (
-         |  SELECT doc_id,
-         |    array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ')
-         |    AS ctext
-         |  FROM c),
-         |${embedCte("d", "ch0", "doc_id", "ctext", 16)},
-         |e AS (
-         |  SELECT doc_id, j,
-         |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
-         |      AS BIGINT) AS u
-         |  FROM demb CROSS JOIN (SELECT unnest(range(1, 17)) AS j) r),
-         |g AS (
-         |  SELECT doc_id, j, sum(u) AS s, count(*) AS n
-         |  FROM e GROUP BY 1, 2),
-         |p AS (
-         |  SELECT doc_id,
-         |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
-         |      ORDER BY j) AS m,
-         |    CAST(max(n) AS BIGINT) AS n_chunks
-         |  FROM g GROUP BY doc_id),
-         |q AS (
-         |  SELECT doc_id, n_chunks, m,
-         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(m, x -> x * x)), (a, b) -> a + b)) AS nrm
-         |  FROM p)
+      // Mirror of chunkPooledEmbQ over the shared pooled-vector chain
+      // (chunkPooledCtes ≡ Chunking.pooledEmbeddings): long-form dump
+      // of the unit-norm FLOAT components, 6 dp only at output.
+      s"""WITH $chunkPooledCtes
          |SELECT doc_id, n_chunks, CAST(j AS BIGINT) AS j,
-         |  CASE WHEN nrm = 0.0 THEN 0.0
-         |       ELSE ${sqlRnd("m[j] / nrm", 6)} END AS comp
-         |FROM q CROSS JOIN (SELECT unnest(range(1, 17)) AS j) r
+         |  ${sqlRnd("CAST(embedding[j] AS DOUBLE)", 6)} AS comp
+         |FROM pooledv CROSS JOIN (SELECT unnest(range(1, 17)) AS j) r
          |ORDER BY doc_id, j""".stripMargin,
+    "q166_chunk_doc_retrieval" ->
+      // Mirror of chunkDocRetrievalQ: pooled doc vectors -> the q10
+      // dot device + (sim desc, id) rank cut.
+      s"""WITH $chunkPooledCtes,
+         |dv AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id, embedding FROM pooledv),
+         |q0 AS (SELECT * FROM (VALUES
+         |  ('qa', 'data quality pipeline'),
+         |  ('qb', 'vector similarity graph')) v(qid, qtext)),
+         |${embedCte("q", "q0", "qid", "qtext", 16)},
+         |scored AS (
+         |  SELECT q.qid, d.id, ${dot("q.embedding", "d.embedding")} AS sim
+         |  FROM qemb q CROSS JOIN dv d),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+         |      AS rnk
+         |  FROM scored)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     "q164_chunk_boilerplate" ->
       // Mirror of chunkBoilerplateQ: disjoint 16-token chunks keyed by
       // md5 of the joined token text (hex lowercase in both engines).

@@ -49,4 +49,49 @@ object Chunking {
         concat_ws(" ", col("col")).as("chunk_text"),
         size(col("col")).cast("long").as("n_tokens"))
   }
+
+  /** Chunk-pooled document embeddings — the long-document embedding
+    * path: embed at the chunk grain, mean-pool per document,
+    * re-normalize. The doc vector is the centroid of its chunk
+    * vectors, which is how a production pipeline embeds text longer
+    * than the encoder context (and what a doc-grain ANN index stores).
+    *
+    * Exactness: chunk components quantize to the exact 1e-6 grid
+    * (floor(x·1e6 + 0.5) on bit-identical floats), so the per-element
+    * pooling sum is an association-free Int64; the mean
+    * (s / (n·1e6)), the strict-left-fold norm, the per-element
+    * normalize, and the final float cast are fixed IEEE associations
+    * the DuckDB oracle mirrors verbatim.
+    *
+    * Scale shape: one (doc, element) partial-aggregated shuffle at
+    * dim fan-out, one per-doc assembly; no vector crosses the wire
+    * as text.
+    *
+    * @return (idCol, n_chunks, embedding ARRAY<FLOAT> unit-norm) */
+  def pooledEmbeddings(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int, dim: Int): DataFrame = {
+    val chunks = chunkWindows(docs, idCol, textCol, window, stride)
+      .select(col(idCol),
+        graft.operators.Embed.embedText(col("chunk_text"), dim).as("emb"))
+    val els = chunks
+      .select(col(idCol), posexplode(transform(col("emb"),
+        x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))))
+      .groupBy(col(idCol), col("pos"))
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+    els
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n"))))
+        .as("e"))
+      .select(col(idCol),
+        element_at(col("e"), 1).getField("n").as("n_chunks"),
+        transform(col("e"), t => t.getField("s").cast("double") /
+          (t.getField("n").cast("double") * lit(1000000.0))).as("m"))
+      .withColumn("_nrm",
+        sqrt(aggregate(col("m"), lit(0.0), (a, x) => a + x * x)))
+      .select(col(idCol), col("n_chunks"),
+        transform(col("m"),
+          x => when(col("_nrm") === 0.0, lit(0.0f))
+            .otherwise((x / col("_nrm")).cast("float"))).as("embedding"))
+  }
 }
