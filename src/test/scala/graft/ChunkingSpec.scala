@@ -59,6 +59,40 @@ class ChunkingSpec extends SparkSpec {
     assert(got.map(_._4).sum == 10L, "disjoint chunks conserve token mass")
   }
 
+  test("pooledEmbeddings: unit norm; single-chunk doc == its chunk vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      1L -> "alpha beta gamma",                       // one chunk (n < window)
+      2L -> (1 to 40).map(i => s"w$i").mkString(" "), // several chunks
+      3L -> "").toDF("doc_id", "text")
+    val pooled = graft.operators.Chunking
+      .pooledEmbeddings(docs, "doc_id", "text", window = 8, stride = 6, dim = 16)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"),
+          r.getSeq[Float](r.fieldIndex("embedding")).toList))
+      .toMap
+    assert(!pooled.contains(3L), "tokenless doc pools to nothing")
+    pooled.values.foreach { case (n, emb) =>
+      assert(n >= 1 && emb.length == 16)
+      val nrm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-6, s"unit norm, got $nrm")
+    }
+    // a single-chunk doc's pooled vector IS its chunk embedding up to the
+    // 1e-6 quantization + renormalize round-trip
+    val direct = docs.filter(col("doc_id") === 1L)
+      .select(graft.operators.Embed
+        .embedText(org.apache.spark.sql.functions.lower(col("text")), 16)
+        .as("e"))
+      .collect().head match { case r => r.getSeq[Float](r.fieldIndex("e")).toList }
+    val (n1, p1) = pooled(1L)
+    assert(n1 == 1L)
+    direct.zip(p1).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 2e-6, s"single-chunk identity: $a vs $b")
+    }
+  }
+
   test("chunkWindows covers every token and indexes chunks densely") {
     val rng = new scala.util.Random(7)
     val docs = (1L to 20L).map { id =>

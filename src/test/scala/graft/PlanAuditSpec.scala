@@ -542,6 +542,18 @@ class PlanAuditSpec extends SparkSpec {
       s"query batch must broadcast:\n$p")
   }
 
+  test("q164/q165 chunk rollups: aggregations partial-combine map-side") {
+    // both chunk-family aggregates must show two HashAggregate levels
+    // around their exchange (map-side combine) — at corpus scale the
+    // shuffle then carries (hash, partial) rows, never chunk text
+    val p164 = planString(SparkEntry.queries("q164_chunk_boilerplate")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p164).size >= 2, p164)
+    assert(p164.contains("md5"), "shuffle key is the md5, computed pre-exchange")
+    val p165 = planString(SparkEntry.queries("q165_chunk_pooled_emb")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p165).size >= 2, p165)
+    assert(!p165.contains("CartesianProduct"), p165)
+  }
+
   test("q147 source overlap: shingle-keyed intersection; only the sources² totals frame is non-equi") {
     val p = planString(SparkEntry.queries("q147_source_overlap")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
