@@ -130,4 +130,34 @@ class RobustnessSpec extends SparkSpec {
     val short = GraphExpand.expandAllCheckpointed(seeds, shortEdges, k = 100, depth = 10)
     assert(short.collect().map(_.getAs[String]("id")).toSet == Set("c0", "c1", "c2"))
   }
+
+  test("chunking survives a single extreme document (100k tokens, 1M chars)") {
+    // one pathological row must not break the per-row HOF pipeline: a
+    // 100k-token doc yields ceil((100000-64)/48)+1 windows from ONE row
+    val big = (1 to 100000).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, "small doc")).toDF("doc_id", "text")
+    val chunks = graft.operators.Chunking
+      .chunkWindows(docs, "doc_id", "text", 64, 48)
+    val n = chunks.filter(col("doc_id") === 1L).count()
+    assert(n == 1 + math.ceil((100000 - 64) / 48.0).toLong, s"got $n")
+    // token mass conservation at stride == window on the same monster
+    val disjoint = graft.operators.Chunking
+      .chunkWindows(docs, "doc_id", "text", 64, 64)
+      .filter(col("doc_id") === 1L)
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(disjoint == 100000L)
+  }
+
+  test("chunking + pooling degrade to empty on empty/tokenless corpora") {
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Chunking
+      .chunkWindows(none, "doc_id", "text", 8, 4).isEmpty)
+    assert(graft.operators.Chunking
+      .pooledEmbeddings(none, "doc_id", "text", 8, 4, 16).isEmpty)
+    val junk = Seq((1L, "!!! ??? ---"), (2L, "")).toDF("doc_id", "text")
+    assert(graft.operators.Chunking
+      .chunkWindows(junk, "doc_id", "text", 8, 4).isEmpty)
+    assert(graft.operators.Chunking
+      .pooledEmbeddings(junk, "doc_id", "text", 8, 4, 16).isEmpty)
+  }
 }
