@@ -266,6 +266,24 @@ object StreamingIngest {
     chunkEmbed(docs, window, stride, dim)
       .writeStream.outputMode(OutputMode.Append)
 
+  /** [[chunkIndexWriter]] with the S9 index shape: each chunk also
+    * carries its LSH bucket and the sink partitions by it, so the
+    * STREAMED index is the same bucket-partitioned layout
+    * [[graft.operators.Ann.writeBucketedCorpus]] produces in batch —
+    * probe-side scans prune to the probed bucket directories
+    * (PartitionFilters) no matter which path built the index. This is
+    * the ANN-index maintenance story at scale: ingestion appends into
+    * bucket partitions incrementally; no rebuild, no global shuffle. */
+  def chunkIndexBucketedWriter(
+      docs: DataFrame, window: Int = 32, stride: Int = 24,
+      dim: Int = 16, nPlanes: Int = 4)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    chunkEmbed(docs, window, stride, dim)
+      .withColumn("bucket",
+        graft.operators.Ann.lshBucket(col("embedding"), dim, nPlanes))
+      .writeStream.outputMode(OutputMode.Append)
+      .partitionBy("bucket")
+
   /** Streaming half of the q129 spike monitor: watermarked 1-hour
     * tumbling counts per event type, appended (finalized windows only,
     * exactly once via the parquet streaming sink the caller attaches)

@@ -552,4 +552,45 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(nrm - 1.0) < 1e-6, s"unit norm, got $nrm")
     }
   }
+
+  test("streaming bucketed chunk index: batch-identical buckets, pruned probe scans") {
+    val dir = Files.createTempDirectory("graft_bucket_stream").toString
+    val (idxDir, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingIngest
+      .chunkIndexBucketedWriter(src.toDF.toDF("doc_id", "text"),
+        window = 4, stride = 3)
+      .option("checkpointLocation", ckpt)
+      .option("path", idxDir)
+      .start()
+    val docs = Seq(
+      1L -> "one two three four five six seven",
+      2L -> (1 to 9).map(i => s"w$i").mkString(" "),
+      3L -> "alpha beta gamma delta epsilon zeta")
+    try {
+      src.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      src.addData(docs(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // bucket assignment identical to the batch construction
+    val streamed = spark.read.parquet(idxDir)
+      .select(col("chunk_id"), col("bucket").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = StreamingIngest.chunkEmbed(
+        docs.toDF("doc_id", "text"), window = 4, stride = 3)
+      .select(col("chunk_id"),
+        graft.operators.Ann.lshBucket(col("embedding"), 16, 4).cast("long")
+          .as("bucket"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    // a probe-side bucket filter reaches the scan as a partition filter
+    val someBucket = streamed.head._2
+    val plan = spark.read.parquet(idxDir)
+      .filter(col("bucket") === someBucket)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket filter must prune partitions:\n$plan")
+  }
 }
