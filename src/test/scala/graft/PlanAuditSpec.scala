@@ -554,6 +554,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p165.contains("CartesianProduct"), p165)
   }
 
+  test("q166 pooled-doc retrieval: query batch broadcast over the pooled corpus") {
+    val p = finalPlan(SparkEntry.queries("q166_chunk_doc_retrieval")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q147 source overlap: shingle-keyed intersection; only the sources² totals frame is non-equi") {
     val p = planString(SparkEntry.queries("q147_source_overlap")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)

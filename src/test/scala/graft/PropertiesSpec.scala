@@ -217,4 +217,44 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunking property: chunkWindows == brute for random (text, window, stride)") {
+    def bruteTokens(text: String): List[String] =
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toList
+    def brute(text: String, w: Int, st: Int): List[(Long, String, Long)] = {
+      val toks = bruteTokens(text)
+      if (toks.isEmpty) Nil
+      else (0 until (1 + math.ceil(math.max(toks.length - w, 0).toDouble / st).toInt))
+        .toList.map { i =>
+          val c = toks.slice(i * st, i * st + w)
+          (i.toLong, c.mkString(" "), c.length.toLong)
+        }
+    }
+    val wordGen = Gen.oneOf("aa", "b1", "ccc", "Dd", "!", "e f", "...", "g")
+    val caseGen = for {
+      nWords <- Gen.chooseNum(0, 60)
+      words <- Gen.listOfN(nWords, wordGen)
+      w <- Gen.chooseNum(1, 9)
+      st <- Gen.chooseNum(1, w) // stride within [1, window] by construction
+    } yield (words.mkString(" "), w, st)
+    val cases = samples(caseGen, 40)
+    assert(cases.size >= 25, s"generator must mostly succeed, got ${cases.size}")
+    // one Spark job for ALL cases: each case is a row, chunked with its
+    // own (w, st) via per-case filtering
+    cases.zipWithIndex.groupBy { case ((_, w, st), _) => (w, st) }
+      .foreach { case ((w, st), grp) =>
+        val df = grp.map { case ((text, _, _), i) => (i.toLong, text) }
+          .toDF("doc_id", "text")
+        val got = graft.operators.Chunking
+          .chunkWindows(df, "doc_id", "text", w, st)
+          .collect()
+          .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("chunk_idx"),
+            r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens"))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toList.sortBy(_._1)).toMap
+        grp.foreach { case ((text, _, _), i) =>
+          assert(got.getOrElse(i.toLong, Nil) == brute(text, w, st),
+            s"case $i text='$text' w=$w st=$st")
+        }
+      }
+  }
 }
