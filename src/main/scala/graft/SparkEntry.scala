@@ -1907,6 +1907,38 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Hard-negative mining (q167): dense-retriever training prep — for
+    * each sampled query document (pooled vector, q165), the top-5
+    * most-similar chunks from OTHER documents. High-similarity
+    * non-self chunks are exactly the hard negatives a contrastive
+    * retriever trains against; the self-exclusion is a pre-rank filter
+    * (excluding after the cut would under-fill k). Same scale shape as
+    * q10/q158: chunk corpus streams scan→score, query batch broadcast,
+    * per-query rank via WindowGroupLimit. */
+  private def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Chunking.chunkWindows(Tables.documents(s, dir),
+      "doc_id", "text", window = 32, stride = 24)
+      .select(col("doc_id").as("cdoc"),
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_idx").cast("string")).as("id"),
+        Embed.embedText(col("chunk_text"), 16).as("embedding"))
+    val queries = Chunking.pooledEmbeddings(Tables.documents(s, dir),
+      "doc_id", "text", window = 32, stride = 24, dim = 16)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qdoc"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qdoc").orderBy(col("sim").desc, col("id"))
+    chunks
+      .crossJoin(broadcast(queries))
+      .filter(col("cdoc") =!= col("qdoc"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.dotProduct(col("qvec"), col("embedding")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qdoc"), col("id"), rnd(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy("qdoc", "rnk")
+  }
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -2644,6 +2676,7 @@ object SparkEntry {
     "q164_chunk_boilerplate" -> ((s, d) => chunkBoilerplateQ(s, d)),
     "q165_chunk_pooled_emb" -> ((s, d) => chunkPooledEmbQ(s, d)),
     "q166_chunk_doc_retrieval" -> ((s, d) => chunkDocRetrievalQ(s, d)),
+    "q167_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2776,10 +2809,11 @@ object SparkEntry {
        |  FROM t WHERE len(toks) > 0),
        |ch0 AS (
        |  SELECT doc_id,
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(ci AS VARCHAR) AS id,
        |    array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ')
        |    AS ctext
        |  FROM c),
-       |${OracleSql.embedCte("d", "ch0", "doc_id", "ctext", 16)},
+       |${OracleSql.embedCte("d", "ch0", "doc_id, id", "ctext", 16)},
        |pe AS (
        |  SELECT doc_id, j,
        |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
@@ -6405,6 +6439,26 @@ object SparkEntry {
          |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    "q167_hard_negatives" ->
+      // Mirror of hardNegativesQ: the shared pooled chain supplies BOTH
+      // sides (demb = chunk vectors with ids, pooledv = query docs);
+      // self-exclusion before the (sim desc, id) rank cut.
+      s"""WITH $chunkPooledCtes,
+         |qs AS (
+         |  SELECT doc_id AS qdoc, embedding AS qvec FROM pooledv
+         |  WHERE doc_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qdoc, d.id, ${dot("q.qvec", "d.embedding")} AS sim
+         |  FROM demb d CROSS JOIN qs q
+         |  WHERE d.doc_id <> q.qdoc),
+         |ranked AS (
+         |  SELECT qdoc, id, sim,
+         |    row_number() OVER (PARTITION BY qdoc ORDER BY sim DESC, id)
+         |      AS rnk
+         |  FROM scored)
+         |SELECT qdoc, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qdoc, rnk""".stripMargin,
     "q164_chunk_boilerplate" ->
       // Mirror of chunkBoilerplateQ: disjoint 16-token chunks keyed by
       // md5 of the joined token text (hex lowercase in both engines).
