@@ -1939,6 +1939,51 @@ object SparkEntry {
       .orderBy("qdoc", "rnk")
   }
 
+  /** Per-source corpus datasheet (q168): the "data card" a pipeline
+    * publishes per ingestion source — volume (docs, tokens), language
+    * spread (distinct langs, dominant lang + share), exact-duplicate
+    * surplus (docs minus distinct content hashes), and the Gopher
+    * heuristic pass rate — one row per source, composed from the
+    * engine's own operators ([[TextAnalysis.gopherRules]], F1 sha2
+    * identity, tokenizer). Scale shape: two source-keyed aggregations
+    * (both map-side combined) + one tiny per-(source,lang) rank; the
+    * corpus is scanned twice (datasheet + gopher), never joined at the
+    * doc grain across sources. */
+  private def sourceDatasheetQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pass = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("pass"))
+    val base = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("ntok"),
+        sha2(col("text"), 256).as("h"))
+      .join(pass, Seq("doc_id"))
+    val per = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("ntok").as("n_tokens"),
+      rnd(sum("ntok").cast("double") / count(lit(1)).cast("double"), 6)
+        .as("avg_tokens"),
+      count_distinct(col("lang")).as("n_langs"),
+      (count(lit(1)) - count_distinct(col("h"))).as("n_dup_surplus"),
+      rnd(sum(when(col("pass"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double"), 6).as("gopher_pass_rate"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_lang_docs").desc, col("lang"))
+    val top = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_lang_docs"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n_lang_docs").as("_tn"))
+    per.join(top, Seq("source"))
+      .withColumn("top_lang_share",
+        rnd(col("_tn").cast("double") / col("n_docs").cast("double"), 6))
+      .select("source", "n_docs", "n_tokens", "avg_tokens", "n_langs",
+        "top_lang", "top_lang_share", "n_dup_surplus", "gopher_pass_rate")
+      .orderBy("source")
+  }
+
   /** Cluster-balanced diversity sample (q132): at most 20 picks per
     * IVF cluster over the embeddings table (see
     * [[Curation.clusterBalancedSample]]). */
@@ -2677,6 +2722,7 @@ object SparkEntry {
     "q165_chunk_pooled_emb" -> ((s, d) => chunkPooledEmbQ(s, d)),
     "q166_chunk_doc_retrieval" -> ((s, d) => chunkDocRetrievalQ(s, d)),
     "q167_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
+    "q168_source_datasheet" -> ((s, d) => sourceDatasheetQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -2840,6 +2886,44 @@ object SparkEntry {
        |         ELSE list_transform(m, x -> CAST(x / nrm AS FLOAT)) END
        |      AS embedding
        |  FROM pq)""".stripMargin
+
+  /** Shared gopher chain (q119/q168): base/sig/r CTEs ending with
+    * `r` carrying the five rule booleans per doc. */
+  private lazy val gopherCtes: String =
+    s"""base AS MATERIALIZED (
+         |  SELECT doc_id AS id, text,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+         |    $sqlToks AS toks
+         |  FROM documents),
+         |sig AS MATERIALIZED (
+         |  SELECT id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS mean_wlen,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS frac_alpha,
+         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
+               "((len(text) - len(replace(text, '#', '')))" +
+                 " + (len(text) - len(replace(text, '...', ''))) / 3)" +
+                 " / CAST(len(ws) AS DOUBLE)", 6)}
+         |      ELSE 0.0 END AS sym_ratio,
+         |    CAST(${graft.operators.TextAnalysis.GopherStopProbe.map(w =>
+               s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS BIGINT) AS n_stop
+         |  FROM base),
+         |r AS (
+         |  SELECT sig.*,
+         |    n_words >= 50 AND n_words <= 100000 AS r_words,
+         |    mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS r_wlen,
+         |    frac_alpha >= 0.8 AS r_alpha,
+         |    sym_ratio <= 0.1 AS r_sym,
+         |    n_stop >= 2 AS r_stop
+         |  FROM sig)"""
+      .stripMargin
 
   private val sqlEmbCtes: String =
     """docs AS (
@@ -5632,43 +5716,9 @@ object SparkEntry {
          |FROM d LEFT JOIN pd ON d.id = pd.id
          |ORDER BY d.id""".stripMargin,
     "q119_gopher_rules" ->
-      // Mirror of TextAnalysis.gopherRules: whitespace words + lowercase
-      // tokens built once (MATERIALIZED), integer symbol counts via
-      // literal replace, each ratio one rounded double division, rules
-      // compare the ROUNDED values against the same double literals.
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT doc_id AS id, text,
-         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
-         |    $sqlToks AS toks
-         |  FROM documents),
-         |sig AS MATERIALIZED (
-         |  SELECT id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
-               "CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)" +
-                 " / CAST(len(ws) AS DOUBLE)", 6)}
-         |      ELSE 0.0 END AS mean_wlen,
-         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
-               "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)" +
-                 " / CAST(len(ws) AS DOUBLE)", 6)}
-         |      ELSE 0.0 END AS frac_alpha,
-         |    CASE WHEN len(ws) > 0 THEN ${sqlRnd(
-               "((len(text) - len(replace(text, '#', '')))" +
-                 " + (len(text) - len(replace(text, '...', ''))) / 3)" +
-                 " / CAST(len(ws) AS DOUBLE)", 6)}
-         |      ELSE 0.0 END AS sym_ratio,
-         |    CAST(${graft.operators.TextAnalysis.GopherStopProbe.map(w =>
-               s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
-               .mkString(" + ")} AS BIGINT) AS n_stop
-         |  FROM base),
-         |r AS (
-         |  SELECT sig.*,
-         |    n_words >= 50 AND n_words <= 100000 AS r_words,
-         |    mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS r_wlen,
-         |    frac_alpha >= 0.8 AS r_alpha,
-         |    sym_ratio <= 0.1 AS r_sym,
-         |    n_stop >= 2 AS r_stop
-         |  FROM sig)
+      // Mirror of TextAnalysis.gopherRules via the shared gopherCtes
+      // chain (also consumed by q168's datasheet rollup).
+      s"""WITH $gopherCtes
          |SELECT id, n_words, mean_wlen, frac_alpha, sym_ratio, n_stop,
          |  r_words, r_wlen, r_alpha, r_sym, r_stop,
          |  CAST((CASE WHEN r_words THEN 0 ELSE 1 END)
@@ -6439,6 +6489,47 @@ object SparkEntry {
          |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    "q168_source_datasheet" ->
+      // Mirror of sourceDatasheetQ: the shared gopher chain supplies
+      // per-doc pass; volume/lang/dup stats are source-keyed rollups;
+      // the dominant language breaks ties on (count desc, lang).
+      s"""WITH $gopherCtes,
+         |gp AS (
+         |  SELECT id,
+         |    (CASE WHEN r_words THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_wlen THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_alpha THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_sym THEN 0 ELSE 1 END)
+         |     + (CASE WHEN r_stop THEN 0 ELSE 1 END) = 0 AS pass
+         |  FROM r),
+         |b AS (
+         |  SELECT d.doc_id, d.source, d.lang,
+         |    CAST(len($sqlToks) AS BIGINT) AS ntok,
+         |    sha256(d.text) AS h, gp.pass
+         |  FROM documents d JOIN gp ON d.doc_id = gp.id),
+         |per AS (
+         |  SELECT source,
+         |    count(*) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    ${sqlRnd("CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+         |      AS avg_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_surplus,
+         |    ${sqlRnd("CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)" +
+               " / CAST(count(*) AS DOUBLE)", 6)} AS gopher_pass_rate
+         |  FROM b GROUP BY source),
+         |lc AS (
+         |  SELECT source, lang, count(*) AS n_lang_docs,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY count(*) DESC, lang) AS rk
+         |  FROM b GROUP BY source, lang)
+         |SELECT per.source, n_docs, n_tokens, avg_tokens, n_langs,
+         |  lc.lang AS top_lang,
+         |  ${sqlRnd("CAST(n_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)}
+         |    AS top_lang_share,
+         |  n_dup_surplus, gopher_pass_rate
+         |FROM per JOIN lc ON per.source = lc.source AND lc.rk = 1
+         |ORDER BY per.source""".stripMargin,
     "q167_hard_negatives" ->
       // Mirror of hardNegativesQ: the shared pooled chain supplies BOTH
       // sides (demb = chunk vectors with ids, pooledv = query docs);
