@@ -561,6 +561,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q168 datasheet: source-keyed rollups partial-combine; no cartesian anywhere") {
+    val p = planString(SparkEntry.queries("q168_source_datasheet")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"both rollups must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q147 source overlap: shingle-keyed intersection; only the sources² totals frame is non-equi") {
     val p = planString(SparkEntry.queries("q147_source_overlap")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
