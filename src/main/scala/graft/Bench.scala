@@ -83,6 +83,17 @@ object Bench {
         sc.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!before.contains(id)) rdd.unpersist(blocking = false)
         }
+        // r10 finding: reps of the SAME query swung up to 13× inside a
+        // full run while flat in isolation — queries couple through
+        // deferred cleanup. Broadcasts, shuffle files, and checkpoint
+        // blocks are reclaimed by the ContextCleaner only AFTER their
+        // references are GC'd, so a per-PASS gc let ~168 queries of
+        // broadcast/shuffle debris pile onto whichever queries ran late
+        // in the pass (storage pressure + tmp-dir IO). A per-QUERY gc
+        // plus a short drain puts the reclamation pause between timed
+        // windows instead of inside a later query's.
+        System.gc()
+        Thread.sleep(100)
       }
     }
 
@@ -98,9 +109,18 @@ object Bench {
     // end-only artifact turns one poisoned query into a zeroed round.
     val progress = Paths.get("BENCH_PROGRESS.jsonl")
     try Files.deleteIfExists(progress) catch { case _: Throwable => () }
+    // names are qNNN_[a-z0-9_]* today, but a quote/backslash in a future
+    // name must degrade to escaped JSON, not an invalid JSONL artifact
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     def logProgress(pass: Int, name: String, secs: Option[Double]): Unit =
       try Files.writeString(progress,
-        s"""{"pass":$pass,"query":"$name","sec":${secs.map(_.toString).getOrElse("null")}}\n""",
+        s"""{"pass":$pass,"query":${jstr(name)},"sec":${secs.map(_.toString).getOrElse("null")}}\n""",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       catch { case _: Throwable => () }
     val passes = (1 to reps).map { p =>
@@ -109,10 +129,6 @@ object Bench {
         logProgress(p, name, r)
         name -> r
       }.toMap
-      // broadcast variables (one per broadcast join) are reclaimed by
-      // the ContextCleaner only after their references are GC'd; a GC
-      // nudge per pass keeps pass N+1 from paying pass N's debris
-      System.gc()
       pass
     }
     def median(xs: Seq[Double]): Double = {
@@ -140,6 +156,29 @@ object Bench {
     // totals stay comparable across runs even when `errors` is non-empty.
     // errors = ALL reps failed; partial = some-but-not-all (a query that
     // OOMs on its slowest rep must not hide behind a flattering median).
+    // rep-spread bound (r10 verdict #2): with cross-query interference
+    // fixed, no query's slowest rep should exceed 2× its fastest — any
+    // violator is flagged in the JSON (and, under SPARK_GRAFT_STRICT_REPS,
+    // fails the run) so a real regression can no longer hide inside
+    // run-to-run noise. Sub-0.5 s queries are exempt: at that scale the
+    // ratio measures scheduler jitter, not the engine.
+    val spreadViolations = results.collect {
+      case (k, _, _, pp) if {
+        val ok = pp.flatten
+        ok.size >= 2 && ok.min >= 0.5 && ok.max > 2.0 * ok.min
+      } =>
+        val ok = pp.flatten
+        (k, ok.min, ok.max)
+    }
+    spreadViolations.foreach { case (k, mn, mx) =>
+      System.err.println(f"[bench] REP SPREAD $k: min=$mn%.2f max=$mx%.2f (> 2x)")
+    }
+    if (spreadViolations.nonEmpty && sys.env.contains("SPARK_GRAFT_STRICT_REPS"))
+      throw new IllegalStateException(
+        s"rep spread bound violated by ${spreadViolations.size} queries")
+    val spreadJson = spreadViolations
+      .map { case (k, mn, mx) => s"""{"query":"$k","min":$mn,"max":$mx}""" }
+      .mkString("[", ",", "]")
     val qs = results.map { case (k, m, _, _) =>
       "\"" + k + "\":" + m.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
@@ -150,7 +189,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val totalMin = results.flatMap(_._3).sum
-    val line = s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"partial":$partial,"sf":"$sfDir","reps":$reps}"""
+    val line = s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qs,"errors":$errs,"partial":$partial,"rep_spread_violations":$spreadJson,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // full per-rep matrix: the in-repo artifact the judge can read even
     // when the driver's stdout tail truncates. Failed reps appear as
@@ -165,7 +204,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"),
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","sf":"$sfDir","reps":$reps,"errors":$errs,"partial":$partial,"queries":$matrix}""")
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","sf":"$sfDir","reps":$reps,"errors":$errs,"partial":$partial,"rep_spread_violations":$spreadJson,"queries":$matrix}""")
     catch { case _: Throwable => () }
     spark.stop()
   }

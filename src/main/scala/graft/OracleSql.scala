@@ -132,27 +132,102 @@ object OracleSql {
     (Seq(sd) ++ steps :+ fin).mkString(",\n")
   }
 
-  /** Mirror of GraphAlgos.connectedComponents as UNROLLED min-label
-    * propagation: from `<p>sym`(u, v) to `<p>l<steps>`(id, component).
-    * Safe against the Scala side's early-convergence stop — converged
-    * labels are a fixed point of the propagation step. */
-  def ccUnrolled(p: String, steps: Int, materialized: Boolean = false): String = {
-    // materialized: each step references its predecessor twice, so past
-    // ~5 unrolled supersteps DuckDB's CTE re-inlining grows the plan
-    // exponentially (file-handle exhaustion, measured on the q87/q89
-    // towers) — deep unrolls must pin every step
-    val m = if (materialized) " MATERIALIZED" else ""
-    val init = s"${p}l0 AS$m (SELECT DISTINCT u AS id, u AS component FROM ${p}sym)"
-    val stepCtes = (1 to steps).map { k =>
-      s"""${p}l$k AS$m (
-         |  SELECT id, min(component) AS component FROM (
-         |    SELECT id, component FROM ${p}l${k - 1}
-         |    UNION ALL
-         |    SELECT e.v AS id, l.component
-         |    FROM ${p}sym e JOIN ${p}l${k - 1} l ON e.u = l.id)
-         |  GROUP BY id)""".stripMargin
+  /** Mirror of GraphAlgos.connectedComponents as CONVERGED semantics:
+    * from `<p>sym`(u, v) to `<p>cc`(id, component), component = min
+    * reachable id, via a recursive reachability closure. The engine
+    * side runs to convergence and FAILS LOUD otherwise (pointer-doubled
+    * min-label propagation), so the oracle states the fixed point
+    * directly — no superstep-count coupling between the two sides
+    * (the pre-round-11 ccUnrolled mirror pinned a shared iteration
+    * budget, which was agreement-on-fragments, not agreement-on-truth).
+    *
+    * REQUIRES the enclosing statement to open with `WITH RECURSIVE`
+    * (DuckDB hoists the keyword for the whole chain; non-recursive CTEs
+    * in the same chain are unaffected). Closure size is
+    * Σ component_size² rows — fine at oracle scale where near-dup
+    * clusters and sim-graph islands are tens of nodes. */
+  def ccConverged(p: String): String =
+    s"""${p}reach AS (
+       |  SELECT DISTINCT u AS id, u AS r FROM ${p}sym
+       |  UNION
+       |  SELECT e.v AS id, t.r
+       |  FROM ${p}reach t JOIN ${p}sym e ON e.u = t.id),
+       |${p}cc AS (SELECT id, min(r) AS component FROM ${p}reach GROUP BY id)""".stripMargin
+
+  /** Mirror of KMeansTrain.lloydGrid as UNROLLED Lloyd iterations: from
+    * `<p>ue`(id, ue LIST(BIGINT) — 1e-6-grid quantized vectors) to
+    * `<p>c<iters>`(cid, uc LIST(BIGINT)). Every decision is exact Int64
+    * grid arithmetic (assignment argmin of ‖c‖²−2·u·c, ties to smaller
+    * cid; member mean re-snapped via one IEEE double division), so the
+    * unroll is bit-identical to the engine's loop — the q81 fixed-point
+    * device applied to clustering. Init = deterministic farthest-point:
+    * seed 1 is the (hash60('km:'||id), id)-smallest vector, seed m the
+    * vector maximizing its min exact-Int64 squared grid distance to the
+    * seeds so far (ties to smaller id) — unrolled as k−1 pick CTEs.
+    * Empty clusters keep the previous centroid (the LEFT JOIN
+    * coalesce).
+    *
+    * `saltPrefix` mirrors the engine's restart salt (best-of-R model
+    * selection trains one chain per salt); `byDot` mirrors
+    * assignByDot = true (argmin −u·c, the serve-time bucket rule,
+    * instead of argmin ‖c‖²−2·u·c). */
+  def kmeansUnrolled(p: String, k: Int, dim: Int, iters: Int,
+      saltPrefix: String = "km:", byDot: Boolean = false): String = {
+    val sqd =
+      s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        "j -> (u.ue[j] - c.ue[j]) * (u.ue[j] - c.ue[j])))"
+    val dotSum =
+      s"list_sum(list_transform(range(1, ${dim + 1}), j -> u.ue[j] * c.uc[j]))"
+    val score =
+      if (byDot) s"-($dotSum)"
+      else s"list_sum(list_transform(c.uc, x -> x * x)) - 2 * ($dotSum)"
+    val seed1 =
+      s"""${p}ch1 AS MATERIALIZED (
+         |  SELECT 1 AS cid, id, ue FROM (
+         |    SELECT id, ue,
+         |      ${hash60(s"concat('$saltPrefix', CAST(id AS VARCHAR))")} AS h
+         |    FROM ${p}ue)
+         |  ORDER BY h, id LIMIT 1)""".stripMargin
+    val picks = (2 to k).map { m =>
+      // the pick is its own CTE: a trailing ORDER BY/LIMIT inside a
+      // UNION ALL arm would bind to the whole union
+      s"""${p}pk$m AS MATERIALIZED (
+         |  SELECT $m AS cid, id, ue FROM (
+         |    SELECT u.id, u.ue, min($sqd) AS mind
+         |    FROM ${p}ue u CROSS JOIN ${p}ch${m - 1} c
+         |    GROUP BY u.id, u.ue)
+         |  ORDER BY mind DESC, id LIMIT 1),
+         |${p}ch$m AS MATERIALIZED (
+         |  SELECT * FROM ${p}ch${m - 1}
+         |  UNION ALL
+         |  SELECT cid, id, ue FROM ${p}pk$m)""".stripMargin
     }
-    (init +: stepCtes).mkString(",\n")
+    val init =
+      s"""${p}c0 AS MATERIALIZED (
+         |  SELECT cid, ue AS uc FROM ${p}ch$k)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""${p}a$t AS MATERIALIZED (
+         |  SELECT id, ue, cid FROM (
+         |    SELECT id, ue, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY score, cid) AS rn
+         |    FROM (
+         |      SELECT u.id, u.ue, c.cid, $score AS score
+         |      FROM ${p}ue u CROSS JOIN ${p}c${t - 1} c))
+         |  WHERE rn = 1),
+         |${p}n$t AS (
+         |  SELECT cid, list(u ORDER BY j) AS uc FROM (
+         |    SELECT cid, j,
+         |      CAST(floor(CAST(sum(ue[j]) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS u
+         |    FROM ${p}a$t CROSS JOIN
+         |      (SELECT unnest(range(1, ${dim + 1})) AS j) r
+         |    GROUP BY cid, j)
+         |  GROUP BY cid),
+         |${p}c$t AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(n.uc, p.uc) AS uc
+         |  FROM ${p}c${t - 1} p LEFT JOIN ${p}n$t n USING (cid))""".stripMargin
+    }
+    ((seed1 +: picks) ++ (init +: steps)).mkString(",\n")
   }
 
   /** Mirror of Embed.embedText as CTE steps: `<p>emb`(…cols…, embedding)

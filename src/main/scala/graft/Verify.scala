@@ -47,8 +47,16 @@ object Verify {
     // them before the first per-query RDD snapshot, or the leak-diff
     // below would see them as that query's leak and unpersist blocks the
     // rest of the family still needs (lineage-truncated — unrecoverable).
+    // a swallowed prewarm failure would surface later as baffling
+    // missing-block errors across the whole graph family (the first
+    // family query rebuilds the memoized checkpoint inside its
+    // leak-sweep scope, which then unpersists it) — so say WHY up front
     try SparkEntry.prewarmSharedGraphs(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(
+        s"[verify] prewarmSharedGraphs FAILED (graph-family queries may " +
+          s"cascade-fail on missing blocks): ${e.getMessage}")
+    }
     // optional comma-separated filter for local iteration (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries.toSeq.sortBy(_._1)

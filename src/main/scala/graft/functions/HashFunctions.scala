@@ -55,4 +55,14 @@ object HashFunctions {
     * when none). */
   def fileExt(path: Column): Column =
     regexp_extract(path, "(\\.[^./\\\\]+)$", 1)
+
+  /** Codegen Bloom membership probe over a STRING column — see
+    * [[graft.expressions.BloomMightContain]]. Identical semantics to
+    * `udf(id => filter.mightContainString(id))` without the UDF's
+    * codegen boundary or per-row UTF8String→String copy. */
+  def bloomMightContain(
+      c: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.BloomMightContain(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), filter))
 }

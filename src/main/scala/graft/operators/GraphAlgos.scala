@@ -9,28 +9,72 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgos {
 
-  /** Connected components by min-label propagation: every node starts
-    * labeled with itself; each superstep takes the min label among itself
-    * and its neighbors; stops when no label changes (or maxIter).
+  /** Result of [[connectedComponentsWithStats]]: converged labels plus
+    * the superstep count actually run (specs and ScaleProbe assert the
+    * count grows ~log, not linear, in graph diameter). */
+  final case class CcResult(labels: DataFrame, iterations: Int, converged: Boolean)
+
+  /** Connected components by min-label propagation WITH pointer doubling
+    * (the Shiloach–Vishkin hybrid): every node starts labeled with
+    * itself; each superstep first takes the min label among itself and
+    * its neighbors (the "hop"), then shortcuts through the label graph —
+    * `component := component's component` (the "jump"). The hop moves
+    * min-label information one edge per step; the jump compounds paths
+    * through already-labeled nodes, so the distance covered per node
+    * roughly DOUBLES each superstep (measured on an n-node chain:
+    * 2, 6, 14, 30, … ≈ 2^(k+1)−2 after k supersteps) — convergence in
+    * O(log diameter), not O(diameter).
+    *
+    * Why not plain min-propagation (the round-≤10 implementation): it
+    * converges in O(diameter) supersteps, and its own defense ("near-dup
+    * clusters have tiny diameters") is exactly what breaks on a
+    * template-heavy crawl where evolving boilerplate forms long near-dup
+    * CHAINS — a diameter-10³ chain needs 10³ joins, and a capped run
+    * returns silently fragmented components (= kept duplicates).
+    * Pointer doubling turns that 10³ into ~11, and the unconverged exit
+    * now FAILS LOUD (below) instead of returning fragments.
+    *
+    * Invariants (both hold inductively, any orderable id type):
+    *  - component(id) ≤ id, so the jump join `a.component = b.id` always
+    *    matches (every label value is itself a labeled node) — no row
+    *    loss, no outer join needed;
+    *  - component(id) is reachable from id, so labels never escape the
+    *    true component; the min over a component is its fixed point.
     *
     * Scale notes: each superstep is one join of labels against the
-    * symmetric edge view + a min-aggregation — both shuffle on node id,
-    * so co-partitioning (bucketing by id) makes supersteps exchange-free.
-    * The per-superstep label frame is `localCheckpoint`ed, NOT merely
-    * persisted: persist caches data but keeps the compounded logical
-    * plan, which grows exponentially across supersteps until plan
-    * stringification alone OOMs (hit in testing at ~10 iterations) —
-    * lineage truncation is mandatory for iterative DataFrame algorithms.
-    * Convergence needs at most diameter supersteps — near-dup clusters
-    * have tiny diameters, hence the low default maxIter.
+    * symmetric edge view + a min-aggregation + one self-join (the jump)
+    * — all shuffle on node id, so co-partitioning (bucketing by id)
+    * makes supersteps exchange-free. The per-superstep label frame is
+    * `localCheckpoint`ed, NOT merely persisted: persist caches data but
+    * keeps the compounded logical plan, which grows exponentially across
+    * supersteps until plan stringification alone OOMs (hit in testing at
+    * ~10 iterations) — lineage truncation is mandatory for iterative
+    * DataFrame algorithms.
     *
     * @param edges undirected (src, dst) pairs
+    * @param maxIter superstep cap; with doubling, 30 covers diameters
+    *   beyond 2³⁰ — hitting it means a genuinely pathological input,
+    *   and the unconverged exit throws (fail-loud) rather than
+    *   returning fragmented labels
     * @return (id, component) — component = min node id reachable
+    * @throws IllegalStateException if labels were still changing when
+    *   maxIter was exhausted (use [[connectedComponentsWithStats]] to
+    *   inspect instead of throwing)
     */
-  def connectedComponents(
-      edges: DataFrame,
-      maxIter: Int = 10,
-      checkConvergence: Boolean = true): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val r = connectedComponentsWithStats(edges, maxIter)
+    if (!r.converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after $maxIter " +
+          "supersteps — refusing to return fragmented components " +
+          "(raise maxIter or use connectedComponentsWithStats)")
+    r.labels
+  }
+
+  /** [[connectedComponents]] exposing (labels, iterations, converged)
+    * instead of throwing — the spec/ScaleProbe surface. Iterations
+    * counts supersteps run INCLUDING the final no-change confirm pass. */
+  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 30): CcResult = {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
@@ -40,37 +84,47 @@ object GraphAlgos {
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
+      // hop: min over own label and all neighbors' labels
       val neighborLabels = sym.as("e")
         .join(labels.as("l"), col("e.u") === col("l.id"))
         .select(col("e.v").as("id"), col("l.component"))
-      val next = labels.unionByName(neighborLabels)
+      // hop is checkpointed, not just the superstep result: the jump
+      // reads it on BOTH join sides (one materialization instead of a
+      // double computation), and a raw self-join over the union plan
+      // trips Catalyst's Union constraint rewrite (key-not-found on the
+      // deduplicated attribute ids — hit in testing)
+      val hop = labels.unionByName(neighborLabels)
         .groupBy("id")
         .agg(min("component").as("component"))
+        .localCheckpoint()
+      // jump: component := component's component. Inner join is safe:
+      // every component value is a node id present in hop (invariant
+      // above), and comp(comp) ≤ comp keeps the result monotone.
+      val next = hop.as("a")
+        .join(hop.as("b"), col("a.component") === col("b.id"))
+        .select(col("a.id"), col("b.component").as("component"))
         .localCheckpoint() // truncate lineage (see scaladoc)
-      if (checkConvergence) {
-        val changed = next.as("n")
-          .join(labels.as("p"), col("n.id") === col("p.id"))
-          .filter(col("n.component") =!= col("p.component"))
-          .limit(1).count()
-        converged = changed == 0
-      }
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.component") =!= col("p.component"))
+        .limit(1).count()
+      converged = changed == 0
       labels = next
       i += 1
     }
-    labels
+    CcResult(labels, i, converged)
   }
 
   /** Dedup-cluster resolution: near-dup pairs (id_a, id_b) → one keeper
     * per connected component (min id — the reference's first-wins rule
     * generalized transitively). Returns (id, keeper, is_keeper).
     *
-    * Oracle note (q48): the early-convergence stop is safe to mirror
-    * with a FIXED unrolled superstep count — min-propagation is
-    * idempotent once converged, so "stopped early at convergence" and
-    * "ran all maxIter steps" produce identical labels whenever
-    * convergence happens within maxIter, and byte-identical stepwise
-    * labels otherwise. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    * Oracle note (q48): the engine runs to CONVERGENCE (fail-loud
+    * otherwise), so the DuckDB mirror states converged semantics
+    * directly — min reachable id via a recursive reachability CTE
+    * ([[graft.OracleSql.ccConverged]]) — with no superstep-count
+    * coupling between the two sides at all. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame =
     connectedComponents(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")), maxIter)
       .select(col("id"), col("component").as("keeper"),

@@ -77,13 +77,14 @@ object Ingest {
   def dedupDeltaBloom(
       prepared: DataFrame, existing: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
-    val spark = prepared.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightExist = udf((id: String) => bc.value.mightContainString(id))
+    // codegen probe, not a Scala UDF: the expression stays inside the
+    // whole-stage span and ships the filter via the task-binary
+    // broadcast — see graft.expressions.BloomMightContain
     val first = batchFirstWins(prepared)
       // materialize the split predicate ONCE: both branches filter on
-      // it, and projection collapse would otherwise clone the UDF call
-      .withColumn("_maybe", mightExist(col("id")))
+      // it, and projection collapse would otherwise clone the probe call
+      .withColumn("_maybe",
+        graft.functions.HashFunctions.bloomMightContain(col("id"), bloom))
     val definitelyNew = first.filter(!col("_maybe")).drop("_maybe")
     val probed = first.filter(col("_maybe")).drop("_maybe")
       .join(existing.select("id"), Seq("id"), "left_anti")

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.hash60
+
+/** In-engine Lloyd's k-means over an embedding column, on the exact
+  * 1e-6 integer grid — the quantizer-training step the IVF/PQ family
+  * needs so codebooks fit the corpus being indexed instead of shipping
+  * frozen literals ([[Codebooks]] stays as the production "versioned
+  * artifact" path; this is how those artifacts get MADE, in-engine).
+  *
+  * Determinism-first design (the q81 fixed-point device applied to
+  * clustering): float k-means is order-dependent twice over — centroid
+  * means sum floats, and assignment compares float distances — so an
+  * exact-hash oracle would be unsound. Here every decision happens in
+  * exact Int64 arithmetic on the 1e-6 grid:
+  *  - vectors quantize once: u_j = floor(x_j·1e6 + 0.5) (the pooled-
+  *    embedding device — bit-identical on both engines);
+  *  - assignment minimizes ‖c‖² − 2·x·c in GRID units: Σ uc_j² and
+  *    Σ u_j·uc_j are exact Int64 sums (≤ 64·1e12 ≪ 2⁶³), association-
+  *    free, ties to the smaller centroid id;
+  *  - the new centroid is the member mean re-snapped to the grid:
+  *    floor(Σ u_j / n) via one IEEE double division (correctly rounded
+  *    on both engines, arguments exact below 2⁵³);
+  *  - init is deterministic FARTHEST-POINT (k-means++ without the RNG):
+  *    seed 1 = the vector with the smallest (md5-derived hash, id);
+  *    seed m = the vector maximizing its min grid squared-distance to
+  *    the seeds chosen so far, ties to the smaller id. Spreads seeds
+  *    across true clusters by construction (a plain hash-ordered take-k
+  *    measured 0.52 recall@5 vs the frozen MLlib codebook's 0.55 on
+  *    the driver corpus — init quality was the whole gap), and every
+  *    argmax is over exact Int64 distances, so the unrolled mirror is
+  *    still bit-identical.
+  * An empty cluster keeps its previous centroid (both sides).
+  *
+  * Scale shape (100 TB): per iteration the assignment is a PURE MAP
+  * stage — k·dim grid centroids ride into the plan as literals (the
+  * broadcast-centroids shape every distributed Lloyd's uses; k rows
+  * come back to the driver per iteration, the same k-bounded driver
+  * step as Bpe.learnMerges' argmax) — and the update is one partially-
+  * aggregated shuffle keyed (cluster, element): map-side combine
+  * reduces each partition to ≤ k·dim rows before the exchange. The
+  * quantized vector frame is localCheckpointed once and reused by
+  * every iteration.
+  */
+object KMeansTrain {
+
+  /** Train k grid centroids. Returns k rows of grid units, indexed by
+    * 1-based centroid id; `centroidsFloat` converts to the float form
+    * [[Ann.topKIvfWith]] consumes.
+    *
+    * @param docs (idCol, embCol ARRAY<FLOAT>) — all vectors equal length
+    * @param k cluster count (small — centroids become plan literals)
+    * @param iters fixed Lloyd iteration count (oracle unrolls the same)
+    * @return centroid grid matrix, index = cid − 1 */
+  def lloydGrid(
+      docs: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, assignByDot: Boolean = false,
+      saltPrefix: String = "km:",
+      initFarthest: Boolean = true): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0)
+    val ue = docs.select(
+        col(idCol).as("_kid"),
+        transform(col(embCol),
+          x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("ue"))
+      .localCheckpoint() // reused by every iteration; truncate lineage
+    // deterministic farthest-point seeding: anchor at the min-hash
+    // vector, then k−1 passes each taking the vector farthest (exact
+    // Int64 squared distance) from the seeds so far — k corpus passes,
+    // the standard distributed k-means++ shape (sample first at 100 TB
+    // if k passes over the full corpus are too dear; the operator is
+    // agnostic to what frame it seeds from)
+    val byHash = ue
+      .orderBy(hash60(concat(lit(saltPrefix), col("_kid").cast("string"))),
+        col("_kid"))
+    val first = byHash
+      .limit(if (initFarthest) 1 else k)
+      .select("ue").collect()
+    require(first.nonEmpty, "corpus is empty")
+    require(initFarthest || first.length == k,
+      s"take-k init needs >= k=$k vectors, corpus has ${first.length}")
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      first.map(_.getSeq[Long](0).toArray): _*)
+    while (initFarthest && seeds.length < k) {
+      val minDist = array_min(array(seeds.toSeq.map { c =>
+        aggregate(
+          zip_with(col("ue"), typedLit(c.toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      }: _*))
+      val next = ue.select(col("_kid"), col("ue"), minDist.as("mind"))
+        .orderBy(col("mind").desc, col("_kid"))
+        .limit(1)
+        .select("ue").collect().head.getSeq[Long](0).toArray
+      seeds += next
+    }
+    var cents: Array[Array[Long]] = seeds.toArray
+    var it = 0
+    while (it < iters) {
+      val assigned = assignGrid(ue, cents, assignByDot)
+      // update: one (cluster, element) shuffle, map-side combined
+      val sums = assigned
+        .select(col("cid"), posexplode(col("ue")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect() // ≤ k·dim rows — the k-bounded driver step
+      val next = cents.map(_.clone()) // empty cluster keeps previous
+      sums.foreach { r =>
+        val (cid, j) = (r.getInt(0), r.getInt(1))
+        next(cid - 1)(j) = math.floor(
+          r.getLong(2).toDouble / r.getLong(3).toDouble).toLong
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Grid-unit assignment of quantized vectors to their nearest
+    * centroid, ties to the smaller cid. Pure map stage (centroid
+    * literals in-plan). Input needs a `ue` ARRAY<LONG> column; output
+    * adds `cid` (1-based).
+    *
+    * Two metrics, both exact Int64:
+    *  - default (Lloyd's): argmin ‖c‖² − 2·u·c (squared L2 up to the
+    *    shared ‖u‖² term);
+    *  - `byDot`: argmin −u·c, i.e. argmax inner product — the SAME
+    *    bucket rule [[Ann.ivfBucketWith]] applies at serve time.
+    *    Training with the serve-time partition function removes the
+    *    train/serve metric mismatch (centroids are NOT unit-norm, so
+    *    nearest-by-L2 and nearest-by-dot genuinely differ), which is
+    *    worth measurable recall at equal probes. */
+  def assignGrid(
+      ue: DataFrame, cents: Array[Array[Long]],
+      byDot: Boolean = false): DataFrame = {
+    val scores = array(cents.map { c =>
+      val dot = aggregate(
+        zip_with(col("ue"), typedLit(c), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      if (byDot) lit(-1L) * dot
+      else lit(c.map(u => u * u).sum) - lit(2L) * dot
+    }: _*)
+    ue.withColumn("cid",
+      array_position(scores, array_min(scores)).cast("int"))
+  }
+
+  /** Exact Int64 quantization cost of a codebook over a corpus:
+    * Σ_x min_c (‖c‖² − 2·x·c) in grid units — the k-means objective up
+    * to the codebook-independent Σ‖x‖² constant, so it ranks codebooks
+    * identically and stays association-free for oracle mirroring. */
+  def quantizationCost(
+      docs: DataFrame, idCol: String, embCol: String,
+      cents: Array[Array[Long]]): Long = {
+    val ue = docs.select(
+      transform(col(embCol),
+        x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("ue"))
+    val scores = array(cents.map { c =>
+      lit(c.map(u => u * u).sum) - lit(2L) * aggregate(
+        zip_with(col("ue"), typedLit(c), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    ue.select(array_min(scores).as("m"))
+      .agg(sum("m")).collect().head.getLong(0)
+  }
+
+  /** The float centroid matrix for [[Ann.topKIvfWith]]: grid units /
+    * 1e6, one IEEE double division + float narrowing per component
+    * (both correctly rounded — mirrored as
+    * CAST(CAST(u AS DOUBLE)/1000000.0 AS FLOAT)). */
+  def centroidsFloat(grid: Array[Array[Long]]): Array[Array[Float]] =
+    grid.map(_.map(u => (u.toDouble / 1000000.0).toFloat))
+}

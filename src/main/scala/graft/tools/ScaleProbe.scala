@@ -131,6 +131,27 @@ object ScaleProbe {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // connected-components superstep growth vs graph diameter: the
+    // pointer-doubled algorithm must take ~log2(diameter) supersteps
+    // (the r10 verdict's scale-killer was the O(diameter) hop-only
+    // version — a planted chain makes the difference measurable, not
+    // arguable). Chains are the worst case; real near-dup clusters mix
+    // chains and cliques and converge no slower.
+    println("\n[scaleprobe] connectedComponents supersteps vs chain diameter:")
+    for (n <- Seq(100, 1000, 10000)) {
+      val chain = spark.range(1, n)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val t0 = System.nanoTime()
+      val r = graft.operators.GraphAlgos.connectedComponentsWithStats(chain)
+      val nComp = r.labels.select("component").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] cc_chain n=$n%6d diameter=${n - 2}%6d " +
+        f"supersteps=${r.iterations}%3d (log2=${math.log(n.toDouble) / math.log(2)}%4.1f) " +
+        f"converged=${r.converged} components=$nComp sec=$sec%6.2f")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     println("\n[scaleprobe] growth exponents (1.0 = linear):")
     for ((op, xs) <- results.toSeq.sortBy(_._1)) {
       val sorted = xs.sortBy(_._1).toList

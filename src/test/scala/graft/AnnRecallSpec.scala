@@ -133,6 +133,87 @@ class AnnRecallSpec extends SparkSpec {
       f"frozen codebook should not lose recall: $frozen%.3f vs $random%.3f")
   }
 
+  test("in-engine best-of-R Lloyd's (q170/q171): tune-selected codebook beats frozen and md5 on the DISJOINT eval sample at both SFs") {
+    import graft.operators.KMeansTrain
+    // mirrors q171's mechanism exactly: 4 salted restarts (dot-aligned
+    // assignment, farthest-point init), argmax tune-hits selection
+    // (vec_id%20=0), generalization measured on vec_id%20=10
+    def run(sf: String): (Double, Double, Double) = {
+      val docs = Tables.embeddings(spark, sf)
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      def qset(m: Long) = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 20 === m)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvec"))
+      val (tuneQ, evalQ) = (qset(0L), qset(10L))
+      def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+        df.collect().groupBy(_.getAs[String]("qid")).view
+          .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+      val tuneT = resultSet(Knn.topK(docs, tuneQ, k = 5))
+      val evalT = resultSet(Knn.topK(docs, evalQ, k = 5))
+      def hits(q: org.apache.spark.sql.DataFrame,
+               t: Map[String, Set[String]],
+               cents: Array[Array[Float]]): Int =
+        resultSet(Ann.topKIvfWith(docs, q, 5, cents, nprobe = 2))
+          .map { case (k, s) => t.getOrElse(k, Set.empty).intersect(s).size }.sum
+      def evalRecall(cents: Array[Array[Float]]): Double =
+        hits(evalQ, evalT, cents).toDouble / (evalT.size * 5.0)
+      val cands = (0 to 3).map { salt =>
+        KMeansTrain.centroidsFloat(KMeansTrain.lloydGrid(
+          Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 16, iters = 10,
+          assignByDot = true, saltPrefix = s"km$salt:"))
+      }
+      val selected = cands.zipWithIndex
+        .maxBy { case (cf, i) => (hits(tuneQ, tuneT, cf), -i) }._1
+      val trained = evalRecall(selected)
+      val frozen = evalRecall(graft.operators.Codebooks.ivf16dim64)
+      val md5 = {
+        val r = resultSet(Ann.topKIvf(docs, evalQ, 5, 64, 16, nprobe = 2))
+        r.map { case (k, s) => evalT.getOrElse(k, Set.empty).intersect(s).size }
+          .sum.toDouble / (evalT.size * 5.0)
+      }
+      (trained, frozen, md5)
+    }
+    val (t01, f01, m01) = run("/root/testdata/sf0.01")
+    info(f"sf0.01  eval recall@5 nprobe=2: selected $t01%.3f frozen $f01%.3f md5 $m01%.3f")
+    assert(t01 > f01, f"selected codebook lost to frozen on its own training scale: $t01%.3f <= $f01%.3f")
+    assert(t01 > m01, f"selected codebook must beat the untrained md5 family: $t01%.3f <= $m01%.3f")
+    val (t001, f001, _) = run("/root/testdata/sf0.001")
+    info(f"sf0.001 eval recall@5 nprobe=2: selected $t001%.3f frozen $f001%.3f")
+    assert(t001 > f001, f"adapt-to-corpus failed at sf0.001: $t001%.3f <= $f001%.3f")
+  }
+
+  test("grid Lloyd's is partitioning-invariant and deterministic; empty clusters keep their centroid") {
+    import graft.operators.KMeansTrain
+    import spark.implicits._
+    // two well-separated 2-d blobs, k=2: centroids must land on the
+    // exact integer-grid blob means regardless of physical partitioning
+    val pts = Seq(
+      (1L, Array(0.10f, 0.10f)), (2L, Array(0.12f, 0.08f)),
+      (3L, Array(0.08f, 0.12f)),
+      (11L, Array(0.90f, 0.90f)), (12L, Array(0.92f, 0.88f)))
+    def train(parts: Int): Array[Array[Long]] =
+      KMeansTrain.lloydGrid(
+        pts.toDF("id", "embedding").repartition(parts),
+        "id", "embedding", k = 2, iters = 4)
+    val a = train(1)
+    val b = train(7)
+    assert(a.map(_.toList).toList == b.map(_.toList).toList,
+      "centroids must not depend on partitioning")
+    // blob means on the grid: (0.10,0.10) and (0.91,0.89)
+    val sorted = a.sortBy(_.head)
+    assert(sorted(0).toList == List(100000L, 100000L), sorted(0).toList.toString)
+    assert(sorted(1).toList == List(910000L, 890000L), sorted(1).toList.toString)
+    // k > distinct blobs with a degenerate corpus: one point, k=2 —
+    // the empty cluster must keep its seed centroid, not NPE or drift
+    val one = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.5f, 0.5f)))
+    val g = KMeansTrain.lloydGrid(one.toDF("id", "embedding"),
+      "id", "embedding", k = 2, iters = 3)
+    assert(g.length == 2)
+    assert(g.exists(_.toList == List(500000L, 500000L)))
+  }
+
   test("frozen trained codebook: recall-vs-nprobe envelope (the q68 quality contract)") {
     // The numbers this test prints are the stated quality envelope for
     // the shipped Codebooks.ivf16dim64 literal (recorded in SCALE.md) —

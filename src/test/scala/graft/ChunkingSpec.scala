@@ -93,6 +93,44 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("chunk-grain near-dup: shared boilerplate chunks drop (min-cid keeper), unique chunks keep themselves") {
+    import graft.operators.{Dedup, GraphAlgos}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // docs 1 and 2 open with the same 12-token boilerplate banner, then
+    // diverge; doc 3 is unrelated. window=8/stride=8 → chunk 0 of docs
+    // 1 and 2 is the identical banner (Jaccard 1), every other chunk is
+    // distinct.
+    val banner = "terms of service apply to all content on this site today"
+    val docs = Seq(
+      (1L, banner + " alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, banner + " one two three four five six seven eight nine"),
+      (3L, "completely different text about spark catalyst expression codegen and shuffle partitioning")
+    ).toDF("doc_id", "text")
+    val chunks = graft.operators.Chunking
+      .chunkWindows(docs, "doc_id", "text", window = 8, stride = 8)
+      .select((col("doc_id") * 100L + col("chunk_idx")).as("cid"),
+        col("chunk_text"))
+    val clusters = GraphAlgos.dedupClusters(
+      Dedup.nearDupMinhashLsh(chunks, "cid", "chunk_text",
+        shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.6))
+    val decisions = chunks.join(
+        clusters.select(col("id").as("cid"), col("keeper"), col("is_keeper")),
+        Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("keeper"), col("cid")).as("keeper"),
+        coalesce(col("is_keeper"), lit(true)).as("keep"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 2's banner chunk (cid 200) collapses onto doc 1's (cid 100)
+    assert(decisions(200L) == (100L, false), s"banner dup must drop: ${decisions(200L)}")
+    assert(decisions(100L) == (100L, true))
+    // every non-banner chunk survives as its own keeper
+    decisions.filterNot(kv => kv._1 == 100L || kv._1 == 200L).foreach {
+      case (cid, (keeper, keep)) =>
+        assert(keep && keeper == cid, s"unique chunk $cid must keep itself")
+    }
+  }
+
   test("chunkWindows covers every token and indexes chunks densely") {
     val rng = new scala.util.Random(7)
     val docs = (1L to 20L).map { id =>

@@ -28,6 +28,60 @@ class GraphAlgosSpec extends SparkSpec {
     assert(cc2.map(_.getString(1)).distinct.toSeq == Seq("n01"))
   }
 
+  test("connectedComponents: pointer doubling converges in O(log diameter), where plain hop-propagation provably fragments") {
+    def chain(n: Int) =
+      (1 until n).map(i => (f"c$i%04d", f"c${i + 1}%04d")).toDF("src", "dst")
+    // the pre-round-11 algorithm: plain min-label hops, capped — the
+    // spec keeps it as the counterexample the redesign exists to kill
+    def plainHopCapped(edges: org.apache.spark.sql.DataFrame, cap: Int) = {
+      val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+        .localCheckpoint()
+      var labels = sym.select(col("u").as("id")).distinct()
+        .withColumn("component", col("id")).localCheckpoint()
+      (1 to cap).foreach { _ =>
+        labels = labels.unionByName(
+            sym.join(labels, col("u") === col("id"))
+              .select(col("v").as("id"), col("component")))
+          .groupBy("id").agg(min("component").as("component"))
+          .localCheckpoint()
+      }
+      labels
+    }
+    // a 200-node chain has diameter 199: 10 capped hops move labels at
+    // most 10 edges, so the old code returns MANY components — silently
+    // fragmented clusters = kept duplicates at crawl scale
+    val fragmented = plainHopCapped(chain(200), cap = 10)
+      .select("component").distinct().count()
+    assert(fragmented > 1, s"expected the capped hop algorithm to fragment, got $fragmented component(s)")
+    // the doubling algorithm resolves the same chain in ~log2(199)
+    // supersteps (distance covered ≈ 2^(k+1)-2) plus one confirm pass
+    val r = GraphAlgos.connectedComponentsWithStats(chain(200))
+    assert(r.converged)
+    assert(r.labels.select("component").distinct().count() == 1)
+    assert(r.iterations <= 10, s"expected ≤10 supersteps for diameter 199, took ${r.iterations}")
+    // growth is ~log in chain length: 10× longer chain buys only a
+    // few extra supersteps, not 10× of them
+    val r50 = GraphAlgos.connectedComponentsWithStats(chain(50))
+    val r500 = GraphAlgos.connectedComponentsWithStats(chain(500))
+    assert(r50.converged && r500.converged)
+    assert(r500.labels.select("component").distinct().count() == 1)
+    assert(r500.iterations - r50.iterations <= 4,
+      s"superstep growth not logarithmic: ${r50.iterations} -> ${r500.iterations}")
+  }
+
+  test("connectedComponents: unconverged exit fails loud instead of returning fragments") {
+    val longChain = (1 until 300)
+      .map(i => (f"n$i%04d", f"n${i + 1}%04d")).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      GraphAlgos.connectedComponents(longChain, maxIter = 3).count()
+    }
+    assert(e.getMessage.contains("fragmented"))
+    // ...while the stats surface reports instead of throwing
+    val r = GraphAlgos.connectedComponentsWithStats(longChain, maxIter = 3)
+    assert(!r.converged && r.iterations == 3)
+  }
+
   test("dedupClusters: transitive near-dup groups keep exactly one doc (min id)") {
     // pairs: (1,2), (2,3) transitively one cluster; (7,8) another
     val pairs = Seq(("1", "2"), ("2", "3"), ("7", "8")).toDF("id_a", "id_b")

@@ -59,6 +59,44 @@ class IngestBloomSpec extends SparkSpec {
     assert(got.count() == 1 && got.select("seq").head().getLong(0) == 6L)
   }
 
+  test("codegen bloom probe: no UDF node in the plan; semantics == mightContainString; codegen and interpreted paths agree") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
+    val members = (1 to 200).map(i => s"doc:member-$i")
+    members.foreach(bloom.putString)
+    // repartition forces a real physical stage — a bare local Seq
+    // collapses to LocalTableScan (evaluated driver-side, no codegen)
+    val probe = (members.take(50) ++ (1 to 50).map(i => s"doc:other-$i"))
+      .toDF("id").repartition(2)
+    val probed = probe.withColumn("hit",
+      graft.functions.HashFunctions.bloomMightContain(col("id"), bloom))
+    val got = probed.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // the r10 "minor #3": the probe must be a native expression, not a
+    // black-box ScalaUDF breaking the whole-stage span (plan read AFTER
+    // collect so AQE has finalized the physical plan)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"probe compiled to a UDF node:\n$plan")
+    // the AQE plan string renders whole-stage spans as `*(n)` prefixes
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"),
+      s"probe fell out of codegen:\n$plan")
+    members.take(50).foreach(m => assert(got(m), s"false negative on $m"))
+    got.foreach { case (id, hit) =>
+      assert(hit == bloom.mightContainString(id), s"mismatch vs driver probe on $id")
+    }
+    // interpreted eval (the non-codegen fallback) must agree bit-for-bit
+    val expr = graft.expressions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(members.head),
+        org.apache.spark.sql.types.StringType), bloom)
+    assert(expr.eval(null) == true)
+    // null id -> null hit (same as the old null-in/null-out UDF)
+    val withNull = Seq[Option[String]](Some(members.head), None).toDF("id")
+      .withColumn("hit",
+        graft.functions.HashFunctions.bloomMightContain(col("id"), bloom))
+      .collect().map(r => Option(r.get(1))).toSeq
+    assert(withNull == Seq(Some(true), None))
+  }
+
   test("streaming bloom writer: unique store across batches + restart rebuild") {
     val dir = Files.createTempDirectory("graft_bloomingest").toString
     val (docsDir, edgesDir, ckpt) = (s"$dir/docs", s"$dir/edges", s"$dir/ckpt")
