@@ -44,16 +44,17 @@ object OracleSql {
        |  FROM ${p}q q CROSS JOIN ${p}docs d),
        |${p}overfetched AS (
        |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS ofr
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY sim DESC, id, mtype) AS ofr
        |    FROM ${p}scored) WHERE ofr <= ${k * overFetch}),
        |${p}kept AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid, bucket
-       |                                 ORDER BY sim DESC, id) AS brank
+       |                                 ORDER BY sim DESC, id, mtype) AS brank
        |    FROM ${p}overfetched) WHERE brank <= $quota),
        |${p}knn AS (
        |  SELECT qid, qtype, id, mtype, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id, mtype) AS rnk
        |  FROM ${p}kept)""".stripMargin
   }
 

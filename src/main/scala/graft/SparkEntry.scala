@@ -1981,6 +1981,41 @@ object SparkEntry {
       .orderBy("cid")
   }
 
+  /** Incremental near-dup admission (q172): the control loop of a
+    * CONTINUOUSLY-ingesting corpus — new data is never deduped by
+    * re-scanning 100 TB of standing text; it is checked against the
+    * persisted [[Dedup.signatureIndex]] (~8·numHashes bytes/doc), then
+    * survivors dedup among themselves ([[Dedup.admitIncremental]]:
+    * band-key equi-joins + signature-agreement decision vs existing,
+    * exact-Jaccard + converged min-id clusters within the batch).
+    * Fixture exercises all three outcomes: %7 docs re-ingested with an
+    * appended tail (→ dup_existing via signature agreement), %13 docs
+    * vowel-rotated into genuinely-new text arriving TWICE in the batch
+    * (→ one admitted keeper + one dup_batch twin). Scale shape: the
+    * corpus is touched only through its signature index; index probe
+    * is an equi-join on band keys (bucketable to exchange-free);
+    * within-batch stage is batch-sized. */
+  private def admitIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // index build + both incoming families
+    val reingest = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" incremental admission tail")).as("text"))
+    val twins = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"),
+        concat(translate(col("text"), "aeiou", "eioua"),
+          lit(" batch twin alpha")).as("text"))
+    val incoming = reingest
+      .unionByName(twins.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(twins.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    val index = Dedup.signatureIndex(docs, "doc_id", "text",
+      shingleWidth = 3, numHashes = 12)
+    Dedup.admitIncremental(incoming, "doc_id", "text", index,
+        shingleWidth = 3, numHashes = 12, bands = 4,
+        minAgree = 9, threshold = 0.5)
+      .orderBy("id")
+  }
+
   /** Chunk-pooled document embeddings (q165): the long-document
     * embedding path — embed at the chunk grain (q158's 32/24 windows),
     * mean-pool per document, re-normalize. This is how a production
@@ -2847,6 +2882,7 @@ object SparkEntry {
     "q167_hard_negatives" -> ((s, d) => hardNegativesQ(s, d)),
     "q168_source_datasheet" -> ((s, d) => sourceDatasheetQ(s, d)),
     "q169_chunk_neardup" -> ((s, d) => chunkNearDupQ(s, d)),
+    "q172_incremental_admission" -> ((s, d) => admitIncrementalQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -6893,6 +6929,85 @@ object SparkEntry {
          |  coalesce(ccc.id = ccc.component, TRUE) AS keep
          |FROM ch LEFT JOIN ccc ON ch.cid = ccc.id
          |ORDER BY cid""".stripMargin,
+    "q172_incremental_admission" ->
+      // Mirror of admitIncrementalQ: corpus signature index (shingle →
+      // minhash bases → 12-component sigs → 4 band keys), incoming =
+      // (%7 re-ingests with tail) ∪ (two copies of %13 vowel-rotated
+      // twins); dup_existing = min existing id among band-colliding
+      // pairs with >= 9 of 12 signature components agreeing; survivors
+      // run the q23 exact-Jaccard pair stage + the q48 converged
+      // components; statuses with dup_existing > dup_batch precedence.
+      s"""WITH RECURSIVE inc AS MATERIALIZED (
+         |  SELECT doc_id + 1000000 AS id,
+         |    concat(text, ' incremental admission tail') AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    concat(translate(text, 'aeiou', 'eioua'), ' batch twin alpha')
+         |  FROM documents WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    concat(translate(text, 'aeiou', 'eioua'), ' batch twin alpha')
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |xt AS (SELECT doc_id AS xid, ${toksOf("text")} AS toks
+         |  FROM documents),
+         |xsh AS (SELECT xid, ${wordShingles("toks", 3)} AS sh FROM xt),
+         |xhb AS (SELECT xid, ${minhashBases("sh")} AS hb
+         |  FROM xsh WHERE len(sh) > 0),
+         |xsig AS MATERIALIZED (
+         |  SELECT xid, ${minhashSigFromBases("hb", 12)} AS sig FROM xhb),
+         |xband AS (SELECT xid, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+         |  FROM xsig),
+         |it AS (SELECT id, ${toksOf("text")} AS toks FROM inc),
+         |ish AS MATERIALIZED (
+         |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM it),
+         |ihb AS (SELECT id, sh, ${minhashBases("sh")} AS hb
+         |  FROM ish WHERE len(sh) > 0),
+         |isig AS MATERIALIZED (
+         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM ihb),
+         |iband AS (SELECT id, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+         |  FROM isig),
+         |xcand AS (
+         |  SELECT DISTINCT i.id, x.xid
+         |  FROM iband i JOIN xband x ON i.bkey = x.bkey),
+         |dupex AS MATERIALIZED (
+         |  SELECT c.id, min(c.xid) AS dup_of_existing
+         |  FROM xcand c
+         |  JOIN isig i ON i.id = c.id
+         |  JOIN xsig x ON x.xid = c.xid
+         |  WHERE len(list_filter(range(1, 13), k -> i.sig[k] = x.sig[k])) >= 9
+         |  GROUP BY c.id),
+         |ssh AS MATERIALIZED (
+         |  SELECT s.id, s.sh, s.sig FROM isig s
+         |  WHERE s.id NOT IN (SELECT id FROM dupex)),
+         |sband AS MATERIALIZED (
+         |  SELECT id, sh, unnest(${bandKeys("sig", 4, 3)}) AS bkey FROM ssh),
+         |scand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM sband a JOIN sband b ON a.bkey = b.bkey AND a.id < b.id),
+         |fpairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM scand c
+         |  JOIN ssh sa ON sa.id = c.id_a
+         |  JOIN ssh sb ON sb.id = c.id_b
+         |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.5),
+         |csym AS (
+         |  SELECT id_a AS u, id_b AS v FROM fpairs
+         |  UNION ALL SELECT id_b, id_a FROM fpairs),
+         |${ccConverged("c")}
+         |SELECT i.id,
+         |  CASE WHEN d.dup_of_existing IS NOT NULL THEN 'dup_existing'
+         |       WHEN ccc.id IS NOT NULL AND ccc.id <> ccc.component
+         |         THEN 'dup_batch'
+         |       ELSE 'admitted' END AS status,
+         |  coalesce(d.dup_of_existing,
+         |    CASE WHEN ccc.id IS NOT NULL AND ccc.id <> ccc.component
+         |      THEN ccc.component END,
+         |    i.id) AS dup_of
+         |FROM inc i
+         |LEFT JOIN dupex d ON d.id = i.id
+         |LEFT JOIN ccc ON ccc.id = i.id
+         |ORDER BY i.id""".stripMargin,
     "q158_chunk_retrieval" ->
       // Mirror of chunkRetrievalQ: chunk (32/48-stride-24) -> embedCte
       // (bit-exact hash embeddings) -> the q10 dot device + (sim desc,

@@ -24,6 +24,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scan parallelism = file splits; the broadcast-KNN fan-out rule
+      // is |queries|·rows-per-split, so a big-sf run over few small
+      // parquet files must shrink splits or one task sorts the whole
+      // scored stream (sf1 finding: 20 MB × 20k queries = 400M rows in
+      // ONE task, spilling for minutes). At 100 TB the default 128 MB
+      // is right — splits are plentiful; this env knob is the local
+      // small-file analog of cluster split tuning.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -878,4 +878,117 @@ object Dedup {
             col("n_shingles").cast("double"), 6))
           .otherwise(lit(0.0)).as("contamination"))
   }
+
+  /** MinHash signature index of a keeper corpus: (id, sig
+    * ARRAY<BIGINT>[numHashes]) — the PERSISTED artifact an incremental
+    * pipeline dedups incoming batches against without ever re-reading
+    * corpus text. At ~8·numHashes bytes/doc the index is ~1e-4 of
+    * corpus bytes at 100 TB; store it bucketed by band key
+    * ([[bandKeys]]) and admission joins become exchange-free on the
+    * index side. Same one-pass explode + partial-agg signature shape as
+    * [[nearDupMinhashLsh]] (each shingle hashed exactly once,
+    * map-side-combined mins; shuffle carries numHashes longs per doc).
+    * Docs with no shingles (< shingleWidth tokens) have no signature
+    * and never match anything — mirrored by the q172 oracle. */
+  def signatureIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 12): DataFrame = {
+    val sigCols = (0 until numHashes)
+      .map(i => min(minhashMix(col("h"), i)).as(s"h$i"))
+    docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), minhashBase(col("s")).as("h"))
+      .groupBy("id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Band keys from a stored signature ARRAY column (the read-side twin
+    * of [[bandKeys]], which builds them from h0..hN agg columns). */
+  private def bandKeysFromSig(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("_", lit(b.toString) +:
+        (0 until rowsPerBand)
+          .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*)
+    }: _*)
+
+  /** Incremental near-dup ADMISSION — the control loop of a
+    * continuously-ingesting corpus. A 100 TB pipeline never re-dedups
+    * the whole corpus when new data lands; it checks each incoming
+    * batch against the standing [[signatureIndex]], then dedups the
+    * survivors among themselves:
+    *
+    *  1. vs EXISTING: incoming and index rows meet on shared LSH band
+    *     keys (equi-join, never all-pairs); a candidate is a duplicate
+    *     when ≥ `minAgree` of `numHashes` signature components agree —
+    *     the standard signature-estimated Jaccard (agreement fraction
+    *     is an unbiased estimate of J), integer-exact and decidable
+    *     from the index ALONE, no corpus text read. `dup_of` = the
+    *     smallest matching existing id (first-wins, the reference's
+    *     dedup-guard rule, main.py:78-81).
+    *  2. within BATCH: survivors run [[nearDupMinhashLsh]] (exact
+    *     Jaccard verify — batch text is in hand) and
+    *     [[graft.operators.GraphAlgos.dedupClusters]] (converged
+    *     components, min-id keeper); non-keepers are batch duplicates.
+    *
+    * Scale shape: the index side is the big one — banded it joins on a
+    * compact key, and a band-bucketed index layout makes the probe
+    * exchange-free; the incoming batch is small (broadcastable). The
+    * within-batch stage touches only batch-sized data. Nothing is
+    * quadratic anywhere; the corpus itself is never scanned.
+    *
+    * @param index output of [[signatureIndex]] over the existing corpus
+    *              (same shingleWidth/numHashes — caller's contract)
+    * @return one row per incoming doc: (id, status ∈ {dup_existing,
+    *         dup_batch, admitted}, dup_of) — dup_of is the existing id
+    *         it duplicates, the batch keeper it folds into, or itself
+    *         when admitted */
+  def admitIncremental(
+      incoming: DataFrame, idCol: String, textCol: String,
+      index: DataFrame,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      minAgree: Int = 9, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    require(minAgree >= 1 && minAgree <= numHashes,
+      s"minAgree must be in [1, $numHashes], got $minAgree")
+    val rowsPerBand = numHashes / bands
+    val inc = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
+      .transform(graft.CacheScope.pin) // read by: sigs, batch stage, final statuses
+    val inSig = signatureIndex(inc, "id", "text", shingleWidth, numHashes)
+      .transform(graft.CacheScope.pin) // banded probe + agreement count
+    val inBand = inSig.select(col("id"), col("sig"),
+      explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+    val idxBand = index.select(col("id").as("xid"), col("sig").as("xsig"),
+      explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+    // agreement over the full signatures of band-key-colliding pairs;
+    // dedup (id, xid) BEFORE counting so a pair sharing several bands
+    // is scored once
+    val dupExisting = inBand.join(idxBand, Seq("bkey"))
+      .select(col("id"), col("xid"), col("sig"), col("xsig"))
+      .dropDuplicates("id", "xid")
+      .withColumn("agree",
+        aggregate(zip_with(col("sig"), col("xsig"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x))
+      .filter(col("agree") >= minAgree)
+      .groupBy("id").agg(min(col("xid")).as("dup_of_existing"))
+      .transform(graft.CacheScope.pin) // survivors anti-join + final statuses
+    val survivors = inc.join(dupExisting, Seq("id"), "left_anti")
+    val clusters = GraphAlgos.dedupClusters(
+        nearDupMinhashLsh(survivors, "id", "text",
+          shingleWidth, numHashes, bands, threshold))
+      .select(col("id"), col("keeper"), col("is_keeper"))
+    inc.select(col("id"))
+      .join(dupExisting, Seq("id"), "left")
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"),
+        when(col("dup_of_existing").isNotNull, lit("dup_existing"))
+          .when(col("is_keeper") === false, lit("dup_batch"))
+          .otherwise(lit("admitted")).as("status"),
+        coalesce(col("dup_of_existing"),
+          when(col("is_keeper") === false, col("keeper")),
+          col("id")).as("dup_of"))
+  }
 }

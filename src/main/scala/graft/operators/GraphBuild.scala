@@ -44,15 +44,47 @@ object GraphBuild {
         col("score"),
         col("seq"))
 
-  /** Latest-wins upsert over canonical undirected edges: NetworkX
-    * overwrite semantics via max-seq row per (src, dst). */
-  def upsertEdges(existing: DataFrame, delta: DataFrame): DataFrame = {
+  /** Latest-wins view of an edge frame: the max-seq row per (src, dst)
+    * — NetworkX overwrite semantics, one window over edges only. */
+  def latestWins(edges: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src", "dst").orderBy(col("seq").desc)
-    existing.unionByName(delta)
+    edges
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
+  }
+
+  /** Latest-wins upsert over canonical undirected edges. */
+  def upsertEdges(existing: DataFrame, delta: DataFrame): DataFrame =
+    latestWins(existing.unionByName(delta))
+
+  /** Compact an append-only edge-delta store in place: rewrite
+    * `edgesDir` to its [[latestWins]] view (O8 — the reference
+    * re-pickles the whole graph per ingest; the relational form appends
+    * deltas and compacts PERIODICALLY, so the store reads at O(live
+    * edges), not O(all deltas ever appended)). `seq` is retained, so a
+    * latest-wins read over (compacted ∪ later deltas) is unchanged —
+    * compaction is invisible to every reader by construction
+    * (StreamingSpec pins stream ≡ batch over a compacted store).
+    *
+    * Swap discipline: the compacted frame lands in a sibling tmp dir
+    * first, then replaces the store via delete + rename — the write
+    * never reads-while-overwriting its own input. The swap is not
+    * atomic for CONCURRENT readers; inside the streaming writer's
+    * foreachBatch (the intended call site) batches are sequential, so
+    * no reader can observe the gap. */
+  def compactEdges(spark: org.apache.spark.sql.SparkSession, edgesDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(edgesDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val tmp = new org.apache.hadoop.fs.Path(edgesDir + ".compact.tmp")
+    latestWins(spark.read.parquet(edgesDir))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    // drop any cached file listing for the swapped path
+    spark.catalog.refreshByPath(edgesDir)
   }
 
   /** Symmetric (both-orientations) view for traversal joins. */

@@ -124,8 +124,14 @@ object Knn {
         when(col("qtype").isNull || col(mtypeCol) === col("qtype"), lit("same"))
           .otherwise(lit("cross")))
 
-    // step 1: over-fetch by ascending distance == descending similarity
-    val wOver = Window.partitionBy("qid_key").orderBy(col("sim").desc, col(idCol))
+    // step 1: over-fetch by ascending distance == descending similarity.
+    // Tie-break (id, mtype): id alone is NOT total — identical content
+    // under two modalities shares its sha-derived id AND its sim (one
+    // embedding per text), and row_number over a genuine tie diverges
+    // between engines (found live at the sf1 inflation, where exact-dup
+    // source docs with different lang collide; q16's 12/15 sf1 audit).
+    val wOver = Window.partitionBy("qid_key")
+      .orderBy(col("sim").desc, col(idCol), col(mtypeCol))
     val overFetched = scored
       // null-safe partition key: queries without a qid still form one group
       .withColumn("qid_key", coalesce(col("qid"), lit("__noqid__")))
@@ -133,8 +139,8 @@ object Knn {
       .filter(col("ofr") <= overFetch)
 
     // step 4: per-bucket rank, keep k/2 (integer division quirk)
-    val wBucket =
-      Window.partitionBy("qid_key", "bucket").orderBy(col("sim").desc, col(idCol))
+    val wBucket = Window.partitionBy("qid_key", "bucket")
+      .orderBy(col("sim").desc, col(idCol), col(mtypeCol))
     val kept = overFetched
       .withColumn("brank", row_number().over(wBucket))
       .filter(col("brank") <= k / 2)
@@ -146,8 +152,9 @@ object Knn {
       .orderBy(
         when(col("bucket") === "same", 0).otherwise(1).asc,
         col("sim").desc,
-        col(idCol))
-    val wFinal = Window.partitionBy("qid_key").orderBy(col("sim").desc, col(idCol))
+        col(idCol), col(mtypeCol))
+    val wFinal = Window.partitionBy("qid_key")
+      .orderBy(col("sim").desc, col(idCol), col(mtypeCol))
     kept
       .withColumn("urank", row_number().over(wUnion))
       .filter(col("urank") <= k)

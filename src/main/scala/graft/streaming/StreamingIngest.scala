@@ -42,6 +42,36 @@ object StreamingIngest {
         processBatch(batch.sparkSession, batch, batchId, docsDir, edgesDir, conf, retrieval)
     }
 
+  /** [[ingestWriter]] with PERIODIC EDGE COMPACTION (O8's second half):
+    * every `compactEvery` batches the append-only edge-delta store is
+    * rewritten to its latest-wins view ([[graft.operators.GraphBuild
+    * .compactEdges]]), so a long-running ingest stream's edge store
+    * reads at O(live edges) instead of O(every delta ever appended) —
+    * without compaction a doc re-ingested N times leaves N rows per
+    * edge that every traversal pays to window away. Compaction keeps
+    * `seq`, so latest-wins over (compacted ∪ later deltas) is
+    * byte-identical to the uncompacted read — StreamingSpec pins
+    * stream ≡ batch replay across the compaction boundary. */
+  def ingestWriterCompacting(
+      stream: DataFrame,
+      docsDir: String,
+      edgesDir: String,
+      conf: GraftConf = GraftConf.default,
+      retrieval: graft.operators.Retrieval = graft.operators.Retrieval.Auto(),
+      compactEvery: Int = 8)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        processBatch(spark, batch, batchId, docsDir, edgesDir, conf, retrieval)
+        // after the batch's own append, sequentially within the sink —
+        // no concurrent reader can observe the swap (see compactEdges)
+        if ((batchId + 1) % compactEvery == 0)
+          graft.operators.GraphBuild.compactEdges(spark, edgesDir)
+    }
+  }
+
   /** [[ingestWriter]] with the state-store dedup cache composed in
     * front: [[dedupStreamFirstSeen]] drops within-stream duplicates
     * BEFORE the embed stage and before the per-batch store anti-join,
@@ -230,6 +260,80 @@ object StreamingIngest {
         ()
     }
   }
+
+  /** One micro-batch of incremental near-dup ADMISSION (the q172
+    * operator at stream grain): decide the batch against the standing
+    * [[graft.operators.Dedup.signatureIndex]] on disk, append admitted
+    * docs to `corpusDir` and their signatures to `indexDir` — so the
+    * NEXT batch dedups against everything admitted so far, and the
+    * corpus text is never re-read. Decisions are materialized BEFORE
+    * either append (the admission plan reads `indexDir` lazily; append
+    * first and the plan would see its own output). Signatures for the
+    * admitted slice are recomputed from text — deterministic, one extra
+    * pass over batch-sized data. Exposed for the stream ≡ batch replay
+    * spec and for batch-mode backfill. */
+  private[graft] def admitBatch(
+      spark: SparkSession, batch: DataFrame,
+      corpusDir: String, indexDir: String,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      minAgree: Int = 9, threshold: Double = 0.5): Unit = {
+    import graft.operators.Dedup
+    val hasIndex = {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val index =
+      if (hasIndex) spark.read.parquet(indexDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+    // localCheckpoint = decisions are COMPUTED here, before either
+    // append below, and the lineage (which reads indexDir) is severed —
+    // no recompute can ever observe the index this batch just extended
+    val decisions = graft.CacheScope.materializeAndRelease(
+      Dedup.admitIncremental(batch, "id", "text", index,
+        shingleWidth, numHashes, bands, minAgree, threshold)) { dec =>
+      dec.localCheckpoint()
+    }
+    val admitted = batch
+      .join(decisions.filter(col("status") === "admitted").select("id"),
+        Seq("id"), "left_semi")
+      .persist()
+    admitted.write.mode("append").parquet(corpusDir)
+    Dedup.signatureIndex(admitted, "id", "text", shingleWidth, numHashes)
+      .write.mode("append").parquet(indexDir)
+    admitted.unpersist()
+    decisions.unpersist()
+    spark.catalog.refreshByPath(corpusDir)
+    spark.catalog.refreshByPath(indexDir)
+  }
+
+  /** Streaming incremental admission — the continuously-ingesting-corpus
+    * control loop ([[graft.operators.Dedup.admitIncremental]], q172) as
+    * a sink: per micro-batch, dedup against the standing signature
+    * index, append survivors + their signatures ([[admitBatch]]).
+    * Sequential micro-batches make the index read-then-append safe
+    * (same discipline as [[ingestWriterCompacting]]); the two appends
+    * share the batch's fate with the checkpoint exactly like every
+    * foreachBatch writer in this object. Stream ≡ sequential batch
+    * replay is pinned by IncrementalAdmissionSpec.
+    *
+    * @param stream streaming (id BIGINT, text STRING) */
+  def admissionWriter(
+      stream: DataFrame, corpusDir: String, indexDir: String,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      minAgree: Int = 9, threshold: Double = 0.5)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch.sparkSession, batch, corpusDir, indexDir,
+          shingleWidth, numHashes, bands, minAgree, threshold)
+    }
 
   /** Chunk-grain RAG ingestion transform — the q157/q158 pipeline
     * (fixed-token windows → deterministic embed) as ONE declarative

@@ -356,6 +356,67 @@ class AnnRecallSpec extends SparkSpec {
     assert(frac <= 0.3, s"candidate fraction not sublinear: $frac")
   }
 
+  test("adversarial geometry: near-boundary queries — the envelope's hard edge (multi-probe/multi-table must rescue single-probe)") {
+    // The r10 verdict's caveat: every recall number above comes from
+    // either the stub-derived driver corpus (near-isotropic) or
+    // in-cluster queries (easy). The HARD case is a query midway
+    // between two clusters: its true top-5 straddles two lists/buckets,
+    // so any single-probe scheme structurally loses whichever half it
+    // didn't probe. This fixture plants exactly those queries
+    // (normalized midpoints of the 40 closest center pairs) and pins
+    // the envelope: single-probe IVF degrades hard, nprobe=2 recovers
+    // most of it (it probes BOTH straddled lists), and the 8x8
+    // multi-table OR-construction holds without any tuning. Numbers
+    // recorded in SCALE.md §ANN envelope.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(25)(Array.fill(dim)(rnd.nextGaussian()))
+    def norm(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val vecs = for (c <- 0 until 25; p <- 0 until 20) yield {
+      (f"v$c%02d_$p%02d",
+        norm(centers(c).map(x => x + 0.25 * rnd.nextGaussian())))
+    }
+    import spark.implicits._
+    val docs = vecs.toDF("id", "embedding").localCheckpoint()
+    // boundary queries: midpoints of the 40 closest (by cosine) center
+    // pairs — equidistant from two clusters by construction
+    val pairs = (for (a <- 0 until 25; b <- a + 1 until 25) yield {
+      val (na, nb) = (norm(centers(a)), norm(centers(b)))
+      val cos = na.zip(nb).map { case (x, y) => x.toDouble * y }.sum
+      (a, b, cos)
+    }).sortBy(-_._3).take(40)
+    val queries = pairs.map { case (a, b, _) =>
+      (f"q$a%02d_$b%02d",
+        norm(centers(a).zip(centers(b)).map { case (x, y) => x + y }))
+    }.toDF("qid", "qvec").localCheckpoint()
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      df.collect().groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.map(_.getAs[String]("id")).toSet).toMap
+    val truth = resultSet(Knn.topK(docs, queries, k = 5))
+    def recall(approx: Map[String, Set[String]]): Double = {
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val cents = graft.operators.KMeansTrain.centroidsFloat(
+      graft.operators.KMeansTrain.lloydGrid(
+        docs.select(col("id"), col("embedding")), "id", "embedding",
+        k = 16, iters = 10, assignByDot = true, saltPrefix = "km0:"))
+    val ivf1 = recall(resultSet(Ann.topKIvfWith(docs, queries, 5, cents, nprobe = 1)))
+    val ivf2 = recall(resultSet(Ann.topKIvfWith(docs, queries, 5, cents, nprobe = 2)))
+    val multi = recall(resultSet(Ann.topKMultiTable(docs, queries, 5, dim, 8, 8)))
+    info(f"boundary-query recall@5: ivf nprobe=1 $ivf1%.3f, nprobe=2 $ivf2%.3f, 8x8 multi-table $multi%.3f")
+    // the structural claim, not a lucky constant: the second probe must
+    // recover a large share of what single-probe loses on straddlers
+    assert(ivf2 >= ivf1 + 0.1,
+      f"nprobe=2 should rescue straddled queries: $ivf1%.3f -> $ivf2%.3f")
+    assert(ivf2 >= 0.7, f"boundary nprobe=2 degenerate: $ivf2%.3f")
+    assert(multi >= 0.7, f"boundary multi-table degenerate: $multi%.3f")
+  }
+
   test("clustered corpus: trained IVF concentrates clusters into lists (geometry-study pin)") {
     // Small-scale pin of the AnnGeomStudy fixture (same generator, same
     // seed family): on clustered data a FRESH-trained quantizer puts

@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup admission (q172): an incoming batch is decided
+  * against the PERSISTED signature index of the standing corpus (never
+  * its text), then survivors dedup among themselves. Planted fixtures
+  * pin every status transition and the index-only scale contract. */
+class IncrementalAdmissionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long enough that a short appended tail keeps signature agreement
+  // high (J ≈ 0.95 ⇒ expect ~11.5/12 components agreeing)
+  private val baseText: String =
+    ("the quick brown fox jumps over the lazy dog while seventy " +
+      "distinct tokens of filler text keep the shingle set large " +
+      "enough for stable minhash signatures across small edits " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+
+  private def admit(existing: Seq[(Long, String)], incoming: Seq[(Long, String)]) = {
+    val ex = existing.toDF("doc_id", "text")
+    val inc = incoming.toDF("doc_id", "text")
+    val index = Dedup.signatureIndex(ex, "doc_id", "text")
+    Dedup.admitIncremental(inc, "doc_id", "text", index)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+  }
+
+  test("statuses: re-ingest → dup_existing(min existing id); identical batch twins → keeper + dup_batch; fresh text → admitted") {
+    val existing = Seq(
+      10L -> baseText,
+      11L -> (baseText + " with one extra clause about storage"),
+      12L -> "completely unrelated short corpus entry about graphs")
+    val incoming = Seq(
+      // near-dup of BOTH 10 and 11 → dup_of = min matching id = 10
+      100L -> (baseText + " re-ingested tail"),
+      // two identical genuinely-new docs → min id keeps, other folds
+      101L -> ("fresh submission with its own vocabulary entirely " +
+        "disjoint from anything stored moon river ocean cliff meadow " +
+        "stone ember willow harbor lantern drift crystal canyon"),
+      102L -> ("fresh submission with its own vocabulary entirely " +
+        "disjoint from anything stored moon river ocean cliff meadow " +
+        "stone ember willow harbor lantern drift crystal canyon"),
+      // fresh singleton → admitted
+      103L -> "another novel document mentioning turbines and estuaries and gradient descent optimizers")
+    val got = admit(existing, incoming)
+    assert(got(100L) == ("dup_existing", 10L), s"got $got")
+    assert(got(101L) == ("admitted", 101L), s"got $got")
+    assert(got(102L) == ("dup_batch", 101L), s"got $got")
+    assert(got(103L) == ("admitted", 103L), s"got $got")
+  }
+
+  test("transitive batch chains fold to one keeper; sub-shingle-width docs are admitted untouched") {
+    val freshA = "brand new canticle of disjoint words pylon quasar " +
+      "bramble sextant oboe zephyr cairn fjord plinth vellum"
+    val incoming = Seq(
+      200L -> (freshA + " variant one tail"),
+      201L -> (freshA + " variant one tail extended"),
+      202L -> (freshA + " variant one tail extended further"),
+      203L -> "two tokens") // 2 tokens < shingleWidth 3: no signature
+    val got = admit(Seq(10L -> baseText), incoming)
+    assert(got(200L) == ("admitted", 200L), s"got $got")
+    assert(got(201L) == ("dup_batch", 200L), s"got $got")
+    assert(got(202L) == ("dup_batch", 200L), s"got $got")
+    assert(got(203L) == ("admitted", 203L), s"got $got")
+  }
+
+  test("every incoming doc gets exactly one decision row; statuses partition the batch") {
+    val incoming = (0 until 30).map { i =>
+      (300L + i) -> (if (i % 3 == 0) baseText + s" tail"
+                     else s"unique doc $i about topic ${i * 7} with words " + ("w" + i) * 3)
+    }
+    val ex = Seq(10L -> baseText).toDF("doc_id", "text")
+    val inc = incoming.toDF("doc_id", "text")
+    val res = Dedup.admitIncremental(inc, "doc_id", "text",
+      Dedup.signatureIndex(ex, "doc_id", "text"))
+    assert(res.count() == 30)
+    assert(res.select("id").distinct().count() == 30)
+    val statuses = res.select("status").distinct().as[String].collect().toSet
+    assert(statuses.subsetOf(Set("dup_existing", "dup_batch", "admitted")))
+  }
+
+  test("streaming admission: index grows by admitted docs only; stream ≡ sequential batch replay") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_admission").toString
+    val freshB = "second wave document with its own register skylark " +
+      "bastion copse runnel gorse heather tarn scree fell beck"
+    val freshC = "third wave document in yet another register anvil " +
+      "forge bellows quench temper ingot flux crucible mandrel"
+    val batches = Seq(
+      Seq(1L -> baseText),
+      // near-dup of batch-1's doc (cross-BATCH rejection via the index)
+      // + a genuinely new doc
+      Seq(2L -> (baseText + " streamed again tail"), 3L -> freshB),
+      // near-dup of batch-2's admitted doc + twin pair within the batch
+      Seq(4L -> (freshB + " replayed"), 5L -> freshC, 6L -> freshC))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIngest
+      .admissionWriter(src.toDF.toDF("id", "text"),
+        s"$dir/corpus", s"$dir/index")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val corpus = spark.read.parquet(s"$dir/corpus")
+      val gotIds = corpus.select("id").as[Long].collect().toSet
+      assert(gotIds == Set(1L, 3L, 5L), s"corpus ids: $gotIds")
+      // index rows exactly mirror the admitted corpus
+      val idx = spark.read.parquet(s"$dir/index")
+      assert(idx.select("id").as[Long].collect().toSet == gotIds)
+      // sequential batch-mode replay lands on the identical corpus
+      val bdir = Files.createTempDirectory("graft_admission_b").toString
+      batches.foreach { b =>
+        graft.streaming.StreamingIngest.admitBatch(
+          spark, b.toDF("id", "text"), s"$bdir/corpus", s"$bdir/index")
+      }
+      val bIds = spark.read.parquet(s"$bdir/corpus")
+        .select("id").as[Long].collect().toSet
+      assert(bIds == gotIds, s"stream $gotIds vs batch $bIds")
+    } finally q.stop()
+  }
+
+  test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
+    val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
+    val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")
+    val df = Dedup.admitIncremental(inc, "doc_id", "text",
+      Dedup.signatureIndex(ex, "doc_id", "text"))
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

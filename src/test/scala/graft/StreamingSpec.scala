@@ -44,6 +44,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compacting ingest: edge store shrinks to live edges; latest-wins view identical to batch replay across the compaction boundary") {
+    import graft.operators.GraphBuild
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val (docsDir, edgesDir, ckpt) = (s"$dir/docs", s"$dir/edges", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, Long)]
+    val conf = GraftConf(dim = 8)
+    // compactEvery = 2: batches 2 and 4 trigger compaction, batch 3's
+    // deltas land ON TOP of a compacted store — the boundary case
+    val q = StreamingIngest
+      .ingestWriterCompacting(src.toDF.toDF("mtype", "data", "seq"),
+        docsDir, edgesDir, conf, compactEvery = 2)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val batches = Seq(
+      Seq(("text", "alpha stream doc", 1L), ("text", "beta stream doc", 2L)),
+      Seq(("text", "gamma stream doc", 3L), ("image", "delta stream doc", 4L)),
+      Seq(("text", "epsilon stream doc", 5L)),
+      Seq(("image", "zeta stream doc", 6L), ("text", "eta stream doc", 7L)))
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val raw = spark.read.parquet(edgesDir)
+      // after the batch-4 compaction the store IS its latest-wins view:
+      // row count == live (src, dst) count, no superseded rows retained
+      assert(raw.count() == raw.select("src", "dst").distinct().count(),
+        "compaction left superseded delta rows in the store")
+      assert(raw.filter(col("src") >= col("dst")).count() == 0)
+      // stream ≡ batch: replaying the same trace through the batch-mode
+      // ingest loop and compacting on read yields the identical edge set
+      val bdir = Files.createTempDirectory("graft_compact_batch").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingIngest.processBatch(spark, b.toDF("mtype", "data", "seq"),
+          i.toLong, s"$bdir/docs", s"$bdir/edges", conf,
+          graft.operators.Retrieval.Brute)
+      }
+      val want = GraphBuild.latestWins(spark.read.parquet(s"$bdir/edges"))
+        .select("src", "dst", "score", "seq").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val got = GraphBuild.latestWins(raw)
+        .select("src", "dst", "score", "seq").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(got == want, s"stream/batch divergence over compacted store:\n$got\nvs\n$want")
+    } finally q.stop()
+  }
+
   test("windowed event counts: watermarked aggregation emits per-window totals") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Timestamp, String, Double)]
