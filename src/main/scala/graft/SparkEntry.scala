@@ -2016,6 +2016,125 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Admission against the STORED band-bucketed signature index (q173):
+    * q172's decision through the at-rest layout —
+    * [[Dedup.writeSignatureIndexStore]] partitions the index by
+    * [[Dedup.bandBucket]], and [[Dedup.admitIncrementalStored]] probes
+    * it under an `isin` PARTITION filter computed from the batch's own
+    * band keys, so the scan itself prunes to the matched buckets (the
+    * Ann bucketed-corpus move applied to dedup — at 100 TB the probe
+    * reads O(matched buckets), not O(index)). Pruning is
+    * decision-invariant by construction (a colliding pair shares its
+    * band key, hence its bucket), which is exactly what this oracle
+    * gates end-to-end: the DuckDB mirror states the UNPRUNED decision.
+    * The store is rebuilt into a fixed tmp dir per run (overwrite) —
+    * deterministic content, and the write cost honestly lands in the
+    * query's bench time like every other materializing operator. */
+  private def admitStoredQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // store build + both incoming families
+    val reingest = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" pruned admission tail")).as("text"))
+    val twins = docs.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id"),
+        concat(translate(col("text"), "aeiou", "iouae"),
+          lit(" pruned twin beta")).as("text"))
+    val incoming = reingest
+      .unionByName(twins.select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      .unionByName(twins.select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+    val storeDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q173_index").getAbsolutePath
+    Dedup.writeSignatureIndexStore(docs, "doc_id", "text", storeDir)
+    Dedup.admitIncrementalStored(incoming, "doc_id", "text", s, storeDir)
+      .orderBy("id")
+  }
+
+  /** DuckDB mirror of the q172/q173 admission decision, parameterized by
+    * the incoming-batch fixture (re-ingest modulus/offset/tail, twin
+    * modulus/offsets/vowel-rotation/tail). Chain: corpus + incoming
+    * signature CTEs (shingles → minhash bases → 12-component sigs → 4
+    * band keys), band-colliding candidates, ≥9/12 signature-agreement
+    * dup_existing with min existing id, then the q23 exact-Jaccard pair
+    * stage + q48 converged components over the survivors. Engine-side
+    * partition pruning (q173) is decision-invariant, so both queries
+    * share this unpruned statement. */
+  private def admissionOracleSql(
+      reMod: Int, reOff: Long, reTail: String,
+      twinMod: Int, twinOff1: Long, twinOff2: Long,
+      twinRot: String, twinTail: String): String =
+    s"""WITH RECURSIVE inc AS MATERIALIZED (
+       |  SELECT doc_id + $reOff AS id,
+       |    concat(text, '$reTail') AS text
+       |  FROM documents WHERE doc_id % $reMod = 0
+       |  UNION ALL
+       |  SELECT doc_id + $twinOff1,
+       |    concat(translate(text, 'aeiou', '$twinRot'), '$twinTail')
+       |  FROM documents WHERE doc_id % $twinMod = 0
+       |  UNION ALL
+       |  SELECT doc_id + $twinOff2,
+       |    concat(translate(text, 'aeiou', '$twinRot'), '$twinTail')
+       |  FROM documents WHERE doc_id % $twinMod = 0),
+       |xt AS (SELECT doc_id AS xid, ${toksOf("text")} AS toks
+       |  FROM documents),
+       |xsh AS (SELECT xid, ${wordShingles("toks", 3)} AS sh FROM xt),
+       |xhb AS (SELECT xid, ${minhashBases("sh")} AS hb
+       |  FROM xsh WHERE len(sh) > 0),
+       |xsig AS MATERIALIZED (
+       |  SELECT xid, ${minhashSigFromBases("hb", 12)} AS sig FROM xhb),
+       |xband AS (SELECT xid, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+       |  FROM xsig),
+       |it AS (SELECT id, ${toksOf("text")} AS toks FROM inc),
+       |ish AS MATERIALIZED (
+       |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM it),
+       |ihb AS (SELECT id, sh, ${minhashBases("sh")} AS hb
+       |  FROM ish WHERE len(sh) > 0),
+       |isig AS MATERIALIZED (
+       |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM ihb),
+       |iband AS (SELECT id, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+       |  FROM isig),
+       |xcand AS (
+       |  SELECT DISTINCT i.id, x.xid
+       |  FROM iband i JOIN xband x ON i.bkey = x.bkey),
+       |dupex AS MATERIALIZED (
+       |  SELECT c.id, min(c.xid) AS dup_of_existing
+       |  FROM xcand c
+       |  JOIN isig i ON i.id = c.id
+       |  JOIN xsig x ON x.xid = c.xid
+       |  WHERE len(list_filter(range(1, 13), k -> i.sig[k] = x.sig[k])) >= 9
+       |  GROUP BY c.id),
+       |ssh AS MATERIALIZED (
+       |  SELECT s.id, s.sh, s.sig FROM isig s
+       |  WHERE s.id NOT IN (SELECT id FROM dupex)),
+       |sband AS MATERIALIZED (
+       |  SELECT id, sh, unnest(${bandKeys("sig", 4, 3)}) AS bkey FROM ssh),
+       |scand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM sband a JOIN sband b ON a.bkey = b.bkey AND a.id < b.id),
+       |fpairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM scand c
+       |  JOIN ssh sa ON sa.id = c.id_a
+       |  JOIN ssh sb ON sb.id = c.id_b
+       |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.5),
+       |csym AS (
+       |  SELECT id_a AS u, id_b AS v FROM fpairs
+       |  UNION ALL SELECT id_b, id_a FROM fpairs),
+       |${ccConverged("c")}
+       |SELECT i.id,
+       |  CASE WHEN d.dup_of_existing IS NOT NULL THEN 'dup_existing'
+       |       WHEN ccc.id IS NOT NULL AND ccc.id <> ccc.component
+       |         THEN 'dup_batch'
+       |       ELSE 'admitted' END AS status,
+       |  coalesce(d.dup_of_existing,
+       |    CASE WHEN ccc.id IS NOT NULL AND ccc.id <> ccc.component
+       |      THEN ccc.component END,
+       |    i.id) AS dup_of
+       |FROM inc i
+       |LEFT JOIN dupex d ON d.id = i.id
+       |LEFT JOIN ccc ON ccc.id = i.id
+       |ORDER BY i.id""".stripMargin
+
   /** Chunk-pooled document embeddings (q165): the long-document
     * embedding path — embed at the chunk grain (q158's 32/24 windows),
     * mean-pool per document, re-normalize. This is how a production
@@ -2883,6 +3002,7 @@ object SparkEntry {
     "q168_source_datasheet" -> ((s, d) => sourceDatasheetQ(s, d)),
     "q169_chunk_neardup" -> ((s, d) => chunkNearDupQ(s, d)),
     "q172_incremental_admission" -> ((s, d) => admitIncrementalQ(s, d)),
+    "q173_admission_pruned" -> ((s, d) => admitStoredQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -6937,77 +7057,15 @@ object SparkEntry {
       // pairs with >= 9 of 12 signature components agreeing; survivors
       // run the q23 exact-Jaccard pair stage + the q48 converged
       // components; statuses with dup_existing > dup_batch precedence.
-      s"""WITH RECURSIVE inc AS MATERIALIZED (
-         |  SELECT doc_id + 1000000 AS id,
-         |    concat(text, ' incremental admission tail') AS text
-         |  FROM documents WHERE doc_id % 7 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000,
-         |    concat(translate(text, 'aeiou', 'eioua'), ' batch twin alpha')
-         |  FROM documents WHERE doc_id % 13 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 3000000,
-         |    concat(translate(text, 'aeiou', 'eioua'), ' batch twin alpha')
-         |  FROM documents WHERE doc_id % 13 = 0),
-         |xt AS (SELECT doc_id AS xid, ${toksOf("text")} AS toks
-         |  FROM documents),
-         |xsh AS (SELECT xid, ${wordShingles("toks", 3)} AS sh FROM xt),
-         |xhb AS (SELECT xid, ${minhashBases("sh")} AS hb
-         |  FROM xsh WHERE len(sh) > 0),
-         |xsig AS MATERIALIZED (
-         |  SELECT xid, ${minhashSigFromBases("hb", 12)} AS sig FROM xhb),
-         |xband AS (SELECT xid, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
-         |  FROM xsig),
-         |it AS (SELECT id, ${toksOf("text")} AS toks FROM inc),
-         |ish AS MATERIALIZED (
-         |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM it),
-         |ihb AS (SELECT id, sh, ${minhashBases("sh")} AS hb
-         |  FROM ish WHERE len(sh) > 0),
-         |isig AS MATERIALIZED (
-         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM ihb),
-         |iband AS (SELECT id, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
-         |  FROM isig),
-         |xcand AS (
-         |  SELECT DISTINCT i.id, x.xid
-         |  FROM iband i JOIN xband x ON i.bkey = x.bkey),
-         |dupex AS MATERIALIZED (
-         |  SELECT c.id, min(c.xid) AS dup_of_existing
-         |  FROM xcand c
-         |  JOIN isig i ON i.id = c.id
-         |  JOIN xsig x ON x.xid = c.xid
-         |  WHERE len(list_filter(range(1, 13), k -> i.sig[k] = x.sig[k])) >= 9
-         |  GROUP BY c.id),
-         |ssh AS MATERIALIZED (
-         |  SELECT s.id, s.sh, s.sig FROM isig s
-         |  WHERE s.id NOT IN (SELECT id FROM dupex)),
-         |sband AS MATERIALIZED (
-         |  SELECT id, sh, unnest(${bandKeys("sig", 4, 3)}) AS bkey FROM ssh),
-         |scand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM sband a JOIN sband b ON a.bkey = b.bkey AND a.id < b.id),
-         |fpairs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM scand c
-         |  JOIN ssh sa ON sa.id = c.id_a
-         |  JOIN ssh sb ON sb.id = c.id_b
-         |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.5),
-         |csym AS (
-         |  SELECT id_a AS u, id_b AS v FROM fpairs
-         |  UNION ALL SELECT id_b, id_a FROM fpairs),
-         |${ccConverged("c")}
-         |SELECT i.id,
-         |  CASE WHEN d.dup_of_existing IS NOT NULL THEN 'dup_existing'
-         |       WHEN ccc.id IS NOT NULL AND ccc.id <> ccc.component
-         |         THEN 'dup_batch'
-         |       ELSE 'admitted' END AS status,
-         |  coalesce(d.dup_of_existing,
-         |    CASE WHEN ccc.id IS NOT NULL AND ccc.id <> ccc.component
-         |      THEN ccc.component END,
-         |    i.id) AS dup_of
-         |FROM inc i
-         |LEFT JOIN dupex d ON d.id = i.id
-         |LEFT JOIN ccc ON ccc.id = i.id
-         |ORDER BY i.id""".stripMargin,
+      admissionOracleSql(7, 1000000L, " incremental admission tail",
+        13, 2000000L, 3000000L, "eioua", " batch twin alpha"),
+    "q173_admission_pruned" ->
+      // Mirror of admitStoredQ: the same decision chain — band-bucket
+      // PARTITION pruning on the engine side is decision-invariant (a
+      // colliding pair shares its band key, hence its bucket), so the
+      // oracle states the unpruned decision over the q173 fixture.
+      admissionOracleSql(11, 4000000L, " pruned admission tail",
+        19, 5000000L, 6000000L, "iouae", " pruned twin beta"),
     "q158_chunk_retrieval" ->
       // Mirror of chunkRetrievalQ: chunk (32/48-stride-24) -> embedCte
       // (bit-exact hash embeddings) -> the q10 dot device + (sim desc,

@@ -959,9 +959,23 @@ object Dedup {
       .transform(graft.CacheScope.pin) // read by: sigs, batch stage, final statuses
     val inSig = signatureIndex(inc, "id", "text", shingleWidth, numHashes)
       .transform(graft.CacheScope.pin) // banded probe + agreement count
-    val inBand = inSig.select(col("id"), col("sig"),
-      explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
     val idxBand = index.select(col("id").as("xid"), col("sig").as("xsig"),
+      explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+    decideAdmission(inc, inSig, idxBand,
+      shingleWidth, numHashes, bands, minAgree, threshold)
+  }
+
+  /** Shared decision core of [[admitIncremental]] /
+    * [[admitIncrementalStored]]: `idxBand` is the (xid, xsig, bkey)
+    * view of the existing corpus's signatures, however it was obtained
+    * (in-memory explode, or a partition-pruned read of the stored
+    * layout). */
+  private def decideAdmission(
+      inc: DataFrame, inSig: DataFrame, idxBand: DataFrame,
+      shingleWidth: Int, numHashes: Int, bands: Int,
+      minAgree: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val inBand = inSig.select(col("id"), col("sig"),
       explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
     // agreement over the full signatures of band-key-colliding pairs;
     // dedup (id, xid) BEFORE counting so a pair sharing several bands
@@ -990,5 +1004,65 @@ object Dedup {
         coalesce(col("dup_of_existing"),
           when(col("is_keeper") === false, col("keeper")),
           col("id")).as("dup_of"))
+  }
+
+  /** Stable partition id of a band key in the stored index layout:
+    * hash60 is non-negative (60-bit), so plain `%` is already a
+    * positive bucket. Deterministic and engine-portable (md5-based),
+    * so the oracle can state the identical pruning. */
+  def bandBucket(bkey: Column, nBuckets: Int): Column =
+    hash60(bkey) % nBuckets
+
+  /** Write the signature index PARTITIONED BY BAND-BUCKET — the at-rest
+    * layout that makes admission probes SCAN-PRUNED (the Ann
+    * `writeBucketedCorpus` move applied to dedup): one row per
+    * (id, sig, bkey) with partition column `bucket` =
+    * [[bandBucket]](bkey). An incoming batch touches at most
+    * |batch|·bands distinct band keys, so its bucket set is a small
+    * literal list and the probe never opens the other directories —
+    * at 100 TB the admission join reads O(matched buckets), not
+    * O(index). PlanAuditSpec asserts PartitionFilters is non-empty for
+    * the stored probe and that pruning is decision-invariant. */
+  def writeSignatureIndexStore(
+      docs: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      nBuckets: Int = 64): Unit = {
+    val rowsPerBand = numHashes / bands
+    graft.sources.Sinks.writePartitioned(
+      signatureIndex(docs, idCol, textCol, shingleWidth, numHashes)
+        .select(col("id"), col("sig"),
+          explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+        .withColumn("bucket", bandBucket(col("bkey"), nBuckets)),
+      dir, "bucket")
+  }
+
+  /** [[admitIncremental]] against a [[writeSignatureIndexStore]] layout:
+    * the incoming batch's band keys are computed first, their distinct
+    * [[bandBucket]] ids collected driver-side (≤ |batch|·bands values —
+    * the batch is the SMALL side by the admission contract), and the
+    * index read under an `isin` partition filter, so the scan itself
+    * prunes to the matched buckets. Decision-identical to the in-memory
+    * form by construction: a colliding (incoming, existing) pair shares
+    * its band key, hence its bucket, hence survives the pruning. */
+  def admitIncrementalStored(
+      incoming: DataFrame, idCol: String, textCol: String,
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      minAgree: Int = 9, threshold: Double = 0.5,
+      nBuckets: Int = 64): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val inc = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
+      .transform(graft.CacheScope.pin)
+    val inSig = signatureIndex(inc, "id", "text", shingleWidth, numHashes)
+      .transform(graft.CacheScope.pin)
+    val buckets = inSig
+      .select(explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+      .select(bandBucket(col("bkey"), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val idxBand = spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .select(col("id").as("xid"), col("sig").as("xsig"), col("bkey"))
+    decideAdmission(inc, inSig, idxBand,
+      shingleWidth, numHashes, bands, minAgree, threshold)
   }
 }

@@ -126,6 +126,29 @@ object ScaleProbe {
             minOverlap = 40, idCol = "doc_id", textCol = "text")
         ) { df => df.write.format("noop").mode("overwrite").save() }
       })
+      // incremental admission at FIXED batch size vs growing corpus:
+      // the per-batch cost claim (SCALE.md) is O(batch + matched bucket
+      // contents) — the index build is the amortized standing artifact
+      // (built once per corpus, excluded via localCheckpoint), the
+      // timed probe is what every arriving batch pays. Collisions grow
+      // with corpus density, so sub-linear-not-flat is the honest
+      // expectation; what must NOT appear is the O(corpus²) shape a
+      // naive re-dedup would give.
+      locally {
+        val index = graft.operators.Dedup
+          .signatureIndex(docs, "doc_id", "text").localCheckpoint()
+        val batch = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" probe admission tail")).as("text"))
+          .localCheckpoint()
+        rec("admission_fixed_batch", m, time {
+          graft.CacheScope.materializeAndRelease(
+            graft.operators.Dedup.admitIncremental(
+              batch, "doc_id", "text", index)
+          ) { df => df.write.format("noop").mode("overwrite").save() }
+        })
+      }
       // drop this arm's checkpoints before the next inflation
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -124,6 +124,46 @@ class IncrementalAdmissionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stored index: probe prunes the SCAN (PartitionFilters non-empty) and pruning is decision-invariant") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_sigstore").toString + "/index"
+    // per-doc word suffix → zero shared shingles BETWEEN existing docs
+    // (so the re-ingest matches exactly one of them, not the min id of
+    // a 200-doc near-dup family)
+    def docText(i: Int): String =
+      baseText.split(" ").map(w => w + i).mkString(" ")
+    val ex = (0 until 200).map(i => i.toLong -> docText(i))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      1000L -> (docText(42) + " resubmitted"),
+      1001L -> ("wholly new submission pergola sundial gnomon " +
+        "astrolabe sextant theodolite barometer hygrometer anemometer"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", dir)
+    // physical layout really is one directory per band bucket
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .map(_.getName).count(_.startsWith("bucket="))
+    assert(bucketDirs > 1, s"expected multiple bucket dirs, got $bucketDirs")
+    val stored = Dedup.admitIncrementalStored(
+      incoming, "doc_id", "text", spark, dir)
+    val rows = stored.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(1000L) == ("dup_existing", 42L), s"got $rows")
+    assert(rows(1001L) == ("admitted", 1001L), s"got $rows")
+    // the scan is pruned by partition filters, not row-filtered post-read
+    val p = stored.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"no bucket partition filter in scan:\n$p")
+    assert(!pf.matches(".*PartitionFilters: \\[\\].*"),
+      s"PartitionFilters is empty:\n$pf")
+    // pruning is decision-invariant: identical statuses from the
+    // in-memory (unpruned) form over the same corpus
+    val mem = Dedup.admitIncremental(incoming, "doc_id", "text",
+      Dedup.signatureIndex(ex, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(mem == rows, s"pruned $rows vs unpruned $mem")
+  }
+
   test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
     val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
     val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")
