@@ -164,6 +164,34 @@ class IncrementalAdmissionSpec extends SparkSpec {
     assert(mem == rows, s"pruned $rows vs unpruned $mem")
   }
 
+  test("idempotence: re-admitting a batch after its keepers joined the index folds EVERY doc onto a prior admission") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_admission_idem").toString
+    val freshA = "charter document alpha with disjoint words quill " +
+      "inkwell parchment sealing wax ribbon folio quire vellum codex"
+    val freshB = "charter document beta entirely different register " +
+      "sprocket flywheel camshaft piston gasket manifold throttle"
+    val batch = Seq(
+      500L -> freshA, 501L -> (freshA + " appended"), 502L -> freshB)
+    // round 1: empty index — 500 keeps (501 folds into it), 502 keeps
+    graft.streaming.StreamingIngest.admitBatch(
+      spark, batch.toDF("doc_id", "text").withColumnRenamed("doc_id", "id"),
+      s"$dir/corpus", s"$dir/index")
+    // round 2: the SAME content re-arrives under new ids — everything
+    // must now be dup_existing against the round-1 keepers; nothing is
+    // admitted twice (the exactly-once property of the control loop
+    // under at-least-once upstream delivery)
+    val replay = Seq(
+      600L -> freshA, 601L -> (freshA + " appended"), 602L -> freshB)
+    val decisions = graft.operators.Dedup.admitIncremental(
+      replay.toDF("id", "text"), "id", "text",
+      spark.read.parquet(s"$dir/index"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(decisions(600L) == ("dup_existing", 500L), s"got $decisions")
+    assert(decisions(601L) == ("dup_existing", 500L), s"got $decisions")
+    assert(decisions(602L) == ("dup_existing", 502L), s"got $decisions")
+  }
+
   test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
     val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
     val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")
