@@ -388,6 +388,99 @@ object StreamingIngest {
       .writeStream.outputMode(OutputMode.Append)
       .partitionBy("bucket")
 
+  /** Streaming RAG-index hygiene — the q169 × q172 composition as the
+    * ingest loop a production RAG index actually runs: each arriving
+    * micro-batch of documents is CHUNKED, each chunk is ADMITTED
+    * against the standing chunk-grain signature index (near-dups of
+    * already-indexed chunks — boilerplate, re-crawls, templates — are
+    * dropped BEFORE the embed stage, where they would otherwise burn
+    * encoder cost and pollute top-k with copies), and only admitted
+    * chunks are embedded and appended to the index. The signature
+    * store grows by admitted chunks, so batch N+1 dedups against
+    * everything indexed through batch N.
+    *
+    * Chunk ids are `doc_id:chunk_idx` ([[chunkEmbed]]'s scheme), so
+    * re-ingesting a doc under a NEW doc_id still folds its chunks onto
+    * the first ingest's (content-based admission, not id-based).
+    * Scale shape per batch: zero-shuffle chunking, the admission
+    * equi-joins (batch side broadcast), embed on the admitted slice
+    * only. Stream ≡ sequential-batch replay and the
+    * no-duplicate-growth property are pinned in
+    * IncrementalAdmissionSpec.
+    *
+    * @param docs streaming (doc_id BIGINT, text STRING)
+    * @param indexDir parquet dir of the served chunk index
+    *                 (chunk_id, doc_id, chunk_idx, n_tokens, embedding)
+    * @param sigDir parquet dir of the chunk signature index */
+  def dedupedChunkIndexWriter(
+      docs: DataFrame, indexDir: String, sigDir: String,
+      window: Int = 32, stride: Int = 24, dim: Int = 16,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      minAgree: Int = 9, threshold: Double = 0.5)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        dedupedChunkIndexBatch(batch.sparkSession, batch, indexDir, sigDir,
+          window, stride, dim, shingleWidth, numHashes, bands,
+          minAgree, threshold)
+    }
+
+  /** One micro-batch of [[dedupedChunkIndexWriter]] (exposed for the
+    * stream ≡ batch spec and batch-mode backfill). */
+  private[graft] def dedupedChunkIndexBatch(
+      spark: SparkSession, batch: DataFrame,
+      indexDir: String, sigDir: String,
+      window: Int, stride: Int, dim: Int,
+      shingleWidth: Int, numHashes: Int, bands: Int,
+      minAgree: Int, threshold: Double): Unit = {
+    import graft.operators.{Chunking, Dedup}
+    val chunks = Chunking
+      .chunkWindows(batch, "doc_id", "text", window, stride)
+      .select(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_idx").cast("string")).as("id"),
+        col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_text").as("text"))
+      .persist()
+    val hasSig = {
+      val p = new org.apache.hadoop.fs.Path(sigDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val sigIndex =
+      if (hasSig) spark.read.parquet(sigDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+    // decided BEFORE the appends; lineage severed from sigDir (see
+    // admitBatch — identical discipline at chunk grain)
+    val decisions = graft.CacheScope.materializeAndRelease(
+      Dedup.admitIncremental(chunks, "id", "text", sigIndex,
+        shingleWidth, numHashes, bands, minAgree, threshold)) { dec =>
+      dec.localCheckpoint()
+    }
+    val admitted = chunks
+      .join(decisions.filter(col("status") === "admitted").select("id"),
+        Seq("id"), "left_semi")
+      .persist()
+    admitted
+      .select(col("id").as("chunk_id"), col("doc_id"), col("chunk_idx"),
+        col("n_tokens"),
+        graft.operators.Embed.embedText(col("text"), dim).as("embedding"))
+      .write.mode("append").parquet(indexDir)
+    Dedup.signatureIndex(admitted, "id", "text", shingleWidth, numHashes)
+      .write.mode("append").parquet(sigDir)
+    admitted.unpersist()
+    chunks.unpersist()
+    decisions.unpersist()
+    spark.catalog.refreshByPath(indexDir)
+    spark.catalog.refreshByPath(sigDir)
+  }
+
   /** Streaming half of the q129 spike monitor: watermarked 1-hour
     * tumbling counts per event type, appended (finalized windows only,
     * exactly once via the parquet streaming sink the caller attaches)

@@ -164,6 +164,57 @@ class IncrementalAdmissionSpec extends SparkSpec {
     assert(mem == rows, s"pruned $rows vs unpruned $mem")
   }
 
+  test("deduped chunk index stream: re-ingested content adds ZERO index rows; stream ≡ sequential batch replay") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_chunkidx").toString
+    // ~60 tokens → 3 chunks at window=32/stride=24; words indexed so
+    // chunk shingle sets are distinct ACROSS texts
+    def longText(tag: String): String =
+      (1 to 60).map(i => s"$tag$i").mkString(" ")
+    val textA = longText("alpha")
+    val textB = longText("beta")
+    val batches = Seq(
+      Seq(1L -> textA),
+      // doc 2 = textA VERBATIM under a new doc_id (a re-crawl): every
+      // chunk is an exact dup of doc 1's — zero index growth. doc 3 is
+      // fresh.
+      Seq(2L -> textA, 3L -> textB),
+      // doc 4 re-ingests textB — again zero growth
+      Seq(4L -> textB))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIngest
+      .dedupedChunkIndexWriter(src.toDF.toDF("doc_id", "text"),
+        s"$dir/index", s"$dir/sig")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      val counts = batches.map { b =>
+        src.addData(b: _*); q.processAllAvailable()
+        spark.read.parquet(s"$dir/index").count()
+      }
+      assert(counts(0) == 3, s"doc 1 should index 3 chunks: $counts")
+      assert(counts(1) == 6, s"doc 2 must add ZERO (dup), doc 3 adds 3: $counts")
+      assert(counts(2) == 6, s"doc 4 must add ZERO (dup of doc 3): $counts")
+      val gotDocs = spark.read.parquet(s"$dir/index")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(gotDocs == Set(1L, 3L), s"indexed docs: $gotDocs")
+      // sequential batch-mode replay lands on the identical chunk set
+      val bdir = Files.createTempDirectory("graft_chunkidx_b").toString
+      batches.foreach { b =>
+        graft.streaming.StreamingIngest.dedupedChunkIndexBatch(
+          spark, b.toDF("doc_id", "text"), s"$bdir/index", s"$bdir/sig",
+          32, 24, 16, 3, 12, 4, 9, 0.5)
+      }
+      val sIds = spark.read.parquet(s"$dir/index")
+        .select("chunk_id").as[String].collect().toSet
+      val bIds = spark.read.parquet(s"$bdir/index")
+        .select("chunk_id").as[String].collect().toSet
+      assert(sIds == bIds, s"stream $sIds vs batch $bIds")
+    } finally q.stop()
+  }
+
   test("idempotence: re-admitting a batch after its keepers joined the index folds EVERY doc onto a prior admission") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_admission_idem").toString
