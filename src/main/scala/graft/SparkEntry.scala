@@ -2074,6 +2074,51 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Two-ROUND admission (q174): the sequential index-growth semantics
+    * the streaming [[graft.streaming.StreamingIngest.admissionWriter]]
+    * runs, oracle-gated end-to-end. Round 1 admits wave one against the
+    * corpus index; round 2's index is the corpus PLUS round 1's
+    * admitted docs, so wave two's "echo" family (near-dups of content
+    * that entered the corpus only one round ago) must fold onto the
+    * round-1 admissions — exactly the cross-batch rejection the
+    * streaming spec pins, here stated in SQL (the decision chain
+    * instantiated twice, round 2 over the extended signature union).
+    * Scale shape: round boundaries are index appends, never corpus
+    * re-reads; each round is the q172 plan. */
+  private def admitTwoRoundQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // index + all four incoming families
+    def rot(c: Column, to: String) = translate(c, "aeiou", to)
+    val i1 = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        concat(col("text"), lit(" wave one tail")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 7500000L).as("doc_id"),
+          concat(rot(col("text"), "ouaei"), lit(" wave one fresh")).as("text")))
+      .transform(graft.CacheScope.pin) // admission + admitted-slice join
+    val idx1 = Dedup.signatureIndex(docs, "doc_id", "text",
+      shingleWidth = 3, numHashes = 12)
+    val dec1 = Dedup.admitIncremental(i1, "doc_id", "text", idx1)
+      .transform(graft.CacheScope.pin) // output + admitted-slice filter
+    val adm1 = i1.join(
+      dec1.filter(col("status") === "admitted").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val idx2 = idx1.unionByName(
+      Dedup.signatureIndex(adm1, "doc_id", "text",
+        shingleWidth = 3, numHashes = 12))
+    val i2 = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat(rot(col("text"), "ouaei"), lit(" wave one fresh echo")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 9500000L).as("doc_id"),
+          concat(rot(col("text"), "uaeio"), lit(" wave two fresh")).as("text")))
+    val dec2 = Dedup.admitIncremental(i2, "doc_id", "text", idx2)
+    dec1.withColumn("round", lit(1L))
+      .unionByName(dec2.withColumn("round", lit(2L)))
+      .select("round", "id", "status", "dup_of")
+      .orderBy("round", "id")
+  }
+
   /** DuckDB mirror of the q172/q173 admission decision, parameterized by
     * the incoming-batch fixture (re-ingest modulus/offset/tail, twin
     * modulus/offsets/vowel-rotation/tail). Chain: corpus + incoming
@@ -2083,6 +2128,76 @@ object SparkEntry {
     * stage + q48 converged components over the survivors. Engine-side
     * partition pruning (q173) is decision-invariant, so both queries
     * share this unpruned statement. */
+  /** The admission DECISION chain as prefixed CTEs: from `<p>inc`
+    * (id, text — defined by the caller) and `idxSigRel` (xid, sig — the
+    * standing index's signatures, however composed) to `<p>dec`
+    * (id, status, dup_of). Prefixing lets q174 instantiate the chain
+    * twice with round 2's index extended by round 1's admissions. */
+  private def admissionDecisionCtes(p: String, idxSigRel: String): String =
+    s"""${p}xband AS (SELECT xid, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+       |  FROM $idxSigRel),
+       |${p}it AS (SELECT id, ${toksOf("text")} AS toks FROM ${p}inc),
+       |${p}ish AS MATERIALIZED (
+       |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM ${p}it),
+       |${p}ihb AS (SELECT id, sh, ${minhashBases("sh")} AS hb
+       |  FROM ${p}ish WHERE len(sh) > 0),
+       |${p}isig AS MATERIALIZED (
+       |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM ${p}ihb),
+       |${p}iband AS (SELECT id, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+       |  FROM ${p}isig),
+       |${p}xcand AS (
+       |  SELECT DISTINCT i.id, x.xid
+       |  FROM ${p}iband i JOIN ${p}xband x ON i.bkey = x.bkey),
+       |${p}dupex AS MATERIALIZED (
+       |  SELECT c.id, min(c.xid) AS dup_of_existing
+       |  FROM ${p}xcand c
+       |  JOIN ${p}isig i ON i.id = c.id
+       |  JOIN $idxSigRel x ON x.xid = c.xid
+       |  WHERE len(list_filter(range(1, 13), k -> i.sig[k] = x.sig[k])) >= 9
+       |  GROUP BY c.id),
+       |${p}ssh AS MATERIALIZED (
+       |  SELECT s.id, s.sh, s.sig FROM ${p}isig s
+       |  WHERE s.id NOT IN (SELECT id FROM ${p}dupex)),
+       |${p}sband AS MATERIALIZED (
+       |  SELECT id, sh, unnest(${bandKeys("sig", 4, 3)}) AS bkey FROM ${p}ssh),
+       |${p}scand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM ${p}sband a JOIN ${p}sband b ON a.bkey = b.bkey AND a.id < b.id),
+       |${p}fpairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM ${p}scand c
+       |  JOIN ${p}ssh sa ON sa.id = c.id_a
+       |  JOIN ${p}ssh sb ON sb.id = c.id_b
+       |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.5),
+       |${p}csym AS (
+       |  SELECT id_a AS u, id_b AS v FROM ${p}fpairs
+       |  UNION ALL SELECT id_b, id_a FROM ${p}fpairs),
+       |${ccConverged(p + "c")},
+       |${p}dec AS (
+       |  SELECT i.id,
+       |    CASE WHEN d.dup_of_existing IS NOT NULL THEN 'dup_existing'
+       |         WHEN cc.id IS NOT NULL AND cc.id <> cc.component
+       |           THEN 'dup_batch'
+       |         ELSE 'admitted' END AS status,
+       |    coalesce(d.dup_of_existing,
+       |      CASE WHEN cc.id IS NOT NULL AND cc.id <> cc.component
+       |        THEN cc.component END,
+       |      i.id) AS dup_of
+       |  FROM ${p}inc i
+       |  LEFT JOIN ${p}dupex d ON d.id = i.id
+       |  LEFT JOIN ${p}ccc cc ON cc.id = i.id)""".stripMargin
+
+  /** Corpus-signature CTEs shared by the admission oracles: documents →
+    * `xsig` (xid, sig). */
+  private def corpusSigCtes: String =
+    s"""xt AS (SELECT doc_id AS xid, ${toksOf("text")} AS toks
+       |  FROM documents),
+       |xsh AS (SELECT xid, ${wordShingles("toks", 3)} AS sh FROM xt),
+       |xhb AS (SELECT xid, ${minhashBases("sh")} AS hb
+       |  FROM xsh WHERE len(sh) > 0),
+       |xsig AS MATERIALIZED (
+       |  SELECT xid, ${minhashSigFromBases("hb", 12)} AS sig FROM xhb)""".stripMargin
+
   private def admissionOracleSql(
       reMod: Int, reOff: Long, reTail: String,
       twinMod: Int, twinOff1: Long, twinOff2: Long,
@@ -2099,65 +2214,10 @@ object SparkEntry {
        |  SELECT doc_id + $twinOff2,
        |    concat(translate(text, 'aeiou', '$twinRot'), '$twinTail')
        |  FROM documents WHERE doc_id % $twinMod = 0),
-       |xt AS (SELECT doc_id AS xid, ${toksOf("text")} AS toks
-       |  FROM documents),
-       |xsh AS (SELECT xid, ${wordShingles("toks", 3)} AS sh FROM xt),
-       |xhb AS (SELECT xid, ${minhashBases("sh")} AS hb
-       |  FROM xsh WHERE len(sh) > 0),
-       |xsig AS MATERIALIZED (
-       |  SELECT xid, ${minhashSigFromBases("hb", 12)} AS sig FROM xhb),
-       |xband AS (SELECT xid, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
-       |  FROM xsig),
-       |it AS (SELECT id, ${toksOf("text")} AS toks FROM inc),
-       |ish AS MATERIALIZED (
-       |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM it),
-       |ihb AS (SELECT id, sh, ${minhashBases("sh")} AS hb
-       |  FROM ish WHERE len(sh) > 0),
-       |isig AS MATERIALIZED (
-       |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM ihb),
-       |iband AS (SELECT id, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
-       |  FROM isig),
-       |xcand AS (
-       |  SELECT DISTINCT i.id, x.xid
-       |  FROM iband i JOIN xband x ON i.bkey = x.bkey),
-       |dupex AS MATERIALIZED (
-       |  SELECT c.id, min(c.xid) AS dup_of_existing
-       |  FROM xcand c
-       |  JOIN isig i ON i.id = c.id
-       |  JOIN xsig x ON x.xid = c.xid
-       |  WHERE len(list_filter(range(1, 13), k -> i.sig[k] = x.sig[k])) >= 9
-       |  GROUP BY c.id),
-       |ssh AS MATERIALIZED (
-       |  SELECT s.id, s.sh, s.sig FROM isig s
-       |  WHERE s.id NOT IN (SELECT id FROM dupex)),
-       |sband AS MATERIALIZED (
-       |  SELECT id, sh, unnest(${bandKeys("sig", 4, 3)}) AS bkey FROM ssh),
-       |scand AS (
-       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM sband a JOIN sband b ON a.bkey = b.bkey AND a.id < b.id),
-       |fpairs AS (
-       |  SELECT c.id_a, c.id_b
-       |  FROM scand c
-       |  JOIN ssh sa ON sa.id = c.id_a
-       |  JOIN ssh sb ON sb.id = c.id_b
-       |  WHERE ${rnd6(jaccard("sa.sh", "sb.sh"))} >= 0.5),
-       |csym AS (
-       |  SELECT id_a AS u, id_b AS v FROM fpairs
-       |  UNION ALL SELECT id_b, id_a FROM fpairs),
-       |${ccConverged("c")}
-       |SELECT i.id,
-       |  CASE WHEN d.dup_of_existing IS NOT NULL THEN 'dup_existing'
-       |       WHEN ccc.id IS NOT NULL AND ccc.id <> ccc.component
-       |         THEN 'dup_batch'
-       |       ELSE 'admitted' END AS status,
-       |  coalesce(d.dup_of_existing,
-       |    CASE WHEN ccc.id IS NOT NULL AND ccc.id <> ccc.component
-       |      THEN ccc.component END,
-       |    i.id) AS dup_of
-       |FROM inc i
-       |LEFT JOIN dupex d ON d.id = i.id
-       |LEFT JOIN ccc ON ccc.id = i.id
-       |ORDER BY i.id""".stripMargin
+       |$corpusSigCtes,
+       |${admissionDecisionCtes("", "xsig")}
+       |SELECT id, status, dup_of FROM dec
+       |ORDER BY id""".stripMargin
 
   /** Chunk-pooled document embeddings (q165): the long-document
     * embedding path — embed at the chunk grain (q158's 32/24 windows),
@@ -3027,6 +3087,7 @@ object SparkEntry {
     "q169_chunk_neardup" -> ((s, d) => chunkNearDupQ(s, d)),
     "q172_incremental_admission" -> ((s, d) => admitIncrementalQ(s, d)),
     "q173_admission_pruned" -> ((s, d) => admitStoredQ(s, d)),
+    "q174_admission_two_round" -> ((s, d) => admitTwoRoundQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7090,6 +7151,41 @@ object SparkEntry {
       // oracle states the unpruned decision over the q173 fixture.
       admissionOracleSql(11, 4000000L, " pruned admission tail",
         19, 5000000L, 6000000L, "iouae", " pruned twin beta"),
+    "q174_admission_two_round" ->
+      // Mirror of admitTwoRoundQ: the decision chain instantiated
+      // twice — round 1 (prefix a) against the corpus signatures,
+      // round 2 (prefix b) against xsig2 = corpus ∪ round-1 admitted
+      // signatures, so wave two's echo family folds onto wave one's
+      // admissions exactly as the streaming index-append does.
+      s"""WITH RECURSIVE ainc AS MATERIALIZED (
+         |  SELECT doc_id + 7000000 AS id,
+         |    concat(text, ' wave one tail') AS text
+         |  FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7500000,
+         |    concat(translate(text, 'aeiou', 'ouaei'), ' wave one fresh')
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |$corpusSigCtes,
+         |${admissionDecisionCtes("a", "xsig")},
+         |xsig2 AS MATERIALIZED (
+         |  SELECT xid, sig FROM xsig
+         |  UNION ALL
+         |  SELECT s.id AS xid, s.sig FROM aisig s
+         |  JOIN adec d ON d.id = s.id AND d.status = 'admitted'),
+         |binc AS MATERIALIZED (
+         |  SELECT doc_id + 9000000 AS id,
+         |    concat(translate(text, 'aeiou', 'ouaei'),
+         |      ' wave one fresh echo') AS text
+         |  FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 9500000,
+         |    concat(translate(text, 'aeiou', 'uaeio'), ' wave two fresh')
+         |  FROM documents WHERE doc_id % 23 = 0),
+         |${admissionDecisionCtes("b", "xsig2")}
+         |SELECT CAST(1 AS BIGINT) AS round, id, status, dup_of FROM adec
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), id, status, dup_of FROM bdec
+         |ORDER BY round, id""".stripMargin,
     "q158_chunk_retrieval" ->
       // Mirror of chunkRetrievalQ: chunk (32/48-stride-24) -> embedCte
       // (bit-exact hash embeddings) -> the q10 dot device + (sim desc,
