@@ -80,6 +80,28 @@ class KnnSpec extends SparkSpec {
     assert(!res.map(_.getAs[String]("id")).contains("c1"))
   }
 
+  test("duplicate content across modalities: (sim, id) ties rank deterministically by mtype (sf1 regression)") {
+    // The sf1 audit's find: identical text stored under two modalities
+    // shares its sha-derived id AND its similarity (one embedding per
+    // text), so (sim DESC, id) alone is not a total order and
+    // row_number diverged between engines. The fix appends mtype to
+    // every tie-break chain; this pins it: the image row of the
+    // colliding pair must always rank before the text row (mtype asc),
+    // under any input row order.
+    val collide = Seq(
+      doc("dupdoc", "image", 0.8), doc("dupdoc", "text", 0.8),
+      doc("hi", "text", 0.9), doc("lo", "image", 0.4))
+    for (perm <- Seq(collide, collide.reverse, collide.sortBy(_._2))) {
+      val res = Knn.search(docsDf(perm: _*), queryDf("q1", "text", qv), k = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[String]("mtype")))
+      val dupRanks = res.zipWithIndex.collect {
+        case ((id, mt), i) if id == "dupdoc" => (mt, i) }.toMap
+      assert(dupRanks("image") < dupRanks("text"),
+        s"mtype tie-break violated in ${res.toSeq}")
+    }
+  }
+
   test("topK: plain per-query ranking, deterministic id tie-break") {
     val docs = docsDf(doc("b", "x", 0.5), doc("a", "x", 0.5), doc("c", "x", 0.9))
     val res = Knn.topK(docs, Seq(("q", qv)).toDF("qid", "qvec"), k = 3)
