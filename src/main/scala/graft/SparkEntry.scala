@@ -1189,6 +1189,45 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Chunk-grain eval decontamination (q175): q73's leakage measurement
+    * made OPERATIONAL at the grain a pretraining/RAG pipeline actually
+    * filters — per chunk, not per document. A document carrying one
+    * leaked eval passage should lose THAT chunk, not its whole text
+    * (doc-level drops burn good data; doc-level keeps leak the eval).
+    * Composition: planted corpus (every %10==3 doc gets its +4
+    * eval-neighbor's 150-char prefix appended — deterministic leakage
+    * in the TAIL chunks only) → [[Chunking.chunkWindows]] →
+    * [[Dedup.shingleContamination]] at chunk grain vs the eval split →
+    * keep = zero 5-gram hits (the strict Lee-et-al. rule: any eval
+    * 5-gram is leakage). Scale shape: eval shingles are a distinct set
+    * (broadcastable at real eval sizes); chunking is zero-shuffle; the
+    * probe is one semi-join at shingle grain. */
+  private def chunkDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .transform(graft.CacheScope.pin) // eval + corpus + plant join
+    val eval = base.filter(col("doc_id") % 10 === 7)
+    val planted = base.filter(col("doc_id") % 10 =!= 7).as("c")
+      .join(eval.select((col("doc_id") - 4L).as("doc_id"),
+        col("text").as("etext")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("etext").isNotNull,
+          concat(col("text"), lit(" "), substring(col("etext"), 1, 150)))
+          .otherwise(col("text")).as("text"))
+    val chunks = Chunking.chunkWindows(planted, "doc_id", "text",
+        window = 32, stride = 24)
+      .select((col("doc_id") * 10000L + col("chunk_idx")).as("cid"),
+        col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .transform(graft.CacheScope.pin) // contamination probe + final join
+    val res = Dedup.shingleContamination(
+      chunks.select(col("cid"), col("chunk_text").as("text")),
+      eval, "cid", "text", w = 5)
+    chunks.select(col("cid"), col("doc_id"), col("chunk_idx"))
+      .join(res.withColumnRenamed("id", "cid"), Seq("cid"))
+      .withColumn("keep", col("n_hit") === 0L)
+      .transform(graft.CacheScope.pin)
+      .orderBy("cid")
+  }
+
   /** Vocabulary head (q74): top-20 corpus terms by total frequency with
     * df and corpus share — planned as TakeOrderedAndProject, never a
     * single-partition vocabulary window. */
@@ -3088,6 +3127,7 @@ object SparkEntry {
     "q172_incremental_admission" -> ((s, d) => admitIncrementalQ(s, d)),
     "q173_admission_pruned" -> ((s, d) => admitStoredQ(s, d)),
     "q174_admission_two_round" -> ((s, d) => admitTwoRoundQ(s, d)),
+    "q175_chunk_decontam" -> ((s, d) => chunkDecontamQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4611,6 +4651,47 @@ object SparkEntry {
          |       ELSE 0.0 END AS contamination
          |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    "q175_chunk_decontam" ->
+      // Mirror of chunkDecontamQ: planted corpus (%10==3 docs append
+      // their +4 eval-neighbor's 150-char prefix), q169's chunk CTEs,
+      // q73's shingle probe at chunk grain, strict keep = zero hits.
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+         |pl AS (
+         |  SELECT c.doc_id,
+         |    CASE WHEN e.doc_id IS NOT NULL
+         |      THEN concat(c.text, ' ', substr(e.text, 1, 150))
+         |      ELSE c.text END AS text
+         |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7) c
+         |  LEFT JOIN ev e ON e.doc_id = c.doc_id + 4),
+         |t AS (SELECT doc_id, ${toksOf("text")} AS toks FROM pl),
+         |cg AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+         |      / 24.0) AS BIGINT))) AS ci
+         |  FROM t WHERE len(toks) > 0),
+         |ch AS MATERIALIZED (
+         |  SELECT doc_id * 10000 + ci AS cid, doc_id, ci AS chunk_idx,
+         |    toks[ci * 24 + 1 : ci * 24 + 32] AS ctoks
+         |  FROM cg),
+         |evsh AS (SELECT DISTINCT unnest(${wordShingles(toksOf("text"), 5)}) AS sh
+         |  FROM ev),
+         |csh AS (SELECT cid, ${wordShingles("ctoks", 5)} AS shs FROM ch),
+         |tot AS (SELECT cid, CAST(len(shs) AS BIGINT) AS n_shingles FROM csh),
+         |hits AS (
+         |  SELECT cid, count(*) AS n_hit
+         |  FROM (SELECT cid, unnest(shs) AS sh FROM csh)
+         |  WHERE sh IN (SELECT sh FROM evsh) GROUP BY cid)
+         |SELECT ch.cid, ch.doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
+         |  t.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+         |  CASE WHEN t.n_shingles > 0
+         |       THEN ${sqlRnd("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)", 6)}
+         |       ELSE 0.0 END AS contamination,
+         |  coalesce(h.n_hit, 0) = 0 AS keep
+         |FROM ch
+         |JOIN tot t ON t.cid = ch.cid
+         |LEFT JOIN hits h ON h.cid = ch.cid
+         |ORDER BY ch.cid""".stripMargin,
     "q74_vocab_stats" ->
       // Mirror of TextAnalysis.vocabStats(k=20).
       s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),
