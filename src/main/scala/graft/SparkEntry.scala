@@ -2058,9 +2058,10 @@ object SparkEntry {
     * corpus is touched only through its signature index; index probe
     * is an equi-join on band keys (bucketable to exchange-free);
     * within-batch stage is batch-sized. */
-  private def admitIncrementalQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
-      .transform(graft.CacheScope.pin) // index build + both incoming families
+  /** The q172/q176 incoming-batch fixture over a pinned docs frame:
+    * %7 re-ingests with an appended tail ∪ two copies of %13
+    * vowel-rotated twins. */
+  private def admissionFixture(docs: DataFrame): DataFrame = {
     val reingest = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" incremental admission tail")).as("text"))
@@ -2068,15 +2069,36 @@ object SparkEntry {
       .select(col("doc_id"),
         concat(translate(col("text"), "aeiou", "eioua"),
           lit(" batch twin alpha")).as("text"))
-    val incoming = reingest
+    reingest
       .unionByName(twins.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       .unionByName(twins.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+  }
+
+  private def admitIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // index build + both incoming families
     val index = Dedup.signatureIndex(docs, "doc_id", "text",
       shingleWidth = 3, numHashes = 12)
-    Dedup.admitIncremental(incoming, "doc_id", "text", index,
+    Dedup.admitIncremental(admissionFixture(docs), "doc_id", "text", index,
         shingleWidth = 3, numHashes = 12, bands = 4,
         minAgree = 9, threshold = 0.5)
       .orderBy("id")
+  }
+
+  /** Admission-rule calibration (q176): the q172 precision trade —
+    * signature agreement instead of exact Jaccard, which is what makes
+    * the serving decision index-only — MEASURED on the q172 fixture
+    * ([[Dedup.admissionCalibration]]). One row per agreement level
+    * (0..12): candidate-pair count, true-dup count at J ≥ 0.5, and the
+    * exact-Jaccard envelope (min/max, order-free). This is the q113
+    * calibration idea applied to the admission rule: the table says
+    * exactly what moving minAgree buys and costs on this corpus. */
+  private def admissionCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // existing side + fixture families
+    Dedup.admissionCalibration(admissionFixture(docs), docs,
+      "doc_id", "text", shingleWidth = 3, numHashes = 12, bands = 4,
+      threshold = 0.5)
   }
 
   /** Admission against the STORED band-bucketed signature index (q173):
@@ -3128,6 +3150,7 @@ object SparkEntry {
     "q173_admission_pruned" -> ((s, d) => admitStoredQ(s, d)),
     "q174_admission_two_round" -> ((s, d) => admitTwoRoundQ(s, d)),
     "q175_chunk_decontam" -> ((s, d) => chunkDecontamQ(s, d)),
+    "q176_admission_calibration" -> ((s, d) => admissionCalibrationQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4692,6 +4715,59 @@ object SparkEntry {
          |JOIN tot t ON t.cid = ch.cid
          |LEFT JOIN hits h ON h.cid = ch.cid
          |ORDER BY ch.cid""".stripMargin,
+    "q176_admission_calibration" ->
+      // Mirror of Dedup.admissionCalibration over the q172 fixture:
+      // shingles + sigs both sides, band-colliding DISTINCT pairs,
+      // per-agreement-level pair counts, exact-dup counts at J >= 0.5,
+      // and the order-free exact-Jaccard min/max envelope.
+      s"""WITH inc AS MATERIALIZED (
+         |  SELECT doc_id + 1000000 AS id,
+         |    concat(text, ' incremental admission tail') AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    concat(translate(text, 'aeiou', 'eioua'), ' batch twin alpha')
+         |  FROM documents WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    concat(translate(text, 'aeiou', 'eioua'), ' batch twin alpha')
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |xt AS (SELECT doc_id AS xid, ${toksOf("text")} AS toks
+         |  FROM documents),
+         |xsh AS MATERIALIZED (
+         |  SELECT xid, ${wordShingles("toks", 3)} AS sh FROM xt),
+         |xhb AS (SELECT xid, sh, ${minhashBases("sh")} AS hb
+         |  FROM xsh WHERE len(sh) > 0),
+         |xsig AS MATERIALIZED (
+         |  SELECT xid, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM xhb),
+         |xband AS (SELECT xid, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+         |  FROM xsig),
+         |it AS (SELECT id, ${toksOf("text")} AS toks FROM inc),
+         |ish AS MATERIALIZED (
+         |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM it),
+         |ihb AS (SELECT id, sh, ${minhashBases("sh")} AS hb
+         |  FROM ish WHERE len(sh) > 0),
+         |isig AS MATERIALIZED (
+         |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM ihb),
+         |iband AS (SELECT id, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+         |  FROM isig),
+         |cand AS (
+         |  SELECT DISTINCT i.id, x.xid
+         |  FROM iband i JOIN xband x ON i.bkey = x.bkey),
+         |pairs AS (
+         |  SELECT c.id, c.xid,
+         |    CAST(len(list_filter(range(1, 13), k -> i.sig[k] = x.sig[k]))
+         |      AS BIGINT) AS agree,
+         |    ${rnd6(jaccard("i.sh", "x.sh"))} AS j
+         |  FROM cand c
+         |  JOIN isig i ON i.id = c.id
+         |  JOIN xsig x ON x.xid = c.xid)
+         |SELECT agree, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_dup,
+         |  min(j) AS jmin, max(j) AS jmax
+         |FROM pairs GROUP BY agree
+         |ORDER BY agree""".stripMargin,
     "q74_vocab_stats" ->
       // Mirror of TextAnalysis.vocabStats(k=20).
       s"""WITH tok AS (SELECT doc_id AS id, $sqlToks AS toks FROM documents),

@@ -1006,6 +1006,59 @@ object Dedup {
           col("id")).as("dup_of"))
   }
 
+  /** Calibration of the [[admitIncremental]] decision rule — the
+    * documented precision trade (signature agreement instead of exact
+    * Jaccard, which is what makes the decision index-only) MEASURED:
+    * for every band-colliding (incoming, existing) candidate pair,
+    * compare the agreement count (the serving-time decision input)
+    * with the exact shingle Jaccard (computable here because this is
+    * an offline audit with both texts in hand). One row per agreement
+    * level: how many pairs land there, how many are true dups at
+    * `threshold`, and the exact-Jaccard envelope (min/max — order-free
+    * aggregates, so the oracle hash-compares exactly; a mean would be
+    * a float sum, association-dependent). Reading the output: rows
+    * with agree ≥ minAgree and n_exact_dup < n_pairs are the false
+    * drops the trade accepts; rows below minAgree with n_exact_dup > 0
+    * are the misses — move minAgree along this table to tune. */
+  def admissionCalibration(
+      incoming: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rowsPerBand = numHashes / bands
+    val inSh = incoming
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exSh = existing
+      .select(col(idCol).as("xid"), wordShingles(col(textCol), shingleWidth).as("xsh"))
+      .filter(size(col("xsh")) > 0)
+    val inSig = signatureIndex(incoming, idCol, textCol, shingleWidth, numHashes)
+    val exSig = signatureIndex(existing, idCol, textCol, shingleWidth, numHashes)
+      .select(col("id").as("xid"), col("sig").as("xsig"))
+    val inBand = inSig.select(col("id"),
+      explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+    val exBand = exSig.select(col("xid"),
+      explode(bandKeysFromSig(col("xsig"), bands, rowsPerBand)).as("bkey"))
+    val cand = inBand.join(exBand, Seq("bkey"))
+      .select(col("id"), col("xid")).dropDuplicates("id", "xid")
+    cand
+      .join(inSig, Seq("id")).join(exSig, Seq("xid"))
+      .join(inSh, Seq("id")).join(exSh, Seq("xid"))
+      .withColumn("agree",
+        aggregate(zip_with(col("sig"), col("xsig"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("long"))
+      .withColumn("j",
+        rnd(size(array_intersect(col("sh"), col("xsh"))).cast("double") /
+          size(array_union(col("sh"), col("xsh"))).cast("double"), 6))
+      .groupBy("agree")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("j") >= threshold, 1L).otherwise(0L)).as("n_exact_dup"),
+        min(col("j")).as("jmin"), max(col("j")).as("jmax"))
+      .orderBy("agree")
+  }
+
   /** Stable partition id of a band key in the stored index layout:
     * hash60 is non-negative (60-bit), so plain `%` is already a
     * positive bucket. Deterministic and engine-portable (md5-based),
