@@ -907,13 +907,27 @@ object Dedup {
   }
 
   /** Band keys from a stored signature ARRAY column (the read-side twin
-    * of [[bandKeys]], which builds them from h0..hN agg columns). */
-  private def bandKeysFromSig(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    * of [[bandKeys]], which builds them from h0..hN agg columns).
+    * Package-private so IncrementalAdmissionSpec can plant adversarial
+    * band collisions directly at the signature level. */
+  private[graft] def bandKeysFromSig(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       concat_ws("_", lit(b.toString) +:
         (0 until rowsPerBand)
           .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*)
     }: _*)
+
+  /** Band-PAIR keys: one key per unordered pair of bands, each the two
+    * single-band keys joined — two docs share a pair key iff they agree
+    * on BOTH bands. The hot-band reroute's stricter candidate key. */
+  private def bandPairKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    def bandKey(b: Int): Column =
+      concat_ws("_", lit(b.toString) +:
+        (0 until rowsPerBand)
+          .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*)
+    array((for { i <- 0 until bands; j <- (i + 1) until bands } yield
+      concat_ws("|", bandKey(i), bandKey(j))): _*)
+  }
 
   /** Incremental near-dup ADMISSION — the control loop of a
     * continuously-ingesting corpus. A 100 TB pipeline never re-dedups
@@ -950,7 +964,8 @@ object Dedup {
       incoming: DataFrame, idCol: String, textCol: String,
       index: DataFrame,
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      minAgree: Int = 9, threshold: Double = 0.5): DataFrame = {
+      minAgree: Int = 9, threshold: Double = 0.5,
+      maxBand: Int = 1024): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     require(minAgree >= 1 && minAgree <= numHashes,
       s"minAgree must be in [1, $numHashes], got $minAgree")
@@ -962,7 +977,81 @@ object Dedup {
     val idxBand = index.select(col("id").as("xid"), col("sig").as("xsig"),
       explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
     decideAdmission(inc, inSig, idxBand,
-      shingleWidth, numHashes, bands, minAgree, threshold)
+      shingleWidth, numHashes, bands, minAgree, threshold, maxBand)
+  }
+
+  /** Candidate (incoming, existing) pairs of the admission decision,
+    * with the HOT-BAND CAP the [[ngramJaccardPairs]] `maxBlock`
+    * discipline demands (r11 verdict #1): a boilerplate-heavy band key
+    * shared by millions of indexed docs must never drive the candidate
+    * join quadratic.
+    *
+    * Two routes, split by the index-side frequency of each band key
+    * AMONG THE KEYS THE BATCH ACTUALLY PROBES (a semi-join against the
+    * batch's keys first, so the frequency count touches O(matched
+    * rows), never the whole index):
+    *  - COLD (≤ `maxBand` index rows): the plain single-band equi-join —
+    *    identical to the uncapped candidate set, which is why the
+    *    DuckDB oracles (stated single-band) stay exact whenever no band
+    *    is hot (asserted at every tested SF; the planted-hot spec pins
+    *    the reroute itself).
+    *  - HOT (> `maxBand`): members pair only via [[bandPairKeys]] —
+    *    a candidate must agree on TWO full bands, which splits a
+    *    boilerplate bucket by every other band's value. As the final
+    *    backstop (an adversarial flood identical in ALL bands), each
+    *    pair key keeps only its `maxBand` SMALLEST xids — the
+    *    truncation is biased toward the exact rows the decision
+    *    reports (`dup_of` = min matching xid). The recall trade (a
+    *    pair agreeing on exactly one band inside a hot bucket is
+    *    missed) is the documented price of boundedness; precision is
+    *    untouched — every surviving candidate still passes the full
+    *    signature-agreement test.
+    *
+    * Candidate-pair bound: ≤ |batchKeys|·maxBand·|incoming collisions|
+    * per key on the cold route, ≤ maxBand per (incoming doc, pair key)
+    * on the hot route — never O(bucket²). Package-private so the spec
+    * can plant a 10⁴-doc hot band and count.
+    *
+    * @param inSig   (id, sig) — the incoming batch's signatures
+    * @param idxBand (xid, xsig, bkey) — the standing index's banded view
+    * @return deduped (id, xid, sig, xsig) candidate pairs */
+  private[graft] def admissionCandidates(
+      inSig: DataFrame, idxBand: DataFrame,
+      bands: Int, rowsPerBand: Int, maxBand: Int): DataFrame = {
+    require(maxBand >= 1, s"maxBand must be >= 1, got $maxBand")
+    val inBand = inSig.select(col("id"), col("sig"),
+      explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+    // the batch is the SMALL side by the admission contract: its key set
+    // broadcasts, and the index side shrinks to matched rows before any
+    // counting or joining
+    val probe = idxBand
+      .join(broadcast(inBand.select("bkey").distinct()), Seq("bkey"), "left_semi")
+      .transform(graft.CacheScope.pin) // key-frequency count + both routes
+    val hotKeys = probe.groupBy("bkey").agg(count(lit(1)).as("xbn"))
+      .filter(col("xbn") > maxBand).select("bkey")
+      .transform(graft.CacheScope.pin) // anti-join (cold) + semi-joins (hot)
+    val coldPairs = inBand
+      .join(probe.join(broadcast(hotKeys), Seq("bkey"), "left_anti"), Seq("bkey"))
+      .select(col("id"), col("xid"), col("sig"), col("xsig"))
+    val hotIn = inBand.join(broadcast(hotKeys), Seq("bkey"), "left_semi")
+      .select("id", "sig").dropDuplicates("id")
+    val hotIdx = probe.join(broadcast(hotKeys), Seq("bkey"), "left_semi")
+      .select("xid", "xsig").dropDuplicates("xid")
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy("ckey").orderBy("xid")
+    val hotIdxCapped = hotIdx
+      .select(col("xid"), col("xsig"),
+        explode(bandPairKeys(col("xsig"), bands, rowsPerBand)).as("ckey"))
+      .withColumn("_crn", row_number().over(wPair))
+      .filter(col("_crn") <= maxBand).drop("_crn")
+    val hotPairs = hotIn
+      .select(col("id"), col("sig"),
+        explode(bandPairKeys(col("sig"), bands, rowsPerBand)).as("ckey"))
+      .join(hotIdxCapped, Seq("ckey"))
+      .select(col("id"), col("xid"), col("sig"), col("xsig"))
+    // dedup (id, xid) AFTER the union so a pair colliding in several
+    // bands — or on both routes — is scored once
+    coldPairs.unionByName(hotPairs).dropDuplicates("id", "xid")
   }
 
   /** Shared decision core of [[admitIncremental]] /
@@ -973,16 +1062,12 @@ object Dedup {
   private def decideAdmission(
       inc: DataFrame, inSig: DataFrame, idxBand: DataFrame,
       shingleWidth: Int, numHashes: Int, bands: Int,
-      minAgree: Int, threshold: Double): DataFrame = {
+      minAgree: Int, threshold: Double, maxBand: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val inBand = inSig.select(col("id"), col("sig"),
-      explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
-    // agreement over the full signatures of band-key-colliding pairs;
-    // dedup (id, xid) BEFORE counting so a pair sharing several bands
-    // is scored once
-    val dupExisting = inBand.join(idxBand, Seq("bkey"))
-      .select(col("id"), col("xid"), col("sig"), col("xsig"))
-      .dropDuplicates("id", "xid")
+    // agreement over the full signatures of candidate pairs (hot-band
+    // capped, see admissionCandidates)
+    val dupExisting =
+      admissionCandidates(inSig, idxBand, bands, rowsPerBand, maxBand)
       .withColumn("agree",
         aggregate(zip_with(col("sig"), col("xsig"),
           (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x))
@@ -1019,7 +1104,12 @@ object Dedup {
     * a float sum, association-dependent). Reading the output: rows
     * with agree ≥ minAgree and n_exact_dup < n_pairs are the false
     * drops the trade accepts; rows below minAgree with n_exact_dup > 0
-    * are the misses — move minAgree along this table to tune. */
+    * are the misses — move minAgree along this table to tune.
+    *
+    * Unlike the serving-path [[admissionCandidates]], the candidate join
+    * here is deliberately UNCAPPED: an audit wants every band-colliding
+    * pair measured, runs offline on a bounded (sampled) corpus, and a
+    * hot-band reroute would bias the very table being calibrated. */
   def admissionCalibration(
       incoming: DataFrame, existing: DataFrame,
       idCol: String, textCol: String,
@@ -1102,7 +1192,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
       minAgree: Int = 9, threshold: Double = 0.5,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64, maxBand: Int = 1024): DataFrame = {
     val rowsPerBand = numHashes / bands
     val inc = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
       .transform(graft.CacheScope.pin)
@@ -1116,6 +1206,6 @@ object Dedup {
       .filter(col("bucket").isin(buckets.toSeq: _*))
       .select(col("id").as("xid"), col("sig").as("xsig"), col("bkey"))
     decideAdmission(inc, inSig, idxBand,
-      shingleWidth, numHashes, bands, minAgree, threshold)
+      shingleWidth, numHashes, bands, minAgree, threshold, maxBand)
   }
 }

@@ -68,24 +68,84 @@ object GraphBuild {
     * compaction is invisible to every reader by construction
     * (StreamingSpec pins stream ≡ batch over a compacted store).
     *
-    * Swap discipline: the compacted frame lands in a sibling tmp dir
-    * first, then replaces the store via delete + rename — the write
-    * never reads-while-overwriting its own input. The swap is not
+    * Swap discipline (CRASH-SAFE, rename-aside — never delete-first):
+    * the compacted frame lands in a sibling tmp dir, the live dir is
+    * renamed ASIDE to a `.compact.old.N` slot, tmp renames in, and only
+    * then is the aside copy deleted — every rename's boolean result is
+    * checked and failure throws, so no code path ever removes the only
+    * copy of the edge history. A crash inside the swap leaves either
+    * (a) no live dir but an aside dir — healed by [[recoverEdges]]
+    * (called here on entry, and cheap enough for writers to call before
+    * appending) — or (b) a live dir plus a superseded aside dir, which
+    * the next compaction folds into its [[latestWins]] input (a no-op
+    * on superseded rows, full recovery if a restarted writer had
+    * re-created the live dir fresh in the meantime: `seq` makes the
+    * union-then-latest-wins correct in both cases). The swap is not
     * atomic for CONCURRENT readers; inside the streaming writer's
     * foreachBatch (the intended call site) batches are sequential, so
     * no reader can observe the gap. */
   def compactEdges(spark: org.apache.spark.sql.SparkSession, edgesDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(edgesDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverEdges(spark, edgesDir)
     if (!fs.exists(path)) return
+    val asides = listAsides(fs, edgesDir)
     val tmp = new org.apache.hadoop.fs.Path(edgesDir + ".compact.tmp")
-    latestWins(spark.read.parquet(edgesDir))
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    val all = asides.foldLeft(spark.read.parquet(edgesDir)) {
+      (df, a) => df.unionByName(spark.read.parquet(a.toString))
+    }
+    latestWins(all).write.mode("overwrite").parquet(tmp.toString)
+    // swap: live -> fresh aside slot, tmp -> live, then drop every
+    // superseded aside. Rename results CHECKED — a false return must
+    // not fall through into a state where only tmp holds the data.
+    val aside = freeAsideSlot(fs, edgesDir)
+    require(fs.rename(path, aside), s"compactEdges: rename $path -> $aside failed")
+    if (!fs.rename(tmp, path)) {
+      // restore the store before failing: aside is the complete
+      // pre-compaction history
+      fs.rename(aside, path)
+      throw new IllegalStateException(
+        s"compactEdges: rename $tmp -> $path failed (store restored from $aside)")
+    }
+    (asides :+ aside).foreach { a =>
+      require(fs.delete(a, true) || !fs.exists(a),
+        s"compactEdges: delete of superseded $a failed")
+    }
     // drop any cached file listing for the swapped path
     spark.catalog.refreshByPath(edgesDir)
   }
+
+  /** Heal a crash-interrupted [[compactEdges]] swap: when the live dir is
+    * missing but a `.compact.old.N` aside exists, rename the aside back in
+    * (uncompacted but COMPLETE — `seq` is retained, so every latest-wins
+    * reader is unaffected). Idempotent and cheap (two existence probes);
+    * writers appending to the store should call it first so a replayed
+    * batch never re-creates an empty store over a recoverable one. */
+  def recoverEdges(spark: org.apache.spark.sql.SparkSession, edgesDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(edgesDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) listAsides(fs, edgesDir).headOption.foreach { a =>
+      require(fs.rename(a, path), s"recoverEdges: rename $a -> $path failed")
+    }
+  }
+
+  private def listAsides(
+      fs: org.apache.hadoop.fs.FileSystem,
+      edgesDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val parent = new org.apache.hadoop.fs.Path(edgesDir).getParent
+    val prefix = new org.apache.hadoop.fs.Path(edgesDir).getName + ".compact.old."
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).sortBy(_.getName)
+  }
+
+  private def freeAsideSlot(
+      fs: org.apache.hadoop.fs.FileSystem,
+      edgesDir: String): org.apache.hadoop.fs.Path =
+    Iterator.from(0)
+      .map(i => new org.apache.hadoop.fs.Path(edgesDir + s".compact.old.$i"))
+      .find(!fs.exists(_))
+      .get
 
   /** Symmetric (both-orientations) view for traversal joins. */
   def symmetric(edges: DataFrame): DataFrame =

@@ -130,8 +130,13 @@ object Knn {
     // embedding per text), and row_number over a genuine tie diverges
     // between engines (found live at the sf1 inflation, where exact-dup
     // source docs with different lang collide; q16's 12/15 sf1 audit).
+    // mtype rides asc_nulls_last: Spark's bare asc is NULLS FIRST while
+    // the DuckDB mirror's ASC is NULLS LAST — on a (sim, id) tie with a
+    // NULL mtype the two engines would otherwise rank differently (the
+    // same divergence class the lang tie-break hit in the datasheet
+    // query).
     val wOver = Window.partitionBy("qid_key")
-      .orderBy(col("sim").desc, col(idCol), col(mtypeCol))
+      .orderBy(col("sim").desc, col(idCol), col(mtypeCol).asc_nulls_last)
     val overFetched = scored
       // null-safe partition key: queries without a qid still form one group
       .withColumn("qid_key", coalesce(col("qid"), lit("__noqid__")))
@@ -140,7 +145,7 @@ object Knn {
 
     // step 4: per-bucket rank, keep k/2 (integer division quirk)
     val wBucket = Window.partitionBy("qid_key", "bucket")
-      .orderBy(col("sim").desc, col(idCol), col(mtypeCol))
+      .orderBy(col("sim").desc, col(idCol), col(mtypeCol).asc_nulls_last)
     val kept = overFetched
       .withColumn("brank", row_number().over(wBucket))
       .filter(col("brank") <= k / 2)
@@ -152,9 +157,9 @@ object Knn {
       .orderBy(
         when(col("bucket") === "same", 0).otherwise(1).asc,
         col("sim").desc,
-        col(idCol), col(mtypeCol))
+        col(idCol), col(mtypeCol).asc_nulls_last)
     val wFinal = Window.partitionBy("qid_key")
-      .orderBy(col("sim").desc, col(idCol), col(mtypeCol))
+      .orderBy(col("sim").desc, col(idCol), col(mtypeCol).asc_nulls_last)
     kept
       .withColumn("urank", row_number().over(wUnion))
       .filter(col("urank") <= k)

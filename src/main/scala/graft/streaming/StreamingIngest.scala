@@ -156,6 +156,10 @@ object StreamingIngest {
       .localCheckpoint()
 
     if (!delta.isEmpty) {
+      // heal a crash-interrupted compaction swap BEFORE appending — a
+      // replayed batch must never re-create an empty edge store over a
+      // recoverable aside copy (see GraphBuild.recoverEdges)
+      GraphBuild.recoverEdges(spark, edgesDir)
       delta.drop("seq").write.mode("append").parquet(docsDir)
       val docs = spark.read.parquet(docsDir)
       val queries = delta.select(
@@ -271,18 +275,30 @@ object StreamingIngest {
     * first and the plan would see its own output). Signatures for the
     * admitted slice are recomputed from text — deterministic, one extra
     * pass over batch-sized data. Exposed for the stream ≡ batch replay
-    * spec and for batch-mode backfill. */
+    * spec and for batch-mode backfill.
+    *
+    * REPLAY IDEMPOTENCE: foreachBatch is at-least-once, and two plain
+    * parquet appends cannot share one commit — so with `batchId` set
+    * (the streaming path) each batch lands in its own `batch=<id>`
+    * partition subdirectory with OVERWRITE semantics: a replayed batch
+    * REWRITES its own slice instead of appending a duplicate, and the
+    * decision plan excludes the batch's own partition from the index
+    * read, so a replay after a partial failure re-decides against
+    * exactly the pre-batch index. With `batchId = None` (sequential
+    * batch backfill, where the caller owns replay) writes append to the
+    * dir root as before — don't mix the two layouts in one store. */
   private[graft] def admitBatch(
       spark: SparkSession, batch: DataFrame,
       corpusDir: String, indexDir: String,
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      minAgree: Int = 9, threshold: Double = 0.5): Unit = {
+      minAgree: Int = 9, threshold: Double = 0.5,
+      batchId: Option[Long] = None): Unit = {
     import graft.operators.Dedup
     val hasIndex = {
       val p = new org.apache.hadoop.fs.Path(indexDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val index =
+    val indexRaw =
       if (hasIndex) spark.read.parquet(indexDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -292,6 +308,14 @@ object StreamingIngest {
           org.apache.spark.sql.types.StructField("sig",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType)))))
+    // on replay a partial previous attempt may already have landed this
+    // batch's own signatures — exclude its partition so the decision is
+    // computed against exactly the pre-batch index
+    val index = batchId match {
+      case Some(b) if indexRaw.columns.contains("batch") =>
+        indexRaw.filter(col("batch") =!= lit(b)).select("id", "sig")
+      case _ => indexRaw.select("id", "sig")
+    }
     // localCheckpoint = decisions are COMPUTED here, before either
     // append below, and the lineage (which reads indexDir) is severed —
     // no recompute can ever observe the index this batch just extended
@@ -304,9 +328,15 @@ object StreamingIngest {
       .join(decisions.filter(col("status") === "admitted").select("id"),
         Seq("id"), "left_semi")
       .persist()
-    admitted.write.mode("append").parquet(corpusDir)
-    Dedup.signatureIndex(admitted, "id", "text", shingleWidth, numHashes)
-      .write.mode("append").parquet(indexDir)
+    val sigs = Dedup.signatureIndex(admitted, "id", "text", shingleWidth, numHashes)
+    batchId match {
+      case Some(b) =>
+        admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$b")
+        sigs.write.mode("overwrite").parquet(s"$indexDir/batch=$b")
+      case None =>
+        admitted.write.mode("append").parquet(corpusDir)
+        sigs.write.mode("append").parquet(indexDir)
+    }
     admitted.unpersist()
     decisions.unpersist()
     spark.catalog.refreshByPath(corpusDir)
@@ -318,10 +348,12 @@ object StreamingIngest {
     * a sink: per micro-batch, dedup against the standing signature
     * index, append survivors + their signatures ([[admitBatch]]).
     * Sequential micro-batches make the index read-then-append safe
-    * (same discipline as [[ingestWriterCompacting]]); the two appends
-    * share the batch's fate with the checkpoint exactly like every
-    * foreachBatch writer in this object. Stream ≡ sequential batch
-    * replay is pinned by IncrementalAdmissionSpec.
+    * (same discipline as [[ingestWriterCompacting]]); replay safety
+    * comes from [[admitBatch]]'s batch-scoped overwrite layout — a
+    * batch redelivered after a partial failure REWRITES its own
+    * `batch=<id>` partition instead of appending duplicates (foreachBatch
+    * is at-least-once; plain appends alone would double-land). Stream ≡
+    * sequential batch replay is pinned by IncrementalAdmissionSpec.
     *
     * @param stream streaming (id BIGINT, text STRING) */
   def admissionWriter(
@@ -332,7 +364,8 @@ object StreamingIngest {
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         admitBatch(batch.sparkSession, batch, corpusDir, indexDir,
-          shingleWidth, numHashes, bands, minAgree, threshold)
+          shingleWidth, numHashes, bands, minAgree, threshold,
+          batchId = Some(batchId))
     }
 
   /** Chunk-grain RAG ingestion transform — the q157/q158 pipeline
@@ -422,17 +455,23 @@ object StreamingIngest {
       (batch: DataFrame, batchId: Long) =>
         dedupedChunkIndexBatch(batch.sparkSession, batch, indexDir, sigDir,
           window, stride, dim, shingleWidth, numHashes, bands,
-          minAgree, threshold)
+          minAgree, threshold, batchId = Some(batchId))
     }
 
   /** One micro-batch of [[dedupedChunkIndexWriter]] (exposed for the
-    * stream ≡ batch spec and batch-mode backfill). */
+    * stream ≡ batch spec and batch-mode backfill). Replay idempotence
+    * with `batchId` set follows [[admitBatch]]: both sinks land in
+    * batch-scoped `batch=<id>` partitions with overwrite semantics and
+    * the decision excludes the batch's own partition from the signature
+    * read, so an at-least-once redelivery rewrites rather than
+    * duplicates. */
   private[graft] def dedupedChunkIndexBatch(
       spark: SparkSession, batch: DataFrame,
       indexDir: String, sigDir: String,
       window: Int, stride: Int, dim: Int,
       shingleWidth: Int, numHashes: Int, bands: Int,
-      minAgree: Int, threshold: Double): Unit = {
+      minAgree: Int, threshold: Double,
+      batchId: Option[Long] = None): Unit = {
     import graft.operators.{Chunking, Dedup}
     val chunks = Chunking
       .chunkWindows(batch, "doc_id", "text", window, stride)
@@ -446,7 +485,7 @@ object StreamingIngest {
       val p = new org.apache.hadoop.fs.Path(sigDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val sigIndex =
+    val sigRaw =
       if (hasSig) spark.read.parquet(sigDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -456,6 +495,12 @@ object StreamingIngest {
           org.apache.spark.sql.types.StructField("sig",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType)))))
+    // exclude a partial previous attempt's own-batch signatures (replay)
+    val sigIndex = batchId match {
+      case Some(b) if sigRaw.columns.contains("batch") =>
+        sigRaw.filter(col("batch") =!= lit(b)).select("id", "sig")
+      case _ => sigRaw.select("id", "sig")
+    }
     // decided BEFORE the appends; lineage severed from sigDir (see
     // admitBatch — identical discipline at chunk grain)
     val decisions = graft.CacheScope.materializeAndRelease(
@@ -467,13 +512,20 @@ object StreamingIngest {
       .join(decisions.filter(col("status") === "admitted").select("id"),
         Seq("id"), "left_semi")
       .persist()
-    admitted
+    val indexed = admitted
       .select(col("id").as("chunk_id"), col("doc_id"), col("chunk_idx"),
         col("n_tokens"),
         graft.operators.Embed.embedText(col("text"), dim).as("embedding"))
-      .write.mode("append").parquet(indexDir)
-    Dedup.signatureIndex(admitted, "id", "text", shingleWidth, numHashes)
-      .write.mode("append").parquet(sigDir)
+    val sigs = Dedup.signatureIndex(admitted, "id", "text",
+      shingleWidth, numHashes)
+    batchId match {
+      case Some(b) =>
+        indexed.write.mode("overwrite").parquet(s"$indexDir/batch=$b")
+        sigs.write.mode("overwrite").parquet(s"$sigDir/batch=$b")
+      case None =>
+        indexed.write.mode("append").parquet(indexDir)
+        sigs.write.mode("append").parquet(sigDir)
+    }
     admitted.unpersist()
     chunks.unpersist()
     decisions.unpersist()

@@ -40,6 +40,39 @@ class GraphSpec extends SparkSpec {
     assert(res == Map(("a", "b") -> 0.9, ("a", "c") -> 0.6, ("a", "d") -> 0.7))
   }
 
+  test("compactEdges: crash-safe swap — aside recovery, superseded-aside merge, no window loses the store") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_compact_crash").toString + "/edges"
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = hp(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(("a", "b", 0.5, 1L), ("a", "b", 0.9, 2L), ("a", "c", 0.6, 1L))
+      .toDF("src", "dst", "score", "seq").write.parquet(dir)
+    GraphBuild.compactEdges(spark, dir)
+    assert(spark.read.parquet(dir).count() == 2, "normal compaction")
+    assert(!fs.exists(hp(dir + ".compact.tmp")) &&
+      !fs.exists(hp(dir + ".compact.old.0")), "compaction left debris")
+    // crash window (a): between rename-aside and rename-in — live dir
+    // missing, aside holds the complete history. recoverEdges heals it.
+    assert(fs.rename(hp(dir), hp(dir + ".compact.old.0")))
+    GraphBuild.recoverEdges(spark, dir)
+    val healed = spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(healed == Map(("a", "b") -> 0.9, ("a", "c") -> 0.6), s"$healed")
+    // crash window (c): aside left over AND a restarted writer re-created
+    // the live dir with only post-crash deltas — the next compaction must
+    // MERGE both (seq makes latest-wins over the union exact), not treat
+    // the aside as stale garbage
+    assert(fs.rename(hp(dir), hp(dir + ".compact.old.0")))
+    Seq(("a", "d", 0.7, 3L), ("a", "b", 0.95, 3L))
+      .toDF("src", "dst", "score", "seq").write.parquet(dir)
+    GraphBuild.compactEdges(spark, dir)
+    val merged = spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(merged == Map(
+      ("a", "b") -> 0.95, ("a", "c") -> 0.6, ("a", "d") -> 0.7), s"$merged")
+    assert(!fs.exists(hp(dir + ".compact.old.0")), "superseded aside retained")
+  }
+
   test("expandFaithful: only the rank-1 seed is expanded (search.py:10-14 single pop)") {
     // graph: s1 - n1 (0.5), s2 - n2 (0.5). Seeds rank1=s1, rank2=s2.
     // Faithful depth=1: n1 appears (decayed), n2 must NOT.

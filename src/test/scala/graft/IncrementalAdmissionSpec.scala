@@ -243,6 +243,100 @@ class IncrementalAdmissionSpec extends SparkSpec {
     assert(decisions(602L) == ("dup_existing", 502L), s"got $decisions")
   }
 
+  test("hot-band cap: a band key shared by 10^4 index docs never goes quadratic; multi-band dups still found through the reroute") {
+    // signatures planted directly (bands = 4, rowsPerBand = 3): band 0
+    // (components 1-3) is IDENTICAL across all 10^4 index docs — the
+    // boilerplate band. Docs 0..199 ALSO share band 1 (so that band key
+    // is hot too), bands 2-3 are unique per doc everywhere.
+    val n = 10000
+    val idx = spark.range(0, n.toLong).select(
+      col("id").as("xid"),
+      array(Seq(lit(7L), lit(8L), lit(9L)) ++
+        (0 until 3).map(c =>
+          when(col("id") < 200, lit(777L + c))
+            .otherwise(col("id") * 16L + lit(c + 1000000L))) ++
+        (3 until 9).map(c => col("id") * 16L + lit(c + 1000000L)): _*).as("xsig"))
+    val idxBand = idx.select(col("xid"), col("xsig"),
+      explode(graft.operators.Dedup.bandKeysFromSig(col("xsig"), 4, 3)).as("bkey"))
+    // 5 incoming docs share ONLY the hot band 0 with the index (their
+    // bands 1-3 are junk no index doc has) + 1 incoming doc agreeing on
+    // bands 0 AND 1 — BOTH hot, so its candidacy must survive purely
+    // through the band-PAIR reroute (no cold band available)
+    val junk = spark.range(0, 5).select(
+      (col("id") + 500000L).as("id"),
+      array(Seq(lit(7L), lit(8L), lit(9L)) ++
+        (0 until 9).map(c => -(col("id") * 16L + lit(c + 1L))): _*).as("sig"))
+    val dup = spark.range(0, 1).select(
+      lit(999999L).as("id"),
+      array(Seq(lit(7L), lit(8L), lit(9L)) ++
+        (0 until 3).map(c => lit(777L + c)) ++
+        (0 until 6).map(c => -lit(900000L + c)): _*).as("sig"))
+    val cands = graft.operators.Dedup.admissionCandidates(
+      junk.unionByName(dup), idxBand, bands = 4, rowsPerBand = 3, maxBand = 100)
+      .select("id", "xid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // uncapped this would be 6 × 10^4 = 60k pairs; the cap reroutes hot
+    // bands through band-pair keys (≤ maxBand smallest xids per key)
+    assert(cands.length <= 100,
+      s"candidate join went quadratic: ${cands.length} pairs")
+    val dupCands = cands.filter(_._1 == 999999L)
+    assert(dupCands.nonEmpty && dupCands.contains((999999L, 0L)),
+      s"two-hot-band dup lost by the reroute: ${dupCands.take(10).toSeq}")
+    // the backstop truncation keeps the SMALLEST xids — the ones the
+    // decision would report as dup_of
+    assert(dupCands.map(_._2).forall(_ < 200L), s"${dupCands.take(10).toSeq}")
+    assert(!cands.exists(_._1 < 999999L), // junk pairs with nothing
+      s"junk docs paired: ${cands.filter(_._1 < 999999L).take(10).toSeq}")
+  }
+
+  test("hot-band cap is decision-invariant when no band is hot: capped vs effectively-uncapped statuses identical") {
+    val existing = (0 until 40).map(i =>
+      i.toLong -> (baseText.split(" ").map(w => w + i).mkString(" ")))
+    val incoming = Seq(
+      2000L -> (baseText.split(" ").map(w => w + 17).mkString(" ") + " tail"),
+      2001L -> "entirely fresh submission windmill aqueduct causeway viaduct")
+    val ex = existing.toDF("doc_id", "text")
+    val inc = incoming.toDF("doc_id", "text")
+    val index = Dedup.signatureIndex(ex, "doc_id", "text")
+    def run(mb: Int) = Dedup.admitIncremental(
+      inc, "doc_id", "text", index, maxBand = mb)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(run(1024) == run(1000000), "cap changed a no-hot-band decision")
+  }
+
+  test("replay idempotence: redelivering a batch under the same batchId rewrites its slice — even over a partial previous attempt") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_admission_replay").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    val textB = "bravo document with its own register sprocket flywheel " +
+      "camshaft piston gasket manifold throttle venturi carburetor"
+    val textC = "charlie document disjoint again lighthouse breakwater " +
+      "quay bollard mooring fathom spindrift gunwale transom keelson"
+    val b0 = Seq(1L -> baseText).toDF("id", "text")
+    val b1 = Seq(2L -> textB, 3L -> textC).toDF("id", "text")
+    graft.streaming.StreamingIngest.admitBatch(
+      spark, b0, corpus, index, batchId = Some(0L))
+    // simulate the WORST partial attempt of batch 1: its own signatures
+    // already landed in the index (so a naive replay would fold docs 2/3
+    // onto themselves as dup_existing) plus a poisoned corpus slice
+    Dedup.signatureIndex(b1, "id", "text")
+      .write.mode("overwrite").parquet(s"$index/batch=1")
+    Seq(99L -> "garbage from the failed attempt").toDF("id", "text")
+      .write.mode("overwrite").parquet(s"$corpus/batch=1")
+    // redelivery: decisions must exclude the batch's own partition and
+    // both slices must be REWRITTEN, not appended
+    graft.streaming.StreamingIngest.admitBatch(
+      spark, b1, corpus, index, batchId = Some(1L))
+    val ids = spark.read.parquet(corpus).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L), s"corpus after replay: $ids")
+    val idxIds = spark.read.parquet(index).select("id").as[Long].collect().toSet
+    assert(idxIds == Set(1L, 2L, 3L), s"index after replay: $idxIds")
+    // a SECOND full redelivery is a no-op (exactly-once downstream view)
+    graft.streaming.StreamingIngest.admitBatch(
+      spark, b1, corpus, index, batchId = Some(1L))
+    assert(spark.read.parquet(corpus).count() == 3)
+    assert(spark.read.parquet(index).count() == 3)
+  }
+
   test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
     val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
     val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")
