@@ -1149,6 +1149,46 @@ object Dedup {
       .orderBy("agree")
   }
 
+  /** The [[selectMinAgree]] outcome: the chosen agreement threshold and
+    * the precision/recall it achieves on the calibrated corpus. */
+  final case class MinAgreeChoice(minAgree: Int, precision: Double, recall: Double)
+
+  /** Turn a calibration table ([[admissionCalibration]]) into an
+    * operating point (r11 verdict #7): the SMALLEST agreement level —
+    * i.e. maximum recall — whose CUMULATIVE precision (true dups /
+    * candidate pairs among everything at or above the level) still
+    * meets `targetPrecision`. Reading it back into
+    * [[admitIncremental]]'s `minAgree` closes the tuning loop: measure
+    * once offline (q176), serve index-only with a threshold whose
+    * precision cost is KNOWN, not guessed.
+    *
+    * Driver-side by design: the table has ≤ numHashes+1 rows (one per
+    * agreement level), so the collect is k-bounded like the k-means
+    * centroid step. Returns None when no level meets the target (or the
+    * table is empty) — the caller's signal that the signature budget
+    * (numHashes) is too small for the wanted precision. */
+  def selectMinAgree(
+      calibration: DataFrame, targetPrecision: Double): Option[MinAgreeChoice] = {
+    require(targetPrecision > 0.0 && targetPrecision <= 1.0,
+      s"targetPrecision must be in (0, 1], got $targetPrecision")
+    val rows = calibration
+      .select(col("agree").cast("long"), col("n_pairs").cast("long"),
+        col("n_exact_dup").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val totalDups = rows.map(_._3).sum
+    var pairs = 0L
+    var dups = 0L
+    var best: Option[MinAgreeChoice] = None
+    for ((a, n, d) <- rows) {
+      pairs += n; dups += d
+      if (pairs > 0 && dups.toDouble / pairs >= targetPrecision)
+        best = Some(MinAgreeChoice(a.toInt, dups.toDouble / pairs,
+          if (totalDups > 0) dups.toDouble / totalDups else 0.0))
+    }
+    best
+  }
+
   /** Stable partition id of a band key in the stored index layout:
     * hash60 is non-negative (60-bit), so plain `%` is already a
     * positive bucket. Deterministic and engine-portable (md5-based),
@@ -1207,5 +1247,49 @@ object Dedup {
       .select(col("id").as("xid"), col("sig").as("xsig"), col("bkey"))
     decideAdmission(inc, inSig, idxBand,
       shingleWidth, numHashes, bands, minAgree, threshold, maxBand)
+  }
+
+  /** Retire signatures from a signature-index store (r11 verdict #2):
+    * the admission index otherwise only GROWS — docs dropped by later
+    * curation (quality gates, substring removal, cluster folding) leave
+    * orphan signatures that keep rejecting genuine re-submissions of
+    * content the corpus no longer holds. This rewrites the store MINUS
+    * the tombstone set, preserving whichever partition layout the store
+    * carries (`bucket` for [[writeSignatureIndexStore]], `batch` for the
+    * streaming admitBatch layout, flat otherwise), via the crash-safe
+    * rename-aside swap ([[graft.sources.Sinks.swapInPlace]] — the
+    * GraphBuild.compactEdges discipline).
+    *
+    * Decision contract (spec-pinned): admission decisions are identical
+    * before/after a compaction whose tombstones touch no candidate, and
+    * a doc whose signatures are retired is RE-ADMITTED when its content
+    * re-arrives. Scale shape: one anti-join on id (tombstones are the
+    * small side — broadcast when under the threshold) + a partitioned
+    * rewrite; no step is quadratic and the probe layout (and hence
+    * partition pruning) survives the rewrite.
+    *
+    * @param retiredIds one column of doc ids to retire (any name) */
+  def compactSignatureIndexStore(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      retiredIds: DataFrame): Unit = {
+    val retire = retiredIds.toDF("id").select("id").distinct()
+    graft.sources.Sinks.swapInPlace(spark, indexDir, (df, tmp) => {
+      val keep = df.join(retire, Seq("id"), "left_anti")
+      val partCol = Seq("bucket", "batch").find(df.columns.contains)
+      // an all-retired store still needs a READABLE empty dir: a
+      // partitioned write of zero rows emits no part files (schema
+      // inference on the next read would fail), so emit one empty
+      // schema-bearing file INSIDE a sentinel partition dir — the
+      // key=value layout survives, so later appends of new `batch=N` /
+      // `bucket=N` slices don't mix flat files into a partitioned root
+      partCol match {
+        case None =>
+          keep.write.mode("overwrite").parquet(tmp)
+        case Some(c) if keep.isEmpty =>
+          keep.drop(c).write.mode("overwrite").parquet(s"$tmp/$c=-1")
+        case Some(c) =>
+          keep.write.mode("overwrite").partitionBy(c).parquet(tmp)
+      }
+    })
   }
 }

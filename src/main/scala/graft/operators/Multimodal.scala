@@ -73,10 +73,35 @@ object Multimodal {
       i => call_function("substring", content, i * chunk + 1, chunk))
   }
 
+  /** Pluggable media-embedding contract (r11 verdict #3): the one
+    * interface a real encoder (CLIP image/text towers, reference
+    * app.py:22-40; any ONNX/torch model) implements to go live.
+    * `embedOpt` returns None for undecodable content — the E3 contract
+    * (reference main.py:74-75: embed failure drops the row, never stores
+    * a poisoned vector). Implementations need not be thread-safe or
+    * serializable: [[extractFeatures]] instantiates one per PARTITION on
+    * the executor via [[MediaEncoderFactory]] and streams rows through
+    * it (the standard Spark model-inference pattern). */
+  trait MediaEncoder {
+    def embedOpt(content: Array[Byte]): Option[Array[Float]]
+  }
+
+  /** Serializable factory shipped inside the mapPartitions closure;
+    * `create` runs once per partition ON THE EXECUTOR — the place to
+    * load weights / open an ONNX session. */
+  trait MediaEncoderFactory extends Serializable {
+    def create(dim: Int): MediaEncoder
+  }
+
+  /** Default factory: the deterministic stub (oracle-mirrorable). */
+  object StubEncoderFactory extends MediaEncoderFactory {
+    def create(dim: Int): MediaEncoder = new StubMediaModel(dim)
+  }
+
   /** The per-partition "model": deterministic fake producing the same
     * vector as Embed.embedBinary (embedText of the sha256 hex digest), so
     * the imperative JVM path is bit-checkable against the SQL oracle. */
-  private final class StubMediaModel(dim: Int) {
+  private final class StubMediaModel(dim: Int) extends MediaEncoder {
     private val md5 = java.security.MessageDigest.getInstance("MD5")
     private val sha = java.security.MessageDigest.getInstance("SHA-256")
 
@@ -127,18 +152,24 @@ object Multimodal {
     * exception with a real model) emits NO output row — the reference
     * drops the document on embed failure (main.py:74-75) instead of
     * storing a poisoned vector. flatMap, not map: the guard is part of
-    * the operator, not caller policy. */
+    * the operator, not caller policy — a model that THROWS is treated
+    * exactly like one that returns None.
+    *
+    * @param encoder injectable model factory (default: the deterministic
+    *                stub) — swapping in a real CLIP/ONNX tower is a
+    *                constructor argument, not an operator edit */
   def extractFeatures(
       media: DataFrame,
       idCol: String,
       contentCol: String,
-      dim: Int): DataFrame = {
+      dim: Int,
+      encoder: MediaEncoderFactory = StubEncoderFactory): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val out = media.select(col(idCol), col(contentCol))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
-        val model = new StubMediaModel(dim) // per-partition handle
+        val model = encoder.create(dim) // per-partition handle
         rows.flatMap { case (id, content) =>
           val feats =
             try model.embedOpt(content)

@@ -30,4 +30,49 @@ object Sinks {
     GraphBuild.upsertEdges(log.limit(0), log)
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Crash-safe in-place REWRITE of a parquet directory: `write(read(dir),
+    * tmp)` materializes the new contents into a sibling tmp dir, then the
+    * live dir swaps via RENAME-ASIDE with every boolean result checked —
+    * no code path deletes the only copy. Crash windows: live missing +
+    * aside present is healed by [[recoverSwap]] (run here on entry); a
+    * leftover aside NEXT TO a live dir means the previous swap completed
+    * and only its cleanup failed, so it is superseded and dropped.
+    * (Unlike GraphBuild.compactEdges, a generic rewrite has no merge
+    * rule for concurrently re-created live dirs — callers that APPEND to
+    * a swap-managed dir must run [[recoverSwap]] before appending.)
+    * Not atomic for concurrent readers; call from a sequential
+    * maintenance context. */
+  private[graft] def swapInPlace(
+      spark: SparkSession, dir: String,
+      write: (DataFrame, String) => Unit): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, dir)
+    require(fs.exists(path), s"swapInPlace: $dir does not exist")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".swap.tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".swap.old")
+    if (fs.exists(old))
+      require(fs.delete(old, true), s"swapInPlace: delete of superseded $old failed")
+    write(spark.read.parquet(dir), tmp.toString)
+    require(fs.rename(path, old), s"swapInPlace: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore: old is the complete previous store
+      throw new IllegalStateException(
+        s"swapInPlace: rename $tmp -> $path failed (store restored from $old)")
+    }
+    require(fs.delete(old, true) || !fs.exists(old),
+      s"swapInPlace: delete of superseded $old failed")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Heal a crash-interrupted [[swapInPlace]]: live dir missing + aside
+    * present → rename the aside (the complete previous store) back in. */
+  private[graft] def recoverSwap(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir + ".swap.old")
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"recoverSwap: rename $old -> $path failed")
+  }
 }

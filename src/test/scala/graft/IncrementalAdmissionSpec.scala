@@ -337,6 +337,98 @@ class IncrementalAdmissionSpec extends SparkSpec {
     assert(spark.read.parquet(index).count() == 3)
   }
 
+  test("signature-store compaction: decisions invariant under a no-hit rewrite; a retired doc RE-ADMITS on re-ingest; layout preserved") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_sigcompact").toString + "/index"
+    def docText(i: Int): String =
+      baseText.split(" ").map(w => w + i).mkString(" ")
+    val ex = (0 until 200).map(i => i.toLong -> docText(i)).toDF("doc_id", "text")
+    val incoming = Seq(
+      1000L -> (docText(42) + " resubmitted"),
+      1001L -> ("wholly new submission pergola sundial gnomon " +
+        "astrolabe sextant theodolite barometer hygrometer"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", dir)
+    def decide() = Dedup.admitIncrementalStored(
+      incoming, "doc_id", "text", spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val before = decide()
+    assert(before(1000L) == ("dup_existing", 42L), s"$before")
+    // compaction with tombstones touching no candidate: decisions and
+    // bucket layout (partition pruning) unchanged
+    Dedup.compactSignatureIndexStore(spark, dir, Seq(199L).toDF("id"))
+    assert(decide() == before, "no-hit compaction changed a decision")
+    assert(new java.io.File(dir).listFiles()
+      .map(_.getName).count(_.startsWith("bucket=")) > 1,
+      "compaction lost the bucket partitioning")
+    assert(!new java.io.File(dir + ".swap.tmp").exists &&
+      !new java.io.File(dir + ".swap.old").exists, "swap left debris")
+    // retire doc 42: the same resubmission must now be ADMITTED — the
+    // index no longer rejects content the corpus dropped
+    Dedup.compactSignatureIndexStore(spark, dir, Seq(42L).toDF("id"))
+    val after = decide()
+    assert(after(1000L) == ("admitted", 1000L), s"$after")
+    assert(after(1001L) == ("admitted", 1001L), s"$after")
+  }
+
+  test("flat streaming-store compaction: retire-then-reingest re-admits through admitBatch; batch layout survives") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_flatcompact").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    graft.streaming.StreamingIngest.admitBatch(
+      spark, Seq(1L -> baseText).toDF("id", "text"), corpus, index,
+      batchId = Some(0L))
+    // re-ingest while indexed → rejected
+    graft.streaming.StreamingIngest.admitBatch(
+      spark, Seq(10L -> (baseText + " tail")).toDF("id", "text"),
+      corpus, index, batchId = Some(1L))
+    assert(spark.read.parquet(corpus).select("id").as[Long].collect().toSet
+      == Set(1L), "near-dup re-ingest must be rejected while indexed")
+    // curation drops doc 1 → retire its signatures → same content
+    // re-arrives and must be RE-ADMITTED
+    Dedup.compactSignatureIndexStore(spark, index, Seq(1L).toDF("id"))
+    graft.streaming.StreamingIngest.admitBatch(
+      spark, Seq(20L -> (baseText + " tail")).toDF("id", "text"),
+      corpus, index, batchId = Some(2L))
+    val ids = spark.read.parquet(corpus).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 20L), s"retired content did not re-admit: $ids")
+    val idxIds = spark.read.parquet(index).select("id").as[Long].collect().toSet
+    assert(idxIds == Set(20L), s"index after retire+readmit: $idxIds")
+  }
+
+  test("selectMinAgree: smallest level whose cumulative precision meets the target; None when unreachable") {
+    // planted table: level 12 is pure, 11 nearly, 10 muddy, 9 noise
+    val cal = Seq(
+      (12L, 10L, 10L), (11L, 10L, 9L), (10L, 10L, 5L), (9L, 40L, 1L))
+      .toDF("agree", "n_pairs", "n_exact_dup")
+    def pick(t: Double) = Dedup.selectMinAgree(cal, t)
+    // cum precision: ≥12 → 1.0; ≥11 → 19/20 = .95; ≥10 → 24/30 = .8;
+    // ≥9 → 25/70 ≈ .357
+    assert(pick(1.0).map(_.minAgree).contains(12))
+    assert(pick(0.9).map(_.minAgree).contains(11))
+    val c9 = pick(0.7).get
+    assert(c9.minAgree == 10 && math.abs(c9.precision - 0.8) < 1e-9 &&
+      math.abs(c9.recall - 24.0 / 25.0) < 1e-9, s"$c9")
+    assert(pick(0.3).map(_.minAgree).contains(9)) // everything qualifies
+    assert(Dedup.selectMinAgree(
+      Seq((9L, 10L, 0L)).toDF("agree", "n_pairs", "n_exact_dup"), 0.5).isEmpty)
+    // end-to-end: a REAL calibration table over the planted corpus
+    // yields a level that the admission rule can consume
+    val ex = Seq(10L -> baseText, 11L -> (baseText + " with one clause")).toDF("doc_id", "text")
+    val inc = Seq(
+      100L -> (baseText + " re-ingested tail"),
+      101L -> "wholly disjoint fresh text about estuaries and turbines")
+      .toDF("doc_id", "text")
+    val table = Dedup.admissionCalibration(inc, ex, "doc_id", "text")
+    Dedup.selectMinAgree(table, 0.9).foreach { c =>
+      assert(c.minAgree >= 1 && c.minAgree <= 12 && c.precision >= 0.9, s"$c")
+      // the chosen level is directly consumable by the serving rule
+      val dec = Dedup.admitIncremental(inc, "doc_id", "text",
+        Dedup.signatureIndex(ex, "doc_id", "text"), minAgree = c.minAgree)
+      assert(dec.count() == 2)
+    }
+  }
+
   test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
     val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
     val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")

@@ -99,4 +99,59 @@ class MultimodalSpec extends SparkSpec {
     val ids = out.collect().map(_.getString(0)).toSet
     assert(ids == Set("doc:good"), s"poisoned rows must drop, got $ids")
   }
+
+  /** A second MediaEncoder implementation: byte-histogram features, None
+    * on content starting with 'X', THROWS on content starting with 'Y' —
+    * exercises every branch of the injection contract a real codec hits. */
+  private object ToyEncoderFactory extends Multimodal.MediaEncoderFactory {
+    def create(dim: Int): Multimodal.MediaEncoder =
+      new Multimodal.MediaEncoder {
+        def embedOpt(content: Array[Byte]): Option[Array[Float]] =
+          if (content == null || content.isEmpty) None
+          else if (content(0) == 'X') None
+          else if (content(0) == 'Y') throw new RuntimeException("decode error")
+          else Some(Array.tabulate(dim)(i =>
+            content.count(b => ((b & 0xff) % dim) == i).toFloat))
+      }
+  }
+
+  test("MediaEncoder injection: the operator runs the SAME contract against the stub and a second implementation") {
+    import spark.implicits._
+    val media = Seq(
+      ("doc:a", "alpha payload".getBytes("UTF-8")),
+      ("doc:b", "beta payload longer than alpha".getBytes("UTF-8")),
+      ("doc:x-undecodable", "X-prefixed".getBytes("UTF-8")),
+      ("doc:y-throws", "Y-prefixed".getBytes("UTF-8")),
+      ("doc:empty", Array.empty[Byte])
+    ).toDF("id", "content")
+    // contract, both implementations: undecodable/throwing rows DROP,
+    // every surviving row carries a dim-length vector
+    for (factory <- Seq(Multimodal.StubEncoderFactory: Multimodal.MediaEncoderFactory,
+        ToyEncoderFactory)) {
+      val out = Multimodal.extractFeatures(media, "id", "content",
+        dim = 8, encoder = factory).collect()
+      val ids = out.map(_.getString(0)).toSet
+      val expectDropped = factory match {
+        case ToyEncoderFactory => Set("doc:x-undecodable", "doc:y-throws", "doc:empty")
+        case _ => Set("doc:empty") // stub decodes X/Y payloads fine
+      }
+      assert(ids == Set("doc:a", "doc:b", "doc:x-undecodable", "doc:y-throws") -- expectDropped,
+        s"$factory: $ids")
+      assert(out.forall(_.getSeq[Float](1).length == 8), s"$factory: bad dim")
+    }
+    // the toy features really are the toy's (injection reached the model)
+    val toy = Multimodal.extractFeatures(media, "id", "content",
+      dim = 8, encoder = ToyEncoderFactory).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val want = "alpha payload".getBytes("UTF-8")
+      .count(b => ((b & 0xff) % 8) == 0).toFloat
+    assert(toy("doc:a")(0) == want)
+    // default argument still routes to the stub (q30/q41 path unchanged)
+    val viaDefault = Multimodal.extractFeatures(media, "id", "content", dim = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
+    val viaStub = Multimodal.extractFeatures(media, "id", "content",
+      dim = 8, encoder = Multimodal.StubEncoderFactory)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(viaDefault == viaStub)
+  }
 }
