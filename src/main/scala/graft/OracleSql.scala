@@ -253,6 +253,19 @@ object OracleSql {
     "CAST(round(l_extendedprice * 100.0) AS BIGINT) * " +
       "(100 - CAST(round(l_discount * 100.0) AS BIGINT))"
 
+  /** Derived-partsupp CTE — mirror of Partsupp.derivedPartsupp: keys are
+    * the DISTINCT lineitem (partkey, suppkey) pairs (referential by
+    * construction), attributes hash-assigned on integer grids
+    * (availqty ∈ [1,9999]; supply cost in CENTS ∈ [100,100000] so every
+    * downstream sum is association-free Int64 arithmetic). */
+  val partsuppCte: String =
+    s"""partsupp AS (
+       |  SELECT ps_partkey, ps_suppkey,
+       |    1 + ${hash60("'aq:' || CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)")} % 9999 AS ps_availqty,
+       |    100 + ${hash60("'sc:' || CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)")} % 99901 AS ps_supplycost_c
+       |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+       |          l_suppkey AS ps_suppkey FROM lineitem))""".stripMargin
+
   // ---- sketch fragments (mirror Dedup.* and TextFunctions.*) ------------
 
   /** Mirror of HashFunctions.hash60. */

@@ -3151,6 +3151,10 @@ object SparkEntry {
     "q174_admission_two_round" -> ((s, d) => admitTwoRoundQ(s, d)),
     "q175_chunk_decontam" -> ((s, d) => chunkDecontamQ(s, d)),
     "q176_admission_calibration" -> ((s, d) => admissionCalibrationQ(s, d)),
+    "q177_product_profit" -> ((s, d) => Partsupp.q9ProductTypeProfit(s, d)),
+    "q178_important_stock" -> ((s, d) => Partsupp.q11ImportantStock(s, d)),
+    "q179_supplier_parts" -> ((s, d) => Partsupp.q16SupplierRelationship(s, d)),
+    "q180_excess_stock" -> ((s, d) => Partsupp.q20ExcessStock(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7343,6 +7347,68 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), id, status, dup_of FROM bdec
          |ORDER BY round, id""".stripMargin,
+    "q177_product_profit" ->
+      // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit
+      // accumulates entirely on the 1e-4 integer grid — sqlVolU revenue
+      // minus cents-grain supply cost × integer qty × 100.
+      s"""WITH $partsuppCte
+         |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  ${sqlRnd(s"sum($sqlVolU - ps_supplycost_c * CAST(round(l_quantity) AS BIGINT) * 100) / 10000.0", 2)} AS sum_profit
+         |FROM lineitem
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year""".stripMargin,
+    "q178_important_stock" ->
+      // Mirror of Partsupp.q11ImportantStock (TPC-H Q11 shape): the
+      // value cut compares integers (value_c·1000 > total_c) — exact in
+      // both engines; only the display column rounds.
+      s"""WITH $partsuppCte,
+         |v AS (
+         |  SELECT ps_partkey, sum(ps_supplycost_c * ps_availqty) AS value_c
+         |  FROM partsupp
+         |  JOIN supplier ON s_suppkey = ps_suppkey
+         |  WHERE s_nationkey % 5 = 2
+         |  GROUP BY ps_partkey),
+         |t AS (SELECT sum(value_c) AS total_c FROM v)
+         |SELECT ps_partkey, ${sqlRnd("value_c / 100.0", 2)} AS value
+         |FROM v, t WHERE value_c * 1000 > total_c
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q179_supplier_parts" ->
+      // Mirror of Partsupp.q16SupplierRelationship (TPC-H Q16 shape);
+      // the "complained supplier" exclusion is hash-derived (no comment
+      // column exists to LIKE on) — identical on both sides.
+      s"""WITH $partsuppCte
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp
+         |JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'PROMO%'
+         |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+         |  AND ${OracleSql.hash60("'cmpl:' || CAST(ps_suppkey AS VARCHAR)")} % 10 <> 0
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q180_excess_stock" ->
+      // Mirror of Partsupp.q20ExcessStock (TPC-H Q20 shape): integer
+      // availqty > 50 · integer shipped qty, counted per supplier.
+      s"""WITH $partsuppCte,
+         |q AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+         |  FROM lineitem WHERE year(l_shipdate) = 1997
+         |  GROUP BY l_partkey, l_suppkey)
+         |SELECT s_suppkey, s_name, count(DISTINCT ps_partkey) AS n_excess
+         |FROM partsupp
+         |JOIN q ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN part ON p_partkey = ps_partkey
+         |JOIN supplier ON s_suppkey = ps_suppkey
+         |WHERE p_name LIKE 'small%' AND ps_availqty > 50 * qty
+         |GROUP BY s_suppkey, s_name
+         |ORDER BY s_suppkey""".stripMargin,
     "q158_chunk_retrieval" ->
       // Mirror of chunkRetrievalQ: chunk (32/48-stride-24) -> embedCte
       // (bit-exact hash embeddings) -> the q10 dot device + (sim desc,

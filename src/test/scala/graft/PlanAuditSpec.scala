@@ -568,6 +568,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("partsupp family (q177-q180): equi-joins only, dimensions broadcast, aggregations partial") {
+    for (q <- Seq("q177_product_profit", "q178_important_stock",
+        "q179_supplier_parts", "q180_excess_stock")) {
+      val p = planString(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // q178's fraction-of-total cut joins against a ONE-row broadcast
+      // total (scale-free by construction); no other BNLJ is allowed
+      val bnljAllowed = if (q == "q178_important_stock") 1 else 0
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= bnljAllowed,
+        s"$q:\n$p")
+      // part/supplier/nation dimension sides broadcast; the only
+      // shuffled joins are the lineitem⨝partsupp / shipped⨝partsupp
+      // compound-key joins, which co-partition two fact-sized sides
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast dim join\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: aggregation must partial-combine\n$p")
+    }
+  }
+
   test("q147 source overlap: shingle-keyed intersection; only the sources² totals frame is non-equi") {
     val p = planString(SparkEntry.queries("q147_source_overlap")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
