@@ -43,23 +43,24 @@ object Bench {
     } + "\""
 
   /** queries map of the latest committed BENCH_rNN.json in cwd (empty
-    * when none exists / parse fails — the delta table is then empty). */
+    * when none exists / parse fails — the delta table is then empty).
+    * The driver's artifact wraps a TRUNCATED stdout tail as a string
+    * field (escaped quotes, head cut mid-key), so this scrapes
+    * `"qNNN_name":<number>` pairs from the raw text instead of parsing
+    * JSON — per-query seconds are the only bare numerics under q-keys
+    * in any BENCH artifact shape (the per-rep matrix nests under
+    * `"qNNN":{`, which the regex rejects). A head-truncated first pair
+    * is dropped by the `"` anchor. */
   private def prevRound(): (String, Map[String, Double]) = try {
     val fs = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
     if (fs.isEmpty) ("", Map.empty)
     else {
       val latest = fs.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-      import org.json4s._
-      val j = jackson.JsonMethods.parse(Files.readString(latest.toPath))
-      val qs = (j \ "queries") match {
-        case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v)) => k -> v.toDouble
-          case (k, JDecimal(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty[String, Double]
-      }
+      val text = Files.readString(latest.toPath)
+      val pair = """\\?"(q\d+_[a-z0-9_]+)\\?":([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+      val qs = pair.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
       (latest.getName, qs)
     }
   } catch { case _: Throwable => ("", Map.empty) }

@@ -36,13 +36,13 @@ object OracleSql {
     * chains can coexist in one statement. */
   def knnChain(p: String, k: Int, overFetch: Int = 6): String = {
     val quota = k / 2
-    s"""${p}scored AS (
+    s"""${p}scored AS MATERIALIZED (
        |  SELECT q.qid, q.qtype, d.id, d.mtype,
        |    CASE WHEN d.id = q.qid THEN 1.0
        |         ELSE ${dot("q.qvec", "d.embedding")} END AS sim,
        |    CASE WHEN q.qtype IS NULL OR d.mtype = q.qtype THEN 'same' ELSE 'cross' END AS bucket
        |  FROM ${p}q q CROSS JOIN ${p}docs d),
-       |${p}overfetched AS (
+       |${p}overfetched AS MATERIALIZED (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
        |                                 ORDER BY sim DESC, id, mtype) AS ofr
@@ -52,7 +52,7 @@ object OracleSql {
        |    SELECT *, row_number() OVER (PARTITION BY qid, bucket
        |                                 ORDER BY sim DESC, id, mtype) AS brank
        |    FROM ${p}overfetched) WHERE brank <= $quota),
-       |${p}knn AS (
+       |${p}knn AS MATERIALIZED (
        |  SELECT qid, qtype, id, mtype, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id, mtype) AS rnk
        |  FROM ${p}kept)""".stripMargin
@@ -69,7 +69,7 @@ object OracleSql {
 
   /** Mirror of GraphBuild.upsertEdges' dedup applied to one delta. */
   def edgeDedup(p: String, deltaSql: String): String =
-    s"""${p}ed AS (
+    s"""${p}ed AS MATERIALIZED (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src, dst ORDER BY seq DESC) AS _rn
        |    FROM ($deltaSql))
@@ -77,7 +77,7 @@ object OracleSql {
 
   /** Mirror of GraphBuild.symmetric. */
   def symmetric(p: String): String =
-    s"""${p}sym AS (
+    s"""${p}sym AS MATERIALIZED (
        |  SELECT src AS u, dst AS v, score FROM ${p}ed
        |  UNION ALL SELECT dst, src, score FROM ${p}ed)""".stripMargin
 
@@ -107,21 +107,28 @@ object OracleSql {
     * `<ep>sym` edges, ending in `<sp>fin`. Step i's parent is the seed
     * with rnk = i; discoveries are first-writer-wins against the
     * accumulator of all earlier steps (NOT EXISTS), exactly the
-    * reference's dict guard. */
+    * reference's dict guard.
+    *
+    * Every per-hop CTE is MATERIALIZED (as are the shared knn/edge
+    * helpers): each accumulator `a_i` is referenced twice (by `n_{i+1}`'s
+    * NOT EXISTS and by `a_{i+1}`), so without materialization DuckDB
+    * re-inlines the whole upstream chain 2^depth times — the r11 sf1
+    * audit's 78 GB blow-up. Materialization is semantics-free; it closed
+    * the q42/q59 sf1 oracle gap. */
   def expandFaithfulDepth(sp: String, ep: String, seedWhere: String, depth: Int): String = {
     val sd =
-      s"""${sp}sd AS (
+      s"""${sp}sd AS MATERIALIZED (
          |  SELECT qid, id, sim AS score, rnk, 0 AS prio
          |  FROM ${sp}knn WHERE 1=1$seedWhere),
          |${sp}a0 AS (SELECT qid, id, score, prio FROM ${sp}sd)""".stripMargin
     val steps = (1 to depth).map { i =>
-      s"""${sp}n$i AS (
+      s"""${sp}n$i AS MATERIALIZED (
          |  SELECT f.qid, e.v AS id, f.score * e.score * 0.9 AS score, $i AS prio
          |  FROM (SELECT qid, id, score FROM ${sp}sd WHERE rnk = $i) f
          |  JOIN ${ep}sym e ON f.id = e.u
          |  WHERE NOT EXISTS (
          |    SELECT 1 FROM ${sp}a${i - 1} a WHERE a.qid = f.qid AND a.id = e.v)),
-         |${sp}a$i AS (
+         |${sp}a$i AS MATERIALIZED (
          |  SELECT * FROM ${sp}a${i - 1} UNION ALL SELECT * FROM ${sp}n$i)""".stripMargin
     }
     val fin =
