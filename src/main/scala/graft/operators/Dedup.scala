@@ -1027,31 +1027,47 @@ object Dedup {
     val probe = idxBand
       .join(broadcast(inBand.select("bkey").distinct()), Seq("bkey"), "left_semi")
       .transform(graft.CacheScope.pin) // key-frequency count + both routes
-    val hotKeys = probe.groupBy("bkey").agg(count(lit(1)).as("xbn"))
-      .filter(col("xbn") > maxBand).select("bkey")
-      .transform(graft.CacheScope.pin) // anti-join (cold) + semi-joins (hot)
-    val coldPairs = inBand
-      .join(probe.join(broadcast(hotKeys), Seq("bkey"), "left_anti"), Seq("bkey"))
-      .select(col("id"), col("xid"), col("sig"), col("xsig"))
-    val hotIn = inBand.join(broadcast(hotKeys), Seq("bkey"), "left_semi")
-      .select("id", "sig").dropDuplicates("id")
-    val hotIdx = probe.join(broadcast(hotKeys), Seq("bkey"), "left_semi")
-      .select("xid", "xsig").dropDuplicates("xid")
-    val wPair = org.apache.spark.sql.expressions.Window
-      .partitionBy("ckey").orderBy("xid")
-    val hotIdxCapped = hotIdx
-      .select(col("xid"), col("xsig"),
-        explode(bandPairKeys(col("xsig"), bands, rowsPerBand)).as("ckey"))
-      .withColumn("_crn", row_number().over(wPair))
-      .filter(col("_crn") <= maxBand).drop("_crn")
-    val hotPairs = hotIn
-      .select(col("id"), col("sig"),
-        explode(bandPairKeys(col("sig"), bands, rowsPerBand)).as("ckey"))
-      .join(hotIdxCapped, Seq("ckey"))
-      .select(col("id"), col("xid"), col("sig"), col("xsig"))
-    // dedup (id, xid) AFTER the union so a pair colliding in several
-    // bands — or on both routes — is scored once
-    coldPairs.unionByName(hotPairs).dropDuplicates("id", "xid")
+    // hot keys are collected DRIVER-SIDE: each covers > maxBand probe
+    // rows and distinct probed keys are ≤ |batch|·bands, so the list is
+    // bounded by the SMALL side (the admitIncrementalStored bucket-
+    // collect argument). Literal isin filters keep the hot/cold split
+    // out of the join graph — a broadcast-join split here tripled q174's
+    // wall-clock, because every extra broadcast job re-plans the full
+    // (deeply nested, two-round) logical tree on the driver.
+    val hotArr: Array[String] = probe
+      .groupBy("bkey").agg(count(lit(1)).as("xbn"))
+      .filter(col("xbn") > maxBand)
+      .select("bkey").collect().map(_.getString(0))
+    if (hotArr.isEmpty) {
+      // no hot bands (the overwhelmingly common case): exactly the plain
+      // single-band candidate join — zero extra plan nodes
+      inBand.join(probe, Seq("bkey"))
+        .select(col("id"), col("xid"), col("sig"), col("xsig"))
+        .dropDuplicates("id", "xid")
+    } else {
+      val isHot = col("bkey").isin(hotArr.toSeq: _*)
+      val coldPairs = inBand.join(probe.filter(!isHot), Seq("bkey"))
+        .select(col("id"), col("xid"), col("sig"), col("xsig"))
+      val hotIn = inBand.filter(isHot)
+        .select("id", "sig").dropDuplicates("id")
+      val hotIdx = probe.filter(isHot)
+        .select("xid", "xsig").dropDuplicates("xid")
+      val wPair = org.apache.spark.sql.expressions.Window
+        .partitionBy("ckey").orderBy("xid")
+      val hotIdxCapped = hotIdx
+        .select(col("xid"), col("xsig"),
+          explode(bandPairKeys(col("xsig"), bands, rowsPerBand)).as("ckey"))
+        .withColumn("_crn", row_number().over(wPair))
+        .filter(col("_crn") <= maxBand).drop("_crn")
+      val hotPairs = hotIn
+        .select(col("id"), col("sig"),
+          explode(bandPairKeys(col("sig"), bands, rowsPerBand)).as("ckey"))
+        .join(hotIdxCapped, Seq("ckey"))
+        .select(col("id"), col("xid"), col("sig"), col("xsig"))
+      // dedup (id, xid) AFTER the union so a pair colliding in several
+      // bands — or on both routes — is scored once
+      coldPairs.unionByName(hotPairs).dropDuplicates("id", "xid")
+    }
   }
 
   /** Shared decision core of [[admitIncremental]] /
