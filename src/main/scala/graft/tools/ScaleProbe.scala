@@ -79,7 +79,10 @@ object ScaleProbe {
       println(f"[scaleprobe] $op%-24s m=$m%2d sec=$sec%7.2f")
     }
 
-    for (m <- arms) {
+    // SPARK_GRAFT_PROBE_ONLY=hot_band skips the inflation arms + cc
+    // section for a quick cap-curve rerun
+    val onlyHotBand = sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("hot_band")
+    for (m <- arms if !onlyHotBand) {
       val docs = inflateDocs(m)
       val emb = inflateEmb(m)
       val queries = graft.Tables.embeddings(spark, sfDir)
@@ -161,7 +164,7 @@ object ScaleProbe {
     // arguable). Chains are the worst case; real near-dup clusters mix
     // chains and cliques and converge no slower.
     println("\n[scaleprobe] connectedComponents supersteps vs chain diameter:")
-    for (n <- Seq(100, 1000, 10000)) {
+    for (n <- Seq(100, 1000, 10000) if !onlyHotBand) {
       val chain = spark.range(1, n)
         .select(col("id").as("src"), (col("id") + 1).as("dst"))
       val t0 = System.nanoTime()
@@ -171,6 +174,36 @@ object ScaleProbe {
       println(f"[scaleprobe] cc_chain n=$n%6d diameter=${n - 2}%6d " +
         f"supersteps=${r.iterations}%3d (log2=${math.log(n.toDouble) / math.log(2)}%4.1f) " +
         f"converged=${r.converged} components=$nComp sec=$sec%6.2f")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    // hot-band cap: candidate-pair count + wall-clock vs a PLANTED
+    // boilerplate band (one band key shared by n index docs, bands 1-3
+    // unique; 20 incoming docs share only that band). Uncapped the
+    // candidate join is 20·n pairs — linear in the hot bucket, i.e.
+    // quadratic when both sides grow; capped it reroutes through
+    // band-pair keys and the planted junk yields ZERO candidates at
+    // flat cost. This is the measured curve behind maxBand (SCALE.md).
+    println("\n[scaleprobe] admission hot-band cap vs planted band size:")
+    for (n <- Seq(1000L, 10000L, 100000L)) {
+      val idx = spark.range(0L, n).select(col("id").as("xid"),
+        array(Seq(lit(7L), lit(8L), lit(9L)) ++
+          (0 until 9).map(c => col("id") * 16L + lit(c + 1000000L)): _*).as("xsig"))
+      val idxBand = idx.select(col("xid"), col("xsig"),
+        explode(graft.operators.Dedup.bandKeysFromSig(col("xsig"), 4, 3)).as("bkey"))
+        .localCheckpoint()
+      val inSig = spark.range(0L, 20L).select((col("id") + 500000L).as("id"),
+        array(Seq(lit(7L), lit(8L), lit(9L)) ++
+          (0 until 9).map(c => -(col("id") * 16L + lit(c + 1L))): _*).as("sig"))
+        .localCheckpoint()
+      for ((tag, mb) <- Seq("capped(1024)" -> 1024, "uncapped" -> Int.MaxValue)) {
+        val t0 = System.nanoTime()
+        val cands = graft.operators.Dedup
+          .admissionCandidates(inSig, idxBand, 4, 3, mb).count()
+        println(f"[scaleprobe] hot_band n=$n%7d ${tag}%-13s " +
+          f"candidates=$cands%9d sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
+      }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }

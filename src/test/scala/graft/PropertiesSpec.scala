@@ -164,6 +164,54 @@ class PropertiesSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)), pairs.toString)
   }
 
+  test("admission cap property: capped candidates ⊆ uncapped; decisions identical when no band is hot") {
+    // random tiny sig worlds: 12-component signatures over a SMALL value
+    // alphabet so band collisions actually happen
+    val sigGen: Gen[Seq[Long]] =
+      Gen.listOfN(12, Gen.chooseNum(0L, 3L)).map(_.toSeq)
+    val worldGen = for {
+      nIdx <- Gen.chooseNum(1, 25)
+      nIn <- Gen.chooseNum(1, 8)
+      idx <- Gen.listOfN(nIdx, sigGen)
+      inc <- Gen.listOfN(nIn, sigGen)
+    } yield (idx, inc)
+    for (((idx, inc), w) <- samples(worldGen, 12).zipWithIndex) {
+      val idxDf = idx.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("xid", "xsig")
+      val idxBand = idxDf.select(col("xid"), col("xsig"),
+        explode(Dedup.bandKeysFromSig(col("xsig"), 4, 3)).as("bkey"))
+      val inSig = inc.zipWithIndex
+        .map { case (s, i) => (1000L + i, s) }.toDF("id", "sig")
+      def pairs(mb: Int): Set[(Long, Long)] =
+        Dedup.admissionCandidates(inSig, idxBand, 4, 3, mb)
+          .select("id", "xid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = pairs(Int.MaxValue)
+      val capped = pairs(2) // tiny cap: hot routes exercised often
+      assert(capped.subsetOf(uncapped),
+        s"world $w: capped added pairs ${capped -- uncapped}")
+      // every pair agreeing on >= 2 full bands survives the cap (the
+      // reroute's recall contract)
+      def bandsOf(s: Seq[Long]) = (0 until 4).map(b => s.slice(b * 3, b * 3 + 3))
+      val twoBand = for {
+        (is, ii) <- inc.zipWithIndex
+        (xs, xi) <- idx.zipWithIndex
+        if bandsOf(is).zip(bandsOf(xs)).count { case (a, b) => a == b } >= 2
+      } yield (1000L + ii, xi.toLong)
+      // ...unless truncated away: with cap=2 a pair key keeps the 2
+      // smallest xids, so only assert for xids within the first 2 of
+      // their pair key — conservatively, xid < 2 is always kept
+      twoBand.filter(_._2 < 2L).foreach { p =>
+        assert(capped.contains(p), s"world $w: two-band pair $p lost")
+      }
+      // and when NO band exceeds the cap, capped == uncapped exactly
+      val maxBandSize = idx.flatMap(s => bandsOf(s).zipWithIndex
+        .map { case (b, i) => (i, b) }).groupBy(identity).values.map(_.size).max
+      if (maxBandSize <= 2)
+        assert(capped == uncapped, s"world $w: no-hot-band divergence")
+    }
+  }
+
   test("decontamination flags copied text across the split, not fresh text") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim copy
