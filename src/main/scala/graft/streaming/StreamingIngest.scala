@@ -368,6 +368,55 @@ object StreamingIngest {
           batchId = Some(batchId))
     }
 
+  /** [[admissionWriter]] with PERIODIC SIGNATURE RETIREMENT — the full
+    * admission LIFECYCLE in one sink: admit arriving batches against the
+    * standing index, and every `compactEvery` batches fold in the
+    * tombstones an external curation pipeline has dropped
+    * ([[graft.operators.Dedup.compactSignatureIndexStore]]), so content
+    * the corpus no longer holds stops rejecting genuine re-submissions —
+    * the streaming twin of [[ingestWriterCompacting]]'s edge compaction,
+    * applied to the admission index.
+    *
+    * `tombstonesDir` is a parquet dir of one id column, owned by the
+    * curation side (quality gates, substring removal, cluster folding
+    * write it; this sink only reads). Absent dir = nothing to retire.
+    * Compaction runs sequentially inside foreachBatch, so no concurrent
+    * reader observes the swap; the rewrite is crash-safe
+    * ([[graft.sources.Sinks.swapInPlace]]). The corpus store itself is
+    * the curation pipeline's to rewrite — this loop keeps the DECISION
+    * state consistent with it.
+    *
+    * Replay caveat (documented, bounded): a batch redelivered AFTER a
+    * compaction retired some of its docs rewrites its `batch=<id>`
+    * slice from scratch, resurrecting those signatures until the next
+    * compaction folds the (still-present) tombstones again — retirement
+    * converges, it is not transactional against replays. */
+  def admissionWriterRetiring(
+      stream: DataFrame, corpusDir: String, indexDir: String,
+      tombstonesDir: String, compactEvery: Int = 8,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      minAgree: Int = 9, threshold: Double = 0.5)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        admitBatch(spark, batch, corpusDir, indexDir,
+          shingleWidth, numHashes, bands, minAgree, threshold,
+          batchId = Some(batchId))
+        if ((batchId + 1) % compactEvery == 0) {
+          val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
+          val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val ip = new org.apache.hadoop.fs.Path(indexDir)
+          if (fs.exists(tp) && fs.exists(ip)) {
+            graft.operators.Dedup.compactSignatureIndexStore(
+              spark, indexDir, spark.read.parquet(tombstonesDir))
+            spark.catalog.refreshByPath(indexDir)
+          }
+        }
+    }
+  }
+
   /** Chunk-grain RAG ingestion transform — the q157/q158 pipeline
     * (fixed-token windows → deterministic embed) as ONE declarative
     * plan that serves batch and stream identically: chunking and

@@ -429,6 +429,43 @@ class IncrementalAdmissionSpec extends SparkSpec {
     }
   }
 
+  test("retiring admission stream: in-stream tombstone compaction re-admits retired content") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_admission_retire").toString
+    val (corpus, index, tomb) = (s"$dir/corpus", s"$dir/index", s"$dir/tombstones")
+    val freshB = "unrelated interlude document quern millrace sluice " +
+      "weir leat penstock tailrace flume headgate"
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIngest
+      .admissionWriterRetiring(src.toDF.toDF("id", "text"),
+        corpus, index, tomb, compactEvery = 3)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      def push(b: (Long, String)*): Unit = { src.addData(b: _*); q.processAllAvailable() }
+      push(1L -> baseText) // batch 0: admitted
+      push(2L -> (baseText + " retire tail")) // batch 1: dup_existing of 1
+      def corpusIds = spark.read.parquet(corpus)
+        .select("id").as[Long].collect().toSet
+      assert(corpusIds == Set(1L), s"pre-retirement: $corpusIds")
+      // curation drops doc 1 → tombstone lands; batch 2 triggers the
+      // periodic compaction ((2+1) % 3 == 0) AFTER its own admission
+      Seq(1L).toDF("id").write.mode("overwrite").parquet(tomb)
+      push(3L -> freshB) // batch 2: fresh + compaction
+      val idxAfter = spark.read.parquet(index)
+        .select("id").as[Long].collect().toSet
+      assert(idxAfter == Set(3L), s"index after retirement: $idxAfter")
+      // the same content re-arrives: must now be ADMITTED
+      push(4L -> (baseText + " retire tail")) // batch 3
+      assert(corpusIds == Set(1L, 3L, 4L), s"post-retirement: $corpusIds")
+      val idxFinal = spark.read.parquet(index)
+        .select("id").as[Long].collect().toSet
+      assert(idxFinal == Set(3L, 4L), s"final index: $idxFinal")
+    } finally q.stop()
+  }
+
   test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
     val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
     val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")
