@@ -2280,6 +2280,33 @@ object SparkEntry {
        |SELECT id, status, dup_of FROM dec
        |ORDER BY id""".stripMargin
 
+  /** Admission after signature RETIREMENT (q181): the full index
+    * lifecycle oracle-gated. The store is built over the whole corpus
+    * ([[Dedup.writeSignatureIndexStore]]), curation then retires the
+    * %21 family ([[Dedup.compactSignatureIndexStore]] — tombstone
+    * rewrite behind the crash-safe swap), and a %7 re-ingest wave is
+    * decided against the compacted store: members whose base doc was
+    * retired (%21 ⊂ %7 waves) must come back ADMITTED unless they
+    * near-match a SURVIVING corpus doc, everyone else folds onto their
+    * standing original — the DuckDB mirror states the same decision
+    * over the corpus signatures MINUS the tombstone set, so the
+    * engine-side rewrite (layout, pruning, swap) is proven
+    * decision-equivalent end-to-end, not just spec-asserted. */
+  private def admissionRetireQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // store build + tombstones + incoming
+    val incoming = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 11000000L).as("doc_id"),
+        concat(col("text"), lit(" post retirement tail")).as("text"))
+    val storeDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q181_index").getAbsolutePath
+    Dedup.writeSignatureIndexStore(docs, "doc_id", "text", storeDir)
+    Dedup.compactSignatureIndexStore(s, storeDir,
+      docs.filter(col("doc_id") % 21 === 0).select(col("doc_id").as("id")))
+    Dedup.admitIncrementalStored(incoming, "doc_id", "text", s, storeDir)
+      .orderBy("id")
+  }
+
   /** Chunk-pooled document embeddings (q165): the long-document
     * embedding path — embed at the chunk grain (q158's 32/24 windows),
     * mean-pool per document, re-normalize. This is how a production
@@ -3155,6 +3182,7 @@ object SparkEntry {
     "q178_important_stock" -> ((s, d) => Partsupp.q11ImportantStock(s, d)),
     "q179_supplier_parts" -> ((s, d) => Partsupp.q16SupplierRelationship(s, d)),
     "q180_excess_stock" -> ((s, d) => Partsupp.q20ExcessStock(s, d)),
+    "q181_admission_retirement" -> ((s, d) => admissionRetireQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7347,6 +7375,21 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), id, status, dup_of FROM bdec
          |ORDER BY round, id""".stripMargin,
+    "q181_admission_retirement" ->
+      // Mirror of admissionRetireQ: the decision chain over the corpus
+      // signatures MINUS the %21 tombstone family — the engine's
+      // compaction rewrite (layout + pruning + crash-safe swap) must be
+      // decision-equivalent to this subtraction.
+      s"""WITH RECURSIVE inc AS MATERIALIZED (
+         |  SELECT doc_id + 11000000 AS id,
+         |    concat(text, ' post retirement tail') AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |$corpusSigCtes,
+         |xsigr AS MATERIALIZED (
+         |  SELECT xid, sig FROM xsig WHERE xid % 21 <> 0),
+         |${admissionDecisionCtes("", "xsigr")}
+         |SELECT id, status, dup_of FROM dec
+         |ORDER BY id""".stripMargin,
     "q177_product_profit" ->
       // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit
       // accumulates entirely on the 1e-4 integer grid — sqlVolU revenue
