@@ -273,6 +273,25 @@ object OracleSql {
        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
        |          l_suppkey AS ps_suppkey FROM lineitem))""".stripMargin
 
+  /** Derived-shipping-columns CTE `lis` — mirror of
+    * Relational.lineitemShipping: shipmode hash-picked from the TPC-H
+    * mode list, commit = ship ± 30 days, receipt = ship + 1..30 days,
+    * exact integer micros (epoch_us on the NTZ timestamps = Spark's
+    * unix_micros under the UTC session, the q04 precedent). */
+  val lineitemShippingCte: String = {
+    val key = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    val d = 86400000000L
+    s"""lis AS (
+       |  SELECT *, epoch_us(l_shipdate) AS ship_us,
+       |    ['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR']
+       |      [CAST(${hash60(s"'sm:' || $key")} % 7 AS INT) + 1] AS l_shipmode,
+       |    epoch_us(l_shipdate)
+       |      + (${hash60(s"'cd:' || $key")} % 60 - 30) * $d AS commit_us,
+       |    epoch_us(l_shipdate)
+       |      + (1 + ${hash60(s"'rd:' || $key")} % 30) * $d AS receipt_us
+       |  FROM lineitem)""".stripMargin
+  }
+
   // ---- sketch fragments (mirror Dedup.* and TextFunctions.*) ------------
 
   /** Mirror of HashFunctions.hash60. */

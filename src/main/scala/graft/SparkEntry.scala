@@ -3183,6 +3183,8 @@ object SparkEntry {
     "q179_supplier_parts" -> ((s, d) => Partsupp.q16SupplierRelationship(s, d)),
     "q180_excess_stock" -> ((s, d) => Partsupp.q20ExcessStock(s, d)),
     "q181_admission_retirement" -> ((s, d) => admissionRetireQ(s, d)),
+    "q182_shipmode_priority" -> ((s, d) => Relational.q12ShipmodePriority(s, d)),
+    "q183_waiting_suppliers" -> ((s, d) => Relational.q21WaitingSuppliers(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7390,6 +7392,39 @@ object SparkEntry {
          |${admissionDecisionCtes("", "xsigr")}
          |SELECT id, status, dup_of FROM dec
          |ORDER BY id""".stripMargin,
+    "q182_shipmode_priority" ->
+      // Mirror of Relational.q12ShipmodePriority (TPC-H Q12 shape) over
+      // the hash-derived shipping columns; counts + integer micros
+      // comparisons — exact on both engines.
+      s"""WITH $lineitemShippingCte
+         |SELECT l_shipmode,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM lis JOIN orders ON o_orderkey = l_orderkey
+         |WHERE l_shipmode IN ('MAIL', 'SHIP')
+         |  AND commit_us < receipt_us AND ship_us < commit_us
+         |  AND receipt_us >= 852076800000000 AND receipt_us < 883612800000000
+         |GROUP BY l_shipmode
+         |ORDER BY l_shipmode""".stripMargin,
+    "q183_waiting_suppliers" ->
+      // Mirror of Relational.q21WaitingSuppliers (TPC-H Q21 shape):
+      // EXISTS / NOT EXISTS over other-supplier lines of the same order.
+      s"""WITH $lineitemShippingCte,
+         |late AS (
+         |  SELECT l_orderkey, l_suppkey FROM lis WHERE receipt_us > commit_us)
+         |SELECT s_suppkey, s_name, count(*) AS numwait
+         |FROM late l1
+         |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+         |JOIN supplier ON s_suppkey = l1.l_suppkey
+         |WHERE EXISTS (SELECT 1 FROM lis l2
+         |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM late l3
+         |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+         |GROUP BY s_suppkey, s_name
+         |ORDER BY numwait DESC, s_suppkey
+         |LIMIT 25""".stripMargin,
     "q177_product_profit" ->
       // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit
       // accumulates entirely on the 1e-4 integer grid — sqlVolU revenue

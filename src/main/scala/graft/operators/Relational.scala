@@ -953,6 +953,83 @@ object Relational {
         rnd(col("c_acctbal"), 2).as("acctbal"))
   }
 
+  /** Lineitem with DERIVED shipping columns — the TPC-H Q12/Q21
+    * completions (r12). The fixture carries no shipmode / commitdate /
+    * receiptdate, so they derive deterministically — identically in
+    * both engines — from columns it does carry (the derived-partsupp
+    * recipe): shipmode hash-picked from the TPC-H mode list, commit =
+    * ship ± 30 days, receipt = ship + 1..30 days, all in exact integer
+    * micros (`hash60` on the (orderkey, linenumber) key). */
+  def lineitemShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashFunctions.hash60
+    val dayUs = 86400000000L
+    val key = concat(col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"))
+    val modes = Seq("MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR")
+    Tables.lineitem(spark, sfDir)
+      .withColumn("ship_us", unix_micros(col("l_shipdate").cast("timestamp")))
+      .withColumn("l_shipmode", element_at(array(modes.map(lit(_)): _*),
+        (hash60(concat(lit("sm:"), key)) % 7L + 1L).cast("int")))
+      .withColumn("commit_us", col("ship_us") +
+        (hash60(concat(lit("cd:"), key)) % 60L - 30L) * dayUs)
+      .withColumn("receipt_us", col("ship_us") +
+        (lit(1L) + hash60(concat(lit("rd:"), key)) % 30L) * dayUs)
+  }
+
+  /** TPC-H Q12 shape (shipmode / order-priority): for the slow modes,
+    * how many critical vs non-critical orders had a line that shipped
+    * before its commit date but was received after it — pure integer
+    * micros comparisons, counts exact. */
+  def q12ShipmodePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val us1997 = 852076800000000L // 1997-01-01T00:00Z
+    val us1998 = 883612800000000L
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitemShipping(spark, sfDir)
+      .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+        col("commit_us") < col("receipt_us") &&
+        col("ship_us") < col("commit_us") &&
+        col("receipt_us") >= us1997 && col("receipt_us") < us1998)
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderpriority"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_shipmode")
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_shipmode")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): per supplier,
+    * finalized orders where ITS line was late (receipt past commit) and
+    * it was the ONLY late supplier among several on the order — the
+    * EXISTS/NOT-EXISTS pair as LEFT SEMI / LEFT ANTI hash joins on the
+    * order key (the non-equi supplier≠supplier predicate rides the join
+    * condition; nothing aggregates before the joins). */
+  def q21WaitingSuppliers(
+      spark: SparkSession, sfDir: String, topN: Int = 25): DataFrame = {
+    val li = lineitemShipping(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("receipt_us") > col("commit_us")).as("late"))
+      .transform(graft.CacheScope.pin) // l1 + the EXISTS/NOT-EXISTS probes
+    val late = li.filter(col("late")).select("l_orderkey", "l_suppkey")
+    late.as("l1")
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("o_orderkey") === col("l1.l_orderkey"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+        col("ok2") === col("l1.l_orderkey") &&
+          col("sk2") =!= col("l1.l_suppkey"), "left_semi")
+      .join(late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")),
+        col("ok3") === col("l1.l_orderkey") &&
+          col("sk3") =!= col("l1.l_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("s_suppkey") === col("l1.l_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(topN)
+  }
+
   /** Pivot: revenue matrix priority × status. Pivot values are DECLARED
     * (not discovered) — at scale the two-pass distinct-then-pivot is a
     * full extra scan, and a declared domain keeps the output schema

@@ -587,6 +587,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q182/q183 derived-shipping family: EXISTS/NOT-EXISTS as semi/anti hash joins on the order key, no cartesian") {
+    for (q <- Seq("q182_shipmode_priority", "q183_waiting_suppliers")) {
+      val p = planString(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    val p21 = planString(SparkEntry.queries("q183_waiting_suppliers")(spark, sf))
+    assert(p21.contains("LeftSemi"), s"EXISTS must plan as semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"NOT EXISTS must plan as anti join:\n$p21")
+  }
+
   test("q147 source overlap: shingle-keyed intersection; only the sources² totals frame is non-equi") {
     val p = planString(SparkEntry.queries("q147_source_overlap")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
