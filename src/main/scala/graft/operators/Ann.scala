@@ -119,6 +119,35 @@ object Ann {
       docs.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes)),
       dir, "bucket")
 
+  /** Compact a bucket-partitioned corpus in place (r12): a STREAMED
+    * index ([[graft.streaming.StreamingIngest.chunkIndexBucketedWriter]])
+    * appends one file set per micro-batch into every touched bucket
+    * directory, so a long-running ingest accumulates thousands of tiny
+    * files per bucket — at 100 TB the probe's cost becomes file-open
+    * overhead, not bytes (the classic streaming small-files failure).
+    * This rewrites each bucket's rows clustered on the bucket id
+    * (`repartition(bucket)` → ~one file per bucket directory) behind
+    * the crash-safe rename-aside swap ([[graft.sources.Sinks
+    * .swapInPlace]]); content, partition layout, and probe pruning are
+    * unchanged (spec-pinned: identical top-k results, PartitionFilters
+    * still non-empty, per-bucket file count collapses to 1). Run it on
+    * the ingest cadence, like the edge-store compaction.
+    *
+    * File-sink indexes: when the dir was written by the parquet
+    * STREAMING sink it carries a `_spark_metadata` commit log — the
+    * rewrite READS through it (so a crashed batch's orphan files are
+    * excluded, exactly the committed view) and produces a plain
+    * listing-served dir without it. Compact between stream
+    * decommission and the next serving window; RESUMING the original
+    * sink query onto the compacted path is unsupported (a fresh log
+    * would hide pre-compaction files from log-based readers) — ongoing
+    * ingest continues through a foreachBatch writer or a fresh path. */
+  def compactBucketedCorpus(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) =>
+      df.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+
   /** Multi-probe top-k point lookup against a bucket-partitioned corpus:
     * probe bucket ids (home bucket + single-bit flips, same family as
     * [[topKBucketed]]) are computed driver-side via [[bucketOf]] and

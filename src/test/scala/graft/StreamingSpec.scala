@@ -618,7 +618,10 @@ class StreamingSpec extends SparkSpec {
     try {
       src.addData(docs(0), docs(1))
       q.processAllAvailable()
-      src.addData(docs(2))
+      // batch 2 re-sends doc 1's text under a NEW doc_id: same chunks →
+      // same buckets → those bucket dirs now hold files from TWO batches
+      // (the small-files accumulation the compaction below collapses)
+      src.addData(docs(2), 4L -> docs(0)._2)
       q.processAllAvailable()
     } finally q.stop()
     // bucket assignment identical to the batch construction
@@ -626,7 +629,8 @@ class StreamingSpec extends SparkSpec {
       .select(col("chunk_id"), col("bucket").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val batch = StreamingIngest.chunkEmbed(
-        docs.toDF("doc_id", "text"), window = 4, stride = 3)
+        (docs :+ (4L -> docs(0)._2)).toDF("doc_id", "text"),
+        window = 4, stride = 3)
       .select(col("chunk_id"),
         graft.operators.Ann.lshBucket(col("embedding"), 16, 4).cast("long")
           .as("bucket"))
@@ -639,5 +643,29 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"bucket filter must prune partitions:\n$plan")
+
+    // COMPACTION (r12): per-batch appends leave multiple file sets per
+    // bucket dir; compactBucketedCorpus must collapse each to one file
+    // with identical content and intact pruning
+    def bucketFiles: Map[String, Int] =
+      new java.io.File(idxDir).listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(bucketFiles.values.exists(_ > 1),
+      s"fixture must produce multi-file buckets first: $bucketFiles")
+    graft.operators.Ann.compactBucketedCorpus(spark, idxDir)
+    val after = bucketFiles
+    assert(after.values.forall(_ == 1), s"buckets not compacted: $after")
+    val compacted = spark.read.parquet(idxDir)
+      .select(col("chunk_id"), col("bucket").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(compacted == streamed, "compaction changed the index content")
+    val plan2 = spark.read.parquet(idxDir)
+      .filter(col("bucket") === someBucket)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("PartitionFilters") && plan2.contains("bucket"),
+      s"pruning lost after compaction:\n$plan2")
+    assert(!new java.io.File(idxDir + ".swap.tmp").exists &&
+      !new java.io.File(idxDir + ".swap.old").exists, "swap left debris")
   }
 }
