@@ -160,8 +160,18 @@ object StreamingIngest {
       // replayed batch must never re-create an empty edge store over a
       // recoverable aside copy (see GraphBuild.recoverEdges)
       GraphBuild.recoverEdges(spark, edgesDir)
-      delta.drop("seq").write.mode("append").parquet(docsDir)
-      val docs = spark.read.parquet(docsDir)
+      // EDGES BEFORE DOCS (replay safety; foreachBatch is at-least-once):
+      // the doc append is exactly-once BY the dedup guard (a replayed
+      // batch's delta is empty once its docs landed), so with docs-first
+      // a crash between the appends LOSES the batch's edge delta forever
+      // — the replay sees an empty delta and skips the edge stage. With
+      // edges-first the failure replays to a duplicate edge append,
+      // which latest-wins dedup (and compaction) absorbs by design. The
+      // post-ingest corpus the reference KNNs against (main.py:76-82) is
+      // stated as existing ∪ delta — identical content to re-reading the
+      // store after the append, without depending on the append.
+      val docs = existing.select("id", "mtype", "data", "embedding")
+        .unionByName(delta.drop("seq"))
       val queries = delta.select(
         col("id").as("qid"), col("mtype").as("qtype"),
         col("embedding").as("qvec"), col("seq"))
@@ -169,6 +179,7 @@ object StreamingIngest {
         .join(queries.select("qid", "qtype", "seq"), Seq("qid"))
       GraphBuild.edgeDelta(knn, conf)
         .write.mode("append").parquet(edgesDir)
+      delta.drop("seq").write.mode("append").parquet(docsDir)
     }
     delta
   }
@@ -240,9 +251,15 @@ object StreamingIngest {
     * fingerprinted, and the probe is a fingerprint-keyed equi-join
     * against the cached index.
     *
+    * Replay idempotence: each batch lands in its own `batch_id=<id>`
+    * partition with OVERWRITE semantics (the [[admitBatch]] discipline
+    * — foreachBatch is at-least-once and a plain append would
+    * double-land a redelivered batch); the batch id is the partition
+    * directory, readable as a column like before.
+    *
     * @param stream   streaming (id, text)
     * @param eval     static (id, text) — the benchmark set to protect
-    * @param cleanDir parquet dir for the cleaned corpus (append-only)
+    * @param cleanDir parquet dir for the cleaned corpus (batch-scoped)
     */
   def decontaminatingWriter(
       stream: DataFrame,
@@ -259,8 +276,7 @@ object StreamingIngest {
         graft.operators.SubstringDedup
           .removeContaminatedSpans(batch, eval, minLen, k, w,
             evalIndex = Some(index))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(cleanDir)
+          .write.mode("overwrite").parquet(s"$cleanDir/batch_id=$batchId")
         ()
     }
   }

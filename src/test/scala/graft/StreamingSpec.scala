@@ -518,6 +518,49 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("ingest replay convergence: the edge delta survives a crash between the edge and doc appends") {
+    import graft.operators.GraphBuild
+    val dir = Files.createTempDirectory("graft_replay_conv").toString
+    val conf = GraftConf(dim = 8)
+    def run(base: String, crashBatch2: Boolean): Unit = {
+      val (docsDir, edgesDir) = (s"$base/docs", s"$base/edges")
+      val b1 = Seq(("text", "replay alpha doc", 1L), ("text", "replay beta doc", 2L))
+        .toDF("mtype", "data", "seq")
+      val b2 = Seq(("text", "replay gamma doc", 3L), ("image", "replay delta doc", 4L))
+        .toDF("mtype", "data", "seq")
+      StreamingIngest.processBatch(spark, b1, 0L, docsDir, edgesDir, conf,
+        graft.operators.Retrieval.Brute)
+      val before = new java.io.File(docsDir).listFiles().map(_.getName).toSet
+      StreamingIngest.processBatch(spark, b2, 1L, docsDir, edgesDir, conf,
+        graft.operators.Retrieval.Brute)
+      if (crashBatch2) {
+        // simulate the at-least-once crash window: batch 2's DOC append
+        // is rolled back (the edge append, which runs FIRST, survived) —
+        // then the batch is redelivered
+        new java.io.File(docsDir).listFiles()
+          .filterNot(f => before(f.getName)).foreach(_.delete())
+        StreamingIngest.processBatch(spark, b2, 1L, docsDir, edgesDir, conf,
+          graft.operators.Retrieval.Brute)
+      }
+    }
+    run(s"$dir/clean", crashBatch2 = false)
+    run(s"$dir/crashed", crashBatch2 = true)
+    def state(base: String) = {
+      val docs = spark.read.parquet(s"$base/docs")
+        .select("id").collect().map(_.getString(0)).toSet
+      val edges = GraphBuild.latestWins(spark.read.parquet(s"$base/edges"))
+        .select("src", "dst", "score")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      (docs, edges)
+    }
+    val (cleanDocs, cleanEdges) = state(s"$dir/clean")
+    val (crashDocs, crashEdges) = state(s"$dir/crashed")
+    assert(crashDocs == cleanDocs, "doc store diverged after replay")
+    assert(crashEdges == cleanEdges,
+      "edge store (latest-wins view) diverged after replay — the crash window lost or corrupted a delta")
+    assert(cleanDocs.size == 4)
+  }
+
   test("decontaminating ingest: stream equals the batch operator across batch splits") {
     val dir = Files.createTempDirectory("graft_decontam").toString
     val (cleanDir, ckpt) = (s"$dir/clean", s"$dir/ckpt")
@@ -552,10 +595,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 1L).get._2 == "0000" + "1111")
     assert(streamed.find(_._1 == 3L).get._2 == "", "eval copy scrubbed empty")
     assert(streamed.find(_._1 == 2L).get._3 == 0)
-    // arrival batch recorded per row
-    val bids = spark.read.parquet(cleanDir).select("id", "batch_id")
+    // arrival batch recorded per row — now a PARTITION directory
+    // (batch-scoped overwrite = replay idempotence), still a column
+    val bids = spark.read.parquet(cleanDir)
+      .select(col("id"), col("batch_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(bids(1L) == 0L && bids(4L) == 1L, s"batch ids: $bids")
+    // replay idempotence: a poisoned partial attempt of batch 1 is
+    // REWRITTEN, not appended to, when the batch lands again
+    Seq((99L, "garbage", 0)).toDF("id", "text", "n_cut")
+      .write.mode("overwrite").parquet(s"$cleanDir/batch_id=1")
+    graft.operators.SubstringDedup.removeContaminatedSpans(
+        docs.drop(2).toDF("id", "text"), eval, minLen = 12, k = 4, w = 5)
+      .write.mode("overwrite").parquet(s"$cleanDir/batch_id=1")
+    assert(read(spark.read.parquet(cleanDir)) == batch,
+      "batch-scoped rewrite must restore the exact batch result")
   }
 
   test("streaming chunk index ≡ batch chunk+embed on replay across batches") {
