@@ -50,7 +50,13 @@ object Bench {
     * JSON — per-query seconds are the only bare numerics under q-keys
     * in any BENCH artifact shape (the per-rep matrix nests under
     * `"qNNN":{`, which the regex rejects). A head-truncated first pair
-    * is dropped by the `"` anchor. */
+    * is dropped by the `"` anchor. When the artifact carries an
+    * UNESCAPED top-level `"queries"` object, the scrape anchors to that
+    * region alone (r12 ADVICE: the whole-text scan also matches escaped
+    * pairs inside the stdout-tail string, and a tail quoting numbers
+    * from another context — a different SF run, an error echoing
+    * timings — would silently poison the delta table); the whole-text
+    * scan survives only as the fallback for tail-only artifacts. */
   private def prevRound(): (String, Map[String, Double]) = try {
     val fs = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -58,8 +64,16 @@ object Bench {
     else {
       val latest = fs.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
       val text = Files.readString(latest.toPath)
+      // prefer the unescaped "queries":{...} region: values are bare
+      // numbers, so the object ends at the first '}' after its start
+      val scope = """(?<!\\)"queries"\s*:\s*\{""".r.findFirstMatchIn(text)
+        .map { m =>
+          val end = text.indexOf('}', m.end)
+          if (end > m.end) text.substring(m.end, end) else text
+        }
+        .getOrElse(text)
       val pair = """\\?"(q\d+_[a-z0-9_]+)\\?":([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
-      val qs = pair.findAllMatchIn(text)
+      val qs = pair.findAllMatchIn(scope)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       (latest.getName, qs)
     }

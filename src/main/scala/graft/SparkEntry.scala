@@ -33,6 +33,15 @@ object SparkEntry {
 
   // ---- shared Spark fragments -------------------------------------------
 
+  /** Per-JVM scratch dir for queries that build an on-disk store
+    * (q173/q181): suffixed with the SF dir name AND the JVM pid so two
+    * concurrent driver runs (the dual-SF gates run in separate JVMs
+    * sharing /tmp) never race on the same directory mid-swap. */
+  private def scratchStoreDir(tag: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${new java.io.File(dir).getName}" +
+        s"_pid${ProcessHandle.current().pid()}").getAbsolutePath
+
   /** docs view over embeddings.parquet: modality stand-in = label % 2
     * (FIXTURES.md §2). */
   private def embDocs(s: SparkSession, dir: String): DataFrame =
@@ -938,6 +947,30 @@ object SparkEntry {
         rnd(graft.functions.VectorFunctions.l2Norm(col("features")), 6).as("nrm"))
       .transform(graft.CacheScope.pin)
       .orderBy("id")
+  }
+
+  /** q30's fixture through the SECOND production-shaped encoder (q184,
+    * r12 verdict #6): [[Multimodal.HistogramProjectionEncoderFactory]] —
+    * a frozen linear projection over the quantized byte-frequency
+    * histogram, injected through the same factory seam as the stub, so
+    * the oracle gate pins a genuinely different model's arithmetic
+    * (distribution features, integer weight matrix, exact-radicand
+    * normalization) end-to-end through the per-partition
+    * mapPartitions path. The ASCII guard (byte length == char length)
+    * keeps the DuckDB `ord()`-histogram mirror byte-exact. */
+  private def histogramEncoderQ(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir)
+      .filter(length(col("text")) === length(col("text").cast("binary")))
+      .select(col("doc_id").cast("string").as("id"),
+        col("text").cast("binary").as("content"))
+    Multimodal.extractFeatures(media, "id", "content", dim = 16,
+        encoder = Multimodal.HistogramProjectionEncoderFactory)
+      .select(col("id").cast("long").as("doc_id"),
+        rnd(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        rnd(element_at(col("features"), 8).cast("double"), 6).as("f7"),
+        rnd(graft.functions.VectorFunctions.l2Norm(col("features")), 6).as("nrm"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
   }
 
   /** S2/E2/E3/E4 end-to-end through a REAL file tree: materialize a
@@ -2128,8 +2161,7 @@ object SparkEntry {
     val incoming = reingest
       .unionByName(twins.select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
       .unionByName(twins.select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
-    val storeDir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q173_index").getAbsolutePath
+    val storeDir = scratchStoreDir("q173_index", dir)
     Dedup.writeSignatureIndexStore(docs, "doc_id", "text", storeDir)
     Dedup.admitIncrementalStored(incoming, "doc_id", "text", s, storeDir)
       .orderBy("id")
@@ -2298,8 +2330,7 @@ object SparkEntry {
     val incoming = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 11000000L).as("doc_id"),
         concat(col("text"), lit(" post retirement tail")).as("text"))
-    val storeDir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q181_index").getAbsolutePath
+    val storeDir = scratchStoreDir("q181_index", dir)
     Dedup.writeSignatureIndexStore(docs, "doc_id", "text", storeDir)
     Dedup.compactSignatureIndexStore(s, storeDir,
       docs.filter(col("doc_id") % 21 === 0).select(col("doc_id").as("id")))
@@ -3185,6 +3216,7 @@ object SparkEntry {
     "q181_admission_retirement" -> ((s, d) => admissionRetireQ(s, d)),
     "q182_shipmode_priority" -> ((s, d) => Relational.q12ShipmodePriority(s, d)),
     "q183_waiting_suppliers" -> ((s, d) => Relational.q21WaitingSuppliers(s, d)),
+    "q184_histogram_encoder" -> ((s, d) => histogramEncoderQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7425,6 +7457,47 @@ object SparkEntry {
          |GROUP BY s_suppkey, s_name
          |ORDER BY numwait DESC, s_suppkey
          |LIMIT 25""".stripMargin,
+    "q184_histogram_encoder" ->
+      // Mirror of Multimodal.HistogramProjectionModel over text-as-bytes
+      // (ASCII guard keeps ord(char) == byte): quantized frequency
+      // histogram q = ⌊count·1e4/len⌋, frozen integer weights
+      // W(j,b) ∈ [-1000,1000] from the affine mix, exact Int64 raw
+      // projections, norm radicand < 2^53 so sqrt/divide/float-cast are
+      // the same correctly-rounded double steps in both engines.
+      s"""WITH hp AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE octet_length(CAST(text AS BLOB)) = length(text)),
+         |hcnt AS (
+         |  SELECT doc_id, b, count(*) * 10000 // len AS q
+         |  FROM (SELECT doc_id, length(text) AS len,
+         |          ord(substring(text, i + 1, 1)) AS b
+         |        FROM (SELECT doc_id, text,
+         |                unnest(range(0, length(text))) AS i FROM hp))
+         |  GROUP BY doc_id, len, b),
+         |hraw AS (
+         |  SELECT doc_id, j,
+         |    sum(((((1103515245 * (j*256 + b + 1) +
+         |      ((j*256 + b) * 1013904223) % 2147483647) % 2147483647)
+         |      % 2001) - 1000) * q) AS raw
+         |  FROM hcnt CROSS JOIN (SELECT unnest(range(0, 16)) AS j) r
+         |  GROUP BY doc_id, j),
+         |hvec AS (SELECT doc_id, list(raw ORDER BY j) AS rawv
+         |         FROM hraw GROUP BY doc_id),
+         |hnrm AS (
+         |  SELECT doc_id, rawv,
+         |    sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(rawv, x -> x * x)), (a, b) -> a + b)
+         |      AS DOUBLE)) AS n0
+         |  FROM hvec),
+         |hemb AS (
+         |  SELECT doc_id, list_transform(rawv,
+         |    x -> CAST(CAST(x AS DOUBLE) / n0 AS FLOAT)) AS embedding
+         |  FROM hnrm WHERE n0 <> 0.0)
+         |SELECT doc_id,
+         |  ${rnd6("CAST(embedding[1] AS DOUBLE)")} AS f0,
+         |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
+         |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
+         |FROM hemb ORDER BY doc_id""".stripMargin,
     "q177_product_profit" ->
       // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit
       // accumulates entirely on the 1e-4 integer grid — sqlVolU revenue

@@ -38,6 +38,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact duplicate groups by content hash. Returns one row per
     * duplicated content: (content_hash, n_copies, keeper_id) with
     * keeper = min id — the reference's "first writer wins" semantics
@@ -1045,6 +1047,15 @@ object Dedup {
         .select(col("id"), col("xid"), col("sig"), col("xsig"))
         .dropDuplicates("id", "xid")
     } else {
+      // the reroute is a documented RECALL trade (single-band-only
+      // matches inside a hot bucket are dropped) — make it observable:
+      // a production corpus crossing maxBand must show up in logs, not
+      // as a silent recall drop (r12 ADVICE)
+      log.warn(s"admission hot-band cap engaged: ${hotArr.length} band " +
+        s"key(s) exceed maxBand=$maxBand and reroute to band-PAIR " +
+        s"matching (single-band-only matches within those buckets are " +
+        s"dropped — the documented boundedness/recall trade). Sample " +
+        s"keys: ${hotArr.take(3).mkString(", ")}")
       val isHot = col("bkey").isin(hotArr.toSeq: _*)
       val coldPairs = inBand.join(probe.filter(!isHot), Seq("bkey"))
         .select(col("id"), col("xid"), col("sig"), col("xsig"))
@@ -1122,15 +1133,22 @@ object Dedup {
     * drops the trade accepts; rows below minAgree with n_exact_dup > 0
     * are the misses — move minAgree along this table to tune.
     *
-    * Unlike the serving-path [[admissionCandidates]], the candidate join
-    * here is deliberately UNCAPPED: an audit wants every band-colliding
+    * The candidate join is shared with the serving path
+    * ([[admissionCandidates]]) but defaults to UNCAPPED
+    * (`maxBand = Int.MaxValue`): an audit wants every band-colliding
     * pair measured, runs offline on a bounded (sampled) corpus, and a
-    * hot-band reroute would bias the very table being calibrated. */
+    * hot-band reroute would bias the very table being calibrated. The
+    * parameter exists because "offline" does not mean "small": a user
+    * pointing the calibration at a boilerplate-heavy corpus hits
+    * exactly the quadratic the serving path caps, so the same knob is
+    * one argument away — set `maxBand` and the measured table covers
+    * the capped candidate set the serving decision would actually see
+    * (arguably the MORE faithful audit once the cap is in production). */
   def admissionCalibration(
       incoming: DataFrame, existing: DataFrame,
       idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBand: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val rowsPerBand = numHashes / bands
     val inSh = incoming
@@ -1142,14 +1160,9 @@ object Dedup {
     val inSig = signatureIndex(incoming, idCol, textCol, shingleWidth, numHashes)
     val exSig = signatureIndex(existing, idCol, textCol, shingleWidth, numHashes)
       .select(col("id").as("xid"), col("sig").as("xsig"))
-    val inBand = inSig.select(col("id"),
-      explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
-    val exBand = exSig.select(col("xid"),
+    val idxBand = exSig.select(col("xid"), col("xsig"),
       explode(bandKeysFromSig(col("xsig"), bands, rowsPerBand)).as("bkey"))
-    val cand = inBand.join(exBand, Seq("bkey"))
-      .select(col("id"), col("xid")).dropDuplicates("id", "xid")
-    cand
-      .join(inSig, Seq("id")).join(exSig, Seq("xid"))
+    admissionCandidates(inSig, idxBand, bands, rowsPerBand, maxBand)
       .join(inSh, Seq("id")).join(exSh, Seq("xid"))
       .withColumn("agree",
         aggregate(zip_with(col("sig"), col("xsig"),

@@ -90,8 +90,25 @@ object GraphExpand {
     * Contract: queries with FEWER than `depth` seeds would have the
     * reference popping appended neighbors, whose order depends on
     * NetworkX adjacency-insertion order — not observable relationally;
-    * such queries here expand only their existing seed pops. The shipped
-    * oracle harness gives every query exactly 5 seeds with depth 3.
+    * NO relational form (collapsed or unrolled) can reproduce that, so
+    * such inputs are REJECTED, not silently approximated: with
+    * `validateSeedDepth` (default) the operator runs one tiny
+    * aggregate over `seeds` (every call site pins the seed KNN, so the
+    * probe hits cache or populates it for the main query) and throws
+    * listing offending qids. Callers that have verified the invariant
+    * out-of-band (the shipped harness gives every query exactly 5 seeds
+    * with depth 3) can pass `validateSeedDepth = false` to keep the
+    * plan fully lazy.
+    *
+    * Edges precondition: `edges` must be CANONICAL — unique (src, dst)
+    * with src = least(id, id'), the exact shape [[GraphBuild.edgeDelta]]
+    * emits and [[GraphBuild.latestWins]] maintains. The min-prio window
+    * here keeps ONE row per (qid, id) per step, which equals the
+    * reference's behavior only because a canonical edge table cannot
+    * discover the same neighbor twice in one step; feeding a raw
+    * multi-delta edge log would silently drop its duplicate discoveries
+    * where the unrolled form (and the DuckDB oracle mirror) retains
+    * them. Run [[GraphBuild.latestWins]] first if unsure.
     *
     * COLLAPSED FORM (r11 verdict #8): because only SEEDS are ever popped
     * (the quirk — discoveries append behind the remaining seeds and a
@@ -114,8 +131,32 @@ object GraphExpand {
       edges: DataFrame,
       k: Int,
       depth: Int,
-      conf: GraftConf = GraftConf.default): DataFrame = {
+      conf: GraftConf = GraftConf.default,
+      validateSeedDepth: Boolean = true): DataFrame = {
     require(depth >= 1, s"depth $depth must be >= 1")
+    if (depth > 1 && validateSeedDepth) {
+      // the collapse is sound only when pops 1..depth are all SEEDS —
+      // i.e. every query present in `seeds` carries ranks 1..depth.
+      // Queries with zero seeds are fine (nothing to pop, nothing
+      // returned). Offenders would have the reference popping
+      // discoveries in NetworkX insertion order, which no relational
+      // form reproduces — fail loud instead of silently diverging.
+      val offenders = seeds
+        .groupBy("qid")
+        .agg(sum(when(col("rank") <= depth, 1).otherwise(0)).as("n"))
+        .filter(col("n") < depth)
+        .limit(5).collect()
+      require(offenders.isEmpty,
+        s"expandFaithfulDepth(depth=$depth) requires every query to have " +
+          s">= depth seeds (ranks 1..$depth present); the reference " +
+          "(search.py:10-14) would pop appended discoveries in NetworkX " +
+          "insertion order for these, which is not relationally " +
+          "reproducible. Offending qids (first 5): " +
+          offenders.map(_.get(0)).mkString(", ") +
+          ". Reduce depth, widen the seed KNN, or pass " +
+          "validateSeedDepth = false if the invariant is verified " +
+          "out-of-band.")
+    }
     val sym = GraphBuild.symmetric(edges)
     val seedRows = seeds
       .select(col("qid"), col("id"), col("sim").as("score"), lit(0).as("prio"))

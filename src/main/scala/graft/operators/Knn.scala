@@ -75,7 +75,12 @@ object Knn {
     * (FLAT index, db.py:35); this guard only makes the scale cliff loud.
     * @return true iff the corpus exceeded the cap (i.e. the guard fired) */
   private[graft] def bruteGuard(docs: DataFrame, conf: GraftConf): Boolean = {
-    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    // robust estimate, not the raw plan stat: RDD-backed leaves
+    // (localCheckpoint, createDataFrame over an RDD) report the
+    // defaultSizeInBytes "unknown" sentinel, which must not read as
+    // "huge" — with failOnOversizeBruteKnn it would spuriously THROW on
+    // a three-row streaming micro-batch (see Retrieval.knownSizeEstimate)
+    val est = Retrieval.knownSizeEstimate(docs)
     val over = est > BigInt(conf.bruteCorpusWarnBytes)
     if (over) {
       val msg = s"brute-force KNN over a corpus estimated at $est bytes " +

@@ -98,6 +98,69 @@ object Multimodal {
     def create(dim: Int): MediaEncoder = new StubMediaModel(dim)
   }
 
+  /** Second production-shaped encoder (r12 verdict #6): a FROZEN LINEAR
+    * PROJECTION over the content's byte-frequency histogram — a real
+    * (if small) model: its features depend on the content's byte
+    * DISTRIBUTION (the standard file-type/entropy signal), not on a
+    * hash of the whole blob, so near-identical payloads embed nearby
+    * where the stub jumps discontinuously. No external weights needed:
+    * the projection matrix is generated from a fixed integer mix
+    * (pseudo-random frozen init — exactly how an untrained projection
+    * head ships), which also keeps it DuckDB-mirrorable.
+    *
+    * Arithmetic contract (what makes the oracle exact):
+    *  - histogram quantized to a 1e4 grid: q(b) = ⌊count(b)·10000 / len⌋
+    *    — scale-invariant (a frequency profile) and bounded, so every
+    *    downstream integer stays < 2^53 REGARDLESS of content size
+    *  - weights W(i,b) ∈ [-1000, 1000] from the affine mix family the
+    *    engine already uses (Embed.embedText)
+    *  - raw(i) = Σ_b W(i,b)·q(b): exact Int64 (|raw| ≤ 1000·Σq ≤ 1e7)
+    *  - Σ raw² ≤ 16e14 < 2^53: the norm's radicand converts to double
+    *    EXACTLY, so sqrt/divide/float-cast are the same correctly-
+    *    rounded steps in both engines.
+    * Failure contract (E3): None on null/empty/all-NUL content, like
+    * the stub, and on the (astronomically unlikely) all-zero
+    * projection, where no unit vector exists. */
+  object HistogramProjectionEncoderFactory extends MediaEncoderFactory {
+    def create(dim: Int): MediaEncoder = new HistogramProjectionModel(dim)
+  }
+
+  private final class HistogramProjectionModel(dim: Int) extends MediaEncoder {
+    require(dim <= 256, s"projection dim $dim exceeds the 256 histogram bins")
+    private val M = 2147483647L // 2^31-1, same modulus as Embed.embedText
+
+    /** Frozen weight: idx = i*256 + b; every intermediate non-negative
+      * so `%` agrees between JVM and SQL. */
+    private def w(idx: Long): Long =
+      ((1103515245L * (idx + 1L) + (idx * 1013904223L) % M) % M) % 2001L - 1000L
+
+    def embedOpt(content: Array[Byte]): Option[Array[Float]] = {
+      if (content == null || content.isEmpty || content.forall(_ == 0))
+        return None
+      val counts = new Array[Long](256)
+      content.foreach(b => counts(b & 0xff) += 1)
+      val len = content.length.toLong
+      // quantized frequency histogram: Σ q ≤ 10000 by construction
+      val q = counts.map(c => c * 10000L / len)
+      val raw = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var b = 0
+        while (b < 256) {
+          if (q(b) != 0L) acc += w(i.toLong * 256L + b) * q(b)
+          b += 1
+        }
+        acc
+      }
+      var nrmSq = 0L // exact: ≤ dim·(1000·10000)² = 1.6e15 < 2^53
+      raw.foreach(r => nrmSq += r * r)
+      if (nrmSq == 0L) None
+      else {
+        val nrm = math.sqrt(nrmSq.toDouble)
+        Some(raw.map(r => (r.toDouble / nrm).toFloat))
+      }
+    }
+  }
+
   /** The per-partition "model": deterministic fake producing the same
     * vector as Embed.embedBinary (embedText of the sha256 hex digest), so
     * the imperative JVM path is bit-checkable against the SQL oracle. */

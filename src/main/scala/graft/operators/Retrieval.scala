@@ -41,6 +41,37 @@ object Retrieval {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Catalyst's free size estimate, made robust to RDD-backed plans.
+    *
+    * `LogicalRDD` leaves (a `localCheckpoint`ed micro-batch, a
+    * `createDataFrame(emptyRDD, …)` empty-store branch) report
+    * `spark.sql.defaultSizeInBytes` (≈ Long.MaxValue) — that value means
+    * "no idea", not "huge". Reading it as a real size made [[Auto]]
+    * escalate a three-document streaming union to the ANN arm (the r12
+    * HEAD regression: StreamingIngest's `existing ∪ delta` corpus is
+    * part-parquet, part-checkpointed-RDD, and the union's estimate is the
+    * SUM of children, so one unknown leaf poisons the whole plan).
+    *
+    * Rule: if the plan-level estimate is below the unknown sentinel it is
+    * trustworthy — return it. Otherwise sum only the LEAVES that report a
+    * real estimate (parquet scans track on-disk size) and count unknown
+    * leaves as 0: "not proven over the cap" must never escalate, because
+    * the brute arm is the reference contract and the ANN arm is a
+    * documented semantics trade. A streaming store therefore still
+    * escalates exactly when its parquet side outgrows the cap — the delta
+    * is a micro-batch by construction and contributes nothing either way.
+    */
+  private[graft] def knownSizeEstimate(docs: DataFrame): BigInt = {
+    val plan = docs.queryExecution.optimizedPlan
+    val unknown = BigInt(
+      docs.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
+        Long.MaxValue.toString))
+    val total = plan.stats.sizeInBytes
+    if (total < unknown) total
+    else plan.collectLeaves().map(_.stats.sizeInBytes).filter(_ < unknown)
+      .foldLeft(BigInt(0))(_ + _)
+  }
+
   /** The reference's exact contract: brute-force scan with self-clamp
     * and modality-balanced quotas (main.py:206-254). */
   case object Brute extends Retrieval {
@@ -75,16 +106,19 @@ object Retrieval {
     /** The decision alone, exposed for observability and specs: true ⇔
       * this corpus would take the ANN arm. On a parquet-backed store the
       * estimate tracks on-disk size, so a GROWING store (the streaming
-      * ingest loop) flips this mid-stream — the escalation moment. */
+      * ingest loop) flips this mid-stream — the escalation moment.
+      * Decided on [[knownSizeEstimate]], NOT the raw plan estimate:
+      * RDD-backed leaves report an "unknown" sentinel that must read as
+      * "not proven over the cap", never as "huge" (r12 regression). */
     def escalates(docs: DataFrame, conf: GraftConf): Boolean =
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes >
-        BigInt(conf.bruteCorpusWarnBytes)
+      knownSizeEstimate(docs) > BigInt(conf.bruteCorpusWarnBytes)
 
     def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame = {
       val over = escalates(docs, conf)
       val d = if (dim > 0) dim else conf.dim
       log.info(s"Retrieval.Auto: corpus " +
-        s"sizeEstimate=${docs.queryExecution.optimizedPlan.stats.sizeInBytes} " +
+        s"knownSizeEstimate=${knownSizeEstimate(docs)} " +
+        s"(raw=${docs.queryExecution.optimizedPlan.stats.sizeInBytes}) " +
         s"capBytes=${conf.bruteCorpusWarnBytes} => " +
         (if (over) s"MultiTableLsh(dim=$d, nPlanes=$nPlanes, nTables=$nTables)"
          else "Brute"))

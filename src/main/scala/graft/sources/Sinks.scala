@@ -54,6 +54,14 @@ object Sinks {
     val old = new org.apache.hadoop.fs.Path(dir + ".swap.old")
     if (fs.exists(old))
       require(fs.delete(old, true), s"swapInPlace: delete of superseded $old failed")
+    // a leftover tmp is debris from a CRASHED prior attempt (crash after
+    // some of write()'s output landed, before the swap) — clear it
+    // before this attempt's write: callers whose write() targets only a
+    // SUBSET of tmp's layout (e.g. a single partition directory under
+    // it, like the all-retired sentinel partition) would otherwise swap
+    // the stale partitions in as live, resurrecting rewritten data
+    if (fs.exists(tmp))
+      require(fs.delete(tmp, true), s"swapInPlace: delete of stale $tmp failed")
     write(spark.read.parquet(dir), tmp.toString)
     require(fs.rename(path, old), s"swapInPlace: rename $path -> $old failed")
     if (!fs.rename(tmp, path)) {

@@ -186,23 +186,37 @@ object ScaleProbe {
     // band-pair keys and the planted junk yields ZERO candidates at
     // flat cost. This is the measured curve behind maxBand (SCALE.md).
     println("\n[scaleprobe] admission hot-band cap vs planted band size:")
-    for (n <- Seq(1000L, 10000L, 100000L)) {
+    for (n <- Seq(100L, 1000L, 10000L, 100000L)) {
       val idx = spark.range(0L, n).select(col("id").as("xid"),
         array(Seq(lit(7L), lit(8L), lit(9L)) ++
           (0 until 9).map(c => col("id") * 16L + lit(c + 1000000L)): _*).as("xsig"))
       val idxBand = idx.select(col("xid"), col("xsig"),
         explode(graft.operators.Dedup.bandKeysFromSig(col("xsig"), 4, 3)).as("bkey"))
         .localCheckpoint()
-      val inSig = spark.range(0L, 20L).select((col("id") + 500000L).as("id"),
+      // 20 junk docs share ONLY the hot band (zero true candidates) + 1
+      // two-hot-band dup that must SURVIVE every capped route — so each
+      // cell reports the cost of the junk flood and proves the reroute
+      // still carries the real match
+      val junk = spark.range(0L, 20L).select((col("id") + 500000L).as("id"),
         array(Seq(lit(7L), lit(8L), lit(9L)) ++
           (0 until 9).map(c => -(col("id") * 16L + lit(c + 1L))): _*).as("sig"))
-        .localCheckpoint()
-      for ((tag, mb) <- Seq("capped(1024)" -> 1024, "uncapped" -> Int.MaxValue)) {
+      val dup = spark.range(0L, 1L).select(lit(999999L).as("id"),
+        array(Seq(lit(7L), lit(8L), lit(9L)) ++
+          (0 until 3).map(c => lit(0L) * 16L + lit(c + 1000000L)) ++
+          (0 until 6).map(c => -lit(900000L + c)): _*).as("sig"))
+      val inSig = junk.unionByName(dup).localCheckpoint()
+      // 2-3 cap values around the default + the uncapped reference
+      // (r12 verdict #5: the measured curve behind the 1024 default)
+      for ((tag, mb) <- Seq("capped(128)" -> 128, "capped(1024)" -> 1024,
+          "capped(8192)" -> 8192, "uncapped" -> Int.MaxValue)) {
         val t0 = System.nanoTime()
         val cands = graft.operators.Dedup
-          .admissionCandidates(inSig, idxBand, 4, 3, mb).count()
+          .admissionCandidates(inSig, idxBand, 4, 3, mb)
+        val (total, dupKept) = (cands.count(),
+          cands.filter(col("id") === 999999L).count())
         println(f"[scaleprobe] hot_band n=$n%7d ${tag}%-13s " +
-          f"candidates=$cands%9d sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
+          f"candidates=$total%9d dup_kept=$dupKept " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
       }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

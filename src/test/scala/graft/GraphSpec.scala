@@ -127,6 +127,38 @@ class GraphSpec extends SparkSpec {
     assert(faithful == depth1)
   }
 
+  test("expandFaithfulDepth: fewer seeds than depth throws the documented error (r12 verdict #3)") {
+    // 1 seed, depth 3: the reference (search.py:10-14) pops FIFO — after
+    // the single seed it would pop DISCOVERIES in NetworkX
+    // adjacency-insertion order, which no relational form reproduces.
+    // The collapsed operator must refuse loudly, not silently expand
+    // only the seed pop.
+    val seeds = Seq(("q", "s1", 0.9, 1)).toDF("qid", "id", "sim", "rank")
+    val edges = Seq(("a", "s1", 0.5, 1L), ("b", "a", 0.9, 1L))
+      .toDF("src", "dst", "score", "seq")
+    val err = intercept[IllegalArgumentException] {
+      GraphExpand.expandFaithfulDepth(seeds, edges, k = 10, depth = 3)
+    }
+    assert(err.getMessage.contains("search.py:10-14"))
+    assert(err.getMessage.contains("q"), s"offending qid missing: ${err.getMessage}")
+    // a mixed frame fails too (one valid query doesn't mask the offender)
+    val mixed = Seq(
+      ("ok", "s1", 0.9, 1), ("ok", "s2", 0.8, 2), ("ok", "s3", 0.7, 3),
+      ("short", "s1", 0.9, 1)).toDF("qid", "id", "sim", "rank")
+    intercept[IllegalArgumentException] {
+      GraphExpand.expandFaithfulDepth(mixed, edges, k = 10, depth = 3)
+    }
+    // the out-of-band escape hatch keeps the plan lazy and expands the
+    // seed pops that DO exist (the documented approximation, caller-owned)
+    val lax = GraphExpand.expandFaithfulDepth(
+      seeds, edges, k = 10, depth = 3, validateSeedDepth = false)
+    assert(lax.collect().map(_.getAs[String]("id")).toSet == Set("s1", "a"))
+    // empty seeds are vacuously fine (nothing to pop)
+    val empty = seeds.limit(0)
+    assert(GraphExpand.expandFaithfulDepth(empty, edges, k = 5, depth = 3)
+      .collect().isEmpty)
+  }
+
   test("expandAll: full-frontier BFS reaches depth-2 nodes with compounded decay") {
     val seeds = Seq(("q", "s1", 1.0, 1)).toDF("qid", "id", "sim", "rank")
     val edges = Seq(("s1", "n1", 0.5, 1L), ("n1", "n2", 0.4, 1L))

@@ -303,6 +303,55 @@ class IncrementalAdmissionSpec extends SparkSpec {
     assert(run(1024) == run(1000000), "cap changed a no-hot-band decision")
   }
 
+  test("swapInPlace clears a stale .swap.tmp from a crashed prior attempt: retired signatures cannot resurrect (r12 ADVICE)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_swap_stale").toString + "/index"
+    val ex = Seq(1L -> baseText, 2L -> (baseText + " second body"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", dir)
+    // simulate a CRASHED earlier compaction attempt: some of its
+    // write() output (live bucket partitions) landed in tmp before the
+    // crash — debris the next attempt must not inherit
+    val staleTmp = dir + ".swap.tmp"
+    spark.read.parquet(dir).write.partitionBy("bucket").parquet(staleTmp)
+    // retire EVERYTHING: the all-retired sentinel path writes ONLY
+    // $tmp/bucket=-1, so without the entry cleanup the stale bucket=N
+    // dirs inside tmp would swap in as live, resurrecting every
+    // signature just retired
+    Dedup.compactSignatureIndexStore(spark, dir, Seq(1L, 2L).toDF("id"))
+    assert(spark.read.parquet(dir).count() == 0,
+      "stale tmp partitions resurrected retired signatures")
+    assert(!new java.io.File(staleTmp).exists, "swap left tmp debris")
+    assert(!new java.io.File(dir + ".swap.old").exists, "swap left old debris")
+  }
+
+  test("calibration cap (r12 verdict #4): maxBand bounds a boilerplate-heavy audit; default measures every pair") {
+    // 2000 IDENTICAL existing docs: every band key is shared by all of
+    // them — the boilerplate-flood shape. The default (uncapped) audit
+    // measures every band-colliding pair (that is its contract); with
+    // maxBand set, the candidate join routes through the same hot-band
+    // reroute the serving path uses, so the audit stays bounded on a
+    // corpus where the uncapped form would go |incoming|×|bucket|.
+    val ex = spark.range(0, 2000)
+      .select(col("id").as("doc_id"), lit(baseText).as("text"))
+    val inc = Seq(999999L -> baseText).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n_pairs")).collect()(0).getLong(0)
+    val uncapped = Dedup.admissionCalibration(inc, ex, "doc_id", "text")
+    assert(pairs(uncapped) == 2000L,
+      "default must keep the exact audit semantics: every colliding pair")
+    val capped = Dedup.admissionCalibration(
+      inc, ex, "doc_id", "text", maxBand = 100)
+    val cp = pairs(capped)
+    // 4 bands -> 6 band-PAIR keys, each truncated to the 100 smallest
+    // xids; identical signatures make those the SAME 100 docs, so the
+    // deduped candidate set is exactly the 100 smallest
+    assert(cp == 100L, s"capped audit measured $cp pairs")
+    // identical docs agree on all 12 components in both forms
+    assert(capped.select("agree").collect().map(_.getLong(0)).toSet == Set(12L))
+    assert(uncapped.select("agree").collect().map(_.getLong(0)).toSet == Set(12L))
+  }
+
   test("replay idempotence: redelivering a batch under the same batchId rewrites its slice — even over a partial previous attempt") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_admission_replay").toString

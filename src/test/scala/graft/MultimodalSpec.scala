@@ -124,10 +124,11 @@ class MultimodalSpec extends SparkSpec {
       ("doc:y-throws", "Y-prefixed".getBytes("UTF-8")),
       ("doc:empty", Array.empty[Byte])
     ).toDF("id", "content")
-    // contract, both implementations: undecodable/throwing rows DROP,
-    // every surviving row carries a dim-length vector
+    // contract, THREE implementations (stub, toy, histogram projection):
+    // undecodable/throwing rows DROP, every surviving row carries a
+    // dim-length vector
     for (factory <- Seq(Multimodal.StubEncoderFactory: Multimodal.MediaEncoderFactory,
-        ToyEncoderFactory)) {
+        ToyEncoderFactory, Multimodal.HistogramProjectionEncoderFactory)) {
       val out = Multimodal.extractFeatures(media, "id", "content",
         dim = 8, encoder = factory).collect()
       val ids = out.map(_.getString(0)).toSet
@@ -139,6 +140,26 @@ class MultimodalSpec extends SparkSpec {
         s"$factory: $ids")
       assert(out.forall(_.getSeq[Float](1).length == 8), s"$factory: bad dim")
     }
+    // the histogram encoder is a real model, not a hash: its features
+    // are scale-invariant in the byte DISTRIBUTION (the quantized
+    // frequency profile divides length out), so content ++ content
+    // embeds IDENTICALLY while a different distribution embeds
+    // differently — both behaviors impossible for the whole-blob-hash
+    // stub, proving the injection reached a genuinely different model
+    val hist = Multimodal.HistogramProjectionEncoderFactory.create(8)
+    val base = "abcabcabc".getBytes("UTF-8")
+    val doubled = base ++ base
+    val other = "zzzzzzzzz".getBytes("UTF-8")
+    assert(hist.embedOpt(base).get.toSeq == hist.embedOpt(doubled).get.toSeq,
+      "frequency profile must be scale-invariant")
+    assert(hist.embedOpt(base).get.toSeq != hist.embedOpt(other).get.toSeq,
+      "different byte distributions must embed differently")
+    val e = hist.embedOpt(base).get
+    val nrm = math.sqrt(e.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(nrm - 1.0) < 1e-6, s"not unit-norm: $nrm")
+    assert(hist.embedOpt(Array[Byte](0, 0, 0)).isEmpty, "all-NUL must drop")
+    assert(hist.embedOpt(Array.empty[Byte]).isEmpty, "empty must drop")
+
     // the toy features really are the toy's (injection reached the model)
     val toy = Multimodal.extractFeatures(media, "id", "content",
       dim = 8, encoder = ToyEncoderFactory).collect()

@@ -67,6 +67,51 @@ class RetrievalAutoSpec extends SparkSpec {
     assert(auto.escalates(grown, cap), "grown store must take the ANN arm")
   }
 
+  test("RDD-backed plans (localCheckpoint / emptyRDD) never escalate: unknown ≠ huge") {
+    // the r12 HEAD regression: StreamingIngest's corpus is
+    // existing ∪ localCheckpoint(delta); both an emptyRDD-backed
+    // `existing` and the checkpointed delta are LogicalRDD leaves whose
+    // stats default to spark.sql.defaultSizeInBytes (≈ Long.MaxValue),
+    // so the raw union estimate blew past any cap on a THREE-document
+    // corpus and Auto silently took the ANN arm (no self-clamp, bucket
+    // misses → empty edge deltas). Pin the fix: unknown-size leaves
+    // count 0 toward the escalation decision.
+    val conf = GraftConf.default.copy(dim = 64)
+    val auto = Retrieval.Auto()
+
+    val emptyStore = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id STRING, mtype STRING, embedding ARRAY<FLOAT>"))
+    val delta = corpus.limit(3).localCheckpoint()
+    val union = emptyStore.unionByName(delta)
+    val raw = union.queryExecution.optimizedPlan.stats.sizeInBytes
+    // precondition: the raw estimate really is poisoned (else this test
+    // proves nothing — Spark could start propagating checkpoint stats)
+    assert(raw >= BigInt(Long.MaxValue),
+      s"raw union estimate $raw no longer hits the unknown sentinel; " +
+        "re-examine whether knownSizeEstimate still has a job")
+    assert(!auto.escalates(union, conf),
+      "a 3-doc RDD-backed union must NOT escalate to the ANN arm")
+    // and the full-contract brute arm actually runs on it via Auto, even
+    // with the throwing guard armed (the exact processBatch shape)
+    val strict = conf.copy(failOnOversizeBruteKnn = true)
+    val out = auto.topK(union, queries.limit(2), 2, strict)
+    assert(out.count() > 0)
+
+    // the parquet side still drives escalation: big store ∪ tiny
+    // checkpointed delta escalates iff the parquet estimate is over cap
+    val parquetEst = Retrieval.knownSizeEstimate(corpus)
+    assert(parquetEst > 0)
+    val mixed = corpus.unionByName(delta.select("id", "mtype", "embedding"))
+    val capUnder = conf.copy(bruteCorpusWarnBytes = (parquetEst - 1).toLong)
+    val capOver = conf.copy(bruteCorpusWarnBytes = (parquetEst * 2).toLong)
+    assert(auto.escalates(mixed, capUnder),
+      "parquet side over cap must still escalate despite the RDD leaf")
+    assert(!auto.escalates(mixed, capOver))
+    delta.unpersist()
+  }
+
   test("Auto never trips the brute-size guard on the ANN side of the cap") {
     // failOnOversizeBruteKnn would make Knn.search THROW past the cap;
     // Auto must have already switched to the ANN arm at that point, so
