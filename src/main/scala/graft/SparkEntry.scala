@@ -973,6 +973,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** JSONL corpus roundtrip (q185): documents.parquet → the engine's own
+    * JSONL sink → explicit-schema PERMISSIVE read back
+    * ([[graft.sources.Sources.readJsonDocuments]]) with
+    * [[graft.sources.JsonlFixture.NCorrupt]] planted malformed lines.
+    * The oracle states the parsed rows straight from the parquet table
+    * (plus the corrupt count as a literal), so JSON escaping, the parse,
+    * and the quarantine must all be byte-faithful — one bad line must
+    * never kill (or leak into) a 100 TB ingest. The raw frame is pinned
+    * before the corrupt-count aggregate: Spark disallows
+    * corrupt-column-only sub-queries on the raw file scan. */
+  private def jsonlRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val fix = "target/jsonlfixture/" + new java.io.File(dir).getName
+    graft.sources.JsonlFixture.materialize(s, dir, fix)
+    val raw = graft.sources.Sources.readJsonDocuments(s, fix)
+      .transform(graft.CacheScope.pin)
+    val nCorrupt = raw.agg(
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+    raw.filter(col("_corrupt").isNull)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        sha2(col("text"), 256).as("text_sha"))
+      .crossJoin(broadcast(nCorrupt))
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
   /** S2/E2/E3/E4 end-to-end through a REAL file tree: materialize a
     * deterministic binary fixture from documents.parquet
     * (BinaryFixture — one file per doc, extension cycles
@@ -3217,6 +3242,7 @@ object SparkEntry {
     "q182_shipmode_priority" -> ((s, d) => Relational.q12ShipmodePriority(s, d)),
     "q183_waiting_suppliers" -> ((s, d) => Relational.q21WaitingSuppliers(s, d)),
     "q184_histogram_encoder" -> ((s, d) => histogramEncoderQ(s, d)),
+    "q185_jsonl_roundtrip" -> ((s, d) => jsonlRoundtripQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7498,6 +7524,15 @@ object SparkEntry {
          |  ${rnd6("CAST(embedding[8] AS DOUBLE)")} AS f7,
          |  ${rnd6(graft.operators.Embed.sqlL2Norm("embedding"))} AS nrm
          |FROM hemb ORDER BY doc_id""".stripMargin,
+    "q185_jsonl_roundtrip" ->
+      // Mirror of jsonlRoundtripQ: the JSONL fixture is the engine's own
+      // write of `documents`, so the expected parsed rows ARE the table;
+      // the planted-corrupt count is the fixture literal
+      // (JsonlFixture.NCorrupt). Hash equality proves the whole
+      // write→read→parse→quarantine loop byte-faithful.
+      s"""SELECT doc_id, source, lang, n_chars, sha256(text) AS text_sha,
+         |  CAST(${graft.sources.JsonlFixture.NCorrupt} AS BIGINT) AS n_corrupt
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q177_product_profit" ->
       // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit
       // accumulates entirely on the 1e-4 integer grid — sqlVolU revenue

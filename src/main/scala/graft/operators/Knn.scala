@@ -55,10 +55,21 @@ object Knn {
     * which is exactly the big-batch case the gate exists for. The chosen
     * path is logged (INFO) so a size-estimate misfire is diagnosable:
     * an underestimate re-broadcasts a huge batch, an overestimate
-    * silently degrades a tiny one. */
+    * silently degrades a tiny one.
+    *
+    * Gated on [[Retrieval.knownSizeEstimate]], not the raw plan stat
+    * (r12 regression family): a `localCheckpoint`ed micro-batch reports
+    * the defaultSizeInBytes sentinel, which read as "huge" and withheld
+    * the hint on EVERY streaming batch — and since AQE is unavailable
+    * inside Structured Streaming, a growing store past
+    * autoBroadcastJoinThreshold would degrade the per-batch KNN to a
+    * CartesianProduct. Counting unknown leaves as 0 is the right bias
+    * here too: the million-query batches this gate exists for come from
+    * parquet-backed sources whose stats are real, while RDD-backed
+    * query frames are micro-batches by construction. */
   private[operators] def maybeBroadcast(
       queries: DataFrame, capBytes: Long): DataFrame = {
-    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = Retrieval.knownSizeEstimate(queries)
     val hinted = est <= capBytes
     log.info(s"query-batch broadcast gate: sizeEstimate=$est capBytes=$capBytes " +
       s"=> ${if (hinted) "broadcast hint applied" else "hint withheld (planner decides)"}")

@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic JSON-lines fixture for the q185 source roundtrip.
+  *
+  * JSONL is the de-facto interchange format for LLM training corpora,
+  * and the Sources JSONL reader was only spec-covered — no oracle
+  * pinned the full write → read → parse loop. This helper materializes
+  * `documents.parquet` AS a JSONL directory via the engine's own sink
+  * (`df.write.json` — which makes the fixture double as the JSONL SINK
+  * capability check), then plants `NCorrupt` malformed lines in a
+  * trailing part file. The q185 oracle states the expected parsed rows
+  * straight from the parquet table, so the whole loop — JSON escaping,
+  * explicit-schema parse, PERMISSIVE corrupt quarantine — must be
+  * byte-faithful for the driver's hash compare to pass.
+  *
+  * The corrupt lines are unterminated-string JSON (malformed at the
+  * lexer, not merely type-mismatched), so they land in the PERMISSIVE
+  * `_corrupt` column deterministically on every Spark version.
+  */
+object JsonlFixture {
+
+  /** Planted malformed lines — the q185 oracle states this literal. */
+  val NCorrupt = 7
+
+  private def wipe(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    }
+
+  /** Materialize `outDir` as JSONL from `sfDir/documents.parquet` plus
+    * `nCorrupt` malformed lines. Wiped and rewritten each call —
+    * content depends only on the parquet input. */
+  def materialize(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      nCorrupt: Int = NCorrupt): Unit = {
+    wipe(Paths.get(outDir))
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(4)
+      .write.mode("overwrite").json(outDir)
+    val corrupt = (0 until nCorrupt)
+      .map(k => s"""{"doc_id": ${900000000L + k}, "text": "truncated $k""")
+    Files.write(Paths.get(outDir, "zz_corrupt.json"),
+      corrupt.mkString("\n").getBytes("UTF-8"))
+  }
+}

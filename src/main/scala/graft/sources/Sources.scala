@@ -38,6 +38,26 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** The full document-table schema for JSONL corpora ([[JsonlFixture]],
+    * q185) — explicit for the same 100 TB reason as [[batchSchema]]. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** JSONL document-corpus source: explicit schema, PERMISSIVE corrupt
+    * quarantine (same discipline as [[readJsonBatch]]). Callers that
+    * inspect `_corrupt` must cache the parsed frame first — Spark
+    * disallows corrupt-column-only sub-queries on the raw file scan. */
+  def readJsonDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentsSchema.add("_corrupt", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   /** Valid rows only (corrupt quarantined by the caller if needed). */
   def validRows(batch: DataFrame): DataFrame =
     if (batch.columns.contains("_corrupt"))

@@ -155,6 +155,21 @@ class KnnSpec extends SparkSpec {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(4))).toSet
       assert(rows(gatedOff) == rows(gatedOn)) // the gate is physical-only
+
+      // the STREAMING shape (r12 regression family): a localCheckpointed
+      // micro-batch reports the defaultSizeInBytes sentinel, which must
+      // read as "micro-batch", not "huge" — the hint still applies, so
+      // the per-batch KNN broadcasts the 3-row delta instead of
+      // degrading to a store-sized cartesian (AQE cannot rescue it
+      // inside Structured Streaming)
+      val microBatch = queries.limit(3).localCheckpoint()
+      val streamed = Knn.search(docs, microBatch, k = 3,
+        graft.GraftConf(dim = 64))
+      val pStream = streamed.queryExecution.executedPlan.toString
+      assert(pStream.contains("BroadcastNestedLoopJoin"),
+        s"checkpointed micro-batch must keep the broadcast hint:\n$pStream")
+      assert(streamed.count() > 0)
+      microBatch.unpersist()
     } finally spark.conf.set(key, saved)
   }
 

@@ -27,6 +27,29 @@ class SourcesSpec extends SparkSpec {
     assert(prepared.select("id").distinct().count() == 2)
   }
 
+  test("JSONL corpus fixture roundtrip: sink → source is byte-faithful; planted corrupt lines quarantine (q185 shape)") {
+    val sf = "/root/testdata/sf0.001"
+    val fix = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    graft.sources.JsonlFixture.materialize(spark, sf, fix)
+    val raw = Sources.readJsonDocuments(spark, fix).cache()
+    val parsed = raw.filter(col("_corrupt").isNull)
+    val docs = Tables.documents(spark, sf)
+    assert(parsed.count() == docs.count(), "row fidelity")
+    assert(raw.filter(col("_corrupt").isNotNull).count() ==
+      graft.sources.JsonlFixture.NCorrupt.toLong, "planted corrupt count")
+    // byte fidelity: text survives JSON escaping exactly
+    val mismatch = parsed.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("h0")),
+        Seq("doc_id"))
+      .filter(col("h") =!= col("h0")).count()
+    assert(mismatch == 0, "text roundtrip not byte-faithful")
+    // re-materialize: wiped and rewritten, same content (determinism)
+    graft.sources.JsonlFixture.materialize(spark, sf, fix)
+    assert(Sources.readJsonDocuments(spark, fix)
+      .filter(col("_corrupt").isNull).count() == docs.count())
+    raw.unpersist()
+  }
+
   test("CSV batch source with explicit schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.write(java.nio.file.Paths.get(s"$dir/batch.csv"),
