@@ -998,6 +998,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** CSV corpus roundtrip (q186): q185's loop for the other ubiquitous
+    * format, with the text deterministically perturbed to contain an
+    * embedded comma AND embedded double-quotes
+    * ([[graft.sources.CsvFixture.perturb]]) — the driver corpus has
+    * neither, so without the perturbation the roundtrip would never
+    * exercise CSV quoting/escaping, which is the entire failure surface
+    * of the format. The oracle recomputes the perturbed text from the
+    * parquet table; hash equality proves writer-escaping ≡
+    * reader-parsing byte-for-byte. */
+  private def csvRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val fix = "target/csvfixture/" + new java.io.File(dir).getName
+    graft.sources.CsvFixture.materialize(s, dir, fix)
+    val raw = graft.sources.Sources.readCsvDocuments(s, fix)
+      .transform(graft.CacheScope.pin)
+    val nCorrupt = raw.agg(
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+    raw.filter(col("_corrupt").isNull)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        sha2(col("text"), 256).as("text_sha"))
+      .crossJoin(broadcast(nCorrupt))
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
   /** S2/E2/E3/E4 end-to-end through a REAL file tree: materialize a
     * deterministic binary fixture from documents.parquet
     * (BinaryFixture — one file per doc, extension cycles
@@ -3243,6 +3267,7 @@ object SparkEntry {
     "q183_waiting_suppliers" -> ((s, d) => Relational.q21WaitingSuppliers(s, d)),
     "q184_histogram_encoder" -> ((s, d) => histogramEncoderQ(s, d)),
     "q185_jsonl_roundtrip" -> ((s, d) => jsonlRoundtripQ(s, d)),
+    "q186_csv_roundtrip" -> ((s, d) => csvRoundtripQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7532,6 +7557,15 @@ object SparkEntry {
       // write→read→parse→quarantine loop byte-faithful.
       s"""SELECT doc_id, source, lang, n_chars, sha256(text) AS text_sha,
          |  CAST(${graft.sources.JsonlFixture.NCorrupt} AS BIGINT) AS n_corrupt
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q186_csv_roundtrip" ->
+      // Mirror of csvRoundtripQ: recompute the quote/comma perturbation
+      // (CsvFixture.perturb) from the parquet table; hash equality
+      // proves the CSV writer's escaping and the reader's parsing are
+      // inverse byte-for-byte. Corrupt count = the fixture literal.
+      s"""SELECT doc_id, source, lang, n_chars,
+         |  sha256(text || ', quoted "' || lang || '" tail') AS text_sha,
+         |  CAST(${graft.sources.CsvFixture.NCorrupt} AS BIGINT) AS n_corrupt
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q177_product_profit" ->
       // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit

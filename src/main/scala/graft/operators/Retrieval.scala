@@ -52,10 +52,20 @@ object Retrieval {
     * part-parquet, part-checkpointed-RDD, and the union's estimate is the
     * SUM of children, so one unknown leaf poisons the whole plan).
     *
-    * Rule: if the plan-level estimate is below the unknown sentinel it is
-    * trustworthy — return it. Otherwise sum only the LEAVES that report a
-    * real estimate (parquet scans track on-disk size) and count unknown
-    * leaves as 0: "not proven over the cap" must never escalate, because
+    * Subtlety (found by the StreamBench stream arm): the sentinel
+    * LAUNDERS. `Dataset.localCheckpoint` preserves the pre-checkpoint
+    * plan's stats into the LogicalRDD leaf, and a frame whose lineage
+    * includes a streaming source carries sentinel-DERIVED stats —
+    * sentinel × projection-width ratios — which can land BELOW the
+    * sentinel and read as a real (astronomical) size. A `< sentinel`
+    * test therefore cannot tell a real estimate from laundered garbage.
+    * So: a LogicalRDD leaf is NEVER trusted, whatever it reports —
+    * file-source and local relations carry real sizes; RDD-backed
+    * frames are micro-batches by the contracts of every caller here.
+    *
+    * Rule: if every leaf is trusted, the plan-level estimate is real —
+    * return it. Otherwise sum only the trusted leaves and count the
+    * rest as 0: "not proven over the cap" must never escalate, because
     * the brute arm is the reference contract and the ANN arm is a
     * documented semantics trade. A streaming store therefore still
     * escalates exactly when its parquet side outgrows the cap — the delta
@@ -66,11 +76,28 @@ object Retrieval {
     val unknown = BigInt(
       docs.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
         Long.MaxValue.toString))
-    val total = plan.stats.sizeInBytes
-    if (total < unknown) total
-    else plan.collectLeaves().map(_.stats.sizeInBytes).filter(_ < unknown)
+    def trusted(l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      l.getClass.getSimpleName != "LogicalRDD" && l.stats.sizeInBytes < unknown
+    val leaves = plan.collectLeaves()
+    if (leaves.forall(trusted)) plan.stats.sizeInBytes
+    else leaves.filter(trusted).map(_.stats.sizeInBytes)
       .foldLeft(BigInt(0))(_ + _)
   }
+
+  /** Broadcast hint for an ANN result about to re-join the corpus for
+    * its `mtype` column: the result is ≤ |queries|·k rows (post-top-k),
+    * so it is driver-sized exactly when the QUERY batch is — gate on the
+    * query estimate scaled by k (conservative: result rows are far
+    * narrower than qvec-carrying query rows). Without the hint a
+    * streaming-lineage result reads as huge and the planner
+    * sort-merge-joins it against the corpus — shuffling the ENTIRE
+    * store per micro-batch (the StreamBench stream-arm finding). */
+  private def hintIfQueryBatchSmall(
+      result: DataFrame, queries: DataFrame, k: Int,
+      conf: GraftConf): DataFrame =
+    if (knownSizeEstimate(queries) * k <= BigInt(conf.broadcastQueryCapBytes))
+      broadcast(result)
+    else result
 
   /** The reference's exact contract: brute-force scan with self-clamp
     * and modality-balanced quotas (main.py:206-254). */
@@ -134,9 +161,11 @@ object Retrieval {
   final case class MultiTableLsh(dim: Int, nPlanes: Int = 4, nTables: Int = 8)
       extends Retrieval {
     def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame =
-      Ann.topKMultiTable(
-          docs.select("id", "embedding"), queries.select("qid", "qvec"),
-          k, dim, nPlanes, nTables, conf)
+      hintIfQueryBatchSmall(
+          Ann.topKMultiTable(
+            docs.select("id", "embedding"), queries.select("qid", "qvec"),
+            k, dim, nPlanes, nTables, conf),
+          queries, k, conf)
         .join(docs.select("id", "mtype"), Seq("id"))
         .select("qid", "id", "mtype", "sim", "rank")
   }
@@ -147,9 +176,11 @@ object Retrieval {
   final case class IvfFlat(dim: Int, nCentroids: Int = 16, nprobe: Int = 2)
       extends Retrieval {
     def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame =
-      Ann.topKIvf(
-          docs.select("id", "embedding"), queries.select("qid", "qvec"),
-          k, dim, nCentroids, nprobe, conf)
+      hintIfQueryBatchSmall(
+          Ann.topKIvf(
+            docs.select("id", "embedding"), queries.select("qid", "qvec"),
+            k, dim, nCentroids, nprobe, conf),
+          queries, k, conf)
         .join(docs.select("id", "mtype"), Seq("id"))
         .select("qid", "id", "mtype", "sim", "rank")
   }
@@ -159,9 +190,11 @@ object Retrieval {
   final case class IvfTrained(centroids: Array[Array[Float]], nprobe: Int = 2)
       extends Retrieval {
     def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame =
-      Ann.topKIvfWith(
-          docs.select("id", "embedding"), queries.select("qid", "qvec"),
-          k, centroids, nprobe, conf)
+      hintIfQueryBatchSmall(
+          Ann.topKIvfWith(
+            docs.select("id", "embedding"), queries.select("qid", "qvec"),
+            k, centroids, nprobe, conf),
+          queries, k, conf)
         .join(docs.select("id", "mtype"), Seq("id"))
         .select("qid", "id", "mtype", "sim", "rank")
   }

@@ -58,6 +58,17 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
+  /** CSV document-corpus source: explicit schema, header, PERMISSIVE
+    * corrupt quarantine — the [[readJsonDocuments]] contract for the
+    * other ubiquitous corpus format ([[CsvFixture]], q186). */
+  def readCsvDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentsSchema.add("_corrupt", StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
   /** Valid rows only (corrupt quarantined by the caller if needed). */
   def validRows(batch: DataFrame): DataFrame =
     if (batch.columns.contains("_corrupt"))

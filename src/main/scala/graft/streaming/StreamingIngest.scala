@@ -175,8 +175,13 @@ object StreamingIngest {
       val queries = delta.select(
         col("id").as("qid"), col("mtype").as("qtype"),
         col("embedding").as("qvec"), col("seq"))
+      // broadcast the qtype/seq re-attach: `queries` IS the micro-batch
+      // delta (tiny by this method's contract), but its streaming
+      // lineage carries sentinel-derived stats the planner reads as
+      // huge — without the hint this join falls to a sort-merge that
+      // shuffles the KNN output per batch (StreamBench stream arm)
       val knn = retrieval.topK(docs, queries.drop("seq"), conf.submitK, conf)
-        .join(queries.select("qid", "qtype", "seq"), Seq("qid"))
+        .join(broadcast(queries.select("qid", "qtype", "seq")), Seq("qid"))
       GraphBuild.edgeDelta(knn, conf)
         .write.mode("append").parquet(edgesDir)
       delta.drop("seq").write.mode("append").parquet(docsDir)

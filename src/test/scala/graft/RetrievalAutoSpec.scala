@@ -100,12 +100,14 @@ class RetrievalAutoSpec extends SparkSpec {
     assert(out.count() > 0)
 
     // the parquet side still drives escalation: big store ∪ tiny
-    // checkpointed delta escalates iff the parquet estimate is over cap
-    val parquetEst = Retrieval.knownSizeEstimate(corpus)
-    assert(parquetEst > 0)
+    // checkpointed delta carries a non-zero (trusted-leaf) estimate and
+    // the decision flips exactly around it — RDD leaves (whatever their
+    // checkpoint-preserved stats claim) contribute nothing either way
     val mixed = corpus.unionByName(delta.select("id", "mtype", "embedding"))
-    val capUnder = conf.copy(bruteCorpusWarnBytes = (parquetEst - 1).toLong)
-    val capOver = conf.copy(bruteCorpusWarnBytes = (parquetEst * 2).toLong)
+    val mixedEst = Retrieval.knownSizeEstimate(mixed)
+    assert(mixedEst > 0, "parquet side must stay visible through the RDD leaf")
+    val capUnder = conf.copy(bruteCorpusWarnBytes = (mixedEst - 1).toLong)
+    val capOver = conf.copy(bruteCorpusWarnBytes = (mixedEst * 2).toLong)
     assert(auto.escalates(mixed, capUnder),
       "parquet side over cap must still escalate despite the RDD leaf")
     assert(!auto.escalates(mixed, capOver))

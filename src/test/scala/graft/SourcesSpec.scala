@@ -50,6 +50,29 @@ class SourcesSpec extends SparkSpec {
     raw.unpersist()
   }
 
+  test("CSV corpus fixture roundtrip: quoting/escaping is byte-faithful; malformed lines quarantine (q186 shape)") {
+    val sf = "/root/testdata/sf0.001"
+    val fix = Files.createTempDirectory("graft_csvrt").toString + "/docs"
+    graft.sources.CsvFixture.materialize(spark, sf, fix)
+    val raw = Sources.readCsvDocuments(spark, fix).cache()
+    val parsed = raw.filter(col("_corrupt").isNull)
+    val docs = Tables.documents(spark, sf)
+    assert(parsed.count() == docs.count(), "row fidelity")
+    assert(raw.filter(col("_corrupt").isNotNull).count() ==
+      graft.sources.CsvFixture.NCorrupt.toLong, "planted corrupt count")
+    // the perturbation really forces quoting: every parsed text carries
+    // the embedded comma and quotes, and survives byte-exactly
+    val mismatch = parsed.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(docs.select(col("doc_id"),
+        sha2(graft.sources.CsvFixture.perturb(col("text"), col("lang")), 256)
+          .as("h0")), Seq("doc_id"))
+      .filter(col("h") =!= col("h0")).count()
+    assert(mismatch == 0, "CSV quote/comma roundtrip not byte-faithful")
+    assert(parsed.filter(!col("text").contains(", quoted \"")).count() == 0,
+      "perturbation missing — quoting was not exercised")
+    raw.unpersist()
+  }
+
   test("CSV batch source with explicit schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.write(java.nio.file.Paths.get(s"$dir/batch.csv"),
