@@ -38,7 +38,21 @@ final case class GraftConf(
       * IllegalArgumentException — for pipelines that must never fall into
       * the quadratic path unnoticed. Default false: reference parity
       * (brute IS the contract) is preserved unless a caller opts in. */
-    failOnOversizeBruteKnn: Boolean = false
+    failOnOversizeBruteKnn: Boolean = false,
+    /** Caller-asserted contract for RDD-backed plan leaves (localCheckpoint,
+      * createDataFrame over an RDD): their Catalyst stats are the
+      * defaultSizeInBytes sentinel — unusable either way — so the size
+      * gates (query-broadcast hint, brute-corpus guard, Auto escalation)
+      * need ANOTHER signal. True = "every RDD-backed frame reaching a gate
+      * is a micro-batch" (the streaming ingest loop sets this internally:
+      * its deltas are micro-batches by construction) — unknown leaves
+      * count 0 bytes, no job runs. False (default, the public API) = prove
+      * it: the gate runs a cheap bounded row probe (`limit(n+1).count()`
+      * against the cap translated to rows at `conf.dim`) instead of
+      * trusting the caller — so a genuinely large RDD-backed corpus can
+      * neither grab the broadcast hint (driver OOM) nor slip past
+      * `failOnOversizeBruteKnn` (r13 ADVICE #1). */
+    rddFramesAreMicroBatches: Boolean = false
 )
 
 object GraftConf {

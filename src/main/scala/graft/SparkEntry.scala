@@ -36,11 +36,43 @@ object SparkEntry {
   /** Per-JVM scratch dir for queries that build an on-disk store
     * (q173/q181): suffixed with the SF dir name AND the JVM pid so two
     * concurrent driver runs (the dual-SF gates run in separate JVMs
-    * sharing /tmp) never race on the same directory mid-swap. */
-  private def scratchStoreDir(tag: String, dir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${tag}_${new java.io.File(dir).getName}" +
-        s"_pid${ProcessHandle.current().pid()}").getAbsolutePath
+    * sharing /tmp) never race on the same directory mid-swap.
+    *
+    * Lifecycle (r13 ADVICE #4 — the pid suffix made the dirs unique,
+    * which also made them immortal): each dir registers a JVM shutdown
+    * hook that deletes its tree, and before handing a path out we sweep
+    * SIBLINGS with the same tag/SF prefix whose pid is no longer alive —
+    * crash leftovers from earlier rounds — so /tmp holds at most the
+    * live JVMs' scratch. */
+  private val scratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete(); ()
+  }
+
+  private def scratchStoreDir(tag: String, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val prefix = s"graft_${tag}_${new java.io.File(dir).getName}_pid"
+    val siblings = tmp.listFiles()
+    if (siblings != null) siblings.foreach { f =>
+      if (f.getName.startsWith(prefix)) {
+        val pid = f.getName.stripPrefix(prefix).takeWhile(_.isDigit)
+        val dead = pid.nonEmpty &&
+          scala.util.Try(ProcessHandle.of(pid.toLong))
+            .map(h => !h.isPresent || !h.get().isAlive).getOrElse(false)
+        if (dead) deleteTree(f)
+      }
+    }
+    val me = new java.io.File(tmp,
+      s"$prefix${ProcessHandle.current().pid()}").getAbsolutePath
+    if (scratchHooked.add(me))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteTree(new java.io.File(me))))
+    me
+  }
 
   /** docs view over embeddings.parquet: modality stand-in = label % 2
     * (FIXTURES.md §2). */

@@ -78,7 +78,7 @@ object Ann {
       .withColumn("bucket", explode(array(probeCols: _*)))
       .drop("_b")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("bucket"))
+    d.join(Knn.maybeBroadcast(q, conf), Seq("bucket"))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -237,7 +237,7 @@ object Ann {
       posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val q = queries.select(col("qid"), col("qvec"),
       posexplode(buckets(col("qvec"))).as(Seq("tbl", "bucket")))
-    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("tbl", "bucket"))
+    d.join(Knn.maybeBroadcast(q, conf), Seq("tbl", "bucket"))
       .select("qid", "id", "qvec", "embedding")
       .dropDuplicates("qid", "id") // same pair from several tables
   }
@@ -276,7 +276,7 @@ object Ann {
       posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val q = queries.select(col("qid"), col("qvec"),
       posexplode(buckets(col("qvec"))).as(Seq("tbl", "bucket")))
-    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("tbl", "bucket"))
+    d.join(Knn.maybeBroadcast(q, conf), Seq("tbl", "bucket"))
       .select(col("qid"), col("id"),
         dotProduct(col("qvec"), col("embedding")).as("sim"))
       .dropDuplicates("qid", "id") // same pair from several tables
@@ -309,7 +309,7 @@ object Ann {
     require(shortlist >= k && prefixDim >= 1)
     val wPre = Window.partitionBy("qid").orderBy(col("psim").desc, col("id"))
     val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    docs.crossJoin(Knn.maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+    docs.crossJoin(Knn.maybeBroadcast(queries, conf))
       .withColumn("psim", dotProduct(
         slice(col("qvec"), 1, prefixDim), slice(col("embedding"), 1, prefixDim)))
       .withColumn("_pr", row_number().over(wPre))
@@ -405,7 +405,7 @@ object Ann {
     val q = queries.withColumn("bucket",
       explode(ivfProbeBucketsWith(col("qvec"), cents, nprobe)))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("bucket"))
+    d.join(Knn.maybeBroadcast(q, conf), Seq("bucket"))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -446,7 +446,7 @@ object Ann {
       .withColumn("bucket",
         explode(ivfProbeBuckets(col("qvec"), dim, nCentroids, nprobe)))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("bucket"))
+    d.join(Knn.maybeBroadcast(q, conf), Seq("bucket"))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -468,6 +468,112 @@ object Ann {
     cents.map { c =>
       graft.OracleSql.dot(vec, graft.OracleSql.floatArrayLit(c))
     }.mkString("[", ",\n       ", "]")
+
+  // ---- multi-table corpus AT REST (the streaming-ingest KNN store) -------
+  // The r13 verdict's named scale-killer: the streaming ingest loop's
+  // escalated arm ran topKMultiTable over `existing ∪ delta`, recomputing
+  // nTables×nPlanes projections for EVERY stored row EVERY micro-batch —
+  // a per-batch O(store) scan that grows forever. The fix is the
+  // admitIncrementalStored shape applied to the KNN side: persist the
+  // OR-construction index AT REST, partitioned by one composite column
+  //   tb = table · 2^nPlanes + bucket
+  // so a micro-batch's probe set (≤ min(|batch|·nTables, nTables·2^nPlanes)
+  // distinct tb values — bounded by LAYOUT GEOMETRY, not data) becomes a
+  // literal `isin` PARTITION filter: buckets are computed once at append
+  // time, and the probe never opens unmatched directories. Candidate set,
+  // scores, and tie-breaks are IDENTICAL to [[topKMultiTable]] by
+  // construction (same plane families, same dot product, same pair dedup),
+  // so the stream≡batch equivalence of the ingest loop survives the swap
+  // exactly. Storage: each row is carried once per table (×nTables) — the
+  // classical multi-table LSH index cost, traded deliberately for probes
+  // that read O(matched buckets) instead of O(store).
+
+  /** The composite partition id of (table, bucket) — INT (nTables·2^nPlanes
+    * is small by construction), so partition-directory inference agrees
+    * with the probe literals' type. */
+  private def tbCol(tbl: Column, bucket: Column, nPlanes: Int): Column =
+    (tbl.cast("long") * (1L << nPlanes) + bucket).cast("int")
+
+  /** One row per (doc, table) with its composite partition id.
+    * @param docs (id, mtype, embedding) */
+  private def multiTableRows(
+      docs: DataFrame, dim: Int, nPlanes: Int, nTables: Int): DataFrame = {
+    def buckets(vec: Column) =
+      array((0 until nTables).map(t => lshBucketT(vec, dim, nPlanes, t)): _*)
+    docs.select(col("id"), col("mtype"), col("embedding"),
+        posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+      .select(col("id"), col("mtype"), col("embedding"),
+        tbCol(col("tbl"), col("bucket"), nPlanes).as("tb"))
+  }
+
+  /** Append ONE micro-batch into a multi-table corpus store with REPLAY
+    * IDEMPOTENCE: rows land in their own `batch=<id>` partition
+    * subdirectory with overwrite semantics (foreachBatch is
+    * at-least-once; the admitBatch discipline), under `tb=` partition
+    * directories inside it — both levels are partition columns, so a
+    * probe's `tb` filter prunes inside every batch directory. */
+  def appendMultiTableBatch(
+      delta: DataFrame, // (id, mtype, embedding)
+      dir: String, batchId: Long,
+      dim: Int, nPlanes: Int, nTables: Int): Unit =
+    multiTableRows(delta, dim, nPlanes, nTables)
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$dir/batch=$batchId")
+
+  /** One-time BACKFILL of the store from an existing corpus (adopting a
+    * doc store that predates the index): the only full-corpus scan in
+    * the layout's lifetime, landed as the sentinel `batch=-1` slice. */
+  def backfillMultiTableCorpus(
+      docs: DataFrame, // (id, mtype, embedding)
+      dir: String, dim: Int, nPlanes: Int, nTables: Int): Unit =
+    appendMultiTableBatch(docs, dir, -1L, dim, nPlanes, nTables)
+
+  /** Candidate pairs of a query micro-batch against the stored corpus:
+    * the [[multiTableCandidates]] OR-construction, with the docs side a
+    * PARTITION-PRUNED read — the batch's distinct `tb` ids are collected
+    * driver-side (bounded by nTables·2^nPlanes, the layout geometry) and
+    * become a literal `isin` the scan prunes on (PlanAuditSpec asserts
+    * non-empty PartitionFilters). Exactly-scored and pair-deduped like
+    * the in-memory form; a replayed batch's duplicate store rows are
+    * absorbed by the same (qid, id) dedup.
+    * @param queries (qid, qvec)
+    * @return (qid, id, mtype, sim) — rank in the caller (who may union
+    *         a not-yet-stored delta leg first) */
+  def multiTableStoreCandidates(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame,
+      dim: Int, nPlanes: Int, nTables: Int,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    def buckets(vec: Column) =
+      array((0 until nTables).map(t => lshBucketT(vec, dim, nPlanes, t)): _*)
+    val q = queries.select(col("qid"), col("qvec"),
+        posexplode(buckets(col("qvec"))).as(Seq("tbl", "bucket")))
+      .select(col("qid"), col("qvec"),
+        tbCol(col("tbl"), col("bucket"), nPlanes).as("tb"))
+    val tbs = q.select("tb").distinct().collect().map(_.getInt(0))
+    spark.read.parquet(dir)
+      .filter(col("tb").isin(tbs.toSeq: _*))
+      .join(Knn.maybeBroadcast(q, conf), Seq("tb"))
+      .select(col("qid"), col("id"), col("mtype"),
+        dotProduct(col("qvec"), col("embedding")).as("sim"))
+      .dropDuplicates("qid", "id")
+  }
+
+  /** Compact a multi-table corpus store in place: fold the accumulated
+    * `batch=` slices into the single sentinel `batch=-1` slice (~one
+    * file per tb directory — the [[compactBucketedCorpus]] small-files
+    * move on this layout), deduping on (id, tb) so replay-duplicated
+    * rows converge away. The batch level is KEPT (as the sentinel) so
+    * later batches keep appending their own `batch=<id>` slices without
+    * mixing flat files into a partitioned root. Crash-safe rename-aside
+    * swap; probe results and pruning are unchanged (spec-pinned). */
+  def compactMultiTableCorpus(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) =>
+      df.drop("batch") // folded into the sentinel slice's directory name
+        .dropDuplicates("id", "tb")
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/batch=-1"))
 
   /** SQL mirror of [[lshBucketT]]. */
   def sqlLshBucketT(vec: String, dim: Int, nPlanes: Int, t: Int): String =

@@ -1023,6 +1023,17 @@ object Dedup {
     require(maxBand >= 1, s"maxBand must be >= 1, got $maxBand")
     val inBand = inSig.select(col("id"), col("sig"),
       explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+    if (maxBand == Int.MaxValue) {
+      // UNCAPPED (the calibration default): no band can be "hot", so the
+      // frequency count — an EAGER driver collect — and the probe pin it
+      // reads would be pure overhead, and outside a CacheScope the pin
+      // would leak a cached RDD per call (r13 ADVICE #3). Return the
+      // plain fully-lazy single-band join instead: zero jobs until the
+      // caller's own action, zero persists.
+      return inBand.join(idxBand, Seq("bkey"))
+        .select(col("id"), col("xid"), col("sig"), col("xsig"))
+        .dropDuplicates("id", "xid")
+    }
     // the batch is the SMALL side by the admission contract: its key set
     // broadcasts, and the index side shrinks to matched rows before any
     // counting or joining
@@ -1143,7 +1154,15 @@ object Dedup {
     * exactly the quadratic the serving path caps, so the same knob is
     * one argument away — set `maxBand` and the measured table covers
     * the capped candidate set the serving decision would actually see
-    * (arguably the MORE faithful audit once the cap is in production). */
+    * (arguably the MORE faithful audit once the cap is in production).
+    *
+    * Laziness/caching: with the default (uncapped) `maxBand` the whole
+    * audit is one lazy plan — no job, no persist, safe to build ad hoc.
+    * A CAPPED calibration shares the serving path's hot-band probe,
+    * which pins an intermediate and collects hot keys eagerly
+    * ([[admissionCandidates]]); wrap capped calls in
+    * `CacheScope.materializeAndRelease` (as the serving callers do) or
+    * the pin outlives the call. */
   def admissionCalibration(
       incoming: DataFrame, existing: DataFrame,
       idCol: String, textCol: String,

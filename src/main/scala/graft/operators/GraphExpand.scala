@@ -141,9 +141,14 @@ object GraphExpand {
       // returned). Offenders would have the reference popping
       // discoveries in NetworkX insertion order, which no relational
       // form reproduces — fail loud instead of silently diverging.
+      // countDistinct, not a row count: ranks are 1-based integers, so
+      // `depth` DISTINCT values at or under `depth` ⇔ ranks 1..depth all
+      // present — a frame with duplicated ranks (two rank-1 rows, no
+      // rank-3) must fail here, not slip through on row count (r13
+      // ADVICE #2)
       val offenders = seeds
         .groupBy("qid")
-        .agg(sum(when(col("rank") <= depth, 1).otherwise(0)).as("n"))
+        .agg(countDistinct(when(col("rank") <= depth, col("rank"))).as("n"))
         .filter(col("n") < depth)
         .limit(5).collect()
       require(offenders.isEmpty,

@@ -57,21 +57,24 @@ object Knn {
     * an underestimate re-broadcasts a huge batch, an overestimate
     * silently degrades a tiny one.
     *
-    * Gated on [[Retrieval.knownSizeEstimate]], not the raw plan stat
+    * Gated on [[Retrieval.provenAtOrUnder]], not the raw plan stat
     * (r12 regression family): a `localCheckpoint`ed micro-batch reports
     * the defaultSizeInBytes sentinel, which read as "huge" and withheld
     * the hint on EVERY streaming batch — and since AQE is unavailable
     * inside Structured Streaming, a growing store past
     * autoBroadcastJoinThreshold would degrade the per-batch KNN to a
-    * CartesianProduct. Counting unknown leaves as 0 is the right bias
-    * here too: the million-query batches this gate exists for come from
-    * parquet-backed sources whose stats are real, while RDD-backed
-    * query frames are micro-batches by construction. */
-  private[operators] def maybeBroadcast(
-      queries: DataFrame, capBytes: Long): DataFrame = {
-    val est = Retrieval.knownSizeEstimate(queries)
-    val hinted = est <= capBytes
-    log.info(s"query-batch broadcast gate: sizeEstimate=$est capBytes=$capBytes " +
+    * CartesianProduct. Under `conf.rddFramesAreMicroBatches` (the
+    * streaming ingest loop asserts it — its deltas ARE micro-batches by
+    * construction) unknown leaves count 0; on the public path a bounded
+    * row probe settles them, so a million-query `createDataFrame` batch
+    * can no longer grab the hint unexamined (r13 ADVICE #1). */
+  private[graft] def maybeBroadcast(
+      queries: DataFrame, conf: GraftConf): DataFrame = {
+    val hinted =
+      Retrieval.provenAtOrUnder(queries, conf.broadcastQueryCapBytes, conf)
+    log.info(s"query-batch broadcast gate: " +
+      s"sizeEstimate=${Retrieval.knownSizeEstimate(queries)} " +
+      s"capBytes=${conf.broadcastQueryCapBytes} " +
       s"=> ${if (hinted) "broadcast hint applied" else "hint withheld (planner decides)"}")
     if (hinted) broadcast(queries) else queries
   }
@@ -86,14 +89,17 @@ object Knn {
     * (FLAT index, db.py:35); this guard only makes the scale cliff loud.
     * @return true iff the corpus exceeded the cap (i.e. the guard fired) */
   private[graft] def bruteGuard(docs: DataFrame, conf: GraftConf): Boolean = {
-    // robust estimate, not the raw plan stat: RDD-backed leaves
-    // (localCheckpoint, createDataFrame over an RDD) report the
-    // defaultSizeInBytes "unknown" sentinel, which must not read as
-    // "huge" — with failOnOversizeBruteKnn it would spuriously THROW on
-    // a three-row streaming micro-batch (see Retrieval.knownSizeEstimate)
-    val est = Retrieval.knownSizeEstimate(docs)
-    val over = est > BigInt(conf.bruteCorpusWarnBytes)
+    // decision via Retrieval.provenAtOrUnder, not the raw plan stat:
+    // RDD-backed leaves report the defaultSizeInBytes "unknown" sentinel,
+    // which must not read as "huge" — with failOnOversizeBruteKnn it
+    // would spuriously THROW on a three-row streaming micro-batch (r12
+    // regression). Streaming callers assert the micro-batch contract
+    // (conf.rddFramesAreMicroBatches); on the public path a bounded row
+    // probe classifies a genuinely large RDD-backed corpus as over-cap,
+    // so the guard fires there too (r13 ADVICE #1).
+    val over = !Retrieval.provenAtOrUnder(docs, conf.bruteCorpusWarnBytes, conf)
     if (over) {
+      val est = Retrieval.knownSizeEstimate(docs)
       val msg = s"brute-force KNN over a corpus estimated at $est bytes " +
         s"(> bruteCorpusWarnBytes=${conf.bruteCorpusWarnBytes}): every " +
         "(query, doc) pair will be scored. For corpora this size use the " +
@@ -131,7 +137,7 @@ object Knn {
     // docs is the (potentially 100 TB) side: never shuffle it for the
     // join — broadcast the query batch instead (size-gated).
     val scored = docs
-      .crossJoin(maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+      .crossJoin(maybeBroadcast(queries, conf))
       .withColumn(
         "sim",
         simExpr(col("qid"), col(idCol), col("qvec"), col("embedding")))
@@ -197,7 +203,7 @@ object Knn {
     import org.apache.spark.sql.graftbridge.Bridge
     bruteGuard(docs, conf)
     val scored = docs
-      .crossJoin(maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+      .crossJoin(maybeBroadcast(queries, conf))
       .select(col("qid"), col(idCol).as("id"),
         dotProduct(col("qvec"), col("embedding")).as("sim"))
     val topCol = Bridge.column(
@@ -222,7 +228,7 @@ object Knn {
     bruteGuard(docs, conf)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     docs
-      .crossJoin(maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+      .crossJoin(maybeBroadcast(queries, conf))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

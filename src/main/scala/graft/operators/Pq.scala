@@ -90,7 +90,7 @@ object Pq {
     val coded = docs.withColumn("code", encode(col("embedding"), dim, nSub, nCodes))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
     val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    coded.crossJoin(Knn.maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+    coded.crossJoin(Knn.maybeBroadcast(queries, conf))
       .withColumn("adc", adcScore(col("qvec"), col("code"), dim, nSub, nCodes))
       .withColumn("_ar", row_number().over(wAdc))
       .filter(col("_ar") <= shortlist)
@@ -127,7 +127,7 @@ object Pq {
       explode(Ann.ivfProbeBuckets(col("qvec"), dim, nCentroids, nprobe)))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
     val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    d.join(Knn.maybeBroadcast(q, conf.broadcastQueryCapBytes), Seq("bucket"))
+    d.join(Knn.maybeBroadcast(q, conf), Seq("bucket"))
       .withColumn("adc", adcScore(col("qvec"), col("code"), dim, nSub, nCodes))
       .withColumn("_ar", row_number().over(wAdc))
       .filter(col("_ar") <= shortlist)
@@ -213,7 +213,7 @@ object Pq {
     val coded = docs.withColumn("code", encodeWith(col("embedding"), dim, cbs))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
     val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    coded.crossJoin(Knn.maybeBroadcast(queries, conf.broadcastQueryCapBytes))
+    coded.crossJoin(Knn.maybeBroadcast(queries, conf))
       .withColumn("adc", adcScoreWith(col("qvec"), col("code"), dim, cbs))
       .withColumn("_ar", row_number().over(wAdc))
       .filter(col("_ar") <= shortlist)

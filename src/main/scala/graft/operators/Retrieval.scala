@@ -70,18 +70,76 @@ object Retrieval {
     * documented semantics trade. A streaming store therefore still
     * escalates exactly when its parquet side outgrows the cap — the delta
     * is a micro-batch by construction and contributes nothing either way.
+    *
+    * RDD-backed leaves are detected by TYPE ([[org.apache.spark.sql
+    * .graftbridge.Bridge.isRddLeaf]]), not class-name string match — a
+    * Spark rename now breaks compilation instead of silently re-opening
+    * the regression (r13 verdict hygiene #2).
     */
   private[graft] def knownSizeEstimate(docs: DataFrame): BigInt = {
     val plan = docs.queryExecution.optimizedPlan
-    val unknown = BigInt(
-      docs.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
-        Long.MaxValue.toString))
-    def trusted(l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-      l.getClass.getSimpleName != "LogicalRDD" && l.stats.sizeInBytes < unknown
     val leaves = plan.collectLeaves()
-    if (leaves.forall(trusted)) plan.stats.sizeInBytes
-    else leaves.filter(trusted).map(_.stats.sizeInBytes)
+    if (leaves.forall(trustedLeaf(docs, _))) plan.stats.sizeInBytes
+    else leaves.filter(trustedLeaf(docs, _)).map(_.stats.sizeInBytes)
       .foldLeft(BigInt(0))(_ + _)
+  }
+
+  private def trustedLeaf(
+      df: DataFrame,
+      l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    val unknown = BigInt(
+      df.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
+        Long.MaxValue.toString))
+    !org.apache.spark.sql.graftbridge.Bridge.isRddLeaf(l) &&
+      l.stats.sizeInBytes < unknown
+  }
+
+  /** The size-gate DECISION: is `df` proven at or under `capBytes`?
+    *
+    * Trusted-leaf plans answer from Catalyst's free estimate (no job).
+    * Plans with RDD-backed leaves (stats = sentinel, see
+    * [[knownSizeEstimate]]) split on the caller's contract:
+    *  - `conf.rddFramesAreMicroBatches` (the streaming ingest loop,
+    *    where every RDD leaf IS a micro-batch by construction): unknown
+    *    leaves count 0 — the r12-regression-safe bias, still no job;
+    *  - public callers (default): a BOUNDED row probe —
+    *    `limit(maxRows+1).count()` with maxRows = capBytes over the
+    *    conservative per-row width at `conf.dim` — so a genuinely large
+    *    localCheckpoint/createDataFrame corpus is classified over-cap
+    *    instead of silently taking the under-cap arm (broadcast-hint
+    *    driver OOM; a never-firing failOnOversizeBruteKnn — r13 ADVICE
+    *    #1). The probe short-circuits: if the trusted leaves alone
+    *    exceed the cap no job runs, and `limit` stops scanning once
+    *    maxRows+1 rows are found. */
+  private[graft] def provenAtOrUnder(
+      df: DataFrame, capBytes: Long, conf: GraftConf): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    if (leaves.forall(trustedLeaf(df, _))) plan.stats.sizeInBytes <= capBytes
+    else {
+      val trustedSum = leaves.filter(trustedLeaf(df, _))
+        .map(_.stats.sizeInBytes).foldLeft(BigInt(0))(_ + _)
+      if (trustedSum > BigInt(capBytes)) false
+      else if (conf.rddFramesAreMicroBatches) true
+      else {
+        // embedding-carrying rows dominate at 4 bytes/component; +64
+        // covers ids/modality/struct overhead. Counting ALL rows (the
+        // trusted leaves' included) against the cap is conservative in
+        // the safe direction — an over-count can only withhold a hint
+        // or fire a guard, never grant an unproven "under".
+        val rowBytes = 4L * conf.dim + 64L
+        val maxRows = capBytes / rowBytes
+        if (maxRows <= 0) false
+        else if (maxRows >= Int.MaxValue - 1) true
+        else {
+          val n = df.limit(maxRows.toInt + 1).count()
+          log.info(s"size gate row probe on RDD-backed plan: $n rows " +
+            s"counted vs maxRows=$maxRows (capBytes=$capBytes, " +
+            s"assumed rowBytes=$rowBytes)")
+          n <= maxRows
+        }
+      }
+    }
   }
 
   /** Broadcast hint for an ANN result about to re-join the corpus for
@@ -95,7 +153,7 @@ object Retrieval {
   private def hintIfQueryBatchSmall(
       result: DataFrame, queries: DataFrame, k: Int,
       conf: GraftConf): DataFrame =
-    if (knownSizeEstimate(queries) * k <= BigInt(conf.broadcastQueryCapBytes))
+    if (provenAtOrUnder(queries, conf.broadcastQueryCapBytes / math.max(k, 1), conf))
       broadcast(result)
     else result
 
@@ -134,11 +192,13 @@ object Retrieval {
       * this corpus would take the ANN arm. On a parquet-backed store the
       * estimate tracks on-disk size, so a GROWING store (the streaming
       * ingest loop) flips this mid-stream — the escalation moment.
-      * Decided on [[knownSizeEstimate]], NOT the raw plan estimate:
-      * RDD-backed leaves report an "unknown" sentinel that must read as
-      * "not proven over the cap", never as "huge" (r12 regression). */
+      * Decided by [[provenAtOrUnder]], NOT the raw plan estimate:
+      * RDD-backed leaves report an "unknown" sentinel that must never
+      * read as "huge" (r12 regression) — under the streaming micro-batch
+      * contract they count 0, on the public path a bounded row probe
+      * settles them (r13 ADVICE #1). */
     def escalates(docs: DataFrame, conf: GraftConf): Boolean =
-      knownSizeEstimate(docs) > BigInt(conf.bruteCorpusWarnBytes)
+      !provenAtOrUnder(docs, conf.bruteCorpusWarnBytes, conf)
 
     def topK(docs: DataFrame, queries: DataFrame, k: Int, conf: GraftConf): DataFrame = {
       val over = escalates(docs, conf)

@@ -845,8 +845,11 @@ object TextAnalysis {
         log(col("cb").cast("double") / col("cu").cast("double")))
       .groupBy("train_source", "eval_source")
       .agg(sum(col("ce")).as("n_covered"), sum(col("lp")).as("lp_sum"))
+    // S-row aggregate: hint it like every other tiny-side crossJoin in
+    // this file — laundered stats must never sort-merge a source grid
+    // (SCALE.md; r13 verdict hygiene #3)
     val grid = totals.select(col("eval_source"), col("tocc"))
-      .crossJoin(totals.select(col("eval_source").as("train_source")))
+      .crossJoin(broadcast(totals.select(col("eval_source").as("train_source"))))
     grid.join(stats, Seq("train_source", "eval_source"), "left")
       .select(col("train_source"), col("eval_source"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
@@ -898,8 +901,9 @@ object TextAnalysis {
           .as("ss"),
         sum(col("p1")).as("sp1"), sum(col("p2")).as("sp2"))
     val srcs = tot.select(col("src"))
+    // S-row source grid: broadcast-hinted like its siblings (r13 #3)
     val grid = srcs.select(col("src").as("s1"))
-      .crossJoin(srcs.select(col("src").as("s2")))
+      .crossJoin(broadcast(srcs.select(col("src").as("s2"))))
       .filter(col("s1") < col("s2"))
     grid.join(shared, Seq("s1", "s2"), "left")
       .select(col("s1"), col("s2"),

@@ -21,6 +21,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   */
 object StreamingIngest {
 
+  // `logger`, not `log`: functions._ is imported wholesale and exports
+  // the log() Column function
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Wire a streaming (mtype, data, seq) source into the ingest loop.
     * Returns a started-ready writer; caller sets checkpoint/trigger and
     * starts it.
@@ -127,6 +131,13 @@ object StreamingIngest {
       conf: GraftConf,
       retrieval: graft.operators.Retrieval,
       deltaFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // assert the micro-batch contract on behalf of this loop's own
+    // construction: every RDD-backed leaf the size gates see here IS a
+    // localCheckpointed micro-batch (delta, queries) or an emptyRDD
+    // store stub — so the gates skip the public path's bounded row
+    // probe (a per-batch job) and count unknown leaves as 0, the
+    // r12-regression-safe bias (see GraftConf.rddFramesAreMicroBatches)
+    val mbConf = conf.copy(rddFramesAreMicroBatches = true)
     // probe through the Hadoop FileSystem API, not java.io.File: the
     // store dir can live on any supported filesystem (HDFS/S3/...) where
     // a local-FS check would always say "absent" and silently skip the
@@ -180,13 +191,169 @@ object StreamingIngest {
       // lineage carries sentinel-derived stats the planner reads as
       // huge — without the hint this join falls to a sort-merge that
       // shuffles the KNN output per batch (StreamBench stream arm)
-      val knn = retrieval.topK(docs, queries.drop("seq"), conf.submitK, conf)
+      val knn = retrieval.topK(docs, queries.drop("seq"), conf.submitK, mbConf)
         .join(broadcast(queries.select("qid", "qtype", "seq")), Seq("qid"))
       GraphBuild.edgeDelta(knn, conf)
         .write.mode("append").parquet(edgesDir)
       delta.drop("seq").write.mode("append").parquet(docsDir)
     }
     delta
+  }
+
+  /** The INDEXED ingest loop — [[processBatch]] with the per-batch
+    * O(store) KNN scan removed (r13 verdict #1, the named 100×
+    * scale-killer): alongside the doc store this loop maintains a
+    * multi-table LSH corpus at rest (`annDir`,
+    * [[graft.operators.Ann.appendMultiTableBatch]] — rows partitioned by
+    * the composite (table, bucket) id, appended incrementally in
+    * batch-scoped slices), and once the growing doc store crosses the
+    * Auto cap the per-batch KNN probes THAT layout under a literal
+    * `isin` PARTITION filter ([[graft.operators.Ann
+    * .multiTableStoreCandidates]]) instead of re-bucketing
+    * `existing ∪ delta` from scratch. Per-batch cost: buckets are
+    * computed once at append time (batch-sized work), and the probe
+    * reads O(matched bucket directories) — never the whole store, never
+    * a per-row re-projection of it.
+    *
+    * Semantics: below the cap the batch runs the full reference-contract
+    * BRUTE arm, exactly like [[processBatch]] with [[graft.operators
+    * .Retrieval.Auto]]. Past it, the result is candidate-identical to
+    * `Retrieval.MultiTableLsh` over `existing ∪ delta` BY CONSTRUCTION
+    * (same plane families, same scores, same (sim desc, id) tie-break;
+    * the not-yet-stored delta contributes its candidates through an
+    * in-memory micro-batch-sized leg) — StreamingSpec pins the escalated
+    * stream ≡ batch-replay edge equivalence.
+    *
+    * Replay safety: edge append first (latest-wins absorbs duplicates),
+    * then the ann slice (batch-scoped OVERWRITE — a redelivery rewrites
+    * `batch=<id>` instead of duplicating; a half-landed slice is
+    * rewritten whole), then the doc append (guarded by the dedup
+    * anti-join). A crash between ann and docs replays to a rewritten
+    * slice plus candidate pairs arriving from both the store and the
+    * delta leg — absorbed by the (qid, id) pair dedup.
+    *
+    * @param annDir the multi-table corpus store; backfilled ONCE from an
+    *               existing doc store that predates it */
+  private[graft] def processBatchIndexed(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      docsDir: String,
+      edgesDir: String,
+      annDir: String,
+      conf: GraftConf,
+      nPlanes: Int = 4,
+      nTables: Int = 8,
+      deltaFn: (DataFrame, DataFrame) => DataFrame = Ingest.dedupDelta): DataFrame = {
+    import graft.operators.{Ann, Knn, Retrieval}
+    import graft.functions.VectorFunctions.dotProduct
+    val mbConf = conf.copy(rddFramesAreMicroBatches = true)
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    def exists(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).exists(p)
+    }
+    val existing: DataFrame =
+      if (exists(docsDir)) spark.read.parquet(docsDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id STRING, mtype STRING, data STRING, embedding ARRAY<FLOAT>"))
+    // adopt a pre-index doc store: the layout's single full-corpus scan
+    if (exists(docsDir) && !exists(annDir)) {
+      Ann.backfillMultiTableCorpus(
+        existing.select("id", "mtype", "embedding"), annDir,
+        conf.dim, nPlanes, nTables)
+      spark.catalog.refreshByPath(annDir)
+    }
+
+    val delta = deltaFn(Ingest.prepare(batch, conf), existing)
+      .select("id", "mtype", "data", "embedding", "seq")
+      .localCheckpoint() // see processBatchWith: lineage cut from docsDir
+
+    if (!delta.isEmpty) {
+      GraphBuild.recoverEdges(spark, edgesDir)
+      val queries = delta.select(
+        col("id").as("qid"), col("mtype").as("qtype"),
+        col("embedding").as("qvec"), col("seq"))
+      val escalated =
+        Retrieval.Auto(conf.dim, nPlanes, nTables).escalates(existing, mbConf)
+      logger.info(s"processBatchIndexed batch=$batchId => " +
+        (if (escalated) "stored multi-table probe (partition-pruned)"
+         else "brute (reference contract, store under cap)"))
+      val knn =
+        if (!escalated) {
+          val docs = existing.select("id", "mtype", "data", "embedding")
+            .unionByName(delta.drop("seq"))
+          Knn.search(docs, queries.drop("seq"), conf.submitK, mbConf)
+        } else {
+          val storeCands = Ann.multiTableStoreCandidates(
+            spark, annDir, queries.select("qid", "qvec"),
+            conf.dim, nPlanes, nTables, mbConf)
+          // the batch's own docs are not in the store yet (edges-before-
+          // docs replay ordering) — their candidates come from this
+          // micro-batch-sized in-memory leg, so the corpus the KNN sees
+          // is existing ∪ delta exactly as in processBatch
+          val deltaCands = Ann.multiTableCandidates(
+              delta.select("id", "embedding"), queries.select("qid", "qvec"),
+              conf.dim, nPlanes, nTables, mbConf)
+            .select(col("qid"), col("id"),
+              dotProduct(col("qvec"), col("embedding")).as("sim"))
+            .join(broadcast(delta.select("id", "mtype")), Seq("id"))
+            .select("qid", "id", "mtype", "sim")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("sim").desc, col("id"))
+          storeCands.unionByName(deltaCands)
+            .dropDuplicates("qid", "id") // replay overlap between legs
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= conf.submitK)
+            .select("qid", "id", "mtype", "sim", "rank")
+        }
+      val knnTagged = knn
+        .join(broadcast(queries.select("qid", "qtype", "seq")), Seq("qid"))
+      GraphBuild.edgeDelta(knnTagged, conf)
+        .write.mode("append").parquet(edgesDir)
+      Ann.appendMultiTableBatch(
+        delta.select("id", "mtype", "embedding"), annDir, batchId,
+        conf.dim, nPlanes, nTables)
+      delta.drop("seq").write.mode("append").parquet(docsDir)
+      spark.catalog.refreshByPath(annDir)
+    }
+    delta
+  }
+
+  /** [[processBatchIndexed]] wired as a stream writer, with PERIODIC
+    * COMPACTION of both stores every `compactEvery` batches: the edge
+    * log folds to latest-wins ([[graft.operators.GraphBuild
+    * .compactEdges]]) and the ann store's batch slices fold into the
+    * sentinel slice (~one file per bucket directory —
+    * [[graft.operators.Ann.compactMultiTableCorpus]]), so a long-running
+    * stream's probe cost stays bytes-bound instead of
+    * file-open-bound. */
+  def ingestWriterIndexed(
+      stream: DataFrame,
+      docsDir: String,
+      edgesDir: String,
+      annDir: String,
+      conf: GraftConf = GraftConf.default,
+      nPlanes: Int = 4,
+      nTables: Int = 8,
+      compactEvery: Int = 8)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        processBatchIndexed(spark, batch, batchId, docsDir, edgesDir, annDir,
+          conf, nPlanes, nTables).unpersist()
+        if ((batchId + 1) % compactEvery == 0) {
+          graft.operators.GraphBuild.compactEdges(spark, edgesDir)
+          val ap = new org.apache.hadoop.fs.Path(annDir)
+          if (ap.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ap))
+            graft.operators.Ann.compactMultiTableCorpus(spark, annDir)
+        }
+        ()
+    }
   }
 
   /** [[ingestWriter]] with a driver-held Bloom filter fronting the

@@ -157,6 +157,15 @@ class GraphSpec extends SparkSpec {
     val empty = seeds.limit(0)
     assert(GraphExpand.expandFaithfulDepth(empty, edges, k = 5, depth = 3)
       .collect().isEmpty)
+    // DUPLICATED ranks must fail: three rows with ranks {1, 1, 2} pass a
+    // row count but rank 3 is absent — exactly the silent divergence the
+    // check exists to reject (r13 ADVICE #2: countDistinct, not sum)
+    val duped = Seq(
+      ("q", "s1", 0.9, 1), ("q", "s1b", 0.85, 1), ("q", "s2", 0.8, 2))
+      .toDF("qid", "id", "sim", "rank")
+    intercept[IllegalArgumentException] {
+      GraphExpand.expandFaithfulDepth(duped, edges, k = 10, depth = 3)
+    }
   }
 
   test("expandAll: full-frontier BFS reaches depth-2 nodes with compounded decay") {

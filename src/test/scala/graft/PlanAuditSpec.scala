@@ -181,6 +181,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq == expected.toSeq)
   }
 
+  test("multi-table corpus store: streaming probe prunes the SCAN and is candidate-identical to the in-memory OR-construction") {
+    import java.nio.file.Files
+    import graft.operators.Ann
+    val dir = Files.createTempDirectory("graft_mtstore").toString + "/ann"
+    val docs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("string").as("id"),
+        lit("text").as("mtype"), col("embedding"))
+    Ann.backfillMultiTableCorpus(docs, dir, dim = 64, nPlanes = 4, nTables = 8)
+    // two-level layout: the sentinel batch slice holding tb directories
+    val tbDirs = new java.io.File(s"$dir/batch=-1").listFiles()
+      .map(_.getName).count(_.startsWith("tb="))
+    assert(tbDirs > 1, s"expected multiple tb dirs, got $tbDirs")
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+      .localCheckpoint() // the micro-batch shape the streaming loop probes with
+    val conf = GraftConf.default.copy(dim = 64, rddFramesAreMicroBatches = true)
+    val probe = Ann.multiTableStoreCandidates(
+      spark, dir, queries, dim = 64, nPlanes = 4, nTables = 8, conf)
+    probe.collect()
+    val p = planString(probe)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tb"), s"no tb partition filter in the store scan:\n$p")
+    assert(!pf.matches(".*PartitionFilters: \\[\\].*"),
+      s"PartitionFilters is empty:\n$pf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stored probe must never degrade to all-pairs:\n$p")
+    // candidate identity with the in-memory form (the stream ≡ batch
+    // equivalence's load-bearing step): same pairs, same exact scores
+    val mem = Ann.multiTableCandidates(
+        docs.select("id", "embedding"), queries, 64, 4, 8, conf)
+      .select(col("qid"), col("id"),
+        graft.functions.VectorFunctions.dotProduct(
+          col("qvec"), col("embedding")).as("sim"))
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "sim").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(sets(probe) == sets(mem),
+      "stored probe candidates diverged from in-memory OR-construction")
+    queries.unpersist()
+  }
+
   test("q59: ANN-edge pipeline is all-pairs free end-to-end (q42's edge KNN is not)") {
     // q59's scale claim is plan shape, not sf0.1 wall-clock (the bench
     // corpus's quadratic term is sub-ms): the whole pipeline — candidate

@@ -114,6 +114,60 @@ class RetrievalAutoSpec extends SparkSpec {
     delta.unpersist()
   }
 
+  test("RDD-backed leaves are classified untrusted by TYPE (r13 verdict #2)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // a localCheckpointed frame and an emptyRDD frame are LogicalRDD
+    // leaves; a parquet scan is not. The typed check means a Spark
+    // rename breaks compilation instead of silently re-trusting
+    // sentinel stats (the r12 regression family).
+    val ckpt = corpus.limit(3).localCheckpoint()
+    assert(ckpt.queryExecution.optimizedPlan.collectLeaves().forall(Bridge.isRddLeaf),
+      "localCheckpoint leaf must be recognized as RDD-backed")
+    val emptyStore = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
+    assert(emptyStore.queryExecution.optimizedPlan.collectLeaves()
+      .forall(Bridge.isRddLeaf), "emptyRDD leaf must be recognized as RDD-backed")
+    assert(!corpus.queryExecution.optimizedPlan.collectLeaves()
+      .exists(Bridge.isRddLeaf), "a parquet scan must stay trusted")
+    // and knownSizeEstimate therefore never trusts the checkpointed frame
+    assert(Retrieval.knownSizeEstimate(ckpt) == BigInt(0))
+    ckpt.unpersist()
+  }
+
+  test("public path: a large RDD-backed corpus is OVER-cap via the bounded row probe (r13 ADVICE #1)") {
+    val conf = GraftConf.default.copy(dim = 64)
+    // rowBytes = 4*dim + 64 = 320; cap 3200 bytes → maxRows = 10. A
+    // 50-row checkpointed frame must be classified over-cap on the
+    // public path (the probe counts 11 > 10) even though its Catalyst
+    // stats are the unusable sentinel...
+    val big = corpus.limit(50).localCheckpoint()
+    val cap = conf.copy(bruteCorpusWarnBytes = 3200L)
+    assert(Retrieval.Auto().escalates(big, cap),
+      "50-row RDD corpus must escalate past a 10-row cap on the public path")
+    // ...so failOnOversizeBruteKnn actually FIRES on RDD-backed corpora
+    intercept[IllegalArgumentException] {
+      operators.Knn.search(big, queries.limit(1), 2,
+        cap.copy(failOnOversizeBruteKnn = true))
+    }
+    // the streaming micro-batch contract restores the count-as-0 bias:
+    // no escalation, guard silent, the r12-safe shape
+    val mb = cap.copy(rddFramesAreMicroBatches = true)
+    assert(!Retrieval.Auto().escalates(big, mb))
+    assert(operators.Knn.search(big, queries.limit(1).localCheckpoint(), 2,
+      mb.copy(failOnOversizeBruteKnn = true)).count() > 0)
+    // broadcast-hint gate, same geometry: an over-cap RDD query batch is
+    // returned UNHINTED (same reference), a small one comes back hinted
+    // (new plan object wrapping the hint)
+    val q50 = queries.limit(50).localCheckpoint()
+    val qcap = conf.copy(broadcastQueryCapBytes = 3200L)
+    assert(operators.Knn.maybeBroadcast(q50, qcap) eq q50,
+      "over-cap RDD query batch must not receive the broadcast hint")
+    assert(!(operators.Knn.maybeBroadcast(q50.limit(3), qcap) eq q50),
+      "an under-cap batch is hinted")
+    big.unpersist(); q50.unpersist()
+  }
+
   test("Auto never trips the brute-size guard on the ANN side of the cap") {
     // failOnOversizeBruteKnn would make Knn.search THROW past the cap;
     // Auto must have already switched to the ANN arm at that point, so
