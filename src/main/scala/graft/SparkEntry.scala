@@ -1030,6 +1030,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Gzipped-JSONL corpus roundtrip (q187): the q185 loop under the
+    * codec real corpora ship with (`.jsonl.gz` — the de-facto LLM
+    * interchange, r13 verdict #4). Same reader
+    * ([[graft.sources.Sources.readJsonDocuments]] — decompression is
+    * extension-driven, deliberately not a separate code path), same
+    * planted-corrupt quarantine, with the malformed lines landed INSIDE
+    * a gzip member ([[graft.sources.JsonlFixture.materializeGzip]]) so
+    * the oracle pins that corruption under the codec still quarantines
+    * per-line instead of failing the file. Scale note: gzip members are
+    * NOT splittable — one task per .gz file — so a 100 TB corpus must
+    * arrive as many files (the universal sharded-corpus convention);
+    * the fixture's multi-part write models exactly that. */
+  private def jsonlGzipRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val fix = "target/jsonlgzfixture/" + new java.io.File(dir).getName
+    graft.sources.JsonlFixture.materializeGzip(s, dir, fix)
+    val raw = graft.sources.Sources.readJsonDocuments(s, fix)
+      .transform(graft.CacheScope.pin)
+    val nCorrupt = raw.agg(
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+    raw.filter(col("_corrupt").isNull)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        sha2(col("text"), 256).as("text_sha"))
+      .crossJoin(broadcast(nCorrupt))
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
   /** CSV corpus roundtrip (q186): q185's loop for the other ubiquitous
     * format, with the text deterministically perturbed to contain an
     * embedded comma AND embedded double-quotes
@@ -3300,6 +3327,7 @@ object SparkEntry {
     "q184_histogram_encoder" -> ((s, d) => histogramEncoderQ(s, d)),
     "q185_jsonl_roundtrip" -> ((s, d) => jsonlRoundtripQ(s, d)),
     "q186_csv_roundtrip" -> ((s, d) => csvRoundtripQ(s, d)),
+    "q187_jsonl_gzip_roundtrip" -> ((s, d) => jsonlGzipRoundtripQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7598,6 +7626,15 @@ object SparkEntry {
       s"""SELECT doc_id, source, lang, n_chars,
          |  sha256(text || ', quoted "' || lang || '" tail') AS text_sha,
          |  CAST(${graft.sources.CsvFixture.NCorrupt} AS BIGINT) AS n_corrupt
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q187_jsonl_gzip_roundtrip" ->
+      // Mirror of jsonlGzipRoundtripQ: the gzip fixture is the engine's
+      // own codec'd write of `documents`, so the expected parsed rows
+      // ARE the table and the planted-corrupt count (landed INSIDE a
+      // gzip member) is the fixture literal. Hash equality proves the
+      // write → decompress → parse → quarantine loop byte-faithful.
+      s"""SELECT doc_id, source, lang, n_chars, sha256(text) AS text_sha,
+         |  CAST(${graft.sources.JsonlFixture.NCorrupt} AS BIGINT) AS n_corrupt
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q177_product_profit" ->
       // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit

@@ -506,36 +506,52 @@ object Ann {
         tbCol(col("tbl"), col("bucket"), nPlanes).as("tb"))
   }
 
-  /** Append ONE micro-batch into a multi-table corpus store with REPLAY
-    * IDEMPOTENCE: rows land in their own `batch=<id>` partition
-    * subdirectory with overwrite semantics (foreachBatch is
-    * at-least-once; the admitBatch discipline), under `tb=` partition
-    * directories inside it — both levels are partition columns, so a
-    * probe's `tb` filter prunes inside every batch directory. */
+  /** Append ONE micro-batch into the multi-table corpus store: files
+    * land inside flat `tb=` partition directories (SINGLE-level layout —
+    * the directory count is FIXED at ≤ nTables·2^nPlanes forever; a
+    * per-batch subdirectory level was measured to make partition
+    * discovery O(batches · buckets) per probe, the listing twin of the
+    * small-files failure). Replay (foreachBatch is at-least-once) can
+    * duplicate a batch's rows — absorbed exactly like the edge store's
+    * latest-wins: the probe's (qid, id) pair dedup keeps results
+    * byte-identical, and [[compactMultiTableCorpus]]'s (id, tb) dedup
+    * converges the storage (spec-pinned). */
   def appendMultiTableBatch(
       delta: DataFrame, // (id, mtype, embedding)
-      dir: String, batchId: Long,
+      dir: String,
       dim: Int, nPlanes: Int, nTables: Int): Unit =
     multiTableRows(delta, dim, nPlanes, nTables)
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$dir/batch=$batchId")
+      // cluster on tb BEFORE the partitioned write: without it every
+      // write task emits one file into every tb directory it touches
+      // (≤ tasks × nTables·2^nPlanes tiny files PER BATCH — measured as
+      // the dominant, batch-count-linear probe cost), with it a batch
+      // adds ~one file per touched bucket; the shuffle is batch-sized
+      .repartition(col("tb"))
+      .write.mode("append").partitionBy("tb")
+      .parquet(dir)
 
   /** One-time BACKFILL of the store from an existing corpus (adopting a
     * doc store that predates the index): the only full-corpus scan in
-    * the layout's lifetime, landed as the sentinel `batch=-1` slice. */
+    * the layout's lifetime. */
   def backfillMultiTableCorpus(
       docs: DataFrame, // (id, mtype, embedding)
       dir: String, dim: Int, nPlanes: Int, nTables: Int): Unit =
-    appendMultiTableBatch(docs, dir, -1L, dim, nPlanes, nTables)
+    appendMultiTableBatch(docs, dir, dim, nPlanes, nTables)
 
   /** Candidate pairs of a query micro-batch against the stored corpus:
-    * the [[multiTableCandidates]] OR-construction, with the docs side a
-    * PARTITION-PRUNED read — the batch's distinct `tb` ids are collected
-    * driver-side (bounded by nTables·2^nPlanes, the layout geometry) and
-    * become a literal `isin` the scan prunes on (PlanAuditSpec asserts
-    * non-empty PartitionFilters). Exactly-scored and pair-deduped like
-    * the in-memory form; a replayed batch's duplicate store rows are
-    * absorbed by the same (qid, id) dedup.
+    * the [[multiTableCandidates]] OR-construction, with the docs side
+    * read from ONLY the matched bucket directories — the batch's
+    * distinct `tb` ids are collected driver-side (bounded by
+    * nTables·2^nPlanes, the layout geometry), intersected with the
+    * store's directory set via ONE root listing, and handed to the
+    * reader as EXPLICIT paths. Per-batch listing cost is therefore
+    * O(matched directories) — independent of store size AND of how many
+    * batches ever appended — where a whole-store read would re-discover
+    * the full tree every batch. The residual `isin` partition filter is
+    * belt-and-braces (and keeps the pruning visible in the plan's
+    * PartitionFilters; PlanAuditSpec asserts it). Exactly-scored and
+    * pair-deduped like the in-memory form; replay-duplicated store rows
+    * are absorbed by the same (qid, id) dedup.
     * @param queries (qid, qvec)
     * @return (qid, id, mtype, sim) — rank in the caller (who may union
     *         a not-yet-stored delta leg first) */
@@ -551,29 +567,38 @@ object Ann {
       .select(col("qid"), col("qvec"),
         tbCol(col("tbl"), col("bucket"), nPlanes).as("tb"))
     val tbs = q.select("tb").distinct().collect().map(_.getInt(0))
-    spark.read.parquet(dir)
-      .filter(col("tb").isin(tbs.toSeq: _*))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("tb=") => n.stripPrefix("tb=").toInt }
+      .toSet
+    val matched = tbs.filter(present).sorted
+    if (matched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "qid STRING, id STRING, mtype STRING, sim DOUBLE"))
+    spark.read.option("basePath", dir)
+      .parquet(matched.map(t => s"$dir/tb=$t").toIndexedSeq: _*)
+      .filter(col("tb").isin(matched.toSeq: _*))
       .join(Knn.maybeBroadcast(q, conf), Seq("tb"))
       .select(col("qid"), col("id"), col("mtype"),
         dotProduct(col("qvec"), col("embedding")).as("sim"))
       .dropDuplicates("qid", "id")
   }
 
-  /** Compact a multi-table corpus store in place: fold the accumulated
-    * `batch=` slices into the single sentinel `batch=-1` slice (~one
-    * file per tb directory — the [[compactBucketedCorpus]] small-files
+  /** Compact the multi-table corpus store in place: rewrite each bucket
+    * directory to ~one file (the [[compactBucketedCorpus]] small-files
     * move on this layout), deduping on (id, tb) so replay-duplicated
-    * rows converge away. The batch level is KEPT (as the sentinel) so
-    * later batches keep appending their own `batch=<id>` slices without
-    * mixing flat files into a partitioned root. Crash-safe rename-aside
-    * swap; probe results and pruning are unchanged (spec-pinned). */
+    * rows converge away. Crash-safe rename-aside swap; probe results
+    * and the flat `tb=` layout are unchanged (spec-pinned). Run on the
+    * ingest cadence, like the edge-store compaction. */
   def compactMultiTableCorpus(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
     graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) =>
-      df.drop("batch") // folded into the sentinel slice's directory name
-        .dropDuplicates("id", "tb")
+      df.dropDuplicates("id", "tb")
         .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/batch=-1"))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp))
 
   /** SQL mirror of [[lshBucketT]]. */
   def sqlLshBucketT(vec: String, dim: Int, nPlanes: Int, t: Int): String =

@@ -46,9 +46,37 @@ object JsonlFixture {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(4)
       .write.mode("overwrite").json(outDir)
-    val corrupt = (0 until nCorrupt)
-      .map(k => s"""{"doc_id": ${900000000L + k}, "text": "truncated $k""")
     Files.write(Paths.get(outDir, "zz_corrupt.json"),
-      corrupt.mkString("\n").getBytes("UTF-8"))
+      corruptLines(nCorrupt).mkString("\n").getBytes("UTF-8"))
   }
+
+  /** [[materialize]] under gzip — the de-facto LLM-corpus interchange is
+    * COMPRESSED JSONL (`.jsonl.gz`), the first thing a real user points
+    * the engine at (r13 verdict #4): the engine's own sink writes
+    * codec'd part files (`compression=gzip`), and the planted malformed
+    * lines are landed INSIDE the codec (a gzipped part file written
+    * through GZIPOutputStream), so the q187 oracle proves the whole
+    * write → decompress → parse → quarantine loop byte-faithful — one
+    * bad line inside a .gz member must quarantine, not kill the read.
+    * Decompression is by file extension (Hadoop codec discovery), so
+    * the READER code is identical to the plain-JSONL path — which is
+    * the point: a format knob, not a code path. */
+  def materializeGzip(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      nCorrupt: Int = NCorrupt): Unit = {
+    wipe(Paths.get(outDir))
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(4)
+      .write.mode("overwrite").option("compression", "gzip").json(outDir)
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(Paths.get(outDir, "zz_corrupt.json.gz")))
+    try gz.write(corruptLines(nCorrupt).mkString("\n").getBytes("UTF-8"))
+    finally gz.close()
+  }
+
+  private def corruptLines(n: Int): Seq[String] = (0 until n)
+    .map(k => s"""{"doc_id": ${900000000L + k}, "text": "truncated $k""")
 }

@@ -56,21 +56,23 @@ object StreamBench {
     // fresh ranges never collide across batches), 20% repeats of batch
     // b-1's payloads — cross-batch duplicates exercise the store
     // anti-join, not just the within-batch window. Batch 0 is all fresh.
-    def batchDf(b: Int) = {
-      val f = (rowsPerBatch * 4) / 5
-      spark.range(0, rowsPerBatch.toLong) // distributed source, not a driver Seq
+    def batchDfN(b: Int, rpb: Int) = {
+      val f = (rpb * 4) / 5
+      spark.range(0, rpb.toLong) // distributed source, not a driver Seq
         .select(col("id").as("pos"))
         .select(
           when(lit(b) === 0, col("pos"))
-            .when(col("pos") < f, lit(b.toLong * rowsPerBatch) + col("pos"))
-            .otherwise(lit((b - 1).toLong * rowsPerBatch) + (col("pos") - f))
+            .when(col("pos") < f, lit(b.toLong * rpb) + col("pos"))
+            .otherwise(lit((b - 1).toLong * rpb) + (col("pos") - f))
             .as("n"),
           col("pos"))
         .select(
           when(col("n") % 3 === 0, "image").otherwise("text").as("mtype"),
           concat(lit("streamed payload number "), col("n").cast("string")).as("data"),
-          (lit(b.toLong * rowsPerBatch) + col("pos")).as("seq"))
+          (lit(b.toLong * rpb) + col("pos")).as("seq"))
     }
+    def batchDf(b: Int) = batchDfN(b, rowsPerBatch)
+    def expectStored(n: Int, rpb: Int) = rpb + (n - 1).toLong * ((rpb * 4) / 5)
 
     // warmup: one small batch end-to-end into a throwaway dir so JVM /
     // codegen / parquet-writer startup isn't billed to batch 0
@@ -172,20 +174,182 @@ object StreamBench {
       (times, sCount, sEdges)
     }
 
+    // INDEXED arm (r13 verdict #1): processBatchIndexed with a 1-byte cap
+    // — batch 0 runs brute against the empty store, every later batch
+    // takes the STORED multi-table probe (partition-pruned isin, buckets
+    // computed once at append time) instead of re-bucketing
+    // existing ∪ delta per batch. Same dedup/store invariants as run().
+    val capConf = conf.copy(bruteCorpusWarnBytes = 1L)
+    // compaction wall-time is recorded SEPARATELY (compact_sec in the
+    // JSON): it is the maintenance-window cost of the layout, amortized
+    // over the cadence — folding it into one batch's latency would make
+    // the per-batch series lie in both directions
+    val compactSec = scala.collection.mutable.Buffer[Double]()
+    def runIndexed(tag: String, batches: Int, rpb: Int): (Seq[Double], Long, Long) = {
+      val (dDir, eDir, aDir) =
+        (s"$dir/docs_$tag", s"$dir/edges_$tag", s"$dir/ann_$tag")
+      val times = (0 until batches).map { b =>
+        val df = batchDfN(b, rpb).localCheckpoint()
+        val t0 = System.nanoTime()
+        StreamingIngest.processBatchIndexed(
+          spark, df, b.toLong, dDir, eDir, aDir, capConf).unpersist()
+        val t = (System.nanoTime() - t0) / 1e9
+        if ((b + 1) % 8 == 0) {
+          val c0 = System.nanoTime()
+          graft.operators.Ann.compactMultiTableCorpus(spark, aDir)
+          compactSec += (System.nanoTime() - c0) / 1e9
+        }
+        t
+      }
+      val docs = spark.read.parquet(dDir)
+      val (n, d) = (docs.count(), docs.select("id").distinct().count())
+      require(n == d, s"[$tag] store not id-unique: $n vs $d")
+      require(n == expectStored(batches, rpb),
+        s"[$tag] dedup miscount: stored $n, expected ${expectStored(batches, rpb)}")
+      (times, n, spark.read.parquet(eDir).count())
+    }
+    // indexed warmup: JIT + parquet-writer startup for the new code path
+    StreamingIngest.processBatchIndexed(spark, batchDfN(0, 200).limit(200), -7L,
+      s"$dir/warmix_docs", s"$dir/warmix_edges", s"$dir/warmix_ann", capConf)
+      .unpersist()
+    val (idxT, idxStored, idxEdges) = runIndexed("indexed", nBatches, rowsPerBatch)
+    require(idxStored == stored, "[indexed] store mismatch vs pure arms")
+
+    // full streaming query over the indexed loop: MemoryStream →
+    // state-store dedup → foreachBatch processBatchIndexed — the r13
+    // verdict #6 measurement: with the union leg's second store scan
+    // gone, does the stream arm recover the pre-reorder rate?
+    val (streamIdxT, streamIdxEdges) = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long)]
+      val (dDir, eDir, aDir, ckpt) = (s"$dir/docs_six", s"$dir/edges_six",
+        s"$dir/ann_six", s"$dir/ckpt_six")
+      val q = StreamingIngest
+        .ingestWriterIndexed(
+          StreamingIngest.dedupStreamFirstSeen(
+            mem.toDF.toDF("mtype", "data", "seq")).drop("id"),
+          dDir, eDir, aDir, capConf)
+        .option("checkpointLocation", ckpt).start()
+      val times = (0 until nBatches).map { b =>
+        val rows = batchDf(b).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        val t0 = System.nanoTime()
+        mem.addData(rows)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val sDocs = spark.read.parquet(dDir)
+      require(sDocs.count() == sDocs.select("id").distinct().count(),
+        "[stream_indexed] store not id-unique")
+      require(sDocs.count() == stored,
+        s"[stream_indexed] store mismatch: ${sDocs.count()} vs $stored")
+      (times, spark.read.parquet(eDir).count())
+    }
+
+    // GROWTH series (r13 verdict #1's "done" criterion): per-batch
+    // ingest wall-time AS A FUNCTION OF STORE SIZE, ≥20 store sizes.
+    // The store grows by UNTIMED bulk slabs (both arms receive identical
+    // slabs); at each size one reference-grain micro-batch (small — the
+    // reference ingests ONE doc per /submit) is timed through each arm:
+    //  - ann:     processBatch + in-memory MultiTableLsh — re-buckets and
+    //             scans the WHOLE store every batch (the r13 shape);
+    //  - indexed: processBatchIndexed — buckets at rest, probe reads only
+    //             the batch's matched tb partitions.
+    // Geometry nPlanes=8 × nTables=4 for BOTH arms: candidate volume
+    // (identical across arms by construction) stays bounded, so the
+    // measured difference is exactly the per-batch O(store) work the
+    // stored layout removes. Flatness = mean(last 4) / mean(batches 3-6).
+    val growthSlabs = sys.env.getOrElse("STREAM_BENCH_GROWTH_SLABS", "20").toInt
+    val slabRows = sys.env.getOrElse("STREAM_BENCH_GROWTH_SLAB_ROWS", "10000").toInt
+    val probeRows = sys.env.getOrElse("STREAM_BENCH_GROWTH_PROBE_ROWS", "50").toInt
+    val (gPlanes, gTables) = (8, 4)
+    def flatness(ts: Seq[Double]): Double = {
+      val base = ts.slice(2, 6); val tail = ts.takeRight(4)
+      (tail.sum / tail.size) / (base.sum / base.size)
+    }
+    val (growAnnT, growIdxT, growStore) = {
+      val (adDir, aeDir) = (s"$dir/docs_gann", s"$dir/edges_gann")
+      val (idDir, ieDir, iaDir) =
+        (s"$dir/docs_gidx", s"$dir/edges_gidx", s"$dir/ann_gidx")
+      val gConf = conf.copy(bruteCorpusWarnBytes = 1L)
+      def freshDocs(offset: Long, n: Int) =
+        spark.range(0, n.toLong)
+          .select(
+            when((col("id") + offset) % 3 === 0, "image").otherwise("text").as("mtype"),
+            concat(lit("growth payload number "),
+              (col("id") + offset).cast("string")).as("data"),
+            (col("id") + offset).as("seq"))
+      val annT = scala.collection.mutable.Buffer[Double]()
+      val idxT = scala.collection.mutable.Buffer[Double]()
+      val sizes = scala.collection.mutable.Buffer[Long]()
+      (0 until growthSlabs).foreach { i =>
+        // untimed slab: lands in both doc stores and the ann-at-rest store
+        val slab = graft.operators.Ingest
+          .prepare(freshDocs(10000000L + i.toLong * slabRows, slabRows), conf)
+          .select("id", "mtype", "data", "embedding")
+          .localCheckpoint()
+        slab.write.mode("append").parquet(adDir)
+        slab.write.mode("append").parquet(idDir)
+        graft.operators.Ann.appendMultiTableBatch(
+          slab.select("id", "mtype", "embedding"), iaDir,
+          dim, gPlanes, gTables)
+        slab.unpersist()
+        spark.catalog.refreshByPath(adDir)
+        spark.catalog.refreshByPath(idDir)
+        spark.catalog.refreshByPath(iaDir)
+        sizes += (i.toLong + 1) * slabRows
+        // timed probes: one fresh micro-batch through each arm
+        val pa = freshDocs(50000000L + i.toLong * probeRows, probeRows)
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        StreamingIngest.processBatch(spark, pa, i.toLong, adDir, aeDir, conf,
+          graft.operators.Retrieval.MultiTableLsh(dim, gPlanes, gTables))
+        annT += (System.nanoTime() - t0) / 1e9
+        val pi = freshDocs(60000000L + i.toLong * probeRows, probeRows)
+          .localCheckpoint()
+        val t1 = System.nanoTime()
+        StreamingIngest.processBatchIndexed(spark, pi, i.toLong,
+          idDir, ieDir, iaDir, gConf, gPlanes, gTables).unpersist()
+        idxT += (System.nanoTime() - t1) / 1e9
+        if ((i + 1) % 8 == 0) {
+          val c0 = System.nanoTime()
+          graft.operators.Ann.compactMultiTableCorpus(spark, iaDir)
+          compactSec += (System.nanoTime() - c0) / 1e9
+        }
+        pa.unpersist(); pi.unpersist()
+      }
+      (annT.toSeq, idxT.toSeq, sizes.toSeq)
+    }
+
     val totalRows = rowsPerBatch.toLong * nBatches
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
     println(
       s"""{"metric":"stream_ingest_rows_per_sec","value":${(totalRows / bruteT.sum).round},""" +
       s""""value_ann":${(totalRows / annT.sum).round},""" +
       s""""value_auto":${(totalRows / autoT.sum).round},""" +
-      s""""value_stream_ann":${(totalRows / streamT.sum).round},"unit":"rows/sec",""" +
+      s""""value_stream_ann":${(totalRows / streamT.sum).round},""" +
+      s""""value_indexed":${(totalRows / idxT.sum).round},""" +
+      s""""value_stream_indexed":${(totalRows / streamIdxT.sum).round},"unit":"rows/sec",""" +
       s""""rows_per_batch":$rowsPerBatch,"batches":$nBatches,"dim":$dim,""" +
       s""""batch_sec_brute":${fmt(bruteT)},"batch_sec_ann":${fmt(annT)},""" +
       s""""batch_sec_auto":${fmt(autoT)},"auto_flip_after_batch":$autoFlip,""" +
       s""""batch_sec_stream_ann":${fmt(streamT)},""" +
+      s""""batch_sec_indexed":${fmt(idxT)},""" +
+      s""""batch_sec_stream_indexed":${fmt(streamIdxT)},""" +
       s""""stored_docs":$stored,"stored_docs_stream":$streamStored,""" +
       s""""edges_brute":$bruteEdges,"edges_ann":$annEdges,"edges_auto":$autoEdges,""" +
-      s""""edges_stream":$streamEdges,"cores":32}""")
+      s""""edges_stream":$streamEdges,"edges_indexed":$idxEdges,""" +
+      s""""edges_stream_indexed":$streamIdxEdges,""" +
+      s""""growth":{"slabs":$growthSlabs,"slab_rows":$slabRows,""" +
+      s""""probe_rows":$probeRows,"nplanes":$gPlanes,"ntables":$gTables,""" +
+      s""""store_docs":${growStore.mkString("[", ",", "]")},""" +
+      s""""batch_sec_ann":${fmt(growAnnT)},"batch_sec_indexed":${fmt(growIdxT)},""" +
+      f""""flatness_ann":${flatness(growAnnT)}%.3f,""" +
+      f""""flatness_indexed":${flatness(growIdxT)}%.3f},""" +
+      s""""compact_sec":${fmt(compactSec.toSeq)},""" +
+      s""""cores":32}""")
     spark.stop()
   }
 }

@@ -205,8 +205,8 @@ object StreamingIngest {
     * scale-killer): alongside the doc store this loop maintains a
     * multi-table LSH corpus at rest (`annDir`,
     * [[graft.operators.Ann.appendMultiTableBatch]] — rows partitioned by
-    * the composite (table, bucket) id, appended incrementally in
-    * batch-scoped slices), and once the growing doc store crosses the
+    * the composite (table, bucket) id, appended incrementally), and once
+    * the growing doc store crosses the
     * Auto cap the per-batch KNN probes THAT layout under a literal
     * `isin` PARTITION filter ([[graft.operators.Ann
     * .multiTableStoreCandidates]]) instead of re-bucketing
@@ -225,12 +225,12 @@ object StreamingIngest {
     * stream ≡ batch-replay edge equivalence.
     *
     * Replay safety: edge append first (latest-wins absorbs duplicates),
-    * then the ann slice (batch-scoped OVERWRITE — a redelivery rewrites
-    * `batch=<id>` instead of duplicating; a half-landed slice is
-    * rewritten whole), then the doc append (guarded by the dedup
-    * anti-join). A crash between ann and docs replays to a rewritten
-    * slice plus candidate pairs arriving from both the store and the
-    * delta leg — absorbed by the (qid, id) pair dedup.
+    * then the ann append, then the doc append (guarded by the dedup
+    * anti-join). A crash between ann and docs replays to DUPLICATE ann
+    * rows plus candidate pairs arriving from both the store and the
+    * delta leg — absorbed by the probe's (qid, id) pair dedup for
+    * results and by compaction's (id, tb) dedup for storage, the edge
+    * store's convergence discipline applied to the index (spec-pinned).
     *
     * @param annDir the multi-table corpus store; backfilled ONCE from an
     *               existing doc store that predates it */
@@ -314,7 +314,7 @@ object StreamingIngest {
       GraphBuild.edgeDelta(knnTagged, conf)
         .write.mode("append").parquet(edgesDir)
       Ann.appendMultiTableBatch(
-        delta.select("id", "mtype", "embedding"), annDir, batchId,
+        delta.select("id", "mtype", "embedding"), annDir,
         conf.dim, nPlanes, nTables)
       delta.drop("seq").write.mode("append").parquet(docsDir)
       spark.catalog.refreshByPath(annDir)
@@ -325,10 +325,10 @@ object StreamingIngest {
   /** [[processBatchIndexed]] wired as a stream writer, with PERIODIC
     * COMPACTION of both stores every `compactEvery` batches: the edge
     * log folds to latest-wins ([[graft.operators.GraphBuild
-    * .compactEdges]]) and the ann store's batch slices fold into the
-    * sentinel slice (~one file per bucket directory —
-    * [[graft.operators.Ann.compactMultiTableCorpus]]), so a long-running
-    * stream's probe cost stays bytes-bound instead of
+    * .compactEdges]]) and the ann store rewrites to ~one file per
+    * bucket directory, deduping replayed rows
+    * ([[graft.operators.Ann.compactMultiTableCorpus]]), so a
+    * long-running stream's probe cost stays bytes-bound instead of
     * file-open-bound. */
   def ingestWriterIndexed(
       stream: DataFrame,

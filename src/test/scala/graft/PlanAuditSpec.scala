@@ -189,8 +189,9 @@ class PlanAuditSpec extends SparkSpec {
       .select(col("vec_id").cast("string").as("id"),
         lit("text").as("mtype"), col("embedding"))
     Ann.backfillMultiTableCorpus(docs, dir, dim = 64, nPlanes = 4, nTables = 8)
-    // two-level layout: the sentinel batch slice holding tb directories
-    val tbDirs = new java.io.File(s"$dir/batch=-1").listFiles()
+    // flat single-level layout: tb directories at the root (a per-batch
+    // level would grow listing cost with every append — measured)
+    val tbDirs = new java.io.File(dir).listFiles()
       .map(_.getName).count(_.startsWith("tb="))
     assert(tbDirs > 1, s"expected multiple tb dirs, got $tbDirs")
     val queries = Tables.embeddings(spark, sf)

@@ -50,6 +50,33 @@ class SourcesSpec extends SparkSpec {
     raw.unpersist()
   }
 
+  test("gzipped JSONL fixture roundtrip: codec'd parts parse identically; corrupt lines quarantine INSIDE the codec (q187 shape)") {
+    val sf = "/root/testdata/sf0.001"
+    val fix = Files.createTempDirectory("graft_jsonlgz").toString + "/docs"
+    graft.sources.JsonlFixture.materializeGzip(spark, sf, fix)
+    // every data file really is a gzip member — decompression is
+    // extension-driven, so this is the property that makes the read a
+    // codec exercise rather than a plain-text rerun
+    val parts = new java.io.File(fix).listFiles()
+      .map(_.getName).filter(n => n.startsWith("part-") || n.startsWith("zz_"))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".gz")),
+      s"non-gzip files in the fixture: ${parts.filterNot(_.endsWith(".gz")).mkString(", ")}")
+    val raw = Sources.readJsonDocuments(spark, fix).cache()
+    val parsed = raw.filter(col("_corrupt").isNull)
+    val docs = Tables.documents(spark, sf)
+    assert(parsed.count() == docs.count(), "row fidelity under gzip")
+    // the malformed lines live inside a .gz member: they must quarantine
+    // per-line after decompression, never fail the file
+    assert(raw.filter(col("_corrupt").isNotNull).count() ==
+      graft.sources.JsonlFixture.NCorrupt.toLong, "planted corrupt count under gzip")
+    val mismatch = parsed.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("h0")),
+        Seq("doc_id"))
+      .filter(col("h") =!= col("h0")).count()
+    assert(mismatch == 0, "gzip JSONL roundtrip not byte-faithful")
+    raw.unpersist()
+  }
+
   test("CSV corpus fixture roundtrip: quoting/escaping is byte-faithful; malformed lines quarantine (q186 shape)") {
     val sf = "/root/testdata/sf0.001"
     val fix = Files.createTempDirectory("graft_csvrt").toString + "/docs"

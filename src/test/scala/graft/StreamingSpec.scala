@@ -545,16 +545,21 @@ class StreamingSpec extends SparkSpec {
     try {
       batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
       // the ann store holds every stored doc once per table, behind the
-      // batch=<id>/tb=<id> two-level partition layout (post-compaction:
-      // the sentinel slice plus batch 3's own slice)
+      // flat tb=<id> partition layout (directory count fixed by the
+      // geometry forever — no per-batch level)
       val ann = spark.read.parquet(annDir)
       val docs = spark.read.parquet(docsDir)
       assert(ann.select("id", "tb").distinct().count() == 8 * docs.count(),
         "ann store must carry each stored doc once per table")
-      val slices = new java.io.File(annDir).listFiles()
-        .map(_.getName).filter(_.startsWith("batch=")).toSet
-      assert(slices.contains("batch=-1"),
-        s"compaction must fold slices into the sentinel, got $slices")
+      val names = new java.io.File(annDir).listFiles().map(_.getName)
+      assert(names.count(_.startsWith("tb=")) > 1,
+        s"expected flat tb= partition dirs, got ${names.take(6).mkString(", ")}")
+      assert(!names.exists(_.startsWith("batch=")),
+        "no per-batch directory level may exist (listing cost grows per batch)")
+      // post-compaction (batch 3 triggered it) the store holds no
+      // replay/batch duplicates: physical rows == distinct (id, tb)
+      assert(ann.count() == ann.select("id", "tb").distinct().count(),
+        "compaction left duplicate (id, tb) rows")
       // stream ≡ batch: the same trace through processBatch with
       // Retrieval.Auto (same cap, same default LSH geometry) makes the
       // SAME per-batch arm choice (brute batch 0, MultiTableLsh after) —
@@ -596,15 +601,21 @@ class StreamingSpec extends SparkSpec {
       StreamingIngest.processBatchIndexed(spark, b2, 1L, docsDir, edgesDir,
         annDir, conf).unpersist()
       if (crashBatch2) {
-        // the crash window: edges + the batch=1 ann slice landed, the
-        // doc append did not — the redelivered batch recomputes a
-        // non-empty delta, REWRITES its slice (overwrite, not append)
-        // and its duplicate candidates are absorbed by the pair dedup
+        // the crash window: edges + the ann append landed, the doc
+        // append did not — the redelivered batch recomputes a non-empty
+        // delta and re-appends its ann rows (duplicates absorbed by the
+        // probe's pair dedup; storage converges at compaction)
         new java.io.File(docsDir).listFiles()
           .filterNot(f => before(f.getName)).foreach(_.delete())
         spark.catalog.refreshByPath(docsDir)
         StreamingIngest.processBatchIndexed(spark, b2, 1L, docsDir, edgesDir,
           annDir, conf).unpersist()
+        // compaction dedups the replay-duplicated rows (the edge store's
+        // latest-wins convergence, applied to the index)
+        graft.operators.Ann.compactMultiTableCorpus(spark, annDir)
+        val ann = spark.read.parquet(annDir)
+        assert(ann.count() == ann.select("id", "tb").distinct().count(),
+          "compaction must fold replay-duplicated ann rows")
       }
     }
     run(s"$dir/clean", crashBatch2 = false)
