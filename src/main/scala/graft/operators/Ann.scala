@@ -538,6 +538,32 @@ object Ann {
       dir: String, dim: Int, nPlanes: Int, nTables: Int): Unit =
     appendMultiTableBatch(docs, dir, dim, nPlanes, nTables)
 
+  /** IN-MEMORY scored candidate pairs of the OR-construction, with the
+    * [[topKMultiTable]] shuffle discipline: the dot product is computed
+    * BEFORE the pair dedup, so the dedup shuffle carries (qid, id,
+    * mtype, sim) rows — never two dim-float vectors (~50× less volume
+    * at dim 64; using the vector-carrying [[multiTableCandidates]] here
+    * OOM'd an 8 GiB driver at 5000-row micro-batches). The streaming
+    * indexed loop's delta leg ([[graft.streaming.StreamingIngest
+    * .processBatchIndexed]]): batch-sized on both sides.
+    * @param docs (id, mtype, embedding)
+    * @return (qid, id, mtype, sim), pair-deduped */
+  def multiTableScoredCandidates(
+      docs: DataFrame, queries: DataFrame, // (qid, qvec)
+      dim: Int, nPlanes: Int, nTables: Int,
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    def buckets(vec: Column) =
+      array((0 until nTables).map(t => lshBucketT(vec, dim, nPlanes, t)): _*)
+    val d = docs.select(col("id"), col("mtype"), col("embedding"),
+      posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+    val q = queries.select(col("qid"), col("qvec"),
+      posexplode(buckets(col("qvec"))).as(Seq("tbl", "bucket")))
+    d.join(Knn.maybeBroadcast(q, conf), Seq("tbl", "bucket"))
+      .select(col("qid"), col("id"), col("mtype"),
+        dotProduct(col("qvec"), col("embedding")).as("sim"))
+      .dropDuplicates("qid", "id")
+  }
+
   /** Candidate pairs of a query micro-batch against the stored corpus:
     * the [[multiTableCandidates]] OR-construction, with the docs side
     * read from ONLY the matched bucket directories — the batch's

@@ -132,8 +132,20 @@ object Retrieval {
         if (maxRows <= 0) false
         else if (maxRows >= Int.MaxValue - 1) true
         else {
-          val n = df.limit(maxRows.toInt + 1).count()
-          log.info(s"size gate row probe on RDD-backed plan: $n rows " +
+          // per-partition bounded count, NOT limit(n+1).count(): a
+          // GlobalLimit plans as a single-partition shuffle of up to n
+          // rows — for the corpus-guard cap that is millions of
+          // embedding rows into one task, i.e. the probe itself could
+          // OOM. Here each partition counts locally (1-column
+          // projection, early stop at the cap) and ships one long.
+          val cap = maxRows + 1
+          val n = df.select(lit(1)).queryExecution.toRdd
+            .mapPartitions { it =>
+              var c = 0L
+              while (it.hasNext && c < cap) { it.next(); c += 1 }
+              Iterator.single(c)
+            }.fold(0L)(_ + _)
+          log.info(s"size gate row probe on RDD-backed plan: >=$n rows " +
             s"counted vs maxRows=$maxRows (capBytes=$capBytes, " +
             s"assumed rowBytes=$rowBytes)")
           n <= maxRows

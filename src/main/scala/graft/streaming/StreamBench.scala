@@ -179,6 +179,12 @@ object StreamBench {
     // takes the STORED multi-table probe (partition-pruned isin, buckets
     // computed once at append time) instead of re-bucketing
     // existing ∪ delta per batch. Same dedup/store invariants as run().
+    // Geometry 6 planes × 4 tables (recorded in the JSON), NOT the ann
+    // arm's 4×8: on this corpus 4×8 collides ~40% of all pairs —
+    // near-quadratic candidates that say nothing about the layout — and
+    // the throughput arm should measure the layout at a geometry a real
+    // deployment would pick (6×4 ≈ 6% candidate fraction).
+    val (ixPlanes, ixTables) = (6, 4)
     val capConf = conf.copy(bruteCorpusWarnBytes = 1L)
     // compaction wall-time is recorded SEPARATELY (compact_sec in the
     // JSON): it is the maintenance-window cost of the layout, amortized
@@ -192,7 +198,8 @@ object StreamBench {
         val df = batchDfN(b, rpb).localCheckpoint()
         val t0 = System.nanoTime()
         StreamingIngest.processBatchIndexed(
-          spark, df, b.toLong, dDir, eDir, aDir, capConf).unpersist()
+          spark, df, b.toLong, dDir, eDir, aDir, capConf,
+          ixPlanes, ixTables).unpersist()
         val t = (System.nanoTime() - t0) / 1e9
         if ((b + 1) % 8 == 0) {
           val c0 = System.nanoTime()
@@ -210,7 +217,8 @@ object StreamBench {
     }
     // indexed warmup: JIT + parquet-writer startup for the new code path
     StreamingIngest.processBatchIndexed(spark, batchDfN(0, 200).limit(200), -7L,
-      s"$dir/warmix_docs", s"$dir/warmix_edges", s"$dir/warmix_ann", capConf)
+      s"$dir/warmix_docs", s"$dir/warmix_edges", s"$dir/warmix_ann", capConf,
+      ixPlanes, ixTables)
       .unpersist()
     val (idxT, idxStored, idxEdges) = runIndexed("indexed", nBatches, rowsPerBatch)
     require(idxStored == stored, "[indexed] store mismatch vs pure arms")
@@ -229,7 +237,7 @@ object StreamBench {
         .ingestWriterIndexed(
           StreamingIngest.dedupStreamFirstSeen(
             mem.toDF.toDF("mtype", "data", "seq")).drop("id"),
-          dDir, eDir, aDir, capConf)
+          dDir, eDir, aDir, capConf, ixPlanes, ixTables)
         .option("checkpointLocation", ckpt).start()
       val times = (0 until nBatches).map { b =>
         val rows = batchDf(b).collect()
@@ -332,6 +340,7 @@ object StreamBench {
       s""""value_stream_ann":${(totalRows / streamT.sum).round},""" +
       s""""value_indexed":${(totalRows / idxT.sum).round},""" +
       s""""value_stream_indexed":${(totalRows / streamIdxT.sum).round},"unit":"rows/sec",""" +
+      s""""indexed_geometry":"p${ixPlanes}xt$ixTables",""" +
       s""""rows_per_batch":$rowsPerBatch,"batches":$nBatches,"dim":$dim,""" +
       s""""batch_sec_brute":${fmt(bruteT)},"batch_sec_ann":${fmt(annT)},""" +
       s""""batch_sec_auto":${fmt(autoT)},"auto_flip_after_batch":$autoFlip,""" +

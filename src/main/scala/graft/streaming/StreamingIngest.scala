@@ -246,7 +246,6 @@ object StreamingIngest {
       nTables: Int = 8,
       deltaFn: (DataFrame, DataFrame) => DataFrame = Ingest.dedupDelta): DataFrame = {
     import graft.operators.{Ann, Knn, Retrieval}
-    import graft.functions.VectorFunctions.dotProduct
     val mbConf = conf.copy(rddFramesAreMicroBatches = true)
     val hadoop = spark.sparkContext.hadoopConfiguration
     def exists(d: String) = {
@@ -293,17 +292,26 @@ object StreamingIngest {
           // the batch's own docs are not in the store yet (edges-before-
           // docs replay ordering) — their candidates come from this
           // micro-batch-sized in-memory leg, so the corpus the KNN sees
-          // is existing ∪ delta exactly as in processBatch
-          val deltaCands = Ann.multiTableCandidates(
-              delta.select("id", "embedding"), queries.select("qid", "qvec"),
-              conf.dim, nPlanes, nTables, mbConf)
-            .select(col("qid"), col("id"),
-              dotProduct(col("qvec"), col("embedding")).as("sim"))
-            .join(broadcast(delta.select("id", "mtype")), Seq("id"))
-            .select("qid", "id", "mtype", "sim")
+          // is existing ∪ delta exactly as in processBatch. Scored-
+          // before-dedup form: the vector-carrying candidate dedup
+          // OOM'd at 5000-row batches (see multiTableScoredCandidates)
+          val deltaCands = Ann.multiTableScoredCandidates(
+            delta.select("id", "mtype", "embedding"),
+            queries.select("qid", "qvec"),
+            conf.dim, nPlanes, nTables, mbConf)
+          // per-LEG top-k before the union: the global top-k is a subset
+          // of the union of leg top-ks (same window, same tie-break), so
+          // results are identical — but the final rank runs over ≤ 2k
+          // rows per query instead of the full candidate union (the
+          // one-window form sorted both legs' candidates together and
+          // tipped an 8 GiB heap into a spill-reader OOM at 5000-row
+          // batches under a 40%-collision geometry)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("qid").orderBy(col("sim").desc, col("id"))
-          storeCands.unionByName(deltaCands)
+          def legTopK(c: DataFrame) = c
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= conf.submitK).drop("rank")
+          legTopK(storeCands).unionByName(legTopK(deltaCands))
             .dropDuplicates("qid", "id") // replay overlap between legs
             .withColumn("rank", row_number().over(w))
             .filter(col("rank") <= conf.submitK)
