@@ -425,6 +425,61 @@ object SparkEntry {
       .transform(graft.CacheScope.pin)
       .orderBy("qid", "rnk")
 
+  /** The STORED multi-table probe (q188): [[annMultiTable]]'s
+    * OR-construction served from the at-rest `tb=`-partitioned corpus
+    * the streaming indexed loop maintains ([[graft.operators.Ann
+    * .backfillMultiTableCorpus]] → [[graft.operators.Ann
+    * .multiTableStoreCandidates]]) — the r14 scale path, oracle-gated:
+    * the probe reads ONLY matched bucket directories (explicit paths +
+    * isin PartitionFilters, PlanAuditSpec), and this query pins that
+    * the pruned read is CANDIDATE-IDENTICAL to the in-memory form —
+    * the DuckDB mirror recomputes the same families from the raw
+    * table, so any row lost to pruning hash-mismatches. The scratch
+    * store is wiped per call (bench reps would otherwise re-append;
+    * the (qid, id) dedup hides duplicates from RESULTS but not from
+    * honesty). */
+  private def annStoredProbe(s: SparkSession, dir: String): DataFrame = {
+    val store = scratchStoreDir("q188", dir)
+    deleteTree(new java.io.File(store))
+    graft.operators.Ann.backfillMultiTableCorpus(
+      embDocs(s, dir), store, dim = 64, nPlanes = 4, nTables = 8)
+    s.catalog.refreshByPath(store)
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    graft.operators.Ann.multiTableStoreCandidates(
+        s, store, queries, dim = 64, nPlanes = 4, nTables = 8)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("id"), col("mtype"),
+        rnd(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
+  /** SQ8 two-stage retrieval (q189): int8 scalar quantization —
+    * training-free 4×-at-rest vector compression ([[graft.operators
+    * .Sq]]) — shortlists on the byte-width approximate score, then
+    * re-scores exactly. Both stages are fixed expression trees the
+    * oracle replays bit-identically (scale = max/127, no float-sum
+    * hazard), so the SHORTLIST membership itself is hash-pinned, not
+    * just the exact re-score. */
+  private def annSqRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Sq.topKSqRerank(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").cast("string").as("qid"),
+            col("embedding").as("qvec")),
+        k = 5, shortlist = 20)
+      .select(col("qid"), col("id"),
+        rnd(col("sim"), 6).as("sim"), col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
   /** Exact percentiles per order priority (the exact path; SCALE.md
     * documents approx_percentile as the 100 TB default). */
   private def orderPercentiles(s: SparkSession, dir: String): DataFrame =
@@ -3328,6 +3383,8 @@ object SparkEntry {
     "q185_jsonl_roundtrip" -> ((s, d) => jsonlRoundtripQ(s, d)),
     "q186_csv_roundtrip" -> ((s, d) => csvRoundtripQ(s, d)),
     "q187_jsonl_gzip_roundtrip" -> ((s, d) => jsonlGzipRoundtripQ(s, d)),
+    "q188_ann_stored_probe" -> ((s, d) => annStoredProbe(s, d)),
+    "q189_ann_sq8_rerank" -> ((s, d) => annSqRerank(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7636,6 +7693,72 @@ object SparkEntry {
       s"""SELECT doc_id, source, lang, n_chars, sha256(text) AS text_sha,
          |  CAST(${graft.sources.JsonlFixture.NCorrupt} AS BIGINT) AS n_corrupt
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q188_ann_stored_probe" -> {
+      // q29's OR-construction mirror with the doc modality carried
+      // through: the Spark side serves candidates from the at-rest
+      // tb=-partitioned store under explicit matched-path pruning, so
+      // hash equality proves the pruned read loses no candidate pair.
+      val dTables = (0 until 8).map(t =>
+        s"""  SELECT CAST(vec_id AS VARCHAR) AS id,
+           |         'm' || CAST(label % 2 AS VARCHAR) AS mtype, embedding,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+      val qTables = (0 until 8).map(t =>
+        s"""  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+           |  FROM embeddings WHERE vec_id % 100 = 0""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH d AS (
+         |$dTables),
+         |q AS (
+         |$qTables),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, q.qvec, d.id, d.mtype, d.embedding
+         |  FROM q JOIN d ON q.tbl = d.tbl AND q.bucket = d.bucket),
+         |scored AS (
+         |  SELECT qid, id, mtype, ${dot("qvec", "embedding")} AS sim FROM cand),
+         |ranked AS (
+         |  SELECT qid, id, mtype, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored)
+         |SELECT qid, id, mtype, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
+    "q189_ann_sq8_rerank" -> {
+      // Mirror of Sq.topKSqRerank: identical scale (max/127 — no float
+      // sum), identical floor(v/s + 0.5) codes, identical left-fold
+      // approximate AND exact dot products — shortlist membership and
+      // final ranks are engine-portable by construction.
+      import graft.operators.Sq
+      s"""WITH enc AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+         |    ${Sq.sqlScale("embedding")} AS s
+         |  FROM embeddings),
+         |coded AS (
+         |  SELECT id, embedding, s, ${Sq.sqlCodes("embedding", "s")} AS c
+         |  FROM enc),
+         |q AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |pre AS (
+         |  SELECT q.qid, q.qvec, coded.id, coded.embedding,
+         |    ${Sq.sqlApproxSim("q.qvec", "coded.c", "coded.s")} AS asim
+         |  FROM q CROSS JOIN coded),
+         |short AS (
+         |  SELECT qid, qvec, id, embedding,
+         |    row_number() OVER (PARTITION BY qid ORDER BY asim DESC, id) AS pr
+         |  FROM pre),
+         |exact AS (
+         |  SELECT qid, id, ${dot("qvec", "embedding")} AS sim
+         |  FROM short WHERE pr <= 20),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM exact)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
     "q177_product_profit" ->
       // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit
       // accumulates entirely on the 1e-4 integer grid — sqlVolU revenue
