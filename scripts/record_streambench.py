@@ -37,7 +37,7 @@ R13_SCALE_MD = {
 
 ARM_KEYS = [
     "value", "value_ann", "value_auto", "value_stream_ann",
-    "value_indexed", "value_stream_indexed",
+    "value_indexed", "value_stream_indexed", "value_stream_indexed_bloom",
 ]
 
 

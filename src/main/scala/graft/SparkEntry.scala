@@ -46,31 +46,49 @@ object SparkEntry {
     * live JVMs' scratch. */
   private val scratchHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val scratchSwept =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private def deleteTree(f: java.io.File): Unit = {
+  /** Best-effort recursive delete: returns false if anything inside
+    * survived (r14 ADVICE #4 — failures must be visible, not silent). */
+  private def deleteTree(f: java.io.File): Boolean = {
     val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteTree)
-    f.delete(); ()
+    val kidsOk = kids == null || kids.forall(deleteTree)
+    (f.delete() || !f.exists()) && kidsOk
+  }
+
+  /** Dead-sibling sweep, ONCE per JVM (r14 ADVICE #4: the full /tmp
+    * listing ran on every call — including each q188 bench rep — for a
+    * cleanup whose outcome never changes within one process). The sweep
+    * is explicitly BEST-EFFORT: ProcessHandle liveness can be fooled by
+    * a recycled pid (leftover survives until that pid dies) and deletes
+    * can fail on permissions — both are logged and skipped, never
+    * escalated, because scratch leftovers cost disk, not correctness. */
+  private def sweepDeadScratch(tmp: java.io.File): Unit = {
+    val siblings = tmp.listFiles()
+    if (siblings != null) siblings.foreach { f =>
+      val name = f.getName
+      if (name.startsWith("graft_") && name.contains("_pid")) {
+        val pid = name.substring(name.lastIndexOf("_pid") + 4).takeWhile(_.isDigit)
+        val dead = pid.nonEmpty &&
+          scala.util.Try(ProcessHandle.of(pid.toLong))
+            .map(h => !h.isPresent || !h.get().isAlive).getOrElse(false)
+        if (dead && !deleteTree(f))
+          System.err.println(s"[graft] scratch sweep: could not fully delete $f (skipped)")
+      }
+    }
   }
 
   private def scratchStoreDir(tag: String, dir: String): String = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    if (scratchSwept.compareAndSet(false, true)) sweepDeadScratch(tmp)
     val prefix = s"graft_${tag}_${new java.io.File(dir).getName}_pid"
-    val siblings = tmp.listFiles()
-    if (siblings != null) siblings.foreach { f =>
-      if (f.getName.startsWith(prefix)) {
-        val pid = f.getName.stripPrefix(prefix).takeWhile(_.isDigit)
-        val dead = pid.nonEmpty &&
-          scala.util.Try(ProcessHandle.of(pid.toLong))
-            .map(h => !h.isPresent || !h.get().isAlive).getOrElse(false)
-        if (dead) deleteTree(f)
-      }
-    }
     val me = new java.io.File(tmp,
       s"$prefix${ProcessHandle.current().pid()}").getAbsolutePath
     if (scratchHooked.add(me))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteTree(new java.io.File(me))))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        deleteTree(new java.io.File(me)); ()
+      }))
     me
   }
 
@@ -444,6 +462,50 @@ object SparkEntry {
     graft.operators.Ann.backfillMultiTableCorpus(
       embDocs(s, dir), store, dim = 64, nPlanes = 4, nTables = 8)
     s.catalog.refreshByPath(store)
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    graft.operators.Ann.multiTableStoreCandidates(
+        s, store, queries, dim = 64, nPlanes = 4, nTables = 8)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("id"), col("mtype"),
+        rnd(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Incremental-compaction lifecycle probe (q191): the at-rest
+    * multi-table store under its FULL maintenance story — backfill one
+    * wave, append a second wave TWICE (the at-least-once replay shape),
+    * fold the hot buckets with the incremental compactor
+    * ([[graft.operators.Ann.compactMultiTableCorpusIncremental]] at
+    * maxFilesPerBucket = 1, so every touched directory rewrites while
+    * backfill-only directories stay cold), then serve the q188 probe
+    * from the result. The oracle recomputes the OR-construction over
+    * the raw table, so hash equality pins all three maintenance
+    * properties at once: the replay-duplicated rows fold away, the
+    * partial (touched-bucket-only) rewrite loses no candidate, and the
+    * pruned probe over the mixed compacted/cold layout is
+    * candidate-identical to the in-memory form (r14 verdict #2's
+    * oracle gate). */
+  private def annIncrementalCompact(s: SparkSession, dir: String): DataFrame = {
+    val store = scratchStoreDir("q191", dir)
+    deleteTree(new java.io.File(store))
+    val wave1 = embDocs(s, dir).filter(col("id").cast("long") % 2 === 0)
+    val wave2 = embDocs(s, dir).filter(col("id").cast("long") % 2 === 1)
+    graft.operators.Ann.backfillMultiTableCorpus(
+      wave1, store, dim = 64, nPlanes = 4, nTables = 8)
+    graft.operators.Ann.appendMultiTableBatch(
+      wave2, store, dim = 64, nPlanes = 4, nTables = 8)
+    // the replayed append: storage duplicates that MUST converge away
+    graft.operators.Ann.appendMultiTableBatch(
+      wave2, store, dim = 64, nPlanes = 4, nTables = 8)
+    s.catalog.refreshByPath(store)
+    graft.operators.Ann.compactMultiTableCorpusIncremental(
+      s, store, maxFilesPerBucket = 1)
     val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").cast("string").as("qid"),
         col("embedding").as("qvec"))
@@ -1100,6 +1162,33 @@ object SparkEntry {
   private def jsonlGzipRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     val fix = "target/jsonlgzfixture/" + new java.io.File(dir).getName
     graft.sources.JsonlFixture.materializeGzip(s, dir, fix)
+    val raw = graft.sources.Sources.readJsonDocuments(s, fix)
+      .transform(graft.CacheScope.pin)
+    val nCorrupt = raw.agg(
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+    raw.filter(col("_corrupt").isNull)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        sha2(col("text"), 256).as("text_sha"))
+      .crossJoin(broadcast(nCorrupt))
+      .transform(graft.CacheScope.pin)
+      .orderBy("doc_id")
+  }
+
+  /** Zstd-JSONL corpus roundtrip (q190): the q187 loop under the OTHER
+    * de-facto LLM interchange codec (`.jsonl.zst`, r14 verdict #5).
+    * Hadoop's own ZStandardCodec needs native libhadoop (absent here),
+    * so the engine wires zstd-jni — already on Spark's classpath for
+    * shuffle compression — through the Hadoop codec seam
+    * ([[graft.sources.ZstdJniCodec]]): the READER remains
+    * [[graft.sources.Sources.readJsonDocuments]] verbatim, decompression
+    * stays extension-driven, and the planted malformed lines live
+    * INSIDE a zstd frame so corruption under this codec also
+    * quarantines per-line instead of failing the file. Like gzip, zstd
+    * frames are not splittable — one task per file; a 100 TB corpus
+    * arrives sharded (the fixture's multi-part write). */
+  private def jsonlZstdRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val fix = "target/jsonlzstfixture/" + new java.io.File(dir).getName
+    graft.sources.JsonlFixture.materializeZstd(s, dir, fix)
     val raw = graft.sources.Sources.readJsonDocuments(s, fix)
       .transform(graft.CacheScope.pin)
     val nCorrupt = raw.agg(
@@ -3385,6 +3474,8 @@ object SparkEntry {
     "q187_jsonl_gzip_roundtrip" -> ((s, d) => jsonlGzipRoundtripQ(s, d)),
     "q188_ann_stored_probe" -> ((s, d) => annStoredProbe(s, d)),
     "q189_ann_sq8_rerank" -> ((s, d) => annSqRerank(s, d)),
+    "q190_jsonl_zstd_roundtrip" -> ((s, d) => jsonlZstdRoundtripQ(s, d)),
+    "q191_ann_incremental_compact" -> ((s, d) => annIncrementalCompact(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4015,6 +4106,39 @@ object SparkEntry {
        |SELECT qid, id, ${rnd6("score")} AS score, rnk
        |FROM fin WHERE rnk <= 20
        |ORDER BY qid, rnk""".stripMargin
+
+  /** The OR-construction recomputed clean from the raw table — the
+    * shared mirror of every at-rest multi-table probe (q188 serves a
+    * freshly backfilled store; q191 serves one that lived through the
+    * replay + incremental-compaction lifecycle; both must hash-match
+    * this). */
+  private lazy val annStoredProbeOracle: String = {
+    val dTables = (0 until 8).map(t =>
+      s"""  SELECT CAST(vec_id AS VARCHAR) AS id,
+         |         'm' || CAST(label % 2 AS VARCHAR) AS mtype, embedding,
+         |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+         |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+    val qTables = (0 until 8).map(t =>
+      s"""  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+         |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+         |  FROM embeddings WHERE vec_id % 100 = 0""".stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH d AS (
+       |$dTables),
+       |q AS (
+       |$qTables),
+       |cand AS (
+       |  SELECT DISTINCT q.qid, q.qvec, d.id, d.mtype, d.embedding
+       |  FROM q JOIN d ON q.tbl = d.tbl AND q.bucket = d.bucket),
+       |scored AS (
+       |  SELECT qid, id, mtype, ${dot("qvec", "embedding")} AS sim FROM cand),
+       |ranked AS (
+       |  SELECT qid, id, mtype, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |  FROM scored)
+       |SELECT qid, id, mtype, ${rnd6("sim")} AS sim, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -7693,37 +7817,20 @@ object SparkEntry {
       s"""SELECT doc_id, source, lang, n_chars, sha256(text) AS text_sha,
          |  CAST(${graft.sources.JsonlFixture.NCorrupt} AS BIGINT) AS n_corrupt
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "q188_ann_stored_probe" -> {
+    "q188_ann_stored_probe" ->
       // q29's OR-construction mirror with the doc modality carried
       // through: the Spark side serves candidates from the at-rest
       // tb=-partitioned store under explicit matched-path pruning, so
       // hash equality proves the pruned read loses no candidate pair.
-      val dTables = (0 until 8).map(t =>
-        s"""  SELECT CAST(vec_id AS VARCHAR) AS id,
-           |         'm' || CAST(label % 2 AS VARCHAR) AS mtype, embedding,
-           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
-           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
-      val qTables = (0 until 8).map(t =>
-        s"""  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
-           |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
-           |  FROM embeddings WHERE vec_id % 100 = 0""".stripMargin).mkString("\n  UNION ALL\n")
-      s"""WITH d AS (
-         |$dTables),
-         |q AS (
-         |$qTables),
-         |cand AS (
-         |  SELECT DISTINCT q.qid, q.qvec, d.id, d.mtype, d.embedding
-         |  FROM q JOIN d ON q.tbl = d.tbl AND q.bucket = d.bucket),
-         |scored AS (
-         |  SELECT qid, id, mtype, ${dot("qvec", "embedding")} AS sim FROM cand),
-         |ranked AS (
-         |  SELECT qid, id, mtype, sim,
-         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
-         |  FROM scored)
-         |SELECT qid, id, mtype, ${rnd6("sim")} AS sim, rnk
-         |FROM ranked WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin
-    },
+      annStoredProbeOracle,
+    "q191_ann_incremental_compact" ->
+      // Same mirror as q188 DELIBERATELY: the Spark side now runs the
+      // full maintenance lifecycle (two-wave build, a replayed append,
+      // touched-bucket-only incremental compaction) before serving the
+      // probe — hash equality against the clean recomputation pins that
+      // replay duplicates fold away and the partial rewrite loses no
+      // candidate (r14 verdict #2's oracle gate).
+      annStoredProbeOracle,
     "q189_ann_sq8_rerank" -> {
       // Mirror of Sq.topKSqRerank: identical scale (max/127 — no float
       // sum), identical floor(v/s + 0.5) codes, identical left-fold
@@ -7759,6 +7866,16 @@ object SparkEntry {
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin
     },
+    "q190_jsonl_zstd_roundtrip" ->
+      // Mirror of jsonlZstdRoundtripQ: the zstd fixture is the engine's
+      // own ZstdJniCodec write of `documents`, so the expected parsed
+      // rows ARE the table and the planted-corrupt count (landed INSIDE
+      // a zstd frame) is the fixture literal — the q187 proof under the
+      // other interchange codec. Hash equality proves the write →
+      // zstd-decompress → parse → quarantine loop byte-faithful.
+      s"""SELECT doc_id, source, lang, n_chars, sha256(text) AS text_sha,
+         |  CAST(${graft.sources.JsonlFixture.NCorrupt} AS BIGINT) AS n_corrupt
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q177_product_profit" ->
       // Mirror of Partsupp.q9ProductTypeProfit (TPC-H Q9 shape): profit
       // accumulates entirely on the 1e-4 integer grid — sqlVolU revenue

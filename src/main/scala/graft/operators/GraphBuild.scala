@@ -147,6 +147,55 @@ object GraphBuild {
       .find(!fs.exists(_))
       .get
 
+  // ---- hash-bucketed edge log (incremental-compaction layout) -----------
+  // [[compactEdges]] rewrites the WHOLE edge store per cycle — O(live
+  // edges) maintenance on the ingest cadence (r14 verdict #2, the edge
+  // twin of the ann-store finding). The bucketed layout partitions the
+  // log by eb = xxhash64(src, dst) mod nBuckets, so ALL deltas of one
+  // undirected edge co-locate in one directory and latest-wins inside a
+  // bucket is globally exact — which makes per-directory incremental
+  // compaction ([[graft.sources.Sinks.compactPartitionDirsIncremental]])
+  // semantics-preserving: only buckets that accumulated delta files are
+  // rewritten, cold directories are never re-read. Readers are unchanged:
+  // `spark.read.parquet(dir)` sees the same (src, dst, score, seq) rows
+  // plus the inert eb partition column, and [[latestWins]] folds exactly
+  // as on the flat log (spec-pinned equivalence).
+
+  /** The bucket id of a canonical (src < dst) edge row. */
+  private def ebCol(nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("src"), col("dst")), lit(nBuckets)).cast("int")
+
+  /** Append an edge delta into the bucketed log. Clustered on eb before
+    * the partitioned write (the [[graft.operators.Ann
+    * .appendMultiTableBatch]] discipline): a batch adds ~one file per
+    * touched bucket instead of tasks × buckets tiny files. */
+  def appendEdgeDeltaBucketed(
+      delta: DataFrame, dir: String, nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    delta.withColumn("eb", ebCol(nBuckets))
+      .repartition(col("eb"))
+      .write.mode("append").partitionBy("eb").parquet(dir)
+  }
+
+  /** Incremental compaction of the bucketed edge log: fold only `eb=`
+    * directories holding more than `maxFilesPerBucket` data files to
+    * their [[latestWins]] view — per-cycle cost O(hot-bucket edges),
+    * independent of store size. `seq` is retained, so latest-wins over
+    * (compacted ∪ later deltas) is unchanged, exactly as with
+    * [[compactEdges]]. @return compacted bucket directory names */
+  def compactEdgesIncremental(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerBucket: Int = 4): Seq[String] =
+    graft.sources.Sinks.compactPartitionDirsIncremental(
+      spark, dir, "eb=", maxFilesPerBucket, latestWins)
+
+  /** Heal crash-interrupted [[compactEdgesIncremental]] swaps — writers
+    * call this before appending to a bucketed log after a restart (the
+    * [[recoverEdges]] discipline for the bucketed layout). */
+  def recoverEdgesBucketed(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, dir)
+
   /** Symmetric (both-orientations) view for traversal joins. */
   def symmetric(edges: DataFrame): DataFrame =
     edges.select(col("src").as("u"), col("dst").as("v"), col("score"))

@@ -122,12 +122,24 @@ object Retrieval {
       if (trustedSum > BigInt(capBytes)) false
       else if (conf.rddFramesAreMicroBatches) true
       else {
-        // embedding-carrying rows dominate at 4 bytes/component; +64
-        // covers ids/modality/struct overhead. Counting ALL rows (the
-        // trusted leaves' included) against the cap is conservative in
-        // the safe direction — an over-count can only withhold a hint
-        // or fire a guard, never grant an unproven "under".
-        val rowBytes = 4L * conf.dim + 64L
+        // per-row width from the frame's ACTUAL schema, not an assumed
+        // embedding-only row at conf.dim (r14 ADVICE: a frame carrying a
+        // wide `data` payload or vectors wider than conf.dim was
+        // under-estimated, partially re-opening the gate this probe
+        // closes): each array field is costed at conf.dim elements (the
+        // engine's vectors are the only arrays these gates ever see),
+        // every other field at Catalyst's defaultSize, +16 row overhead.
+        // Counting ALL rows (the trusted leaves' included) against the
+        // cap is conservative in the safe direction — an over-count can
+        // only withhold a hint or fire a guard, never grant an unproven
+        // "under".
+        val rowBytes = df.schema.fields.map { f =>
+          f.dataType match {
+            case org.apache.spark.sql.types.ArrayType(et, _) =>
+              conf.dim.toLong * et.defaultSize
+            case dt => dt.defaultSize.toLong
+          }
+        }.sum + 16L
         val maxRows = capBytes / rowBytes
         if (maxRows <= 0) false
         else if (maxRows >= Int.MaxValue - 1) true

@@ -77,6 +77,35 @@ object JsonlFixture {
     finally gz.close()
   }
 
+  /** [[materializeGzip]] under ZSTD — the other de-facto LLM-corpus
+    * interchange codec (r14 verdict #5). Hadoop ships no usable zstd
+    * codec without native libhadoop, so the engine's own
+    * [[ZstdJniCodec]] (zstd-jni, already on Spark's classpath) is both
+    * the sink codec here and the extension-discovered reader codec —
+    * registered on the session before the write so the q190 roundtrip
+    * exercises the exact read path a user's `.jsonl.zst` corpus takes.
+    * The planted malformed lines land INSIDE a zstd frame (written
+    * through ZstdOutputStreamNoFinalizer), mirroring q187's
+    * inside-the-codec quarantine proof. */
+  def materializeZstd(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      nCorrupt: Int = NCorrupt): Unit = {
+    ZstdJniCodec.register(spark)
+    wipe(Paths.get(outDir))
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(4)
+      .write.mode("overwrite")
+      .option("compression", classOf[ZstdJniCodec].getName)
+      .json(outDir)
+    val zs = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(
+      Files.newOutputStream(Paths.get(outDir, "zz_corrupt.json.zst")))
+    try zs.write(corruptLines(nCorrupt).mkString("\n").getBytes("UTF-8"))
+    finally zs.close()
+  }
+
   private def corruptLines(n: Int): Seq[String] = (0 until n)
     .map(k => s"""{"doc_id": ${900000000L + k}, "text": "truncated $k""")
 }

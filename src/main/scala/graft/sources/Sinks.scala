@@ -83,4 +83,155 @@ object Sinks {
     if (!fs.exists(path) && fs.exists(old))
       require(fs.rename(old, path), s"recoverSwap: rename $old -> $path failed")
   }
+
+  // ---- incremental (touched-directory) compaction -------------------------
+  // r14 verdict #2: [[swapInPlace]] over a whole partitioned store is an
+  // O(store) rewrite on the ingest cadence — correct and crash-safe, but a
+  // maintenance-path scale-killer once the store outgrows a single rewrite
+  // window. The incremental form rewrites ONLY partition directories whose
+  // data-file count crossed a threshold: a streaming append adds ~one file
+  // per touched directory per batch (the appenders repartition on the
+  // partition key), so between compactions only recently-touched
+  // directories accumulate files and everything cold is never re-read.
+  // Candidate DISCOVERY is metadata-only and store-size-INDEPENDENT in the
+  // steady state: one root listing (directory count is fixed by layout
+  // geometry) plus one listing per directory, whose file counts are
+  // themselves bounded by this compaction — O(dirs + files-since-last-
+  // compact), never O(rows).
+  //
+  // Swap discipline per directory (same rename-aside rules as
+  // [[swapInPlace]], scoped to one partition dir): the rewrite lands in
+  // `<store>/_graft_compact_tmp/<part>`, the live dir renames aside to
+  // `<store>/_graft_compact_old/<part>`, tmp renames in, the aside is
+  // dropped — every boolean result checked, no path ever deletes the only
+  // copy. Both maintenance roots are `_`-prefixed, so Spark's file index
+  // and the stores' own name-filtered listings never see them. A crash
+  // inside any window is healed by [[recoverPartitionDirSwaps]] (run here
+  // on entry; readers of a store that compacts this way should run it
+  // before probing after an unclean restart). Not atomic for concurrent
+  // readers — call from a sequential maintenance context (foreachBatch),
+  // like every compaction in this engine.
+
+  private def tmpRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_compact_tmp")
+  private def oldRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_compact_old")
+
+  /** Rewrite every `<prefix>*` partition directory of `dir` holding more
+    * than `maxFiles` data files to `rewrite(contents)`. Returns the
+    * compacted directory names (empty when nothing crossed the threshold
+    * — the steady-state fast path: pure metadata probes, zero data read).
+    *
+    * ONE Spark job for the whole pass, however many directories are hot:
+    * the hot directories are read together (basePath-anchored, so the
+    * partition column stays a real column), folded by `rewrite`, and
+    * written back out partitioned by `partCol` into the tmp root — then
+    * each hot directory swaps in via metadata renames alone. A
+    * job-per-directory form was measured 10× slower at 128 hot buckets
+    * (q191's lifecycle at sf0.1: 38 s of sequential job overhead vs ~4 s
+    * batched); at 100 TB the per-cycle cost must be one bounded shuffle
+    * of hot rows, not O(hot dirs) scheduler round-trips.
+    *
+    * `rewrite` sees the union WITH the partition column and must be a
+    * semantics-preserving, partition-respecting fold (dedup keyed at
+    * least by `partCol`, latest-wins whose key co-locates with the
+    * bucketing) — readers observe identical logical content before and
+    * after. Each hot bucket folds to one file per compaction (the
+    * repartition below clusters by `partCol`); bucket size is bounded by
+    * the layout geometry, which is the re-geometry lever's job to keep
+    * reasonable ([[graft.operators.Ann.regeometryMultiTableCorpus]]). */
+  private[graft] def compactPartitionDirsIncremental(
+      spark: SparkSession, dir: String, prefix: String,
+      maxFiles: Int,
+      rewrite: DataFrame => DataFrame): Seq[String] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    require(prefix.endsWith("="), s"prefix must be a partition-column prefix like 'tb=', got $prefix")
+    val partCol = prefix.dropRight(1)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    recoverPartitionDirSwaps(spark, dir)
+    def dataFileCount(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val hot = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(s => dataFileCount(s.getPath) > maxFiles)
+      .map(_.getPath)
+    if (hot.isEmpty) return Seq.empty
+
+    // one job: union of hot dirs -> fold -> partitioned write to tmp
+    val tmp = tmpRoot(dir)
+    if (fs.exists(tmp))
+      require(fs.delete(tmp, true),
+        s"compactPartitionDirsIncremental: delete of stale $tmp failed")
+    rewrite(
+        spark.read.option("basePath", dir)
+          .parquet(hot.map(_.toString).toIndexedSeq: _*))
+      .repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+
+    // metadata-only swap per hot directory (crash windows healed by
+    // recoverPartitionDirSwaps, run on entry above)
+    if (!fs.exists(oldRoot(dir))) fs.mkdirs(oldRoot(dir))
+    val compacted = hot.flatMap { live =>
+      val name = live.getName
+      val fresh = new org.apache.hadoop.fs.Path(tmp, name)
+      // a hot dir whose rows all folded into... cannot be empty (the
+      // folds keep >= 1 row per key), but guard against a missing tmp
+      // partition rather than destroy the live dir
+      if (!fs.exists(fresh)) None
+      else {
+        val aside = new org.apache.hadoop.fs.Path(oldRoot(dir), name)
+        require(fs.rename(live, aside),
+          s"compactPartitionDirsIncremental: rename $live -> $aside failed")
+        if (!fs.rename(fresh, live)) {
+          fs.rename(aside, live) // restore: aside is the complete dir
+          throw new IllegalStateException(
+            s"compactPartitionDirsIncremental: rename $fresh -> $live failed " +
+              s"(directory restored from $aside)")
+        }
+        require(fs.delete(aside, true) || !fs.exists(aside),
+          s"compactPartitionDirsIncremental: delete of superseded $aside failed")
+        Some(name)
+      }
+    }.toSeq
+    // drop the maintenance roots so the store's root listing stays clean
+    Seq(tmpRoot(dir), oldRoot(dir)).foreach { r =>
+      if (fs.exists(r)) fs.delete(r, true)
+    }
+    if (compacted.nonEmpty) spark.catalog.refreshByPath(dir)
+    compacted
+  }
+
+  /** Heal crash-interrupted [[compactPartitionDirsIncremental]] swaps:
+    * for each aside under `_graft_compact_old`, rename it back when its
+    * live directory is missing (crash between the two renames) or drop
+    * it when the live directory exists (swap completed, cleanup died);
+    * stale `_graft_compact_tmp` debris is deleted outright. Idempotent,
+    * metadata-only, cheap when nothing crashed (one existence probe per
+    * maintenance root). */
+  private[graft] def recoverPartitionDirSwaps(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = oldRoot(dir)
+    if (fs.exists(old)) {
+      fs.listStatus(old).foreach { aside =>
+        val live = new org.apache.hadoop.fs.Path(root, aside.getPath.getName)
+        if (!fs.exists(live))
+          require(fs.rename(aside.getPath, live),
+            s"recoverPartitionDirSwaps: rename ${aside.getPath} -> $live failed")
+        else
+          require(fs.delete(aside.getPath, true),
+            s"recoverPartitionDirSwaps: delete of superseded ${aside.getPath} failed")
+      }
+      if (fs.exists(old) && fs.listStatus(old).isEmpty) fs.delete(old, true)
+    }
+    val tmp = tmpRoot(dir)
+    if (fs.exists(tmp))
+      require(fs.delete(tmp, true),
+        s"recoverPartitionDirSwaps: delete of stale $tmp failed")
+  }
 }

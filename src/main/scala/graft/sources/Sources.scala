@@ -50,13 +50,19 @@ object Sources {
   /** JSONL document-corpus source: explicit schema, PERMISSIVE corrupt
     * quarantine (same discipline as [[readJsonBatch]]). Callers that
     * inspect `_corrupt` must cache the parsed frame first — Spark
-    * disallows corrupt-column-only sub-queries on the raw file scan. */
-  def readJsonDocuments(spark: SparkSession, path: String): DataFrame =
+    * disallows corrupt-column-only sub-queries on the raw file scan.
+    * Decompression is extension-driven (Hadoop codec discovery):
+    * `.gz` ships with Hadoop, `.zst` through the engine's
+    * [[ZstdJniCodec]] — registered here so a `.jsonl.zst` corpus reads
+    * with zero caller setup. */
+  def readJsonDocuments(spark: SparkSession, path: String): DataFrame = {
+    ZstdJniCodec.register(spark)
     spark.read
       .schema(documentsSchema.add("_corrupt", StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
+  }
 
   /** CSV document-corpus source: explicit schema, header, PERMISSIVE
     * corrupt quarantine — the [[readJsonDocuments]] contract for the

@@ -202,8 +202,9 @@ object StreamBench {
           ixPlanes, ixTables).unpersist()
         val t = (System.nanoTime() - t0) / 1e9
         if ((b + 1) % 8 == 0) {
+          // incremental, matching the writer's cadence behavior
           val c0 = System.nanoTime()
-          graft.operators.Ann.compactMultiTableCorpus(spark, aDir)
+          graft.operators.Ann.compactMultiTableCorpusIncremental(spark, aDir)
           compactSec += (System.nanoTime() - c0) / 1e9
         }
         t
@@ -227,17 +228,25 @@ object StreamBench {
     // state-store dedup → foreachBatch processBatchIndexed — the r13
     // verdict #6 measurement: with the union leg's second store scan
     // gone, does the stream arm recover the pre-reorder rate?
-    val (streamIdxT, streamIdxEdges) = {
+    def runStreamIndexed(tag: String, composed: Boolean): (Seq[Double], Long) = {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long)]
-      val (dDir, eDir, aDir, ckpt) = (s"$dir/docs_six", s"$dir/edges_six",
-        s"$dir/ann_six", s"$dir/ckpt_six")
-      val q = StreamingIngest
-        .ingestWriterIndexed(
-          StreamingIngest.dedupStreamFirstSeen(
-            mem.toDF.toDF("mtype", "data", "seq")).drop("id"),
-          dDir, eDir, aDir, capConf, ixPlanes, ixTables)
+      val (dDir, eDir, aDir, ckpt) = (s"$dir/docs_$tag", s"$dir/edges_$tag",
+        s"$dir/ann_$tag", s"$dir/ckpt_$tag")
+      val src = StreamingIngest.dedupStreamFirstSeen(
+        mem.toDF.toDF("mtype", "data", "seq")).drop("id")
+      // composed = the r14 verdict #1 writer: Bloom-fronted store dedup
+      // + the stored partition-pruned probe + incremental compaction +
+      // the hash-bucketed edge log, all in one sink
+      val q = (if (composed)
+          StreamingIngest.ingestWriterIndexedBloom(
+            src, dDir, eDir, aDir, capConf, ixPlanes, ixTables,
+            edgeBuckets = 64,
+            expectedItems = rowsPerBatch.toLong * nBatches)
+        else
+          StreamingIngest.ingestWriterIndexed(
+            src, dDir, eDir, aDir, capConf, ixPlanes, ixTables))
         .option("checkpointLocation", ckpt).start()
       val times = (0 until nBatches).map { b =>
         val rows = batchDf(b).collect()
@@ -250,11 +259,14 @@ object StreamBench {
       q.stop()
       val sDocs = spark.read.parquet(dDir)
       require(sDocs.count() == sDocs.select("id").distinct().count(),
-        "[stream_indexed] store not id-unique")
+        s"[$tag] store not id-unique")
       require(sDocs.count() == stored,
-        s"[stream_indexed] store mismatch: ${sDocs.count()} vs $stored")
+        s"[$tag] store mismatch: ${sDocs.count()} vs $stored")
       (times, spark.read.parquet(eDir).count())
     }
+    val (streamIdxT, streamIdxEdges) = runStreamIndexed("six", composed = false)
+    val (streamIdxBloomT, streamIdxBloomEdges) =
+      runStreamIndexed("sixb", composed = true)
 
     // GROWTH series (r13 verdict #1's "done" criterion): per-batch
     // ingest wall-time AS A FUNCTION OF STORE SIZE, ≥20 store sizes.
@@ -270,18 +282,35 @@ object StreamBench {
     // measured difference is exactly the per-batch O(store) work the
     // stored layout removes. Flatness = mean(last 4) / mean(batches 3-6).
     val growthSlabs = sys.env.getOrElse("STREAM_BENCH_GROWTH_SLABS", "20").toInt
+    // flatness() below compares mean(last 4) against mean(batches 3-6):
+    // fewer than 8 slabs makes the windows overlap (meaningless ratio)
+    // or the base window empty (NaN in the gated artifact) — r14 ADVICE
     val slabRows = sys.env.getOrElse("STREAM_BENCH_GROWTH_SLAB_ROWS", "10000").toInt
     val probeRows = sys.env.getOrElse("STREAM_BENCH_GROWTH_PROBE_ROWS", "50").toInt
+    require(growthSlabs >= 8,
+      s"STREAM_BENCH_GROWTH_SLABS must be >= 8 (base/tail flatness windows overlap below that), got $growthSlabs")
     val (gPlanes, gTables) = (8, 4)
     def flatness(ts: Seq[Double]): Double = {
       val base = ts.slice(2, 6); val tail = ts.takeRight(4)
       (tail.sum / tail.size) / (base.sum / base.size)
     }
-    val (growAnnT, growIdxT, growStore) = {
+    val (growAnnT, growIdxT, growBloomT, growStore) = {
       val (adDir, aeDir) = (s"$dir/docs_gann", s"$dir/edges_gann")
       val (idDir, ieDir, iaDir) =
         (s"$dir/docs_gidx", s"$dir/edges_gidx", s"$dir/ann_gidx")
+      val (bdDir, beDir, baDir) =
+        (s"$dir/docs_gblm", s"$dir/edges_gblm", s"$dir/ann_gblm")
       val gConf = conf.copy(bruteCorpusWarnBytes = 1L)
+      // the composed arm's Bloom filter: seeded for the full run, merged
+      // with every slab/probe delta — the writer's lifecycle, driven
+      // manually because slabs bypass the writer
+      // one (expectedItems, fpp) geometry everywhere: Bloom merge is only
+      // defined between identically-sized filters
+      val bloomItems = growthSlabs.toLong * slabRows + growthSlabs.toLong * probeRows + 16
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(bloomItems, 0.01)
+      def mergeIds(df: org.apache.spark.sql.DataFrame): Unit =
+        bloom.mergeInPlace(
+          df.select("id").stat.bloomFilter("id", bloomItems, 0.01))
       def freshDocs(offset: Long, n: Int) =
         spark.range(0, n.toLong)
           .select(
@@ -291,22 +320,25 @@ object StreamBench {
             (col("id") + offset).as("seq"))
       val annT = scala.collection.mutable.Buffer[Double]()
       val idxT = scala.collection.mutable.Buffer[Double]()
+      val blmT = scala.collection.mutable.Buffer[Double]()
       val sizes = scala.collection.mutable.Buffer[Long]()
       (0 until growthSlabs).foreach { i =>
-        // untimed slab: lands in both doc stores and the ann-at-rest store
+        // untimed slab: lands in all three doc stores + ann-at-rest stores
         val slab = graft.operators.Ingest
           .prepare(freshDocs(10000000L + i.toLong * slabRows, slabRows), conf)
           .select("id", "mtype", "data", "embedding")
           .localCheckpoint()
-        slab.write.mode("append").parquet(adDir)
-        slab.write.mode("append").parquet(idDir)
-        graft.operators.Ann.appendMultiTableBatch(
-          slab.select("id", "mtype", "embedding"), iaDir,
-          dim, gPlanes, gTables)
+        Seq(adDir, idDir, bdDir).foreach { d =>
+          slab.write.mode("append").parquet(d)
+          spark.catalog.refreshByPath(d)
+        }
+        Seq(iaDir, baDir).foreach { d =>
+          graft.operators.Ann.appendMultiTableBatch(
+            slab.select("id", "mtype", "embedding"), d, dim, gPlanes, gTables)
+          spark.catalog.refreshByPath(d)
+        }
+        mergeIds(slab)
         slab.unpersist()
-        spark.catalog.refreshByPath(adDir)
-        spark.catalog.refreshByPath(idDir)
-        spark.catalog.refreshByPath(iaDir)
         sizes += (i.toLong + 1) * slabRows
         // timed probes: one fresh micro-batch through each arm
         val pa = freshDocs(50000000L + i.toLong * probeRows, probeRows)
@@ -321,42 +353,138 @@ object StreamBench {
         StreamingIngest.processBatchIndexed(spark, pi, i.toLong,
           idDir, ieDir, iaDir, gConf, gPlanes, gTables).unpersist()
         idxT += (System.nanoTime() - t1) / 1e9
+        // composed arm (r14 verdict #1): the stored probe AND the
+        // Bloom-fronted dedup — the per-batch anti-join scans only the
+        // "maybe" residue instead of the full store's ids, so this
+        // series must stay flat where the un-bloomed indexed arm
+        // carries the growing anti-join
+        val pb = freshDocs(70000000L + i.toLong * probeRows, probeRows)
+          .localCheckpoint()
+        val t2 = System.nanoTime()
+        val bDelta = StreamingIngest.processBatchIndexed(spark, pb, i.toLong,
+          bdDir, beDir, baDir, gConf, gPlanes, gTables,
+          deltaFn = graft.operators.Ingest.dedupDeltaBloom(_, _, bloom))
+        blmT += (System.nanoTime() - t2) / 1e9
+        mergeIds(bDelta)
+        bDelta.unpersist()
         if ((i + 1) % 8 == 0) {
           val c0 = System.nanoTime()
-          graft.operators.Ann.compactMultiTableCorpus(spark, iaDir)
+          graft.operators.Ann.compactMultiTableCorpusIncremental(spark, iaDir)
+          graft.operators.Ann.compactMultiTableCorpusIncremental(spark, baDir)
           compactSec += (System.nanoTime() - c0) / 1e9
         }
-        pa.unpersist(); pi.unpersist()
+        pa.unpersist(); pi.unpersist(); pb.unpersist()
       }
-      (annT.toSeq, idxT.toSeq, sizes.toSeq)
+      (annT.toSeq, idxT.toSeq, blmT.toSeq, sizes.toSeq)
+    }
+
+    // COMPACTION growth series (r14 verdict #2's "done" criterion): the
+    // maintenance cost as a function of store size, measured for BOTH
+    // forms at each size. Per slab: bulk-append a slab (all buckets gain
+    // one file), run a few reference-grain micro-batches (only THEIR
+    // buckets go over threshold), then time (a) the incremental fold —
+    // rewrites only the micro-batch-touched buckets, expected FLAT —
+    // and (b) the full-store rewrite — expected to GROW with the store.
+    // The full pass also resets every directory to one file, giving the
+    // next slab a clean slate. Geometry 8 planes × 2 tables = 512 bucket
+    // dirs, so 4 batches × 10 rows × 2 tables touch ≤ ~15% of them —
+    // the shape a real stream has (batch ≪ bucket count).
+    val compactSlabs = sys.env.getOrElse("STREAM_BENCH_COMPACT_SLABS", "12").toInt
+    val (cPlanes, cTables) = (8, 2)
+    val (compIncSec, compFullSec, compStore) = {
+      val (cdDir, ceDir, caDir) =
+        (s"$dir/docs_gcmp", s"$dir/edges_gcmp", s"$dir/ann_gcmp")
+      val gConf = conf.copy(bruteCorpusWarnBytes = 1L)
+      def freshDocs(offset: Long, n: Int) =
+        spark.range(0, n.toLong)
+          .select(
+            when((col("id") + offset) % 3 === 0, "image").otherwise("text").as("mtype"),
+            concat(lit("compact payload number "),
+              (col("id") + offset).cast("string")).as("data"),
+            (col("id") + offset).as("seq"))
+      val incT = scala.collection.mutable.Buffer[Double]()
+      val fullT = scala.collection.mutable.Buffer[Double]()
+      val sizes = scala.collection.mutable.Buffer[Long]()
+      (0 until compactSlabs).foreach { i =>
+        val slab = graft.operators.Ingest
+          .prepare(freshDocs(20000000L + i.toLong * slabRows, slabRows), conf)
+          .select("id", "mtype", "data", "embedding")
+          .localCheckpoint()
+        slab.write.mode("append").parquet(cdDir)
+        graft.operators.Ann.appendMultiTableBatch(
+          slab.select("id", "mtype", "embedding"), caDir, dim, cPlanes, cTables)
+        slab.unpersist()
+        spark.catalog.refreshByPath(cdDir)
+        spark.catalog.refreshByPath(caDir)
+        (0 until 4).foreach { b =>
+          StreamingIngest.processBatchIndexed(spark,
+            freshDocs(80000000L + (i.toLong * 4 + b) * 10, 10).localCheckpoint(),
+            i.toLong * 4 + b, cdDir, ceDir, caDir, gConf, cPlanes, cTables)
+            .unpersist()
+        }
+        sizes += spark.read.parquet(cdDir).count()
+        val t0 = System.nanoTime()
+        val nCompacted = graft.operators.Ann
+          .compactMultiTableCorpusIncremental(spark, caDir,
+            maxFilesPerBucket = 2).size
+        incT += (System.nanoTime() - t0) / 1e9
+        require(i == 0 || nCompacted > 0,
+          s"compact study slab $i: incremental pass found no hot buckets")
+        val t1 = System.nanoTime()
+        graft.operators.Ann.compactMultiTableCorpus(spark, caDir)
+        fullT += (System.nanoTime() - t1) / 1e9
+      }
+      (incT.toSeq, fullT.toSeq, sizes.toSeq)
     }
 
     val totalRows = rowsPerBatch.toLong * nBatches
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+    // every arm records the parameters it actually ran with (r14 verdict
+    // #6: a label like "p6xt4" next to a writer defaulting 4×8 left the
+    // growth curves un-comparable across rounds)
+    def armJson(nPlanes: Int, nTables: Int): String =
+      s"""{"nplanes":$nPlanes,"ntables":$nTables,"dim":$dim,""" +
+        s""""rows_per_batch":$rowsPerBatch,"batches":$nBatches}"""
+    val armsJson =
+      s""""arms":{"brute":${armJson(0, 0)},"ann":${armJson(4, 8)},""" +
+      s""""auto":${armJson(4, 8)},"stream_ann":${armJson(4, 8)},""" +
+      s""""indexed":${armJson(ixPlanes, ixTables)},""" +
+      s""""stream_indexed":${armJson(ixPlanes, ixTables)},""" +
+      s""""stream_indexed_bloom":${armJson(ixPlanes, ixTables)}}"""
     println(
       s"""{"metric":"stream_ingest_rows_per_sec","value":${(totalRows / bruteT.sum).round},""" +
       s""""value_ann":${(totalRows / annT.sum).round},""" +
       s""""value_auto":${(totalRows / autoT.sum).round},""" +
       s""""value_stream_ann":${(totalRows / streamT.sum).round},""" +
       s""""value_indexed":${(totalRows / idxT.sum).round},""" +
-      s""""value_stream_indexed":${(totalRows / streamIdxT.sum).round},"unit":"rows/sec",""" +
-      s""""indexed_geometry":"p${ixPlanes}xt$ixTables",""" +
+      s""""value_stream_indexed":${(totalRows / streamIdxT.sum).round},""" +
+      s""""value_stream_indexed_bloom":${(totalRows / streamIdxBloomT.sum).round},""" +
+      s""""unit":"rows/sec",""" +
+      armsJson + "," +
       s""""rows_per_batch":$rowsPerBatch,"batches":$nBatches,"dim":$dim,""" +
       s""""batch_sec_brute":${fmt(bruteT)},"batch_sec_ann":${fmt(annT)},""" +
       s""""batch_sec_auto":${fmt(autoT)},"auto_flip_after_batch":$autoFlip,""" +
       s""""batch_sec_stream_ann":${fmt(streamT)},""" +
       s""""batch_sec_indexed":${fmt(idxT)},""" +
       s""""batch_sec_stream_indexed":${fmt(streamIdxT)},""" +
+      s""""batch_sec_stream_indexed_bloom":${fmt(streamIdxBloomT)},""" +
       s""""stored_docs":$stored,"stored_docs_stream":$streamStored,""" +
       s""""edges_brute":$bruteEdges,"edges_ann":$annEdges,"edges_auto":$autoEdges,""" +
       s""""edges_stream":$streamEdges,"edges_indexed":$idxEdges,""" +
       s""""edges_stream_indexed":$streamIdxEdges,""" +
+      s""""edges_stream_indexed_bloom":$streamIdxBloomEdges,""" +
       s""""growth":{"slabs":$growthSlabs,"slab_rows":$slabRows,""" +
       s""""probe_rows":$probeRows,"nplanes":$gPlanes,"ntables":$gTables,""" +
       s""""store_docs":${growStore.mkString("[", ",", "]")},""" +
       s""""batch_sec_ann":${fmt(growAnnT)},"batch_sec_indexed":${fmt(growIdxT)},""" +
+      s""""batch_sec_indexed_bloom":${fmt(growBloomT)},""" +
       f""""flatness_ann":${flatness(growAnnT)}%.3f,""" +
-      f""""flatness_indexed":${flatness(growIdxT)}%.3f},""" +
+      f""""flatness_indexed":${flatness(growIdxT)}%.3f,""" +
+      f""""flatness_indexed_bloom":${flatness(growBloomT)}%.3f},""" +
+      s""""compact_study":{"slabs":$compactSlabs,"slab_rows":$slabRows,""" +
+      s""""nplanes":$cPlanes,"ntables":$cTables,"micro_batches_per_slab":4,""" +
+      s""""store_docs":${compStore.mkString("[", ",", "]")},""" +
+      s""""incremental_sec":${fmt(compIncSec)},"full_sec":${fmt(compFullSec)}},""" +
       s""""compact_sec":${fmt(compactSec.toSeq)},""" +
       s""""cores":32}""")
     spark.stop()

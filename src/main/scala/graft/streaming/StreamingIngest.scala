@@ -233,7 +233,12 @@ object StreamingIngest {
     * store's convergence discipline applied to the index (spec-pinned).
     *
     * @param annDir the multi-table corpus store; backfilled ONCE from an
-    *               existing doc store that predates it */
+    *               existing doc store that predates it
+    * @param edgeBuckets 0 (default) = the flat append-only edge log;
+    *               > 0 = the hash-bucketed `eb=` layout
+    *               ([[graft.operators.GraphBuild.appendEdgeDeltaBucketed]])
+    *               whose compaction is incremental — pick ONE layout per
+    *               store and keep it */
   private[graft] def processBatchIndexed(
       spark: SparkSession,
       batch: DataFrame,
@@ -244,7 +249,8 @@ object StreamingIngest {
       conf: GraftConf,
       nPlanes: Int = 4,
       nTables: Int = 8,
-      deltaFn: (DataFrame, DataFrame) => DataFrame = Ingest.dedupDelta): DataFrame = {
+      deltaFn: (DataFrame, DataFrame) => DataFrame = Ingest.dedupDelta,
+      edgeBuckets: Int = 0): DataFrame = {
     import graft.operators.{Ann, Knn, Retrieval}
     val mbConf = conf.copy(rddFramesAreMicroBatches = true)
     val hadoop = spark.sparkContext.hadoopConfiguration
@@ -265,13 +271,18 @@ object StreamingIngest {
         conf.dim, nPlanes, nTables)
       spark.catalog.refreshByPath(annDir)
     }
+    // heal a crash-interrupted INCREMENTAL compaction before any probe
+    // or append: a bucket dir stranded in the aside slot must swap back
+    // in, or the partition-pruned probe silently loses its candidates
+    if (exists(annDir)) Ann.recoverMultiTableCorpus(spark, annDir)
 
     val delta = deltaFn(Ingest.prepare(batch, conf), existing)
       .select("id", "mtype", "data", "embedding", "seq")
       .localCheckpoint() // see processBatchWith: lineage cut from docsDir
 
     if (!delta.isEmpty) {
-      GraphBuild.recoverEdges(spark, edgesDir)
+      if (edgeBuckets > 0) GraphBuild.recoverEdgesBucketed(spark, edgesDir)
+      else GraphBuild.recoverEdges(spark, edgesDir)
       val queries = delta.select(
         col("id").as("qid"), col("mtype").as("qtype"),
         col("embedding").as("qvec"), col("seq"))
@@ -319,8 +330,11 @@ object StreamingIngest {
         }
       val knnTagged = knn
         .join(broadcast(queries.select("qid", "qtype", "seq")), Seq("qid"))
-      GraphBuild.edgeDelta(knnTagged, conf)
-        .write.mode("append").parquet(edgesDir)
+      val edges = GraphBuild.edgeDelta(knnTagged, conf)
+      if (edgeBuckets > 0)
+        GraphBuild.appendEdgeDeltaBucketed(edges, edgesDir, edgeBuckets)
+      else
+        edges.write.mode("append").parquet(edgesDir)
       Ann.appendMultiTableBatch(
         delta.select("id", "mtype", "embedding"), annDir,
         conf.dim, nPlanes, nTables)
@@ -331,13 +345,16 @@ object StreamingIngest {
   }
 
   /** [[processBatchIndexed]] wired as a stream writer, with PERIODIC
-    * COMPACTION of both stores every `compactEvery` batches: the edge
-    * log folds to latest-wins ([[graft.operators.GraphBuild
-    * .compactEdges]]) and the ann store rewrites to ~one file per
-    * bucket directory, deduping replayed rows
-    * ([[graft.operators.Ann.compactMultiTableCorpus]]), so a
-    * long-running stream's probe cost stays bytes-bound instead of
-    * file-open-bound. */
+    * compaction of both stores every `compactEvery` batches. The ann
+    * store compacts INCREMENTALLY ([[graft.operators.Ann
+    * .compactMultiTableCorpusIncremental]] — only bucket directories
+    * whose file count crossed `maxFilesPerBucket` are rewritten, so the
+    * per-cycle maintenance cost tracks recent appends, not store size;
+    * r14 verdict #2). The edge log compacts by layout: the default flat
+    * log folds whole ([[graft.operators.GraphBuild.compactEdges]]);
+    * with `edgeBuckets > 0` the hash-bucketed log compacts incrementally
+    * too ([[graft.operators.GraphBuild.compactEdgesIncremental]]) —
+    * the fully store-size-independent maintenance path. */
   def ingestWriterIndexed(
       stream: DataFrame,
       docsDir: String,
@@ -346,20 +363,100 @@ object StreamingIngest {
       conf: GraftConf = GraftConf.default,
       nPlanes: Int = 4,
       nTables: Int = 8,
-      compactEvery: Int = 8)
+      compactEvery: Int = 8,
+      maxFilesPerBucket: Int = 4,
+      edgeBuckets: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         processBatchIndexed(spark, batch, batchId, docsDir, edgesDir, annDir,
-          conf, nPlanes, nTables).unpersist()
-        if ((batchId + 1) % compactEvery == 0) {
-          graft.operators.GraphBuild.compactEdges(spark, edgesDir)
-          val ap = new org.apache.hadoop.fs.Path(annDir)
-          if (ap.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ap))
-            graft.operators.Ann.compactMultiTableCorpus(spark, annDir)
-        }
+          conf, nPlanes, nTables, edgeBuckets = edgeBuckets).unpersist()
+        if ((batchId + 1) % compactEvery == 0)
+          compactIndexedStores(spark, edgesDir, annDir,
+            maxFilesPerBucket, edgeBuckets)
+        ()
+    }
+  }
+
+  /** The indexed loop's compaction cycle, factored for the writers and
+    * benches: incremental ann-store fold + the edge layout's compaction. */
+  private[graft] def compactIndexedStores(
+      spark: SparkSession, edgesDir: String, annDir: String,
+      maxFilesPerBucket: Int, edgeBuckets: Int): Unit = {
+    if (edgeBuckets > 0)
+      graft.operators.GraphBuild.compactEdgesIncremental(
+        spark, edgesDir, maxFilesPerBucket)
+    else
+      graft.operators.GraphBuild.compactEdges(spark, edgesDir)
+    val ap = new org.apache.hadoop.fs.Path(annDir)
+    if (ap.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ap)) {
+      graft.operators.Ann.compactMultiTableCorpusIncremental(
+        spark, annDir, maxFilesPerBucket)
+      ()
+    }
+  }
+
+  /** The COMPOSED scale-safe ingest writer (r14 verdict #1): the indexed
+    * KNN loop ([[processBatchIndexed]] — per-batch probe reads only
+    * matched `tb=` partitions) WITH the Bloom-fronted store dedup
+    * ([[Ingest.dedupDeltaBloom]] — only the "maybe duplicate" residue
+    * pays the store-side anti-join scan) in one sink. Before this writer
+    * existed the two scale paths didn't compose: a user wanting the
+    * store-size-independent KNN probe silently kept the per-batch
+    * O(store-ids) dedup anti-join, and vice versa — the last per-batch
+    * cost in the composed ingest path that grew with the store.
+    *
+    * Bloom lifecycle = [[ingestWriterBloom]]'s exactly: built once per
+    * query start from the store's ids (one distributed scan, re-covering
+    * everything after a checkpoint-recovery restart), merged with each
+    * batch delta's ids after the append succeeds; degradation past
+    * `expectedItems` is performance, never correctness (the exact
+    * anti-join settles every maybe). Compaction cadence = the
+    * incremental [[ingestWriterIndexed]] cycle. */
+  def ingestWriterIndexedBloom(
+      stream: DataFrame,
+      docsDir: String,
+      edgesDir: String,
+      annDir: String,
+      conf: GraftConf = GraftConf.default,
+      nPlanes: Int = 4,
+      nTables: Int = 8,
+      compactEvery: Int = 8,
+      maxFilesPerBucket: Int = 4,
+      edgeBuckets: Int = 0,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    var bloom: org.apache.spark.util.sketch.BloomFilter = null
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val docsPath = new org.apache.hadoop.fs.Path(docsDir)
+        val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (bloom == null)
+          bloom =
+            if (fs.exists(docsPath))
+              spark.read.parquet(docsDir).stat
+                .bloomFilter("id", expectedItems, fpp)
+            else
+              org.apache.spark.util.sketch.BloomFilter
+                .create(expectedItems, fpp)
+        val delta = processBatchIndexed(spark, batch, batchId, docsDir,
+          edgesDir, annDir, conf, nPlanes, nTables,
+          deltaFn = Ingest.dedupDeltaBloom(_, _, bloom),
+          edgeBuckets = edgeBuckets)
+        // fold the appended ids in AFTER the store append succeeded —
+        // distributed build + lossless merge, no driver-side collect
+        if (!delta.isEmpty)
+          bloom.mergeInPlace(
+            delta.stat.bloomFilter("id", expectedItems, fpp))
+        delta.unpersist()
+        if ((batchId + 1) % compactEvery == 0)
+          compactIndexedStores(spark, edgesDir, annDir,
+            maxFilesPerBucket, edgeBuckets)
         ()
     }
   }

@@ -77,6 +77,37 @@ class SourcesSpec extends SparkSpec {
     raw.unpersist()
   }
 
+  test("zstd JSONL fixture roundtrip: ZstdJniCodec parts parse identically; corrupt lines quarantine INSIDE the frame (q190 shape)") {
+    val sf = "/root/testdata/sf0.001"
+    val fix = Files.createTempDirectory("graft_jsonlzst").toString + "/docs"
+    graft.sources.JsonlFixture.materializeZstd(spark, sf, fix)
+    // every data file really is a .zst frame — same extension-driven
+    // discovery as gzip, through the engine's own codec
+    val parts = new java.io.File(fix).listFiles()
+      .map(_.getName).filter(n => n.startsWith("part-") || n.startsWith("zz_"))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".zst")),
+      s"non-zstd files in the fixture: ${parts.filterNot(_.endsWith(".zst")).mkString(", ")}")
+    // the frames must be REAL zstd (magic 0xFD2FB528 LE), not plain text
+    // behind a misleading extension
+    val firstPart = new java.io.File(fix).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val magic = Files.readAllBytes(firstPart.toPath).take(4)
+    assert(magic.sameElements(Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte)),
+      s"part file is not a zstd frame: ${magic.mkString(",")}")
+    val raw = Sources.readJsonDocuments(spark, fix).cache()
+    val parsed = raw.filter(col("_corrupt").isNull)
+    val docs = Tables.documents(spark, sf)
+    assert(parsed.count() == docs.count(), "row fidelity under zstd")
+    assert(raw.filter(col("_corrupt").isNotNull).count() ==
+      graft.sources.JsonlFixture.NCorrupt.toLong, "planted corrupt count under zstd")
+    val mismatch = parsed.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("h0")),
+        Seq("doc_id"))
+      .filter(col("h") =!= col("h0")).count()
+    assert(mismatch == 0, "zstd JSONL roundtrip not byte-faithful")
+    raw.unpersist()
+  }
+
   test("CSV corpus fixture roundtrip: quoting/escaping is byte-faithful; malformed lines quarantine (q186 shape)") {
     val sf = "/root/testdata/sf0.001"
     val fix = Files.createTempDirectory("graft_csvrt").toString + "/docs"
