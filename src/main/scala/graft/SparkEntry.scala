@@ -173,6 +173,38 @@ object SparkEntry {
       .orderBy("src", "dst")
   }
 
+  /** Bucketed edge-log lifecycle (q192): q13's upsert semantics served
+    * THROUGH the at-rest hash-bucketed `eb=` edge log — delta A, delta B,
+    * and a REPLAYED delta B land via [[graft.operators.GraphBuild
+    * .appendEdgeDeltaBucketed]], the hot buckets fold with the
+    * incremental compactor ([[graft.operators.GraphBuild
+    * .compactEdgesIncremental]] at maxFilesPerBucket = 1), and the
+    * result is the latest-wins read of the store. The oracle is q13's
+    * mirror verbatim, so hash equality pins the r15 edge-store
+    * maintenance end-to-end: the bucketed layout preserves upsert
+    * semantics, the replayed append converges, and the touched-bucket
+    * rewrite loses no edge. */
+  private def edgesBucketedLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val store = scratchStoreDir("q192", dir)
+    deleteTree(new java.io.File(store))
+    val knn = knnWithQtype(s, dir)
+    val deltaA = GraphBuild.edgeDelta(knn.withColumn("seq", lit(1L)))
+    val deltaB = GraphBuild.edgeDelta(
+      knn.filter(col("rank") <= 3)
+        .withColumn("sim", col("sim") * 0.9)
+        .withColumn("seq", lit(2L)))
+    GraphBuild.appendEdgeDeltaBucketed(deltaA, store, nBuckets = 8)
+    GraphBuild.appendEdgeDeltaBucketed(deltaB, store, nBuckets = 8)
+    // the at-least-once replay: identical rows that must converge away
+    GraphBuild.appendEdgeDeltaBucketed(deltaB, store, nBuckets = 8)
+    s.catalog.refreshByPath(store)
+    GraphBuild.compactEdgesIncremental(s, store, maxFilesPerBucket = 1)
+    GraphBuild.latestWins(s.read.parquet(store))
+      .select(col("src"), col("dst"), rnd(col("score"), 6).as("score"), col("seq"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("src", "dst")
+  }
+
   /** Canonical deduped edge table derived from a shared KNN result. */
   private def knnEdges(knn: DataFrame): DataFrame = {
     val delta = GraphBuild.edgeDelta(knn.withColumn("seq", lit(1L)))
@@ -3476,6 +3508,7 @@ object SparkEntry {
     "q189_ann_sq8_rerank" -> ((s, d) => annSqRerank(s, d)),
     "q190_jsonl_zstd_roundtrip" -> ((s, d) => jsonlZstdRoundtripQ(s, d)),
     "q191_ann_incremental_compact" -> ((s, d) => annIncrementalCompact(s, d)),
+    "q192_edges_bucketed_lifecycle" -> ((s, d) => edgesBucketedLifecycle(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -4330,6 +4363,25 @@ object SparkEntry {
         |WHERE id NOT IN (SELECT id FROM existing)
         |ORDER BY id""".stripMargin,
     "q13_edge_upsert" ->
+      s"""WITH $sqlEmbCtes,
+         |${knnChain("", 10)},
+         |ea AS (
+         |  ${edgeDelta("knn", "sim", 1, "")}),
+         |eb AS (
+         |  ${edgeDelta("knn", "sim * 0.9", 2, " AND rnk <= 3")}),
+         |upserted AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src, dst ORDER BY seq DESC) AS _rn
+         |    FROM (SELECT * FROM ea UNION ALL SELECT * FROM eb))
+         |  WHERE _rn = 1)
+         |SELECT src, dst, ${rnd6("score")} AS score, seq
+         |FROM upserted ORDER BY src, dst""".stripMargin,
+    "q192_edges_bucketed_lifecycle" ->
+      // q13's mirror VERBATIM: the Spark side routes the same two edge
+      // deltas (plus a replayed copy of the second) through the at-rest
+      // eb=-bucketed log and the incremental touched-bucket compactor —
+      // hash equality pins that the bucketed layout + replay + partial
+      // fold preserve latest-wins upsert semantics exactly.
       s"""WITH $sqlEmbCtes,
          |${knnChain("", 10)},
          |ea AS (

@@ -367,10 +367,9 @@ object StreamBench {
         blmT += (System.nanoTime() - t2) / 1e9
         mergeIds(bDelta)
         bDelta.unpersist()
-        if ((i + 1) % 8 == 0) {
+        if ((i + 1) % 8 == 0) Seq(iaDir, baDir).foreach { d =>
           val c0 = System.nanoTime()
-          graft.operators.Ann.compactMultiTableCorpusIncremental(spark, iaDir)
-          graft.operators.Ann.compactMultiTableCorpusIncremental(spark, baDir)
+          graft.operators.Ann.compactMultiTableCorpusIncremental(spark, d)
           compactSec += (System.nanoTime() - c0) / 1e9
         }
         pa.unpersist(); pi.unpersist(); pb.unpersist()
