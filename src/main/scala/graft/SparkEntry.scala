@@ -553,6 +553,46 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Geometry-migration lifecycle probe (q193): the at-rest store built
+    * at one LSH geometry (p4×t8 — q188's), MIGRATED to another (p6×t4)
+    * with [[graft.operators.Ann.regeometryMultiTableCorpus]] — the
+    * lever a store pulls when bucket occupancy outgrows its plane count
+    * (SCALE.md §ann-regeometry; the composed stream writer pulls it
+    * automatically) — then probed at the geometry the store's own
+    * `_GEOMETRY` manifest reports. The oracle recomputes the
+    * OR-construction from the raw table at the NEW geometry, so hash
+    * equality pins the whole story: the crash-safe swap republished
+    * every doc exactly once, the manifest is authoritative (the probe
+    * takes its geometry from it, not from the build parameters), and
+    * the pruned read over the re-bucketed layout is candidate-identical
+    * to a fresh index at p6×t4. */
+  private def annRegeomProbe(s: SparkSession, dir: String): DataFrame = {
+    val store = scratchStoreDir("q193", dir)
+    deleteTree(new java.io.File(store))
+    graft.operators.Ann.backfillMultiTableCorpus(
+      embDocs(s, dir), store, dim = 64, nPlanes = 4, nTables = 8)
+    s.catalog.refreshByPath(store)
+    graft.operators.Ann.regeometryMultiTableCorpus(
+      s, store, dim = 64, newPlanes = 6, newTables = 4)
+    val g = graft.operators.Ann.readGeometry(s, store).getOrElse(
+      sys.error(s"migrated store $store lost its _GEOMETRY manifest"))
+    require(g == graft.operators.Ann.StoreGeometry(64, 6, 4),
+      s"migration published the wrong manifest: $g")
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    graft.operators.Ann.multiTableStoreCandidates(
+        s, store, queries, g.dim, g.nPlanes, g.nTables)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("id"), col("mtype"),
+        rnd(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
   /** SQ8 two-stage retrieval (q189): int8 scalar quantization —
     * training-free 4×-at-rest vector compression ([[graft.operators
     * .Sq]]) — shortlists on the byte-width approximate score, then
@@ -3508,6 +3548,7 @@ object SparkEntry {
     "q189_ann_sq8_rerank" -> ((s, d) => annSqRerank(s, d)),
     "q190_jsonl_zstd_roundtrip" -> ((s, d) => jsonlZstdRoundtripQ(s, d)),
     "q191_ann_incremental_compact" -> ((s, d) => annIncrementalCompact(s, d)),
+    "q193_ann_regeometry_probe" -> ((s, d) => annRegeomProbe(s, d)),
     "q192_edges_bucketed_lifecycle" -> ((s, d) => edgesBucketedLifecycle(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
@@ -4144,16 +4185,20 @@ object SparkEntry {
     * shared mirror of every at-rest multi-table probe (q188 serves a
     * freshly backfilled store; q191 serves one that lived through the
     * replay + incremental-compaction lifecycle; both must hash-match
-    * this). */
-  private lazy val annStoredProbeOracle: String = {
-    val dTables = (0 until 8).map(t =>
+    * this at the build geometry, and q193 must hash-match it at the
+    * MIGRATED geometry). */
+  private lazy val annStoredProbeOracle: String =
+    annStoredProbeOracleAt(nPlanes = 4, nTables = 8)
+
+  private def annStoredProbeOracleAt(nPlanes: Int, nTables: Int): String = {
+    val dTables = (0 until nTables).map(t =>
       s"""  SELECT CAST(vec_id AS VARCHAR) AS id,
          |         'm' || CAST(label % 2 AS VARCHAR) AS mtype, embedding,
-         |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+         |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, nPlanes, t)} AS bucket
          |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
-    val qTables = (0 until 8).map(t =>
+    val qTables = (0 until nTables).map(t =>
       s"""  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
-         |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, 4, t)} AS bucket
+         |         $t AS tbl, ${Ann.sqlLshBucketT("embedding", 64, nPlanes, t)} AS bucket
          |  FROM embeddings WHERE vec_id % 100 = 0""".stripMargin).mkString("\n  UNION ALL\n")
     s"""WITH d AS (
        |$dTables),
@@ -7883,6 +7928,13 @@ object SparkEntry {
       // replay duplicates fold away and the partial rewrite loses no
       // candidate (r14 verdict #2's oracle gate).
       annStoredProbeOracle,
+    "q193_ann_regeometry_probe" ->
+      // The q188 mirror recomputed at the MIGRATED geometry (p6×t4):
+      // the Spark side builds at p4×t8, migrates, and probes at the
+      // manifest geometry — hash equality pins the migrated store as
+      // candidate-identical to a fresh p6×t4 index (r14 verdict #3's
+      // oracle gate).
+      annStoredProbeOracleAt(nPlanes = 6, nTables = 4),
     "q189_ann_sq8_rerank" -> {
       // Mirror of Sq.topKSqRerank: identical scale (max/127 — no float
       // sum), identical floor(v/s + 0.5) codes, identical left-fold

@@ -519,7 +519,9 @@ object Ann {
   def appendMultiTableBatch(
       delta: DataFrame, // (id, mtype, embedding)
       dir: String,
-      dim: Int, nPlanes: Int, nTables: Int): Unit =
+      dim: Int, nPlanes: Int, nTables: Int): Unit = {
+    val spark = delta.sparkSession
+    requireGeometry(spark, dir, dim, nPlanes, nTables, "append")
     multiTableRows(delta, dim, nPlanes, nTables)
       // cluster on tb BEFORE the partitioned write: without it every
       // write task emits one file into every tb directory it touches
@@ -529,6 +531,10 @@ object Ann {
       .repartition(col("tb"))
       .write.mode("append").partitionBy("tb")
       .parquet(dir)
+    // stamp the manifest on first write (idempotent; see writeGeometry)
+    if (readGeometry(spark, dir).isEmpty)
+      writeGeometry(spark, dir, StoreGeometry(dim, nPlanes, nTables))
+  }
 
   /** One-time BACKFILL of the store from an existing corpus (adopting a
     * doc store that predates the index): the only full-corpus scan in
@@ -605,6 +611,7 @@ object Ann {
     // bucket dir renamed aside but not yet swapped back would silently
     // vanish from `present` below — losing its candidates, not failing
     recoverMultiTableCorpus(spark, dir)
+    requireGeometry(spark, dir, dim, nPlanes, nTables, "probe")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val present = fs.listStatus(root).map(_.getPath.getName)
@@ -627,6 +634,81 @@ object Ann {
       .dropDuplicates("qid", "id")
   }
 
+  // ---- store geometry manifest -------------------------------------------
+  // The LSH geometry of an at-rest store is LAYOUT, not configuration:
+  // probing or appending at a geometry other than the one the files were
+  // bucketed with reads the WRONG directories and is silently incorrect
+  // (tb = table·2^nPlanes + bucket — the same integer means different
+  // buckets under different plane counts). The store therefore carries
+  // its own geometry in a `_GEOMETRY` file at the root: `_`-prefixed, so
+  // Spark's file listing never sees it, and it travels with every
+  // whole-dir crash-safe swap (the migration writes the NEW manifest
+  // into the tmp dir BEFORE the rename, so data and geometry publish
+  // atomically — there is no window where a reader can pair new buckets
+  // with the old plane count). Writers adopt the manifest at (re)start,
+  // which is what lets a checkpoint-recovered stream continue a store
+  // that was migrated in a previous run.
+
+  /** The manifest contents: everything a probe needs to bucket a query
+    * the way the files were bucketed. */
+  case class StoreGeometry(dim: Int, nPlanes: Int, nTables: Int)
+
+  private val GeometryFile = "_GEOMETRY"
+
+  /** Read the store's geometry manifest; None for a pre-manifest store
+    * (callers fall back to their configured geometry — correct, because
+    * the only operation that ever CHANGES a store's geometry writes the
+    * manifest atomically with the data swap). */
+  def readGeometry(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[StoreGeometry] = {
+    val p = new org.apache.hadoop.fs.Path(dir, GeometryFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val a = line.split("\\s+")
+      require(a.length == 3, s"malformed $GeometryFile in $dir: '$line'")
+      Some(StoreGeometry(a(0).toInt, a(1).toInt, a(2).toInt))
+    }
+  }
+
+  /** Stamp `dir/_GEOMETRY` (tmp-write + rename). Only two call shapes
+    * exist: creating the manifest of a store that lacks one (a crash
+    * between delete and rename just re-opens the benign fall-back
+    * window), and stamping a not-yet-published swap tmp dir. */
+  private[graft] def writeGeometry(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, g: StoreGeometry): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, GeometryFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"${g.dim} ${g.nPlanes} ${g.nTables}\n".getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, GeometryFile)
+    if (fs.exists(dst))
+      require(fs.delete(dst, false), s"writeGeometry: delete of stale $dst failed")
+    require(fs.rename(tmp, dst), s"writeGeometry: rename $tmp -> $dst failed")
+  }
+
+  /** Fail loudly when an append/probe geometry disagrees with the
+    * store's manifest — the silent-wrongness class this file exists to
+    * kill. Pre-manifest stores (None) pass through. */
+  private def requireGeometry(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      dim: Int, nPlanes: Int, nTables: Int, op: String): Unit =
+    readGeometry(spark, dir).foreach { g =>
+      require(g == StoreGeometry(dim, nPlanes, nTables),
+        s"$op at geometry (dim=$dim, nPlanes=$nPlanes, nTables=$nTables) " +
+          s"against a store whose $GeometryFile says $g — use the " +
+          s"manifest geometry (Ann.readGeometry) or migrate the store " +
+          s"(Ann.regeometryMultiTableCorpus) first: $dir")
+    }
+
   /** Compact the multi-table corpus store in place: rewrite each bucket
     * directory to ~one file (the [[compactBucketedCorpus]] small-files
     * move on this layout), deduping on (id, tb) so replay-duplicated
@@ -639,11 +721,15 @@ object Ann {
     * (r14 verdict #2: a full rewrite every `compactEvery` batches is an
     * O(store) maintenance cost that grows forever). */
   def compactMultiTableCorpus(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) =>
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val g = readGeometry(spark, dir) // carried through the swap below
+    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) => {
       df.dropDuplicates("id", "tb")
         .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(tmp))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+      g.foreach(writeGeometry(spark, tmp, _))
+    })
+  }
 
   /** INCREMENTAL compaction of the multi-table corpus store — the ingest-
     * cadence form (r14 verdict #2): rewrite ONLY `tb=` bucket directories
@@ -690,20 +776,28 @@ object Ann {
     * old layout (each id is carried once per old table; any copy serves)
     * and re-bucketed at the new geometry, so the result is byte-
     * equivalent to a fresh [[backfillMultiTableCorpus]] of the same docs
-    * (spec-pinned). Probes/appends must switch to the new (nPlanes,
-    * nTables) with the swap — sequence the migration in the maintenance
-    * context that owns the store (foreachBatch), like every compaction.
-    * SCALE.md §ann-regeometry records the measured probe-time-vs-size
-    * curves that say WHEN to pull this lever. */
+    * (spec-pinned). The NEW `_GEOMETRY` manifest is written into the
+    * tmp dir BEFORE the swap rename, so data and geometry publish
+    * atomically — probes/appends that follow the manifest
+    * ([[readGeometry]]; the indexed stream writers adopt it at start)
+    * can never pair new buckets with the old plane count. Sequence the
+    * migration in the maintenance context that owns the store
+    * (foreachBatch), like every compaction. SCALE.md §ann-regeometry
+    * records the measured probe-time-vs-size curves that say WHEN to
+    * pull this lever; [[graft.streaming.StreamingIngest
+    * .ingestWriterIndexedBloom]]'s `targetRowsPerBucket` pulls it
+    * automatically at the measured occupancy threshold. */
   def regeometryMultiTableCorpus(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       dim: Int, newPlanes: Int, newTables: Int): Unit =
-    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) =>
+    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) => {
       multiTableRows(
           df.select("id", "mtype", "embedding").dropDuplicates("id"),
           dim, newPlanes, newTables)
         .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(tmp))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+      writeGeometry(spark, tmp, StoreGeometry(dim, newPlanes, newTables))
+    })
 
   /** SQL mirror of [[lshBucketT]]. */
   def sqlLshBucketT(vec: String, dim: Int, nPlanes: Int, t: Int): String =

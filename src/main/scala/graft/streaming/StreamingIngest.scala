@@ -368,11 +368,15 @@ object StreamingIngest {
       edgeBuckets: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    var geom: graft.operators.Ann.StoreGeometry = null
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        if (geom == null)
+          geom = adoptGeometry(spark, annDir, conf.dim, nPlanes, nTables)
         processBatchIndexed(spark, batch, batchId, docsDir, edgesDir, annDir,
-          conf, nPlanes, nTables, edgeBuckets = edgeBuckets).unpersist()
+          conf, geom.nPlanes, geom.nTables,
+          edgeBuckets = edgeBuckets).unpersist()
         if ((batchId + 1) % compactEvery == 0)
           compactIndexedStores(spark, edgesDir, annDir,
             maxFilesPerBucket, edgeBuckets)
@@ -380,16 +384,33 @@ object StreamingIngest {
     }
   }
 
+  /** The geometry a (re)starting indexed writer must use: the store's
+    * own `_GEOMETRY` manifest when present (a checkpoint-recovered
+    * stream whose store was MIGRATED in a previous run must continue at
+    * the migrated geometry — probing at the configured one would read
+    * the wrong buckets), the configured values otherwise (fresh store,
+    * or one that predates the manifest). A dim mismatch is a caller
+    * error either way. */
+  private def adoptGeometry(
+      spark: SparkSession, annDir: String,
+      dim: Int, nPlanes: Int, nTables: Int)
+      : graft.operators.Ann.StoreGeometry = {
+    val g = graft.operators.Ann.readGeometry(spark, annDir)
+      .getOrElse(graft.operators.Ann.StoreGeometry(dim, nPlanes, nTables))
+    require(g.dim == dim,
+      s"ann store $annDir was built at dim=${g.dim}, writer configured dim=$dim")
+    if (g.nPlanes != nPlanes || g.nTables != nTables)
+      logger.info(s"adopting store geometry $g from $annDir manifest " +
+        s"(configured nPlanes=$nPlanes, nTables=$nTables)")
+    g
+  }
+
   /** The indexed loop's compaction cycle, factored for the writers and
     * benches: incremental ann-store fold + the edge layout's compaction. */
   private[graft] def compactIndexedStores(
       spark: SparkSession, edgesDir: String, annDir: String,
       maxFilesPerBucket: Int, edgeBuckets: Int): Unit = {
-    if (edgeBuckets > 0)
-      graft.operators.GraphBuild.compactEdgesIncremental(
-        spark, edgesDir, maxFilesPerBucket)
-    else
-      graft.operators.GraphBuild.compactEdges(spark, edgesDir)
+    compactEdgeStore(spark, edgesDir, maxFilesPerBucket, edgeBuckets)
     val ap = new org.apache.hadoop.fs.Path(annDir)
     if (ap.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ap)) {
       graft.operators.Ann.compactMultiTableCorpusIncremental(
@@ -397,6 +418,17 @@ object StreamingIngest {
       ()
     }
   }
+
+  /** The edge leg of the compaction cycle, by layout. */
+  private def compactEdgeStore(
+      spark: SparkSession, edgesDir: String,
+      maxFilesPerBucket: Int, edgeBuckets: Int): Unit =
+    if (edgeBuckets > 0) {
+      graft.operators.GraphBuild.compactEdgesIncremental(
+        spark, edgesDir, maxFilesPerBucket)
+      ()
+    } else
+      graft.operators.GraphBuild.compactEdges(spark, edgesDir)
 
   /** The COMPOSED scale-safe ingest writer (r14 verdict #1): the indexed
     * KNN loop ([[processBatchIndexed]] — per-batch probe reads only
@@ -414,7 +446,25 @@ object StreamingIngest {
     * batch delta's ids after the append succeeds; degradation past
     * `expectedItems` is performance, never correctness (the exact
     * anti-join settles every maybe). Compaction cadence = the
-    * incremental [[ingestWriterIndexed]] cycle. */
+    * incremental [[ingestWriterIndexed]] cycle.
+    *
+    * AUTO RE-GEOMETRY (`targetRowsPerBucket` > 0): fixed LSH geometry
+    * means expected bucket occupancy ≈ storedRows / 2^nPlanes grows
+    * linearly with the store, and the per-probe candidate count with it
+    * (SCALE.md §ann-regeometry — cand_frac is FLAT per geometry, so
+    * probe work per query ≈ occupancy·nTables). When the stored-row
+    * count crosses `targetRowsPerBucket · 2^nPlanes`, the writer pulls
+    * the migration lever itself: [[graft.operators.Ann
+    * .regeometryMultiTableCorpus]] to the smallest plane count that
+    * brings occupancy back under target (capped at `maxPlanes`), behind
+    * the crash-safe whole-dir swap that publishes data + `_GEOMETRY`
+    * manifest atomically. The row counter costs one store count at
+    * stream start (same class as the Bloom build) plus the delta's
+    * count per batch; the occupancy CHECK is driver arithmetic. A
+    * restart resumes at the migrated geometry because every indexed
+    * writer adopts the manifest ([[adoptGeometry]]). Results after the
+    * trigger batch are exactly those of a manual migration at the same
+    * point (spec-pinned; q193 oracle-gates the migrated probe). */
   def ingestWriterIndexedBloom(
       stream: DataFrame,
       docsDir: String,
@@ -427,15 +477,23 @@ object StreamingIngest {
       maxFilesPerBucket: Int = 4,
       edgeBuckets: Int = 0,
       expectedItems: Long = 1000000L,
-      fpp: Double = 0.01)
+      fpp: Double = 0.01,
+      targetRowsPerBucket: Long = 0L,
+      maxPlanes: Int = 16)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    require(targetRowsPerBucket >= 0L && maxPlanes >= nPlanes,
+      s"bad auto-regeometry knobs: target=$targetRowsPerBucket maxPlanes=$maxPlanes")
     var bloom: org.apache.spark.util.sketch.BloomFilter = null
+    var geom: graft.operators.Ann.StoreGeometry = null
+    var storedRows = -1L
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val docsPath = new org.apache.hadoop.fs.Path(docsDir)
         val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (geom == null)
+          geom = adoptGeometry(spark, annDir, conf.dim, nPlanes, nTables)
         if (bloom == null)
           bloom =
             if (fs.exists(docsPath))
@@ -444,19 +502,48 @@ object StreamingIngest {
             else
               org.apache.spark.util.sketch.BloomFilter
                 .create(expectedItems, fpp)
+        if (storedRows < 0L)
+          storedRows =
+            if (targetRowsPerBucket == 0L) 0L // counter unused
+            else if (fs.exists(docsPath)) spark.read.parquet(docsDir).count()
+            else 0L
         val delta = processBatchIndexed(spark, batch, batchId, docsDir,
-          edgesDir, annDir, conf, nPlanes, nTables,
+          edgesDir, annDir, conf, geom.nPlanes, geom.nTables,
           deltaFn = Ingest.dedupDeltaBloom(_, _, bloom),
           edgeBuckets = edgeBuckets)
         // fold the appended ids in AFTER the store append succeeded —
         // distributed build + lossless merge, no driver-side collect
-        if (!delta.isEmpty)
+        val deltaRows = delta.count()
+        if (deltaRows > 0L)
           bloom.mergeInPlace(
             delta.stat.bloomFilter("id", expectedItems, fpp))
         delta.unpersist()
-        if ((batchId + 1) % compactEvery == 0)
-          compactIndexedStores(spark, edgesDir, annDir,
+        storedRows += deltaRows
+        val migrated = targetRowsPerBucket > 0L &&
+          geom.nPlanes < maxPlanes &&
+          storedRows > (targetRowsPerBucket << geom.nPlanes) && {
+            // smallest plane count that restores occupancy <= target
+            var p = geom.nPlanes + 1
+            while (p < maxPlanes && (storedRows >> p) > targetRowsPerBucket)
+              p += 1
+            logger.info(s"auto-regeometry at batch=$batchId: " +
+              s"storedRows=$storedRows occupancy=${storedRows >> geom.nPlanes}" +
+              s" > target=$targetRowsPerBucket — migrating " +
+              s"p${geom.nPlanes} -> p$p (t${geom.nTables})")
+            graft.operators.Ann.regeometryMultiTableCorpus(
+              spark, annDir, conf.dim, p, geom.nTables)
+            geom = graft.operators.Ann.StoreGeometry(conf.dim, p, geom.nTables)
+            true
+          }
+        if ((batchId + 1) % compactEvery == 0) {
+          // the migration rewrite left ~one file per ann bucket — the
+          // incremental pass would find nothing hot; the edge store
+          // still owes its cadence fold either way
+          if (migrated) compactEdgeStore(spark, edgesDir,
             maxFilesPerBucket, edgeBuckets)
+          else compactIndexedStores(spark, edgesDir, annDir,
+            maxFilesPerBucket, edgeBuckets)
+        }
         ()
     }
   }
