@@ -1297,6 +1297,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** ORC corpus roundtrip (q194): the embeddings table — carrying the
+    * engine's core typed column, ARRAY<FLOAT> — written to ORC and read
+    * back. ORC is the columnar interchange with Hive/Trino estates and
+    * the remaining first-class format next to parquet/JSONL/CSV; its
+    * failure surface is TYPE fidelity, not line parsing (binary,
+    * checksummed — a corrupt stripe fails its file loudly, the correct
+    * behavior for columnar data; there is no per-line quarantine seam
+    * to exercise). The output pins per-vector spot lanes (exact floats
+    * widened to double), the dimension, and the self dot product, so a
+    * flipped bit in any lane hash-mismatches against the oracle, which
+    * reads the ORIGINAL parquet. Scale: unlike the gzip/zstd JSONL
+    * paths ORC shards internally (stripes) — splittable reads and
+    * column pruning/predicate pushdown for free. */
+  private def orcRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val fix = "target/orcfixture/" + new java.io.File(dir).getName
+    Tables.embeddings(s, dir).write.mode("overwrite").orc(fix)
+    s.read.orc(fix)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("f0"),
+        element_at(col("embedding"), 64).cast("double").as("f63"),
+        rnd(graft.functions.VectorFunctions.dotProduct(
+          col("embedding"), col("embedding")), 6).as("nrm2"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("vec_id")
+  }
+
   /** S2/E2/E3/E4 end-to-end through a REAL file tree: materialize a
     * deterministic binary fixture from documents.parquet
     * (BinaryFixture — one file per doc, extension cycles
@@ -3549,6 +3576,7 @@ object SparkEntry {
     "q190_jsonl_zstd_roundtrip" -> ((s, d) => jsonlZstdRoundtripQ(s, d)),
     "q191_ann_incremental_compact" -> ((s, d) => annIncrementalCompact(s, d)),
     "q193_ann_regeometry_probe" -> ((s, d) => annRegeomProbe(s, d)),
+    "q194_orc_roundtrip" -> ((s, d) => orcRoundtripQ(s, d)),
     "q192_edges_bucketed_lifecycle" -> ((s, d) => edgesBucketedLifecycle(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
@@ -7935,6 +7963,18 @@ object SparkEntry {
       // candidate-identical to a fresh p6×t4 index (r14 verdict #3's
       // oracle gate).
       annStoredProbeOracleAt(nPlanes = 6, nTables = 4),
+    "q194_orc_roundtrip" ->
+      // Mirror of orcRoundtripQ straight off the ORIGINAL parquet: the
+      // Spark side routes the table through an ORC write/read first, so
+      // hash equality pins the roundtrip float-exact (spot lanes are
+      // exact FLOAT->DOUBLE widenings; the self dot is the portable
+      // left fold both engines share).
+      s"""SELECT vec_id, label,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  CAST(embedding[1] AS DOUBLE) AS f0,
+         |  CAST(embedding[64] AS DOUBLE) AS f63,
+         |  ${sqlRnd(graft.OracleSql.dot("embedding", "embedding"), 6)} AS nrm2
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q189_ann_sq8_rerank" -> {
       // Mirror of Sq.topKSqRerank: identical scale (max/127 — no float
       // sum), identical floor(v/s + 0.5) codes, identical left-fold
