@@ -6,15 +6,22 @@ per-round artifact, not only as a spec failure someone happens to re-run).
 
 Usage:
     sbt "runMain graft.streaming.StreamBench" | tee /tmp/sb.log
-    python3 scripts/record_streambench.py <round> /tmp/sb.log
+    python3 scripts/record_streambench.py <round> /tmp/sb.log [more.log ...]
 
-Finds the bench JSON line (metric == stream_ingest_rows_per_sec), loads the
-newest STREAMBENCH_r*.json as the previous round (falling back to the r13
-SCALE.md table, which predates this artifact), and writes
+Finds the bench JSON line (metric == stream_ingest_rows_per_sec) in each
+log, loads the newest STREAMBENCH_r*.json as the previous round (falling
+back to the r13 SCALE.md table, which predates this artifact), and writes
 STREAMBENCH_r<round>.json with:
-  - the full bench JSON under "bench"
+  - the full bench JSON under "bench" (from the run whose total arm
+    throughput ranks median across the given logs — one coherent run,
+    never a synthetic mix of series)
+  - "runs": per-arm rows/sec from EVERY given log + the per-arm medians
+    (only when >1 log given)
   - "prev": {round, arms} — the compared-against numbers
-  - "delta_vs_prev": per-arm ratio (this/prev, rows/sec — higher is better)
+  - "delta_vs_prev": per-arm ratio (per-arm MEDIAN/prev — higher is
+    better; r15 lesson: single-run gating on a shared host produced 20%+
+    swings between back-to-back identical-code runs, so the gate reads
+    the median exactly as the batch bench reads its 3 reps)
   - "regressions_vs_prev": arms slower than prev by more than GATE (20%)
 The script exits 1 if the gate trips, so a driver/CI wrapper fails loudly.
 """
@@ -41,9 +48,7 @@ ARM_KEYS = [
 ]
 
 
-def main():
-    rnd = int(sys.argv[1])
-    log = sys.argv[2]
+def parse_log(log):
     bench = None
     with open(log) as f:
         for line in f:
@@ -53,6 +58,25 @@ def main():
     if bench is None:
         print("no StreamBench JSON line found in", log)
         sys.exit(2)
+    return bench
+
+
+def main():
+    rnd = int(sys.argv[1])
+    logs = sys.argv[2:]
+    benches = [parse_log(log) for log in logs]
+    # per-arm medians across runs; the canonical "bench" payload is the
+    # single run whose total arm throughput ranks median (series stay
+    # internally consistent — never a synthetic mix)
+    def arms_of(b):
+        return {k: b[k] for k in ARM_KEYS if b.get(k) is not None}
+    med = {}
+    for k in ARM_KEYS:
+        vs = sorted(b[k] for b in benches if b.get(k) is not None)
+        if vs:
+            med[k] = vs[len(vs) // 2]
+    bench = sorted(benches, key=lambda b: sum(arms_of(b).values()))[
+        len(benches) // 2]
 
     prev_round, prev_arms = None, None
     arts = sorted(glob.glob("STREAMBENCH_r*.json"),
@@ -72,7 +96,7 @@ def main():
     delta = {}
     regressions = []
     for k, pv in prev_arms.items():
-        cv = bench.get(k)
+        cv = med.get(k)
         if cv is None or pv in (None, 0):
             continue
         r = cv / pv
@@ -91,6 +115,10 @@ def main():
         "gate": GATE,
         "regressions_vs_prev": regressions,
     }
+    if len(benches) > 1:
+        out["runs"] = {"n": len(benches),
+                       "per_arm": [arms_of(b) for b in benches],
+                       "median": med}
     path = f"STREAMBENCH_r{rnd}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
