@@ -521,7 +521,16 @@ object Ann {
       dir: String,
       dim: Int, nPlanes: Int, nTables: Int): Unit = {
     val spark = delta.sparkSession
-    requireGeometry(spark, dir, dim, nPlanes, nTables, "append")
+    // one manifest read serves both the consistency require and the
+    // stamp-if-absent below (this runs once per micro-batch)
+    val manifest = readGeometry(spark, dir)
+    manifest.foreach { g =>
+      require(g == StoreGeometry(dim, nPlanes, nTables),
+        s"append at geometry (dim=$dim, nPlanes=$nPlanes, nTables=$nTables) " +
+          s"against a store whose manifest says $g — use the manifest " +
+          s"geometry (Ann.readGeometry) or migrate the store " +
+          s"(Ann.regeometryMultiTableCorpus) first: $dir")
+    }
     multiTableRows(delta, dim, nPlanes, nTables)
       // cluster on tb BEFORE the partitioned write: without it every
       // write task emits one file into every tb directory it touches
@@ -532,7 +541,7 @@ object Ann {
       .write.mode("append").partitionBy("tb")
       .parquet(dir)
     // stamp the manifest on first write (idempotent; see writeGeometry)
-    if (readGeometry(spark, dir).isEmpty)
+    if (manifest.isEmpty)
       writeGeometry(spark, dir, StoreGeometry(dim, nPlanes, nTables))
   }
 
