@@ -767,13 +767,26 @@ object Ann {
       spark, dir, "tb=", maxFilesPerBucket,
       _.dropDuplicates("id", "tb"))
 
-  /** Heal crash-interrupted incremental compaction swaps on the store —
-    * writers call this before appending/probing after a restart (the
-    * [[graft.operators.GraphBuild.recoverEdges]] discipline); probes
-    * through [[multiTableStoreCandidates]] run it implicitly. */
+  /** Heal crash-interrupted maintenance swaps on the store, BOTH
+    * granularities — writers call this before appending/probing after a
+    * restart (the [[graft.operators.GraphBuild.recoverEdges]]
+    * discipline); probes through [[multiTableStoreCandidates]] run it
+    * implicitly:
+    *  - the WHOLE-DIR swap ([[compactMultiTableCorpus]] /
+    *    [[regeometryMultiTableCorpus]]): a crash between the
+    *    rename-aside and the rename-in leaves the live dir MISSING and
+    *    the complete previous store (data + `_GEOMETRY`) in the aside
+    *    slot — without this heal a restarting indexed writer would see
+    *    "no ann store", re-backfill the whole corpus at its CONFIGURED
+    *    geometry, and silently discard a completed migration;
+    *  - the PER-DIRECTORY swaps ([[compactMultiTableCorpusIncremental]]):
+    *    a bucket stranded in the aside slot must swap back in or the
+    *    partition-pruned probe silently loses its candidates. */
   def recoverMultiTableCorpus(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    graft.sources.Sinks.recoverSwap(spark, dir)
     graft.sources.Sinks.recoverPartitionDirSwaps(spark, dir)
+  }
 
   /** MIGRATE the store to a new LSH geometry (r14 verdict #3): fixed
     * nPlanes/nTables means per-probe candidate work grows linearly with

@@ -264,6 +264,15 @@ object StreamingIngest {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "id STRING, mtype STRING, data STRING, embedding ARRAY<FLOAT>"))
+    // heal crash-interrupted maintenance FIRST — before the
+    // backfill-if-absent decision: a crash mid-way through a whole-dir
+    // swap (compaction/migration) leaves the live dir MISSING with the
+    // complete store in the aside slot, and deciding "no ann store →
+    // backfill" in that window would rebuild the whole corpus and
+    // silently discard a completed migration. (Also heals stranded
+    // per-bucket swap asides, which would otherwise drop candidates
+    // from the pruned probe.) No-op on fresh stores.
+    Ann.recoverMultiTableCorpus(spark, annDir)
     // adopt a pre-index doc store: the layout's single full-corpus scan
     if (exists(docsDir) && !exists(annDir)) {
       Ann.backfillMultiTableCorpus(
@@ -271,10 +280,6 @@ object StreamingIngest {
         conf.dim, nPlanes, nTables)
       spark.catalog.refreshByPath(annDir)
     }
-    // heal a crash-interrupted INCREMENTAL compaction before any probe
-    // or append: a bucket dir stranded in the aside slot must swap back
-    // in, or the partition-pruned probe silently loses its candidates
-    if (exists(annDir)) Ann.recoverMultiTableCorpus(spark, annDir)
 
     val delta = deltaFn(Ingest.prepare(batch, conf), existing)
       .select("id", "mtype", "data", "embedding", "seq")
@@ -395,6 +400,11 @@ object StreamingIngest {
       spark: SparkSession, annDir: String,
       dim: Int, nPlanes: Int, nTables: Int)
       : graft.operators.Ann.StoreGeometry = {
+    // heal a crash-interrupted whole-dir swap BEFORE reading the
+    // manifest: in the crash window the live dir (and its _GEOMETRY)
+    // sits in the aside slot, and reading "no manifest" there would
+    // silently regress a migrated store to the configured geometry
+    graft.operators.Ann.recoverMultiTableCorpus(spark, annDir)
     val g = graft.operators.Ann.readGeometry(spark, annDir)
       .getOrElse(graft.operators.Ann.StoreGeometry(dim, nPlanes, nTables))
     require(g.dim == dim,

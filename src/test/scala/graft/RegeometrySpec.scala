@@ -80,6 +80,63 @@ class RegeometrySpec extends SparkSpec {
     assert(probe(dir, queries, 4, 3).nonEmpty)
   }
 
+  test("mid-migration crash window heals: the aside store (data + manifest) " +
+      "swaps back before any probe, backfill decision, or geometry adoption") {
+    val root = Files.createTempDirectory("graft_migcrash").toString
+    val dir = s"$root/ann"
+    val docs = docsFrame((0 until 10).map(i => (s"migcrash doc $i", i.toLong)))
+      .localCheckpoint()
+    val queries = docs.limit(2)
+      .select(col("id").as("qid"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    Ann.backfillMultiTableCorpus(docs, dir, 8, nPlanes = 3, nTables = 2)
+    Ann.regeometryMultiTableCorpus(spark, dir, 8, newPlanes = 4, newTables = 3)
+    val before = probe(dir, queries, 4, 3)
+
+    // the EXACT whole-dir swap crash window: live dir renamed aside,
+    // nothing renamed back in — the store (and its _GEOMETRY) exists
+    // only in the aside slot
+    def crashWindow(): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+        new org.apache.hadoop.fs.Path(dir + ".swap.old")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    }
+    crashWindow()
+    // the probe heals the window and serves the MIGRATED store intact
+    assert(probe(dir, queries, 4, 3) == before,
+      "probe through the crash window lost the migrated store")
+    assert(Ann.readGeometry(spark, dir) == Some(Ann.StoreGeometry(8, 4, 3)))
+
+    // a restarting writer configured at the ORIGINAL geometry must heal
+    // first and adopt the migrated manifest — not decide "no ann store",
+    // re-backfill at p3t2, and discard the migration
+    crashWindow()
+    val docsDir = s"$root/docs"
+    // a populated docs store so the backfill-if-absent branch is LIVE
+    // bait: without the heal-first ordering the writer would see
+    // docs-present + ann-missing and rebuild at p3t2
+    docsFrame((0 until 10).map(i => (s"migcrash doc $i", i.toLong)))
+      .withColumn("data", lit("d")).select("id", "mtype", "data", "embedding")
+      .write.mode("overwrite").parquet(docsDir)
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, Long)]
+    val q = StreamingIngest.ingestWriterIndexedBloom(
+        src.toDF.toDF("mtype", "data", "seq"),
+        docsDir, s"$root/edges", dir,
+        GraftConf(dim = 8, bruteCorpusWarnBytes = 1L),
+        nPlanes = 3, nTables = 2, expectedItems = 1000L)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      src.addData(("text", "migcrash fresh doc", 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Ann.readGeometry(spark, dir) == Some(Ann.StoreGeometry(8, 4, 3)),
+      "writer restart through the crash window regressed the migrated geometry")
+    assert(probe(dir, queries, 4, 3).nonEmpty)
+  }
+
   test("composed writer auto-migrates at the occupancy threshold; " +
       "≡ manual migration at the same batches, across a restart") {
     val dir = Files.createTempDirectory("graft_autoregeo").toString
