@@ -62,9 +62,24 @@ def parse_log(log):
 
 
 def main():
+    if len(sys.argv) < 3:
+        print("usage: record_streambench.py <round> <bench.log> [more.log ...]")
+        sys.exit(2)
     rnd = int(sys.argv[1])
     logs = sys.argv[2:]
     benches = [parse_log(log) for log in logs]
+    # every log must carry the same arm set: the median-run pick below
+    # sums only arms PRESENT in each log, so a log missing an arm would
+    # rank as artificially slow and bias the selection (r15 ADVICE #3)
+    arm_sets = [frozenset(k for k in ARM_KEYS if b.get(k) is not None)
+                for b in benches]
+    if len(set(arm_sets)) > 1:
+        print("logs carry different arm sets:",
+              [sorted(s) for s in set(arm_sets)])
+        sys.exit(2)
+    if not arm_sets[0]:
+        print("no known arms found in any log")
+        sys.exit(2)
     # per-arm medians across runs; the canonical "bench" payload is the
     # single run whose total arm throughput ranks median (series stay
     # internally consistent — never a synthetic mix)

@@ -522,13 +522,21 @@ object StreamingIngest {
           deltaFn = Ingest.dedupDeltaBloom(_, _, bloom),
           edgeBuckets = edgeBuckets)
         // fold the appended ids in AFTER the store append succeeded —
-        // distributed build + lossless merge, no driver-side collect
-        val deltaRows = delta.count()
-        if (deltaRows > 0L)
+        // distributed build + lossless merge, no driver-side collect.
+        // The exact row count is only needed when the occupancy counter
+        // is live (targetRowsPerBucket > 0); otherwise keep the
+        // short-circuiting isEmpty — a full per-batch aggregation is a
+        // real cost and the feature is off by default (r15 ADVICE #4)
+        if (targetRowsPerBucket > 0L) {
+          val deltaRows = delta.count()
+          if (deltaRows > 0L)
+            bloom.mergeInPlace(
+              delta.stat.bloomFilter("id", expectedItems, fpp))
+          storedRows += deltaRows
+        } else if (!delta.isEmpty)
           bloom.mergeInPlace(
             delta.stat.bloomFilter("id", expectedItems, fpp))
         delta.unpersist()
-        storedRows += deltaRows
         val migrated = targetRowsPerBucket > 0L &&
           geom.nPlanes < maxPlanes &&
           storedRows > (targetRowsPerBucket << geom.nPlanes) && {

@@ -109,6 +109,30 @@ class RegeometrySpec extends SparkSpec {
       "probe through the crash window lost the migrated store")
     assert(Ann.readGeometry(spark, dir) == Some(Ann.StoreGeometry(8, 4, 3)))
 
+    // an APPEND as the first post-crash operation must heal first too
+    // (r15 ADVICE #2): without it the append re-creates the live dir
+    // holding only the delta at the CONFIGURED geometry, and the next
+    // swap deletes the aside — the entire prior store — as superseded
+    crashWindow()
+    val extra = docsFrame(Seq(("migcrash append-window doc", 50L)))
+      .localCheckpoint()
+    Ann.appendMultiTableBatch(extra, dir, 8, nPlanes = 4, nTables = 3)
+    assert(Ann.readGeometry(spark, dir) == Some(Ann.StoreGeometry(8, 4, 3)))
+    assert(probe(dir, queries, 4, 3).toSeq.map(t => (t._1, t._2)).toSet
+        .subsetOf(probe(dir, queries, 4, 3).map(t => (t._1, t._2))) &&
+      before.subsetOf(probe(dir, queries, 4, 3)),
+      "append through the crash window lost prior-store candidates")
+
+    // a WHOLE-STORE compaction as the first post-crash operation must
+    // heal before its manifest read (r15 ADVICE #1): otherwise the
+    // recovered store republishes WITHOUT its _GEOMETRY and silently
+    // regresses to configured-geometry fallback on later probes
+    crashWindow()
+    Ann.compactMultiTableCorpus(spark, dir)
+    assert(Ann.readGeometry(spark, dir) == Some(Ann.StoreGeometry(8, 4, 3)),
+      "compaction through the crash window dropped the manifest")
+    assert(before.subsetOf(probe(dir, queries, 4, 3)))
+
     // a restarting writer configured at the ORIGINAL geometry must heal
     // first and adopt the migrated manifest — not decide "no ann store",
     // re-backfill at p3t2, and discard the migration
