@@ -521,6 +521,16 @@ object Ann {
       dir: String,
       dim: Int, nPlanes: Int, nTables: Int): Unit = {
     val spark = delta.sparkSession
+    // heal a crash-interrupted swap BEFORE the manifest-absent decision:
+    // in the crash window (live dir aside in .swap.old) readGeometry
+    // would return None, this append would re-create the live dir with
+    // only the delta at the CONFIGURED geometry, recoverSwap would then
+    // see a live dir and never restore the aside, and the next swap
+    // would delete the aside as superseded — losing the prior store.
+    // Happy path cost: two existence probes (self-protecting public API;
+    // the streaming writers also heal at adoption, which is fine —
+    // recovery is idempotent).
+    recoverMultiTableCorpus(spark, dir)
     // one manifest read serves both the consistency require and the
     // stamp-if-absent below (this runs once per micro-batch)
     val manifest = readGeometry(spark, dir)
@@ -670,20 +680,11 @@ object Ann {
     * manifest atomically with the data swap). */
   def readGeometry(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[StoreGeometry] = {
-    val p = new org.apache.hadoop.fs.Path(dir, GeometryFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val line =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      val a = line.split("\\s+")
-      require(a.length == 3, s"malformed $GeometryFile in $dir: '$line'")
-      Some(StoreGeometry(a(0).toInt, a(1).toInt, a(2).toInt))
+      dir: String): Option[StoreGeometry] =
+    graft.sources.StoreManifest.readLine(spark, dir, GeometryFile).map { line =>
+      val a = graft.sources.StoreManifest.intFields(dir, GeometryFile, line, 3)
+      StoreGeometry(a(0), a(1), a(2))
     }
-  }
 
   /** Stamp `dir/_GEOMETRY` (tmp-write + rename). Only two call shapes
     * exist: creating the manifest of a store that lacks one (a crash
@@ -691,18 +692,9 @@ object Ann {
     * window), and stamping a not-yet-published swap tmp dir. */
   private[graft] def writeGeometry(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, g: StoreGeometry): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root, GeometryFile + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"${g.dim} ${g.nPlanes} ${g.nTables}\n".getBytes("UTF-8"))
-    finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(root, GeometryFile)
-    if (fs.exists(dst))
-      require(fs.delete(dst, false), s"writeGeometry: delete of stale $dst failed")
-    require(fs.rename(tmp, dst), s"writeGeometry: rename $tmp -> $dst failed")
-  }
+      dir: String, g: StoreGeometry): Unit =
+    graft.sources.StoreManifest.writeLine(spark, dir, GeometryFile,
+      s"${g.dim} ${g.nPlanes} ${g.nTables}")
 
   /** Fail loudly when an append/probe geometry disagrees with the
     * store's manifest — the silent-wrongness class this file exists to
@@ -731,6 +723,13 @@ object Ann {
     * O(store) maintenance cost that grows forever). */
   def compactMultiTableCorpus(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    // heal BEFORE reading the manifest: if the last operation crashed
+    // mid-whole-dir-swap the manifest sits with the data in the aside
+    // slot, and reading "no manifest" here would rewrite + publish the
+    // recovered store WITHOUT it — silently regressing a migrated store
+    // to configured-geometry fallback on later probes (swapInPlace runs
+    // recoverSwap too, but only after this read decided)
+    recoverMultiTableCorpus(spark, dir)
     val g = readGeometry(spark, dir) // carried through the swap below
     graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) => {
       df.dropDuplicates("id", "tb")
