@@ -146,58 +146,128 @@ object Sinks {
       rewrite: DataFrame => DataFrame): Seq[String] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     require(prefix.endsWith("="), s"prefix must be a partition-column prefix like 'tb=', got $prefix")
-    val partCol = prefix.dropRight(1)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     recoverPartitionDirSwaps(spark, dir)
-    def dataFileCount(p: org.apache.hadoop.fs.Path) =
-      fs.listStatus(p).count { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
     val hot = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .filter(s => dataFileCount(s.getPath) > maxFiles)
-      .map(_.getPath)
+      .filter(s => dataFileCount(fs, s.getPath) > maxFiles)
+      .map(_.getPath).toSeq
+    rewritePartitionDirs(spark, dir, prefix.dropRight(1), hot, rewrite,
+      dropEmptied = false)
+  }
+
+  /** [[compactPartitionDirsIncremental]] over an EXPLICIT candidate set
+    * instead of a root listing (r15 verdict #4: under auto-re-geometry
+    * the store's directory count grows linearly with the corpus, so a
+    * per-cycle root listing — fine at 2^10 dirs — becomes O(store)
+    * driver metadata at object-store scale; the APPEND path already
+    * knows exactly which directories it touched, so discovery should be
+    * O(recently-touched)). `names` are bare partition directory names
+    * (`tb=5`); absent ones are skipped (a touched bucket may have been
+    * folded away or renamed by an interleaved maintenance pass), and
+    * with `maxFiles > 0` only those whose data-file count exceeds it
+    * are rewritten — the same hotness gate as the listing form, checked
+    * with one listing per CANDIDATE rather than one per store dir.
+    *
+    * `dropEmptied = true` extends the fold to FILTERS: a directory whose
+    * rows all rewrite away is REMOVED (rename-aside, then delete) rather
+    * than kept stale — the retirement path's semantics, where `rewrite`
+    * is an anti-join and a fully-retired bucket must stop serving its
+    * rows. Crash window: between the rename-aside and the delete,
+    * recovery restores the aside (live missing → rename back), briefly
+    * resurrecting the emptied dir — convergent, because the caller's
+    * tombstones persist and the next cycle re-folds them (the documented
+    * admissionWriterRetiring replay semantics). */
+  private[graft] def compactPartitionDirsExplicit(
+      spark: SparkSession, dir: String, prefix: String,
+      names: Seq[String],
+      rewrite: DataFrame => DataFrame,
+      maxFiles: Int = 0,
+      dropEmptied: Boolean = false): Seq[String] = {
+    require(prefix.endsWith("="), s"prefix must be a partition-column prefix like 'tb=', got $prefix")
+    require(names.forall(_.startsWith(prefix)),
+      s"every name must start with '$prefix': ${names.filterNot(_.startsWith(prefix)).take(3)}")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    recoverPartitionDirSwaps(spark, dir)
+    val hot = names.distinct
+      .map(n => new org.apache.hadoop.fs.Path(root, n))
+      .filter(fs.exists)
+      .filter(p => maxFiles <= 0 || dataFileCount(fs, p) > maxFiles)
+    rewritePartitionDirs(spark, dir, prefix.dropRight(1), hot, rewrite,
+      dropEmptied)
+  }
+
+  private def dataFileCount(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Int =
+    fs.listStatus(p).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Shared rewrite-and-swap core of the two incremental compactors:
+    * ONE Spark job over the hot directories (basePath-anchored union →
+    * `rewrite` → partitioned write into the tmp root), then a
+    * metadata-only rename-aside swap per directory. Crash windows are
+    * healed by [[recoverPartitionDirSwaps]] (callers run it on entry). */
+  private def rewritePartitionDirs(
+      spark: SparkSession, dir: String, partCol: String,
+      hot: Seq[org.apache.hadoop.fs.Path],
+      rewrite: DataFrame => DataFrame,
+      dropEmptied: Boolean): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hot.isEmpty) return Seq.empty
 
     // one job: union of hot dirs -> fold -> partitioned write to tmp
     val tmp = tmpRoot(dir)
     if (fs.exists(tmp))
       require(fs.delete(tmp, true),
-        s"compactPartitionDirsIncremental: delete of stale $tmp failed")
+        s"rewritePartitionDirs: delete of stale $tmp failed")
     rewrite(
         spark.read.option("basePath", dir)
           .parquet(hot.map(_.toString).toIndexedSeq: _*))
       .repartition(org.apache.spark.sql.functions.col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
 
-    // metadata-only swap per hot directory (crash windows healed by
-    // recoverPartitionDirSwaps, run on entry above)
+    // metadata-only swap per hot directory
     if (!fs.exists(oldRoot(dir))) fs.mkdirs(oldRoot(dir))
     val compacted = hot.flatMap { live =>
       val name = live.getName
       val fresh = new org.apache.hadoop.fs.Path(tmp, name)
-      // a hot dir whose rows all folded into... cannot be empty (the
-      // folds keep >= 1 row per key), but guard against a missing tmp
-      // partition rather than destroy the live dir
-      if (!fs.exists(fresh)) None
-      else {
+      if (!fs.exists(fresh)) {
+        // no tmp partition: with a row-preserving fold (dedup) this
+        // cannot happen — keep the live dir rather than destroy it;
+        // with a FILTERING fold (dropEmptied) it means every row
+        // rewrote away, so the directory itself retires
+        if (!dropEmptied) None
+        else {
+          val aside = new org.apache.hadoop.fs.Path(oldRoot(dir), name)
+          require(fs.rename(live, aside),
+            s"rewritePartitionDirs: rename $live -> $aside failed")
+          require(fs.delete(aside, true) || !fs.exists(aside),
+            s"rewritePartitionDirs: delete of emptied $aside failed")
+          Some(name)
+        }
+      } else {
         val aside = new org.apache.hadoop.fs.Path(oldRoot(dir), name)
         require(fs.rename(live, aside),
-          s"compactPartitionDirsIncremental: rename $live -> $aside failed")
+          s"rewritePartitionDirs: rename $live -> $aside failed")
         if (!fs.rename(fresh, live)) {
           fs.rename(aside, live) // restore: aside is the complete dir
           throw new IllegalStateException(
-            s"compactPartitionDirsIncremental: rename $fresh -> $live failed " +
+            s"rewritePartitionDirs: rename $fresh -> $live failed " +
               s"(directory restored from $aside)")
         }
         require(fs.delete(aside, true) || !fs.exists(aside),
-          s"compactPartitionDirsIncremental: delete of superseded $aside failed")
+          s"rewritePartitionDirs: delete of superseded $aside failed")
         Some(name)
       }
-    }.toSeq
+    }
     // drop the maintenance roots so the store's root listing stays clean
     Seq(tmpRoot(dir), oldRoot(dir)).foreach { r =>
       if (fs.exists(r)) fs.delete(r, true)
