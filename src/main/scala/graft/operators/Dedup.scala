@@ -1244,6 +1244,66 @@ object Dedup {
   def bandBucket(bkey: Column, nBuckets: Int): Column =
     hash60(bkey) % nBuckets
 
+  // ---- signature-store parameter manifest ---------------------------------
+  // The at-rest signature layouts are only readable at the parameters the
+  // files were written with — shingleWidth/numHashes/bands determine the
+  // band keys, nBuckets maps keys to partition DIRECTORIES — so a probe at
+  // any other parameters computes different keys, prunes to the wrong
+  // buckets, silently drops candidate pairs, and silently ADMITS
+  // duplicates. That is byte-for-byte the silent-wrongness class the ann
+  // store's _GEOMETRY manifest killed in r15 (Ann.readGeometry), applied
+  // to dedup: the store therefore carries its own parameters in a
+  // `_SIGPARAMS` root file — stamped at write, enforced on every stored
+  // probe, preserved through retirement compaction (written into the swap
+  // tmp dir BEFORE the publish rename), and adopted by the streaming
+  // admission writers at (re)start, so a checkpoint-recovered pipeline
+  // restarted under a changed config continues at the STORE's parameters
+  // instead of silently mis-probing it.
+
+  /** The manifest contents: everything a probe needs to band and bucket
+    * an incoming batch the way the store was laid out. `nBuckets = 0`
+    * marks a layout with no band-bucket partitioning (the streaming
+    * `batch=` admission index — its layout key is the batch id, but its
+    * SIGNATURES are still only comparable at matching
+    * shingleWidth/numHashes/bands). */
+  case class SigParams(
+      shingleWidth: Int, numHashes: Int, bands: Int, nBuckets: Int)
+
+  private val SigParamsFile = "_SIGPARAMS"
+
+  /** Read the store's parameter manifest; None for a pre-manifest store
+    * (callers fall back to their configured parameters). */
+  def readSigParams(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[SigParams] =
+    graft.sources.StoreManifest.readLine(spark, dir, SigParamsFile)
+      .map { line =>
+        val a = graft.sources.StoreManifest
+          .intFields(dir, SigParamsFile, line, 4)
+        SigParams(a(0), a(1), a(2), a(3))
+      }
+
+  /** Stamp `dir/_SIGPARAMS` — onto a store that lacks one, or into a
+    * not-yet-published swap tmp dir (the Ann.writeGeometry shapes). */
+  private[graft] def writeSigParams(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, p: SigParams): Unit =
+    graft.sources.StoreManifest.writeLine(spark, dir, SigParamsFile,
+      s"${p.shingleWidth} ${p.numHashes} ${p.bands} ${p.nBuckets}")
+
+  /** Fail loudly when an operation's parameters disagree with the
+    * store's manifest; pre-manifest stores (None) pass through. */
+  private[graft] def requireSigParams(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      p: SigParams, op: String): Unit =
+    readSigParams(spark, dir).foreach { m =>
+      require(m == p,
+        s"$op at parameters $p against a signature store whose " +
+          s"$SigParamsFile says $m — use the manifest parameters " +
+          s"(Dedup.readSigParams / the *Auto probe) or rebuild the " +
+          s"store at the new parameters first: $dir")
+    }
+
   /** Write the signature index PARTITIONED BY BAND-BUCKET — the at-rest
     * layout that makes admission probes SCAN-PRUNED (the Ann
     * `writeBucketedCorpus` move applied to dedup): one row per
@@ -1265,6 +1325,10 @@ object Dedup {
           explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
         .withColumn("bucket", bandBucket(col("bkey"), nBuckets)),
       dir, "bucket")
+    // the write is a full overwrite, so stamping (possibly new)
+    // parameters is always consistent with the data just published
+    writeSigParams(docs.sparkSession, dir,
+      SigParams(shingleWidth, numHashes, bands, nBuckets))
   }
 
   /** [[admitIncremental]] against a [[writeSignatureIndexStore]] layout:
@@ -1281,6 +1345,16 @@ object Dedup {
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
       minAgree: Int = 9, threshold: Double = 0.5,
       nBuckets: Int = 64, maxBand: Int = 1024): DataFrame = {
+    // self-protect like the ann probe: heal a crash-interrupted
+    // retirement swap (whole-dir or per-bucket) BEFORE the manifest
+    // read and the pruned scan — cheap existence probes on the happy
+    // path — then fail loudly on a parameter mismatch (probing a layout
+    // at other parameters prunes to the wrong buckets and silently
+    // admits duplicates)
+    graft.sources.Sinks.recoverSwap(spark, indexDir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, indexDir)
+    requireSigParams(spark, indexDir,
+      SigParams(shingleWidth, numHashes, bands, nBuckets), "stored probe")
     val rowsPerBand = numHashes / bands
     val inc = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
       .transform(graft.CacheScope.pin)
@@ -1295,6 +1369,35 @@ object Dedup {
       .select(col("id").as("xid"), col("sig").as("xsig"), col("bkey"))
     decideAdmission(inc, inSig, idxBand,
       shingleWidth, numHashes, bands, minAgree, threshold, maxBand)
+  }
+
+  /** [[admitIncrementalStored]] taking its LAYOUT parameters from the
+    * store's own `_SIGPARAMS` manifest instead of the caller — the shape
+    * a restarted admission pipeline should use: the store says how it
+    * was banded and bucketed; only the DECISION knobs (minAgree,
+    * threshold, maxBand) remain configuration. Fails loudly on a
+    * pre-manifest store — "auto" against a layout that does not declare
+    * its parameters would be a guess, which is the bug class this
+    * manifest exists to kill (rebuild via [[writeSignatureIndexStore]],
+    * which stamps it). */
+  def admitIncrementalStoredAuto(
+      incoming: DataFrame, idCol: String, textCol: String,
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      minAgree: Int = 9, threshold: Double = 0.5,
+      maxBand: Int = 1024): DataFrame = {
+    // heal before the manifest read (the crash window would otherwise
+    // read "no manifest" while the store sits in the aside slot)
+    graft.sources.Sinks.recoverSwap(spark, indexDir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, indexDir)
+    val p = readSigParams(spark, indexDir).getOrElse(throw
+      new IllegalArgumentException(
+        s"admitIncrementalStoredAuto: no $SigParamsFile manifest in " +
+          s"$indexDir — pre-manifest stores must be probed with explicit " +
+          s"parameters (admitIncrementalStored) or rebuilt " +
+          s"(writeSignatureIndexStore)"))
+    admitIncrementalStored(incoming, idCol, textCol, spark, indexDir,
+      p.shingleWidth, p.numHashes, p.bands, minAgree, threshold,
+      p.nBuckets, maxBand)
   }
 
   /** Retire signatures from a signature-index store (r11 verdict #2):
@@ -1320,6 +1423,12 @@ object Dedup {
   def compactSignatureIndexStore(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       retiredIds: DataFrame): Unit = {
+    // heal BEFORE reading the manifest (the Ann.compactMultiTableCorpus
+    // discipline): in the crash window the manifest sits with the data
+    // in the aside slot, and carrying "no manifest" through this swap
+    // would republish the store without it
+    graft.sources.Sinks.recoverSwap(spark, indexDir)
+    val params = readSigParams(spark, indexDir) // carried through the swap
     val retire = retiredIds.toDF("id").select("id").distinct()
     graft.sources.Sinks.swapInPlace(spark, indexDir, (df, tmp) => {
       val keep = df.join(retire, Seq("id"), "left_anti")
@@ -1338,6 +1447,78 @@ object Dedup {
         case Some(c) =>
           keep.write.mode("overwrite").partitionBy(c).parquet(tmp)
       }
+      params.foreach(writeSigParams(spark, tmp, _))
     })
+  }
+
+  /** INCREMENTAL signature retirement — the streaming-cadence form of
+    * [[compactSignatureIndexStore]] (r15 verdict #3: the full form is a
+    * whole-store rewrite per retirement fold, O(index) on the cadence —
+    * the same maintenance class r15 killed on the ann/edge stores).
+    * Signatures of a retired id live in exactly the partition
+    * directories its band keys bucket to, and the store itself knows
+    * that mapping: discovery is ONE column-pruned scan of (partition
+    * column, id) — two thin columns, never the signature arrays that
+    * dominate the store's bytes — semi-joined against the broadcast
+    * tombstone set; the REWRITE (the expensive part: read + shuffle +
+    * write of full rows) then touches only the matched directories via
+    * [[graft.sources.Sinks.compactPartitionDirsExplicit]], one batched
+    * job + metadata swaps, with `dropEmptied` so a fully-retired bucket
+    * retires its directory too. Cold buckets are byte-untouched
+    * (spec-pinned), the `_SIGPARAMS` manifest is a root file no
+    * per-directory swap touches, and decisions after the fold are
+    * identical to the full form's by construction — both remove exactly
+    * the tombstoned ids' rows (oracle-gated by q197).
+    *
+    * Works on either partitioned layout (`bucket=` stored index,
+    * `batch=` streaming admission index); a FLAT layout has no
+    * directory grain to prune — use the full form.
+    *
+    * @return the rewritten partition directory names */
+  def compactSignatureIndexStoreIncremental(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      retiredIds: DataFrame): Seq[String] = {
+    graft.sources.Sinks.recoverSwap(spark, indexDir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, indexDir)
+    val df = spark.read.parquet(indexDir)
+    val partCol = Seq("bucket", "batch").find(df.columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        s"compactSignatureIndexStoreIncremental: $indexDir has no " +
+          s"partition grain (bucket/batch) — use " +
+          s"compactSignatureIndexStore for flat layouts"))
+    val retire = retiredIds.toDF("id").select("id").distinct()
+      .transform(graft.CacheScope.pin) // discovery scan + anti-join fold
+    val touched = df.select(col(partCol), col("id"))
+      .join(broadcast(retire), Seq("id"), "left_semi")
+      .select(partCol).distinct()
+      .collect().map(r => s"$partCol=${r.get(0)}")
+    if (touched.isEmpty) return Seq.empty
+    val compacted = graft.sources.Sinks.compactPartitionDirsExplicit(
+      spark, indexDir, partCol + "=", touched.toIndexedSeq,
+      _.join(broadcast(retire), Seq("id"), "left_anti"),
+      dropEmptied = true)
+    // an all-retired store must stay READABLE (the full form's sentinel
+    // discipline): if every partition directory retired, re-emit one
+    // empty schema-bearing file inside a sentinel partition dir. The
+    // root listing runs ONLY when no touched dir survived its rewrite —
+    // if any did, the store certainly still has a readable partition —
+    // so the common cycle costs O(touched) existence probes, never
+    // O(store dirs)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyTouchedLeft = touched.exists(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, n)))
+    val anyLeft = anyTouchedLeft || fs.listStatus(root).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+    if (!anyLeft)
+      // from a FRESH empty frame, not df.limit(0): df's scan would list
+      // the source files at execution time, and they were just removed
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            df.schema.filterNot(_.name == partCol)))
+        .write.mode("overwrite").parquet(s"$indexDir/$partCol=-1")
+    spark.catalog.refreshByPath(indexDir)
+    compacted
   }
 }

@@ -696,6 +696,15 @@ object StreamingIngest {
       val p = new org.apache.hadoop.fs.Path(indexDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    // self-protect like Ann.appendMultiTableBatch: the index's signatures
+    // are only comparable at the parameters they were computed with, so a
+    // batch decided at OTHER parameters against a standing index silently
+    // mis-scores agreement (nBuckets = 0: this layout partitions by batch
+    // id, not band bucket). Cheap existence probe per micro-batch.
+    if (hasIndex)
+      Dedup.requireSigParams(spark, indexDir,
+        Dedup.SigParams(shingleWidth, numHashes, bands, 0),
+        "streaming admission")
     val indexRaw =
       if (hasIndex) spark.read.parquet(indexDir)
       else spark.createDataFrame(
@@ -737,6 +746,11 @@ object StreamingIngest {
     }
     admitted.unpersist()
     decisions.unpersist()
+    // stamp the parameter manifest on first write, so a restarted
+    // pipeline can adopt the store's parameters instead of guessing
+    if (!hasIndex)
+      Dedup.writeSigParams(spark, indexDir,
+        Dedup.SigParams(shingleWidth, numHashes, bands, 0))
     spark.catalog.refreshByPath(corpusDir)
     spark.catalog.refreshByPath(indexDir)
   }
@@ -758,13 +772,44 @@ object StreamingIngest {
       stream: DataFrame, corpusDir: String, indexDir: String,
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
       minAgree: Int = 9, threshold: Double = 0.5)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    var params: graft.operators.Dedup.SigParams = null
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch.sparkSession, batch, corpusDir, indexDir,
-          shingleWidth, numHashes, bands, minAgree, threshold,
-          batchId = Some(batchId))
+        val spark = batch.sparkSession
+        if (params == null)
+          params = adoptSigParams(spark, indexDir,
+            shingleWidth, numHashes, bands)
+        admitBatch(spark, batch, corpusDir, indexDir,
+          params.shingleWidth, params.numHashes, params.bands,
+          minAgree, threshold, batchId = Some(batchId))
     }
+  }
+
+  /** The signature parameters a (re)starting admission writer must use:
+    * the store's own `_SIGPARAMS` manifest when present — a checkpoint-
+    * recovered stream restarted under a CHANGED config would otherwise
+    * band the incoming batch differently from the standing index and
+    * silently mis-decide every admission — the configured values
+    * otherwise (fresh store, or one predating the manifest). The
+    * [[adoptGeometry]] discipline applied to the dedup side (r15
+    * verdict #1). */
+  private def adoptSigParams(
+      spark: SparkSession, indexDir: String,
+      shingleWidth: Int, numHashes: Int, bands: Int)
+      : graft.operators.Dedup.SigParams = {
+    // heal first: in a crash window the manifest sits in the aside slot
+    graft.sources.Sinks.recoverSwap(spark, indexDir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, indexDir)
+    val configured =
+      graft.operators.Dedup.SigParams(shingleWidth, numHashes, bands, 0)
+    val p = graft.operators.Dedup.readSigParams(spark, indexDir)
+      .getOrElse(configured)
+    if (p != configured)
+      logger.info(s"adopting signature parameters $p from $indexDir " +
+        s"manifest (configured $configured)")
+    p
+  }
 
   /** [[admissionWriter]] with PERIODIC SIGNATURE RETIREMENT — the full
     * admission LIFECYCLE in one sink: admit arriving batches against the
@@ -796,18 +841,26 @@ object StreamingIngest {
       minAgree: Int = 9, threshold: Double = 0.5)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    var params: graft.operators.Dedup.SigParams = null
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        if (params == null)
+          params = adoptSigParams(spark, indexDir,
+            shingleWidth, numHashes, bands)
         admitBatch(spark, batch, corpusDir, indexDir,
-          shingleWidth, numHashes, bands, minAgree, threshold,
-          batchId = Some(batchId))
+          params.shingleWidth, params.numHashes, params.bands,
+          minAgree, threshold, batchId = Some(batchId))
         if ((batchId + 1) % compactEvery == 0) {
           val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
           val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val ip = new org.apache.hadoop.fs.Path(indexDir)
           if (fs.exists(tp) && fs.exists(ip)) {
-            graft.operators.Dedup.compactSignatureIndexStore(
+            // INCREMENTAL retirement (r15 verdict #3): rewrite only the
+            // partition directories that actually hold tombstoned rows —
+            // the full-form swap rewrote the WHOLE index per cycle,
+            // O(index) maintenance on the retirement cadence
+            graft.operators.Dedup.compactSignatureIndexStoreIncremental(
               spark, indexDir, spark.read.parquet(tombstonesDir))
             spark.catalog.refreshByPath(indexDir)
           }
@@ -868,6 +921,24 @@ object StreamingIngest {
       .writeStream.outputMode(OutputMode.Append)
       .partitionBy("bucket")
 
+  /** [[chunkIndexBucketedWriter]] with the sink path bound up front so
+    * the store's `_GEOMETRY` manifest can be stamped (or verified, on a
+    * restart onto an existing index) BEFORE the query starts — the
+    * parameter-safety contract every bucketed layout now carries (r15
+    * verdict #2): probes then take the geometry from the store
+    * ([[graft.operators.Ann.topKFromBucketedCorpusAuto]]) instead of
+    * trusting their caller, and a restart under a changed nPlanes fails
+    * loudly at stamp time instead of appending wrongly-bucketed rows. */
+  def chunkIndexBucketedWriterTo(
+      docs: DataFrame, dir: String, window: Int = 32, stride: Int = 24,
+      dim: Int = 16, nPlanes: Int = 4)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    graft.operators.Ann.stampBucketedGeometry(
+      docs.sparkSession, dir, dim, nPlanes)
+    chunkIndexBucketedWriter(docs, window, stride, dim, nPlanes)
+      .option("path", dir)
+  }
+
   /** Streaming RAG-index hygiene — the q169 × q172 composition as the
     * ingest loop a production RAG index actually runs: each arriving
     * micro-batch of documents is CHUNKED, each chunk is ADMITTED
@@ -897,13 +968,19 @@ object StreamingIngest {
       window: Int = 32, stride: Int = 24, dim: Int = 16,
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
       minAgree: Int = 9, threshold: Double = 0.5)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    var params: graft.operators.Dedup.SigParams = null
     docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        dedupedChunkIndexBatch(batch.sparkSession, batch, indexDir, sigDir,
-          window, stride, dim, shingleWidth, numHashes, bands,
-          minAgree, threshold, batchId = Some(batchId))
+        val spark = batch.sparkSession
+        if (params == null)
+          params = adoptSigParams(spark, sigDir,
+            shingleWidth, numHashes, bands)
+        dedupedChunkIndexBatch(spark, batch, indexDir, sigDir,
+          window, stride, dim, params.shingleWidth, params.numHashes,
+          params.bands, minAgree, threshold, batchId = Some(batchId))
     }
+  }
 
   /** One micro-batch of [[dedupedChunkIndexWriter]] (exposed for the
     * stream ≡ batch spec and batch-mode backfill). Replay idempotence
@@ -932,6 +1009,12 @@ object StreamingIngest {
       val p = new org.apache.hadoop.fs.Path(sigDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    // same parameter-safety contract as admitBatch: the chunk signature
+    // store only decides correctly at the parameters it was written with
+    if (hasSig)
+      Dedup.requireSigParams(spark, sigDir,
+        Dedup.SigParams(shingleWidth, numHashes, bands, 0),
+        "chunk-grain streaming admission")
     val sigRaw =
       if (hasSig) spark.read.parquet(sigDir)
       else spark.createDataFrame(
@@ -976,6 +1059,9 @@ object StreamingIngest {
     admitted.unpersist()
     chunks.unpersist()
     decisions.unpersist()
+    if (!hasSig)
+      Dedup.writeSigParams(spark, sigDir,
+        Dedup.SigParams(shingleWidth, numHashes, bands, 0))
     spark.catalog.refreshByPath(indexDir)
     spark.catalog.refreshByPath(sigDir)
   }

@@ -515,6 +515,156 @@ class IncrementalAdmissionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("signature-store parameter manifest: stamped at write, mismatched probe fails loudly, auto-probe uses the manifest, retirement preserves it") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_sigparams").toString + "/index"
+    def docText(i: Int): String =
+      baseText.split(" ").map(w => w + i).mkString(" ")
+    val ex = (0 until 120).map(i => i.toLong -> docText(i)).toDF("doc_id", "text")
+    val incoming = Seq(
+      1000L -> (docText(42) + " resubmitted"),
+      1001L -> ("wholly new submission pergola sundial gnomon " +
+        "astrolabe sextant theodolite barometer hygrometer"))
+      .toDF("doc_id", "text")
+    // NON-default layout parameters — the manifest must carry them
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", dir,
+      shingleWidth = 2, numHashes = 16, bands = 8, nBuckets = 16)
+    assert(Dedup.readSigParams(spark, dir)
+      == Some(Dedup.SigParams(2, 16, 8, 16)))
+    // probing at OTHER parameters (the caller-trusts-config bug class)
+    // is a loud failure, not silently-wrong pruning
+    intercept[IllegalArgumentException] {
+      Dedup.admitIncrementalStored(incoming, "doc_id", "text", spark, dir)
+    }
+    // the auto probe takes layout parameters FROM the manifest and
+    // equals the explicit probe at those parameters
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val auto = decisions(Dedup.admitIncrementalStoredAuto(
+      incoming, "doc_id", "text", spark, dir, minAgree = 12))
+    val explicit = decisions(Dedup.admitIncrementalStored(
+      incoming, "doc_id", "text", spark, dir,
+      shingleWidth = 2, numHashes = 16, bands = 8,
+      minAgree = 12, threshold = 0.5, nBuckets = 16))
+    assert(auto == explicit && auto(1000L)._1 == "dup_existing" &&
+      auto(1001L) == ("admitted", 1001L), s"auto=$auto explicit=$explicit")
+    // retirement (the whole-store swap) carries the manifest through
+    Dedup.compactSignatureIndexStore(spark, dir, Seq(119L).toDF("id"))
+    assert(Dedup.readSigParams(spark, dir)
+      == Some(Dedup.SigParams(2, 16, 8, 16)),
+      "retirement compaction dropped the parameter manifest")
+    assert(decisions(Dedup.admitIncrementalStoredAuto(
+      incoming, "doc_id", "text", spark, dir, minAgree = 12)) == auto)
+    // a PRE-manifest store cannot drive the auto probe — that would be
+    // a guess, the exact class the manifest kills
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_SIGPARAMS"), false))
+    intercept[IllegalArgumentException] {
+      Dedup.admitIncrementalStoredAuto(incoming, "doc_id", "text", spark, dir)
+    }
+  }
+
+  test("incremental retirement ≡ full-form: same decisions, cold buckets byte-untouched, fully-retired dirs drop, all-retired store stays readable") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_increretire").toString
+    def docText(i: Int): String =
+      baseText.split(" ").map(w => w + i).mkString(" ")
+    val ex = (0 until 200).map(i => i.toLong -> docText(i)).toDF("doc_id", "text")
+    val incoming = Seq(
+      1000L -> (docText(42) + " resubmitted"),
+      1001L -> ("wholly new submission pergola sundial gnomon " +
+        "astrolabe sextant theodolite barometer hygrometer"))
+      .toDF("doc_id", "text")
+    val (full, incr) = (s"$root/full", s"$root/incr")
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", full)
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", incr)
+    def decide(d: String) = Dedup.admitIncrementalStored(
+        incoming, "doc_id", "text", spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // record every data file under every bucket dir of the incremental
+    // store: cold buckets must be BYTE-untouched by the fold
+    def fileState(d: String): Map[String, (Long, Long)] =
+      new java.io.File(d).listFiles.filter(_.getName.startsWith("bucket="))
+        .flatMap(b => b.listFiles.filter(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .map(f => f.getPath.stripPrefix(d) -> (f.length, f.lastModified))
+        .toMap
+    val before = fileState(incr)
+    val tombs = Seq(42L).toDF("id")
+    Dedup.compactSignatureIndexStore(spark, full, tombs)
+    val rewritten = Dedup.compactSignatureIndexStoreIncremental(
+      spark, incr, tombs)
+    assert(rewritten.nonEmpty && rewritten.forall(_.startsWith("bucket=")))
+    // decisions equal the full form's: doc 42's resubmission re-admits
+    val (df, di) = (decide(full), decide(incr))
+    assert(df == di, s"full=$df incr=$di")
+    assert(di(1000L) == ("admitted", 1000L), s"$di")
+    // untouched buckets: identical file set, lengths, mtimes
+    val after = fileState(incr)
+    val cold = before.keySet.filterNot(p =>
+      rewritten.exists(b => p.startsWith(s"/$b/")))
+    assert(cold.nonEmpty, "fixture too small: every bucket was touched")
+    cold.foreach { p =>
+      assert(after.get(p).contains(before(p)),
+        s"cold-bucket file $p changed: ${before(p)} -> ${after.get(p)}")
+    }
+    assert(Dedup.readSigParams(spark, incr).isDefined,
+      "incremental retirement lost the root manifest")
+    // no-hit tombstones: zero directories rewritten (pure metadata pass)
+    assert(Dedup.compactSignatureIndexStoreIncremental(
+      spark, incr, Seq(999999L).toDF("id")).isEmpty)
+    // retire EVERYTHING: emptied dirs drop, the sentinel keeps the
+    // store readable, and re-ingest of retired content admits
+    Dedup.compactSignatureIndexStoreIncremental(
+      spark, incr, (0 until 200).map(_.toLong).toDF("id"))
+    assert(spark.read.parquet(incr).count() == 0,
+      "all-retired store still serves rows")
+    val again = decide(incr)
+    assert(again(1000L) == ("admitted", 1000L) &&
+      again(1001L) == ("admitted", 1001L), s"$again")
+  }
+
+  test("streaming admission adopts the store's parameters at (re)start; a mismatched direct batch call fails loudly") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sigadopt").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    val src1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.StreamingIngest
+      .admissionWriter(src1.toDF.toDF("id", "text"), corpus, index)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      src1.addData(1L -> baseText); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(Dedup.readSigParams(spark, index)
+      == Some(Dedup.SigParams(3, 12, 4, 0)),
+      "first admission batch did not stamp the manifest")
+    // restart under a CHANGED config (shingleWidth 6): without adoption
+    // the incoming batch's signatures would be computed over 6-shingles
+    // against an index built over 3-shingles — zero agreement, and the
+    // near-dup below would be silently ADMITTED
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingIngest
+      .admissionWriter(src2.toDF.toDF("id", "text"), corpus, index,
+        shingleWidth = 6)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      src2.addData(2L -> (baseText + " adopted tail")); q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = spark.read.parquet(corpus).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L),
+      s"restarted writer did not adopt the store's parameters: $ids")
+    // a direct batch call at mismatched parameters cannot corrupt the
+    // store silently either — admitBatch self-protects
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.admitBatch(
+        spark, Seq(9L -> baseText).toDF("id", "text"), corpus, index,
+        shingleWidth = 6, batchId = Some(7L))
+    }
+  }
+
   test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
     val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
     val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")
