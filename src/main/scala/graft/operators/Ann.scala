@@ -114,10 +114,33 @@ object Ann {
       docs: DataFrame, // (id, embedding)
       dir: String,
       dim: Int,
-      nPlanes: Int): Unit =
+      nPlanes: Int): Unit = {
     graft.sources.Sinks.writePartitioned(
       docs.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes)),
       dir, "bucket")
+    // the layout parameters travel with the data (r15 verdict #2: this
+    // layout trusted the CALLER's nPlanes — a mismatched probe computes
+    // different bucket ids, prunes to the wrong directories, and is
+    // silently incorrect). nTables = 1 marks the single-table family.
+    writeGeometry(docs.sparkSession, dir, StoreGeometry(dim, nPlanes, 1))
+  }
+
+  /** Stamp the single-table `_GEOMETRY` manifest onto a bucketed-corpus
+    * layout built by a path this object does not own — the streaming
+    * parquet sink ([[graft.streaming.StreamingIngest
+    * .chunkIndexBucketedWriter]] stamps through this before its query
+    * starts; the sink itself only ever appends inside `bucket=` dirs,
+    * so data and manifest cannot disagree). */
+  def stampBucketedGeometry(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      dim: Int, nPlanes: Int): Unit = {
+    readGeometry(spark, dir).foreach { g =>
+      require(g == StoreGeometry(dim, nPlanes, 1),
+        s"stamp at geometry (dim=$dim, nPlanes=$nPlanes) against a " +
+          s"bucketed corpus whose manifest says $g: $dir")
+    }
+    writeGeometry(spark, dir, StoreGeometry(dim, nPlanes, 1))
+  }
 
   /** Compact a bucket-partitioned corpus in place (r12): a STREAMED
     * index ([[graft.streaming.StreamingIngest.chunkIndexBucketedWriter]])
@@ -143,10 +166,17 @@ object Ann {
     * would hide pre-compaction files from log-based readers) — ongoing
     * ingest continues through a foreachBatch writer or a fresh path. */
   def compactBucketedCorpus(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) =>
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    // heal-before-read, then carry the manifest through the swap (the
+    // compactMultiTableCorpus discipline on the single-table layout)
+    graft.sources.Sinks.recoverSwap(spark, dir)
+    val g = readGeometry(spark, dir)
+    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) => {
       df.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      g.foreach(writeGeometry(spark, tmp, _))
+    })
+  }
 
   /** Multi-probe top-k point lookup against a bucket-partitioned corpus:
     * probe bucket ids (home bucket + single-bit flips, same family as
@@ -162,6 +192,10 @@ object Ann {
       nPlanes: Int,
       probes: Int = 1): DataFrame = {
     require(probes >= 1 && probes <= nPlanes + 1)
+    // probing at a geometry other than the one the files were bucketed
+    // with reads the WRONG directories — fail loudly, never silently
+    // (pre-manifest stores pass through on their configured values)
+    requireGeometry(spark, dir, dim, nPlanes, 1, "bucketed probe")
     val home = bucketOf(qvec, dim, nPlanes)
     val probeIds = (0 until probes)
       .map(p => if (p == 0) home else home ^ (1L << (p - 1)))
@@ -171,6 +205,27 @@ object Ann {
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
       .select("id", "sim")
+  }
+
+  /** [[topKFromBucketedCorpus]] taking its geometry FROM the store's
+    * `_GEOMETRY` manifest — the shape a probe that did not build the
+    * store should use. Loud on a pre-manifest store ("auto" against an
+    * undeclared layout would be a guess). */
+  def topKFromBucketedCorpusAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      qvec: Array[Float],
+      k: Int,
+      probes: Int = 1): DataFrame = {
+    val g = readGeometry(spark, dir).getOrElse(throw
+      new IllegalArgumentException(
+        s"topKFromBucketedCorpusAuto: no _GEOMETRY manifest in $dir — " +
+          s"pre-manifest stores must be probed with explicit geometry " +
+          s"(topKFromBucketedCorpus) or re-stamped (stampBucketedGeometry)"))
+    require(g.nTables == 1,
+      s"$dir is a multi-table store ($g) — probe it with " +
+        s"multiTableStoreCandidates/topKMultiTable, not the bucketed form")
+    topKFromBucketedCorpus(spark, dir, qvec, k, g.dim, g.nPlanes, probes)
   }
 
   /** SQL mirror of [[lshBucket]]: dot against the same float plane

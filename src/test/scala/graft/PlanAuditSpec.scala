@@ -179,6 +179,24 @@ class PlanAuditSpec extends SparkSpec {
       .orderBy(col("sim").desc, col("id")).limit(5)
       .select("id", "sim").collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq == expected.toSeq)
+
+    // GEOMETRY manifest (r15 verdict #2): stamped by writeBucketedCorpus,
+    // a mismatched probe fails loudly, the auto probe equals the explicit
+    // one at the manifest geometry, and compaction preserves the manifest
+    import graft.operators.Ann
+    assert(Ann.readGeometry(spark, dir) == Some(Ann.StoreGeometry(64, 4, 1)))
+    intercept[IllegalArgumentException] {
+      Ann.topKFromBucketedCorpus(spark, dir, qvec, k = 5, dim = 64,
+        nPlanes = 6)
+    }
+    val auto = Ann.topKFromBucketedCorpusAuto(spark, dir, qvec, k = 5,
+        probes = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(auto == expected.toSeq,
+      s"auto probe != explicit probe at the manifest geometry")
+    Ann.compactBucketedCorpus(spark, dir)
+    assert(Ann.readGeometry(spark, dir) == Some(Ann.StoreGeometry(64, 4, 1)),
+      "compaction dropped the bucketed corpus manifest")
   }
 
   test("multi-table corpus store: streaming probe prunes the SCAN and is candidate-identical to the in-memory OR-construction") {

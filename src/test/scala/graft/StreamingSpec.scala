@@ -782,10 +782,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, String)]
     val q = StreamingIngest
-      .chunkIndexBucketedWriter(src.toDF.toDF("doc_id", "text"),
+      .chunkIndexBucketedWriterTo(src.toDF.toDF("doc_id", "text"), idxDir,
         window = 4, stride = 3)
       .option("checkpointLocation", ckpt)
-      .option("path", idxDir)
       .start()
     val docs = Seq(
       1L -> "one two three four five six seven",
@@ -843,5 +842,27 @@ class StreamingSpec extends SparkSpec {
       s"pruning lost after compaction:\n$plan2")
     assert(!new java.io.File(idxDir + ".swap.tmp").exists &&
       !new java.io.File(idxDir + ".swap.old").exists, "swap left debris")
+
+    // GEOMETRY manifest (r15 verdict #2): the path-bound writer stamped
+    // it before the query started, compaction carried it through the
+    // swap, a mismatched probe fails LOUDLY, and the auto probe takes
+    // the geometry from the store
+    import graft.operators.Ann
+    assert(Ann.readGeometry(spark, idxDir) == Some(Ann.StoreGeometry(16, 4, 1)),
+      "bucketed chunk index lost its _GEOMETRY through compaction")
+    val qvec = StreamingIngest.chunkEmbed(
+        Seq(1L -> docs(0)._2).toDF("doc_id", "text"), window = 4, stride = 3)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    intercept[IllegalArgumentException] {
+      Ann.topKFromBucketedCorpus(spark, idxDir, qvec, k = 3, dim = 16,
+        nPlanes = 6)
+    }
+    // a RESTART under a changed nPlanes fails at stamp time, before any
+    // wrongly-bucketed row can land
+    intercept[IllegalArgumentException] {
+      StreamingIngest.chunkIndexBucketedWriterTo(
+        src.toDF.toDF("doc_id", "text"), idxDir,
+        window = 4, stride = 3, nPlanes = 6)
+    }
   }
 }
