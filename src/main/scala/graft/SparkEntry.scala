@@ -2577,17 +2577,21 @@ object SparkEntry {
     * standing index's signatures, however composed) to `<p>dec`
     * (id, status, dup_of). Prefixing lets q174 instantiate the chain
     * twice with round 2's index extended by round 1's admissions. */
-  private def admissionDecisionCtes(p: String, idxSigRel: String): String =
-    s"""${p}xband AS (SELECT xid, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+  private def admissionDecisionCtes(
+      p: String, idxSigRel: String,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      minAgree: Int = 9): String = {
+    val rowsPerBand = numHashes / bands
+    s"""${p}xband AS (SELECT xid, sig, unnest(${bandKeys("sig", bands, rowsPerBand)}) AS bkey
        |  FROM $idxSigRel),
        |${p}it AS (SELECT id, ${toksOf("text")} AS toks FROM ${p}inc),
        |${p}ish AS MATERIALIZED (
-       |  SELECT id, ${wordShingles("toks", 3)} AS sh FROM ${p}it),
+       |  SELECT id, ${wordShingles("toks", shingleWidth)} AS sh FROM ${p}it),
        |${p}ihb AS (SELECT id, sh, ${minhashBases("sh")} AS hb
        |  FROM ${p}ish WHERE len(sh) > 0),
        |${p}isig AS MATERIALIZED (
-       |  SELECT id, sh, ${minhashSigFromBases("hb", 12)} AS sig FROM ${p}ihb),
-       |${p}iband AS (SELECT id, sig, unnest(${bandKeys("sig", 4, 3)}) AS bkey
+       |  SELECT id, sh, ${minhashSigFromBases("hb", numHashes)} AS sig FROM ${p}ihb),
+       |${p}iband AS (SELECT id, sig, unnest(${bandKeys("sig", bands, rowsPerBand)}) AS bkey
        |  FROM ${p}isig),
        |${p}xcand AS (
        |  SELECT DISTINCT i.id, x.xid
@@ -2597,13 +2601,13 @@ object SparkEntry {
        |  FROM ${p}xcand c
        |  JOIN ${p}isig i ON i.id = c.id
        |  JOIN $idxSigRel x ON x.xid = c.xid
-       |  WHERE len(list_filter(range(1, 13), k -> i.sig[k] = x.sig[k])) >= 9
+       |  WHERE len(list_filter(range(1, ${numHashes + 1}), k -> i.sig[k] = x.sig[k])) >= $minAgree
        |  GROUP BY c.id),
        |${p}ssh AS MATERIALIZED (
        |  SELECT s.id, s.sh, s.sig FROM ${p}isig s
        |  WHERE s.id NOT IN (SELECT id FROM ${p}dupex)),
        |${p}sband AS MATERIALIZED (
-       |  SELECT id, sh, unnest(${bandKeys("sig", 4, 3)}) AS bkey FROM ${p}ssh),
+       |  SELECT id, sh, unnest(${bandKeys("sig", bands, rowsPerBand)}) AS bkey FROM ${p}ssh),
        |${p}scand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM ${p}sband a JOIN ${p}sband b ON a.bkey = b.bkey AND a.id < b.id),
@@ -2630,17 +2634,20 @@ object SparkEntry {
        |  FROM ${p}inc i
        |  LEFT JOIN ${p}dupex d ON d.id = i.id
        |  LEFT JOIN ${p}ccc cc ON cc.id = i.id)""".stripMargin
+  }
 
   /** Corpus-signature CTEs shared by the admission oracles: documents →
     * `xsig` (xid, sig). */
-  private def corpusSigCtes: String =
+  private def corpusSigCtes: String = corpusSigCtesAt(3, 12)
+
+  private def corpusSigCtesAt(shingleWidth: Int, numHashes: Int): String =
     s"""xt AS (SELECT doc_id AS xid, ${toksOf("text")} AS toks
        |  FROM documents),
-       |xsh AS (SELECT xid, ${wordShingles("toks", 3)} AS sh FROM xt),
+       |xsh AS (SELECT xid, ${wordShingles("toks", shingleWidth)} AS sh FROM xt),
        |xhb AS (SELECT xid, ${minhashBases("sh")} AS hb
        |  FROM xsh WHERE len(sh) > 0),
        |xsig AS MATERIALIZED (
-       |  SELECT xid, ${minhashSigFromBases("hb", 12)} AS sig FROM xhb)""".stripMargin
+       |  SELECT xid, ${minhashSigFromBases("hb", numHashes)} AS sig FROM xhb)""".stripMargin
 
   private def admissionOracleSql(
       reMod: Int, reOff: Long, reTail: String,
@@ -2686,6 +2693,60 @@ object SparkEntry {
     Dedup.compactSignatureIndexStore(s, storeDir,
       docs.filter(col("doc_id") % 21 === 0).select(col("doc_id").as("id")))
     Dedup.admitIncrementalStored(incoming, "doc_id", "text", s, storeDir)
+      .orderBy("id")
+  }
+
+  /** Manifest-driven stored admission (q196): the store is written at
+    * NON-default layout parameters (shingleWidth 2, numHashes 16, bands
+    * 8, nBuckets 16 — stamped into its `_SIGPARAMS` manifest by
+    * [[Dedup.writeSignatureIndexStore]]) and the probe takes those
+    * parameters FROM THE MANIFEST
+    * ([[Dedup.admitIncrementalStoredAuto]]) — only the decision knob
+    * (minAgree 12/16) is configuration. The oracle states the decision
+    * at the STORE's parameters, so an engine that silently fell back to
+    * configured defaults would band the batch differently, surface
+    * different candidates, and hash-mismatch — this is the q-gate for
+    * the r15 verdict's top finding (caller-trusted layout parameters on
+    * the dedup side = silent wrong pruning). */
+  private def admitManifestQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // store build + both incoming families
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 14000000L).as("doc_id"),
+        concat(col("text"), lit(" manifest admission tail")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 15000000L).as("doc_id"),
+          concat(translate(col("text"), "aeiou", "uoiea"),
+            lit(" manifest fresh")).as("text")))
+    val storeDir = scratchStoreDir("q196_index", dir)
+    Dedup.writeSignatureIndexStore(docs, "doc_id", "text", storeDir,
+      shingleWidth = 2, numHashes = 16, bands = 8, nBuckets = 16)
+    Dedup.admitIncrementalStoredAuto(incoming, "doc_id", "text", s, storeDir,
+        minAgree = 12)
+      .orderBy("id")
+  }
+
+  /** INCREMENTAL signature retirement (q197): q181's lifecycle with the
+    * streaming-cadence compactor —
+    * [[Dedup.compactSignatureIndexStoreIncremental]] rewrites ONLY the
+    * bucket directories that hold tombstoned rows (discovered by one
+    * column-pruned id scan; cold buckets byte-untouched, r15 verdict
+    * #3) instead of the whole store. The oracle states the same
+    * decision over the corpus signatures MINUS the tombstone family, so
+    * the partial rewrite is proven decision-equivalent to the full one
+    * end-to-end; the probe then reads its parameters from the manifest
+    * the fold preserved. */
+  private def admissionRetireIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // store build + tombstones + incoming
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 16000000L).as("doc_id"),
+        concat(col("text"), lit(" incremental retirement tail")).as("text"))
+    val storeDir = scratchStoreDir("q197_index", dir)
+    Dedup.writeSignatureIndexStore(docs, "doc_id", "text", storeDir)
+    Dedup.compactSignatureIndexStoreIncremental(s, storeDir,
+      docs.filter(col("doc_id") % 15 === 0).select(col("doc_id").as("id")))
+    Dedup.admitIncrementalStoredAuto(incoming, "doc_id", "text", s, storeDir)
       .orderBy("id")
   }
 
@@ -3578,6 +3639,9 @@ object SparkEntry {
     "q193_ann_regeometry_probe" -> ((s, d) => annRegeomProbe(s, d)),
     "q194_orc_roundtrip" -> ((s, d) => orcRoundtripQ(s, d)),
     "q192_edges_bucketed_lifecycle" -> ((s, d) => edgesBucketedLifecycle(s, d)),
+    "q196_admission_manifest" -> ((s, d) => admitManifestQ(s, d)),
+    "q197_admission_incremental_retirement" ->
+      ((s, d) => admissionRetireIncrementalQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
     "q52_range_join" -> ((s, d) => rangeJoinEvents(s, d)),
     "q53_curation_sample" -> ((s, d) => curationSample(s, d)),
@@ -7839,6 +7903,38 @@ object SparkEntry {
          |xsigr AS MATERIALIZED (
          |  SELECT xid, sig FROM xsig WHERE xid % 21 <> 0),
          |${admissionDecisionCtes("", "xsigr")}
+         |SELECT id, status, dup_of FROM dec
+         |ORDER BY id""".stripMargin,
+    "q196_admission_manifest" ->
+      // Mirror of admitManifestQ AT THE STORE'S MANIFEST PARAMETERS
+      // (shingleWidth 2, numHashes 16, bands 8, minAgree 12): the
+      // engine probe reads those from _SIGPARAMS, so a fallback to the
+      // configured defaults would band differently and hash-mismatch.
+      s"""WITH RECURSIVE inc AS MATERIALIZED (
+         |  SELECT doc_id + 14000000 AS id,
+         |    concat(text, ' manifest admission tail') AS text
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 15000000,
+         |    concat(translate(text, 'aeiou', 'uoiea'), ' manifest fresh')
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |${corpusSigCtesAt(2, 16)},
+         |${admissionDecisionCtes("", "xsig", 2, 16, 8, 12)}
+         |SELECT id, status, dup_of FROM dec
+         |ORDER BY id""".stripMargin,
+    "q197_admission_incremental_retirement" ->
+      // Mirror of admissionRetireIncrementalQ: the decision chain over
+      // the corpus signatures MINUS the %15 tombstone family — the
+      // engine's PARTIAL (touched-bucket) rewrite must be
+      // decision-equivalent to this whole-set subtraction.
+      s"""WITH RECURSIVE inc AS MATERIALIZED (
+         |  SELECT doc_id + 16000000 AS id,
+         |    concat(text, ' incremental retirement tail') AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |$corpusSigCtes,
+         |xsigr2 AS MATERIALIZED (
+         |  SELECT xid, sig FROM xsig WHERE xid % 15 <> 0),
+         |${admissionDecisionCtes("", "xsigr2")}
          |SELECT id, status, dup_of FROM dec
          |ORDER BY id""".stripMargin,
     "q182_shipmode_priority" ->
