@@ -575,6 +575,31 @@ object Ann {
       delta: DataFrame, // (id, mtype, embedding)
       dir: String,
       dim: Int, nPlanes: Int, nTables: Int): Unit = {
+    appendMultiTableBatchImpl(delta, dir, dim, nPlanes, nTables,
+      trackTouched = false)
+    ()
+  }
+
+  /** [[appendMultiTableBatch]] that also RETURNS the touched `tb` set
+    * (one extra batch-sized distinct+collect — bounded by the layout
+    * geometry, and only paid when asked for): the append path knows
+    * exactly which bucket directories it wrote into, so the cadence
+    * compactor can be handed its candidate set instead of re-listing
+    * the whole store root (r15 verdict #4 — under auto-re-geometry the
+    * directory count grows with the corpus, so per-cycle discovery must
+    * be O(recently-touched), not O(dirs)). */
+  def appendMultiTableBatchTracked(
+      delta: DataFrame,
+      dir: String,
+      dim: Int, nPlanes: Int, nTables: Int): Seq[Int] =
+    appendMultiTableBatchImpl(delta, dir, dim, nPlanes, nTables,
+      trackTouched = true)
+
+  private def appendMultiTableBatchImpl(
+      delta: DataFrame,
+      dir: String,
+      dim: Int, nPlanes: Int, nTables: Int,
+      trackTouched: Boolean): Seq[Int] = {
     val spark = delta.sparkSession
     // heal a crash-interrupted swap BEFORE the manifest-absent decision:
     // in the crash window (live dir aside in .swap.old) readGeometry
@@ -596,7 +621,8 @@ object Ann {
           s"geometry (Ann.readGeometry) or migrate the store " +
           s"(Ann.regeometryMultiTableCorpus) first: $dir")
     }
-    multiTableRows(delta, dim, nPlanes, nTables)
+    val rows = multiTableRows(delta, dim, nPlanes, nTables)
+    rows
       // cluster on tb BEFORE the partitioned write: without it every
       // write task emits one file into every tb directory it touches
       // (≤ tasks × nTables·2^nPlanes tiny files PER BATCH — measured as
@@ -608,6 +634,8 @@ object Ann {
     // stamp the manifest on first write (idempotent; see writeGeometry)
     if (manifest.isEmpty)
       writeGeometry(spark, dir, StoreGeometry(dim, nPlanes, nTables))
+    if (!trackTouched) Nil
+    else rows.select("tb").distinct().collect().map(_.getInt(0)).toIndexedSeq
   }
 
   /** One-time BACKFILL of the store from an existing corpus (adopting a
@@ -688,12 +716,14 @@ object Ann {
     requireGeometry(spark, dir, dim, nPlanes, nTables, "probe")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present = fs.listStatus(root).map(_.getPath.getName)
-      // strict tb=<digits> match: maintenance debris (swap/aside dirs,
-      // hidden _-prefixed roots) must be ignored, never crash the parse
-      .collect { case n if n.matches("tb=\\d+") => n.stripPrefix("tb=").toInt }
-      .toSet
-    val matched = tbs.filter(present).sorted
+    // existence-check ONLY the batch's own tb paths — never list the
+    // store root (r15 verdict #4): the root's directory count is
+    // nTables·2^nPlanes and auto-re-geometry deliberately GROWS nPlanes
+    // with the corpus, so a per-batch root listing is O(store) driver
+    // metadata at object-store scale, while this is O(|queries|·nTables)
+    // point probes regardless of how many directories exist
+    val matched = tbs.filter(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"tb=$t"))).sorted
     if (matched.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -820,6 +850,23 @@ object Ann {
     graft.sources.Sinks.compactPartitionDirsIncremental(
       spark, dir, "tb=", maxFilesPerBucket,
       _.dropDuplicates("id", "tb"))
+
+  /** [[compactMultiTableCorpusIncremental]] over an EXPLICIT candidate
+    * set — the writer-fed form (r15 verdict #4): the ingest loop hands
+    * the compactor the `tb` set its appends touched since the last
+    * cycle ([[appendMultiTableBatchTracked]]), so hot-dir discovery is
+    * O(recently-touched) point probes instead of a root listing whose
+    * size grows with the corpus under auto-re-geometry. Same fold, same
+    * per-candidate file-count gate, same crash-safe per-dir swaps —
+    * result-identical to the listing form when fed the true touched set
+    * (spec-pinned: only touched dirs can be hot, because appends are the
+    * only thing that adds files). */
+  def compactMultiTableCorpusIncrementalExplicit(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      touched: Seq[Int], maxFilesPerBucket: Int = 4): Seq[String] =
+    graft.sources.Sinks.compactPartitionDirsExplicit(
+      spark, dir, "tb=", touched.distinct.map(t => s"tb=$t"),
+      _.dropDuplicates("id", "tb"), maxFiles = maxFilesPerBucket)
 
   /** Heal crash-interrupted maintenance swaps on the store, BOTH
     * granularities — writers call this before appending/probing after a

@@ -250,7 +250,8 @@ object StreamingIngest {
       nPlanes: Int = 4,
       nTables: Int = 8,
       deltaFn: (DataFrame, DataFrame) => DataFrame = Ingest.dedupDelta,
-      edgeBuckets: Int = 0): DataFrame = {
+      edgeBuckets: Int = 0,
+      touchedSink: scala.collection.mutable.Set[Int] = null): DataFrame = {
     import graft.operators.{Ann, Knn, Retrieval}
     val mbConf = conf.copy(rddFramesAreMicroBatches = true)
     val hadoop = spark.sparkContext.hadoopConfiguration
@@ -340,9 +341,17 @@ object StreamingIngest {
         GraphBuild.appendEdgeDeltaBucketed(edges, edgesDir, edgeBuckets)
       else
         edges.write.mode("append").parquet(edgesDir)
-      Ann.appendMultiTableBatch(
-        delta.select("id", "mtype", "embedding"), annDir,
-        conf.dim, nPlanes, nTables)
+      // with a touched-set sink the append also reports which tb dirs it
+      // wrote (one extra batch-sized collect) so the cadence compactor's
+      // discovery is O(recently-touched) instead of a root listing
+      if (touchedSink != null)
+        touchedSink ++= Ann.appendMultiTableBatchTracked(
+          delta.select("id", "mtype", "embedding"), annDir,
+          conf.dim, nPlanes, nTables)
+      else
+        Ann.appendMultiTableBatch(
+          delta.select("id", "mtype", "embedding"), annDir,
+          conf.dim, nPlanes, nTables)
       delta.drop("seq").write.mode("append").parquet(docsDir)
       spark.catalog.refreshByPath(annDir)
     }
@@ -374,6 +383,12 @@ object StreamingIngest {
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     var geom: graft.operators.Ann.StoreGeometry = null
+    // tb dirs appended since the last compaction cycle — the compactor's
+    // candidate set. A checkpoint restart loses the in-memory set, so
+    // the FIRST cycle after (re)start falls back to the listing form
+    // (one root listing per query start, not per cycle).
+    val touched = scala.collection.mutable.Set[Int]()
+    var coldStart = true
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -381,10 +396,14 @@ object StreamingIngest {
           geom = adoptGeometry(spark, annDir, conf.dim, nPlanes, nTables)
         processBatchIndexed(spark, batch, batchId, docsDir, edgesDir, annDir,
           conf, geom.nPlanes, geom.nTables,
-          edgeBuckets = edgeBuckets).unpersist()
-        if ((batchId + 1) % compactEvery == 0)
+          edgeBuckets = edgeBuckets, touchedSink = touched).unpersist()
+        if ((batchId + 1) % compactEvery == 0) {
           compactIndexedStores(spark, edgesDir, annDir,
-            maxFilesPerBucket, edgeBuckets)
+            maxFilesPerBucket, edgeBuckets,
+            annTouched = if (coldStart) null else touched.toSeq)
+          touched.clear()
+          coldStart = false
+        }
         ()
     }
   }
@@ -416,15 +435,24 @@ object StreamingIngest {
   }
 
   /** The indexed loop's compaction cycle, factored for the writers and
-    * benches: incremental ann-store fold + the edge layout's compaction. */
+    * benches: incremental ann-store fold + the edge layout's compaction.
+    * With `annTouched` non-null the ann fold checks ONLY those tb dirs
+    * (the writer-fed explicit form — discovery O(recently-touched));
+    * null falls back to the root-listing form (cold start, or callers
+    * without append tracking). */
   private[graft] def compactIndexedStores(
       spark: SparkSession, edgesDir: String, annDir: String,
-      maxFilesPerBucket: Int, edgeBuckets: Int): Unit = {
+      maxFilesPerBucket: Int, edgeBuckets: Int,
+      annTouched: Seq[Int] = null): Unit = {
     compactEdgeStore(spark, edgesDir, maxFilesPerBucket, edgeBuckets)
     val ap = new org.apache.hadoop.fs.Path(annDir)
     if (ap.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ap)) {
-      graft.operators.Ann.compactMultiTableCorpusIncremental(
-        spark, annDir, maxFilesPerBucket)
+      if (annTouched != null)
+        graft.operators.Ann.compactMultiTableCorpusIncrementalExplicit(
+          spark, annDir, annTouched, maxFilesPerBucket)
+      else
+        graft.operators.Ann.compactMultiTableCorpusIncremental(
+          spark, annDir, maxFilesPerBucket)
       ()
     }
   }
@@ -497,6 +525,11 @@ object StreamingIngest {
     var bloom: org.apache.spark.util.sketch.BloomFilter = null
     var geom: graft.operators.Ann.StoreGeometry = null
     var storedRows = -1L
+    // writer-fed compaction discovery, as in ingestWriterIndexed; a
+    // migration clears it (tb ids are geometry-scoped and the rewrite
+    // left ~one file per bucket anyway)
+    val touched = scala.collection.mutable.Set[Int]()
+    var coldStart = true
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -520,7 +553,7 @@ object StreamingIngest {
         val delta = processBatchIndexed(spark, batch, batchId, docsDir,
           edgesDir, annDir, conf, geom.nPlanes, geom.nTables,
           deltaFn = Ingest.dedupDeltaBloom(_, _, bloom),
-          edgeBuckets = edgeBuckets)
+          edgeBuckets = edgeBuckets, touchedSink = touched)
         // fold the appended ids in AFTER the store append succeeded —
         // distributed build + lossless merge, no driver-side collect.
         // The exact row count is only needed when the occupancy counter
@@ -551,6 +584,7 @@ object StreamingIngest {
             graft.operators.Ann.regeometryMultiTableCorpus(
               spark, annDir, conf.dim, p, geom.nTables)
             geom = graft.operators.Ann.StoreGeometry(conf.dim, p, geom.nTables)
+            touched.clear() // tb ids are scoped to the OLD geometry
             true
           }
         if ((batchId + 1) % compactEvery == 0) {
@@ -560,7 +594,10 @@ object StreamingIngest {
           if (migrated) compactEdgeStore(spark, edgesDir,
             maxFilesPerBucket, edgeBuckets)
           else compactIndexedStores(spark, edgesDir, annDir,
-            maxFilesPerBucket, edgeBuckets)
+            maxFilesPerBucket, edgeBuckets,
+            annTouched = if (coldStart) null else touched.toSeq)
+          touched.clear()
+          coldStart = false
         }
         ()
     }

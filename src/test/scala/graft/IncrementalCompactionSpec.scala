@@ -106,6 +106,47 @@ class IncrementalCompactionSpec extends SparkSpec {
     assert(Ann.compactMultiTableCorpusIncremental(spark, dir, 2).isEmpty)
   }
 
+  test("writer-fed explicit compaction ≡ listing-form: tracked appends name exactly the touched dirs; results identical (r15 verdict #4)") {
+    val root = Files.createTempDirectory("graft_explcomp").toString
+    val (np, nt) = (3, 2)
+    val (byList, byFed) = (s"$root/list/ann", s"$root/fed/ann")
+    val base = docsFrame((0 until 40).map(i => (s"expl base doc $i", i.toLong)))
+      .localCheckpoint()
+    val hot = docsFrame(Seq(("expl hot doc A", 100L), ("expl hot doc B", 101L)))
+      .localCheckpoint()
+    val fed = scala.collection.mutable.Set[Int]()
+    Seq(byList, byFed).foreach(d => Ann.backfillMultiTableCorpus(base, d, 8, np, nt))
+    (1 to 3).foreach { _ =>
+      Ann.appendMultiTableBatch(hot, byList, 8, np, nt)
+      fed ++= Ann.appendMultiTableBatchTracked(hot, byFed, 8, np, nt)
+    }
+    // the tracked append reports exactly the dirs the batch wrote: its
+    // vectors explode to one tb per table
+    val expectTbs = spark.read.parquet(byFed)
+      .join(hot.select("id"), Seq("id"), "left_semi")
+      .select("tb").distinct().collect().map(_.getInt(0)).toSet
+    assert(fed.toSet == expectTbs, s"tracked $fed vs actual $expectTbs")
+
+    val queries = base.limit(3).unionByName(hot.limit(1))
+      .select(col("id").as("qid"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val wantProbe = probe(byList, queries, np, nt)
+    val cList = Ann.compactMultiTableCorpusIncremental(
+      spark, byList, maxFilesPerBucket = 2).toSet
+    val cFed = Ann.compactMultiTableCorpusIncrementalExplicit(
+      spark, byFed, fed.toSeq, maxFilesPerBucket = 2).toSet
+    // identical hot set found without any root listing, identical
+    // folded layout, identical probe results
+    assert(cFed == cList && cFed.nonEmpty, s"explicit $cFed vs listing $cList")
+    assert(dataFiles(byFed).view.mapValues(_.size).toMap ==
+      dataFiles(byList).view.mapValues(_.size).toMap)
+    assert(probe(byFed, queries, np, nt) == wantProbe)
+    assert(probe(byList, queries, np, nt) == wantProbe)
+    // absent / never-touched candidates are skipped, not an error
+    assert(Ann.compactMultiTableCorpusIncrementalExplicit(
+      spark, byFed, Seq(999999), maxFilesPerBucket = 2).isEmpty)
+  }
+
   test("crash windows of the per-directory swap heal, including through the probe") {
     val dir = Files.createTempDirectory("graft_inccrash").toString + "/ann"
     val (np, nt) = (3, 2)
