@@ -1324,6 +1324,38 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Avro corpus roundtrip (q195): the embeddings table through the
+    * remaining mainstream interchange format next to
+    * parquet/ORC/JSONL/.gz/.zst/CSV — Avro is the ROW-oriented
+    * schema'd carrier (Kafka payloads, schema-registry estates), so its
+    * fidelity risk for this engine is the float path: Avro encodes
+    * FLOAT as IEEE little-endian single — bit-exact through the
+    * roundtrip, which the q194 lanes (exact widenings + portable self
+    * dot) pin against the oracle reading the ORIGINAL parquet. The
+    * datasource ships inside spark-sql (`format("avro")`), no extra
+    * dependency. Scale note: Avro files are block-splittable with an
+    * internal sync marker, so reads parallelize like ORC's stripes —
+    * unlike the gzip JSONL path's whole-file streams. */
+  private def avroRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val fix = "target/avrofixture/" + new java.io.File(dir).getName
+    // this distribution bundles the avro classes inside spark-sql but
+    // does NOT service-register the "avro" short name (DataSourceRegister
+    // lists csv/json/orc/parquet/... only), and lookupDataSource refuses
+    // the short name with the deploy-the-module error — the
+    // fully-qualified provider loads the same FileFormat directly
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    Tables.embeddings(s, dir).write.mode("overwrite").format(avro).save(fix)
+    s.read.format(avro).load(fix)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("f0"),
+        element_at(col("embedding"), 64).cast("double").as("f63"),
+        rnd(graft.functions.VectorFunctions.dotProduct(
+          col("embedding"), col("embedding")), 6).as("nrm2"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("vec_id")
+  }
+
   /** S2/E2/E3/E4 end-to-end through a REAL file tree: materialize a
     * deterministic binary fixture from documents.parquet
     * (BinaryFixture — one file per doc, extension cycles
@@ -3638,6 +3670,7 @@ object SparkEntry {
     "q191_ann_incremental_compact" -> ((s, d) => annIncrementalCompact(s, d)),
     "q193_ann_regeometry_probe" -> ((s, d) => annRegeomProbe(s, d)),
     "q194_orc_roundtrip" -> ((s, d) => orcRoundtripQ(s, d)),
+    "q195_avro_roundtrip" -> ((s, d) => avroRoundtripQ(s, d)),
     "q192_edges_bucketed_lifecycle" -> ((s, d) => edgesBucketedLifecycle(s, d)),
     "q196_admission_manifest" -> ((s, d) => admitManifestQ(s, d)),
     "q197_admission_incremental_retirement" ->
@@ -8065,6 +8098,16 @@ object SparkEntry {
       // hash equality pins the roundtrip float-exact (spot lanes are
       // exact FLOAT->DOUBLE widenings; the self dot is the portable
       // left fold both engines share).
+      s"""SELECT vec_id, label,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  CAST(embedding[1] AS DOUBLE) AS f0,
+         |  CAST(embedding[64] AS DOUBLE) AS f63,
+         |  ${sqlRnd(graft.OracleSql.dot("embedding", "embedding"), 6)} AS nrm2
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q195_avro_roundtrip" ->
+      // Mirror of avroRoundtripQ straight off the ORIGINAL parquet —
+      // same lanes as q194: hash equality pins the Avro write/read
+      // bit-exact on the ARRAY<FLOAT> column.
       s"""SELECT vec_id, label,
          |  CAST(len(embedding) AS BIGINT) AS dim,
          |  CAST(embedding[1] AS DOUBLE) AS f0,

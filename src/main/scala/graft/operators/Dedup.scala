@@ -1331,6 +1331,42 @@ object Dedup {
       SigParams(shingleWidth, numHashes, bands, nBuckets))
   }
 
+  /** Append ONE batch of signatures into a [[writeSignatureIndexStore]]
+    * layout — the continuous-growth form (the whole-store writer is the
+    * one-shot backfill; a 100 TB admission index is never rebuilt per
+    * batch). Same discipline as [[graft.operators.Ann
+    * .appendMultiTableBatch]]: heal crash windows first, enforce the
+    * `_SIGPARAMS` manifest (stamp it on first write), and cluster on the
+    * partition column before the partitioned write so a batch adds ~one
+    * file per touched bucket instead of one per task per bucket. A
+    * replayed append duplicates (id, bkey) rows at rest; decisions are
+    * unaffected (the candidate join dedups (id, xid)) and the rows fold
+    * away at the next retirement rewrite of their bucket. */
+  def appendSignatureIndexStore(
+      docs: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Sinks.recoverSwap(spark, dir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, dir)
+    val p = SigParams(shingleWidth, numHashes, bands, nBuckets)
+    val manifest = readSigParams(spark, dir)
+    manifest.foreach { m =>
+      require(m == p,
+        s"append at parameters $p against a signature store whose " +
+          s"_SIGPARAMS says $m — use the manifest parameters " +
+          s"(Dedup.readSigParams) or rebuild the store first: $dir")
+    }
+    val rowsPerBand = numHashes / bands
+    signatureIndex(docs, idCol, textCol, shingleWidth, numHashes)
+      .select(col("id"), col("sig"),
+        explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+      .withColumn("bucket", bandBucket(col("bkey"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    if (manifest.isEmpty) writeSigParams(spark, dir, p)
+  }
+
   /** [[admitIncremental]] against a [[writeSignatureIndexStore]] layout:
     * the incoming batch's band keys are computed first, their distinct
     * [[bandBucket]] ids collected driver-side (≤ |batch|·bands values —

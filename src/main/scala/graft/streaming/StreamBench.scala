@@ -436,6 +436,53 @@ object StreamBench {
       (incT.toSeq, fullT.toSeq, sizes.toSeq)
     }
 
+    // RETIREMENT growth series (r15 verdict #3's "done" criterion): the
+    // signature-index maintenance cost per retirement cycle as the index
+    // grows, both forms on the same store. Per slab: append slabRows
+    // docs' signatures (the bucketed continuous-growth path), then time
+    // (a) the INCREMENTAL fold over a fixed-size tombstone set — its
+    // rewrite touches only the tombstoned ids' buckets, so the cost
+    // should track the (constant) tombstone count, not the store — and
+    // (b) the full-store rewrite over a disjoint same-size set, expected
+    // to GROW with the store. Incremental discovery does include one
+    // column-pruned (bucket, id) scan — O(store) bytes in two thin
+    // columns — so "flat" here means "grows at the id-column constant,
+    // not the sig-array rewrite constant".
+    val retireSlabs = sys.env.getOrElse("STREAM_BENCH_RETIRE_SLABS", "8").toInt
+    val retireTombs = 20
+    val (retIncSec, retFullSec, retRows) = {
+      val rDir = s"$dir/sig_retire"
+      import graft.operators.Dedup
+      def slabDocs(offset: Long, n: Int) =
+        spark.range(0, n.toLong).select(
+          (col("id") + offset).as("doc_id"),
+          concat(lit("retirement payload number "),
+            (col("id") + offset).cast("string"),
+            lit(" alpha beta gamma delta epsilon zeta eta theta iota"),
+            lit(" kappa lambda mu nu xi omicron pi rho sigma tau")).as("text"))
+      val incT = scala.collection.mutable.Buffer[Double]()
+      val fullT = scala.collection.mutable.Buffer[Double]()
+      val sizes = scala.collection.mutable.Buffer[Long]()
+      (0 until retireSlabs).foreach { i =>
+        val off = 30000000L + i.toLong * slabRows
+        Dedup.appendSignatureIndexStore(
+          slabDocs(off, slabRows).localCheckpoint(), "doc_id", "text", rDir)
+        spark.catalog.refreshByPath(rDir)
+        sizes += spark.read.parquet(rDir).select("id").distinct().count()
+        val t0 = System.nanoTime()
+        val touched = Dedup.compactSignatureIndexStoreIncremental(
+          spark, rDir, spark.range(off, off + retireTombs).toDF("id"))
+        incT += (System.nanoTime() - t0) / 1e9
+        require(touched.nonEmpty,
+          s"retire study slab $i: incremental pass touched no buckets")
+        val t1 = System.nanoTime()
+        Dedup.compactSignatureIndexStore(spark, rDir,
+          spark.range(off + 100, off + 100 + retireTombs).toDF("id"))
+        fullT += (System.nanoTime() - t1) / 1e9
+      }
+      (incT.toSeq, fullT.toSeq, sizes.toSeq)
+    }
+
     val totalRows = rowsPerBatch.toLong * nBatches
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
     // every arm records the parameters it actually ran with (r14 verdict
@@ -484,6 +531,10 @@ object StreamBench {
       s""""nplanes":$cPlanes,"ntables":$cTables,"micro_batches_per_slab":4,""" +
       s""""store_docs":${compStore.mkString("[", ",", "]")},""" +
       s""""incremental_sec":${fmt(compIncSec)},"full_sec":${fmt(compFullSec)}},""" +
+      s""""retire_study":{"slabs":$retireSlabs,"slab_rows":$slabRows,""" +
+      s""""tombstones_per_cycle":$retireTombs,""" +
+      s""""store_docs":${retRows.mkString("[", ",", "]")},""" +
+      s""""incremental_sec":${fmt(retIncSec)},"full_sec":${fmt(retFullSec)}},""" +
       s""""compact_sec":${fmt(compactSec.toSeq)},""" +
       s""""cores":32}""")
     spark.stop()

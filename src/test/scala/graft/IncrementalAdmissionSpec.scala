@@ -625,6 +625,43 @@ class IncrementalAdmissionSpec extends SparkSpec {
       again(1001L) == ("admitted", 1001L), s"$again")
   }
 
+  test("bucketed signature append: backfill+append ≡ one-shot write (decisions), manifest enforced on append") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_sigappend").toString
+    def docText(i: Int): String =
+      baseText.split(" ").map(w => w + i).mkString(" ")
+    val wave1 = (0 until 100).map(i => i.toLong -> docText(i))
+    val wave2 = (100 until 160).map(i => i.toLong -> docText(i))
+    val incoming = Seq(
+      1000L -> (docText(42) + " resubmitted"),   // in wave 1
+      1001L -> (docText(150) + " resubmitted"),  // in wave 2 (appended)
+      1002L -> ("wholly new submission pergola sundial gnomon " +
+        "astrolabe sextant theodolite barometer hygrometer"))
+      .toDF("doc_id", "text")
+    val (oneShot, grown) = (s"$root/oneshot", s"$root/grown")
+    Dedup.writeSignatureIndexStore(
+      (wave1 ++ wave2).toDF("doc_id", "text"), "doc_id", "text", oneShot)
+    Dedup.appendSignatureIndexStore(wave1.toDF("doc_id", "text"),
+      "doc_id", "text", grown) // first write stamps the manifest
+    assert(Dedup.readSigParams(spark, grown)
+      == Some(Dedup.SigParams(3, 12, 4, 64)))
+    Dedup.appendSignatureIndexStore(wave2.toDF("doc_id", "text"),
+      "doc_id", "text", grown)
+    def decide(d: String) = Dedup.admitIncrementalStoredAuto(
+        incoming, "doc_id", "text", spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val (a, b) = (decide(oneShot), decide(grown))
+    assert(a == b, s"oneShot=$a grown=$b")
+    assert(a(1000L) == ("dup_existing", 42L) &&
+      a(1001L) == ("dup_existing", 150L) &&
+      a(1002L) == ("admitted", 1002L), s"$a")
+    // appending at OTHER parameters against the stamped layout is loud
+    intercept[IllegalArgumentException] {
+      Dedup.appendSignatureIndexStore(wave2.toDF("doc_id", "text"),
+        "doc_id", "text", grown, bands = 6)
+    }
+  }
+
   test("streaming admission adopts the store's parameters at (re)start; a mismatched direct batch call fails loudly") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
