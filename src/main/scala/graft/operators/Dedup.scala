@@ -1375,12 +1375,22 @@ object Dedup {
     * prunes to the matched buckets. Decision-identical to the in-memory
     * form by construction: a colliding (incoming, existing) pair shares
     * its band key, hence its bucket, hence survives the pruning. */
+  /** @param excludeOwnIds when true, index rows whose id appears in the
+    *        INCOMING batch are excluded from the decision — the replay
+    *        guard for append-only bucketed layouts (foreachBatch is
+    *        at-least-once: a redelivered batch whose own signatures
+    *        already landed would otherwise fold every doc onto itself
+    *        as dup_existing; the `batch=` layout solves this by
+    *        excluding its own partition, which an append-only layout
+    *        cannot do). The anti-join key set is the batch's ids — the
+    *        SMALL side, broadcast. */
   def admitIncrementalStored(
       incoming: DataFrame, idCol: String, textCol: String,
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
       minAgree: Int = 9, threshold: Double = 0.5,
-      nBuckets: Int = 64, maxBand: Int = 1024): DataFrame = {
+      nBuckets: Int = 64, maxBand: Int = 1024,
+      excludeOwnIds: Boolean = false): DataFrame = {
     // self-protect like the ann probe: heal a crash-interrupted
     // retirement swap (whole-dir or per-bucket) BEFORE the manifest
     // read and the pruned scan — cheap existence probes on the happy
@@ -1400,9 +1410,14 @@ object Dedup {
       .select(explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
       .select(bandBucket(col("bkey"), nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0))
-    val idxBand = spark.read.parquet(indexDir)
+    val idxRaw = spark.read.parquet(indexDir)
       .filter(col("bucket").isin(buckets.toSeq: _*))
       .select(col("id").as("xid"), col("sig").as("xsig"), col("bkey"))
+    val idxBand =
+      if (!excludeOwnIds) idxRaw
+      else idxRaw.join(
+        broadcast(inc.select(col("id").as("xid")).distinct()),
+        Seq("xid"), "left_anti")
     decideAdmission(inc, inSig, idxBand,
       shingleWidth, numHashes, bands, minAgree, threshold, maxBand)
   }
@@ -1420,7 +1435,7 @@ object Dedup {
       incoming: DataFrame, idCol: String, textCol: String,
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       minAgree: Int = 9, threshold: Double = 0.5,
-      maxBand: Int = 1024): DataFrame = {
+      maxBand: Int = 1024, excludeOwnIds: Boolean = false): DataFrame = {
     // heal before the manifest read (the crash window would otherwise
     // read "no manifest" while the store sits in the aside slot)
     graft.sources.Sinks.recoverSwap(spark, indexDir)
@@ -1433,7 +1448,7 @@ object Dedup {
           s"(writeSignatureIndexStore)"))
     admitIncrementalStored(incoming, idCol, textCol, spark, indexDir,
       p.shingleWidth, p.numHashes, p.bands, minAgree, threshold,
-      p.nBuckets, maxBand)
+      p.nBuckets, maxBand, excludeOwnIds)
   }
 
   /** Retire signatures from a signature-index store (r11 verdict #2):

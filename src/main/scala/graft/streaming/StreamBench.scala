@@ -450,8 +450,10 @@ object StreamBench {
     // not the sig-array rewrite constant".
     val retireSlabs = sys.env.getOrElse("STREAM_BENCH_RETIRE_SLABS", "8").toInt
     val retireTombs = 20
-    val (retIncSec, retFullSec, retRows) = {
-      val rDir = s"$dir/sig_retire"
+    val admProbeDocs = 100
+    val (retIncSec, retFullSec, retRows, admFlatSec, admBucketSec) = {
+      val rDir = s"$dir/sig_retire"       // bucketed layout (64 buckets)
+      val rFlat = s"$dir/sig_retire_flat" // batch= layout twin
       import graft.operators.Dedup
       def slabDocs(offset: Long, n: Int) =
         spark.range(0, n.toLong).select(
@@ -460,15 +462,48 @@ object StreamBench {
             (col("id") + offset).cast("string"),
             lit(" alpha beta gamma delta epsilon zeta eta theta iota"),
             lit(" kappa lambda mu nu xi omicron pi rho sigma tau")).as("text"))
+      // fixed probe batch, built once: near-dups of slab-0 docs + fresh
+      // (decisions are constant across slabs, so time moves only with
+      // the INDEX-side work)
+      val probe = slabDocs(30000000L, admProbeDocs / 2)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          concat(col("text"), lit(" admission probe tail")).as("text"))
+        .unionByName(spark.range(0, admProbeDocs / 2).select(
+          (col("id") + 95000000L).as("doc_id"),
+          concat(lit("wholly fresh admission probe number "),
+            col("id").cast("string"),
+            lit(" quern millrace sluice weir leat penstock")).as("text")))
+        .localCheckpoint()
       val incT = scala.collection.mutable.Buffer[Double]()
       val fullT = scala.collection.mutable.Buffer[Double]()
+      val flatDecT = scala.collection.mutable.Buffer[Double]()
+      val bktDecT = scala.collection.mutable.Buffer[Double]()
       val sizes = scala.collection.mutable.Buffer[Long]()
       (0 until retireSlabs).foreach { i =>
         val off = 30000000L + i.toLong * slabRows
-        Dedup.appendSignatureIndexStore(
-          slabDocs(off, slabRows).localCheckpoint(), "doc_id", "text", rDir)
+        val slab = slabDocs(off, slabRows).localCheckpoint()
+        Dedup.appendSignatureIndexStore(slab, "doc_id", "text", rDir)
+        Dedup.signatureIndex(slab, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$rFlat/batch=$i")
+        slab.unpersist()
         spark.catalog.refreshByPath(rDir)
+        spark.catalog.refreshByPath(rFlat)
         sizes += spark.read.parquet(rDir).select("id").distinct().count()
+        // ADMISSION growth (admissionWriter vs admissionWriterBucketed
+        // per-batch decision cost): the batch= layout's decision reads
+        // the WHOLE standing index every micro-batch; the bucketed
+        // layout's reads only the probe's matched band buckets
+        val tf = System.nanoTime()
+        graft.CacheScope.materializeAndRelease(
+          Dedup.admitIncremental(probe, "doc_id", "text",
+            spark.read.parquet(rFlat).select("id", "sig")))(_.count())
+        flatDecT += (System.nanoTime() - tf) / 1e9
+        val tb = System.nanoTime()
+        graft.CacheScope.materializeAndRelease(
+          Dedup.admitIncrementalStoredAuto(
+            probe, "doc_id", "text", spark, rDir))(_.count())
+        bktDecT += (System.nanoTime() - tb) / 1e9
+        // RETIREMENT cost at this size, both forms on the bucketed store
         val t0 = System.nanoTime()
         val touched = Dedup.compactSignatureIndexStoreIncremental(
           spark, rDir, spark.range(off, off + retireTombs).toDF("id"))
@@ -480,7 +515,7 @@ object StreamBench {
           spark.range(off + 100, off + 100 + retireTombs).toDF("id"))
         fullT += (System.nanoTime() - t1) / 1e9
       }
-      (incT.toSeq, fullT.toSeq, sizes.toSeq)
+      (incT.toSeq, fullT.toSeq, sizes.toSeq, flatDecT.toSeq, bktDecT.toSeq)
     }
 
     val totalRows = rowsPerBatch.toLong * nBatches
@@ -535,6 +570,12 @@ object StreamBench {
       s""""tombstones_per_cycle":$retireTombs,""" +
       s""""store_docs":${retRows.mkString("[", ",", "]")},""" +
       s""""incremental_sec":${fmt(retIncSec)},"full_sec":${fmt(retFullSec)}},""" +
+      s""""admission_study":{"slabs":$retireSlabs,"slab_rows":$slabRows,""" +
+      s""""probe_docs":$admProbeDocs,""" +
+      s""""store_docs":${retRows.mkString("[", ",", "]")},""" +
+      s""""flat_sec":${fmt(admFlatSec)},"bucketed_sec":${fmt(admBucketSec)},""" +
+      f""""flatness_flat":${flatness(admFlatSec)}%.3f,""" +
+      f""""flatness_bucketed":${flatness(admBucketSec)}%.3f},""" +
       s""""compact_sec":${fmt(compactSec.toSeq)},""" +
       s""""cores":32}""")
     spark.stop()

@@ -833,13 +833,14 @@ object StreamingIngest {
     * verdict #1). */
   private def adoptSigParams(
       spark: SparkSession, indexDir: String,
-      shingleWidth: Int, numHashes: Int, bands: Int)
+      shingleWidth: Int, numHashes: Int, bands: Int,
+      nBuckets: Int = 0)
       : graft.operators.Dedup.SigParams = {
     // heal first: in a crash window the manifest sits in the aside slot
     graft.sources.Sinks.recoverSwap(spark, indexDir)
     graft.sources.Sinks.recoverPartitionDirSwaps(spark, indexDir)
-    val configured =
-      graft.operators.Dedup.SigParams(shingleWidth, numHashes, bands, 0)
+    val configured = graft.operators.Dedup.SigParams(
+      shingleWidth, numHashes, bands, nBuckets)
     val p = graft.operators.Dedup.readSigParams(spark, indexDir)
       .getOrElse(configured)
     if (p != configured)
@@ -903,6 +904,127 @@ object StreamingIngest {
           }
         }
     }
+  }
+
+  /** Streaming admission against the BUCKET-PARTITIONED signature store
+    * — the store-size-INDEPENDENT admission loop. [[admissionWriter]]'s
+    * `batch=` layout re-scans the ENTIRE standing index every
+    * micro-batch (its decision join reads all batch partitions — an
+    * O(index)-per-batch cost that grows forever) and adds one directory
+    * per batch (listing cost grows with stream lifetime). This writer
+    * keeps the index in the [[graft.operators.Dedup
+    * .writeSignatureIndexStore]] layout instead: the per-batch decision
+    * reads ONLY the batch's matched band-bucket directories (`isin`
+    * partition pruning — O(matched buckets) whatever the index size),
+    * appends land through [[graft.operators.Dedup
+    * .appendSignatureIndexStore]] (~one file per touched bucket, fixed
+    * directory count `nBuckets`), and the optional tombstone retirement
+    * folds INCREMENTALLY ([[graft.operators.Dedup
+    * .compactSignatureIndexStoreIncremental]]).
+    *
+    * Replay safety (foreachBatch is at-least-once): the CORPUS slice is
+    * batch-scoped with overwrite semantics exactly like
+    * [[admitBatch]]'s; the INDEX is append-only (a bucket layout has no
+    * per-batch partition to rewrite), so a redelivery (a) re-decides
+    * with the batch's OWN ids excluded from the probe
+    * (`excludeOwnIds` — decisions equal the first delivery's even when
+    * the crashed attempt already landed its signatures) and (b) may
+    * append duplicate (id, bkey) rows at rest, which the candidate
+    * dedup makes invisible to every decision and the next retirement
+    * rewrite of their bucket folds away. Stream ≡ batch replay and
+    * redelivery idempotence are spec-pinned; decisions equal
+    * [[admissionWriter]]'s on the same stream.
+    *
+    * Contract: ids are unique across the stream's LIFETIME except for
+    * replays (the usual content-hash / allocator discipline every other
+    * writer here assumes). A deliberate re-submission under an ALREADY
+    * ADMITTED id is indistinguishable from a replay to an append-only
+    * layout and is decided as if its own prior signatures were absent —
+    * pre-filter same-id arrivals with an id-dedup stage (the
+    * [[ingestWriter]] family's `dedupDelta`) if the source can emit
+    * them.
+    *
+    * @param stream streaming (id BIGINT, text STRING)
+    * @param tombstonesDir optional parquet dir of one id column (the
+    *        curation side writes it); null = no retirement cadence */
+  def admissionWriterBucketed(
+      stream: DataFrame, corpusDir: String, indexDir: String,
+      tombstonesDir: String = null, compactEvery: Int = 8,
+      shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      minAgree: Int = 9, threshold: Double = 0.5, nBuckets: Int = 64)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    var params: graft.operators.Dedup.SigParams = null
+    stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (params == null)
+          params = adoptSigParams(spark, indexDir,
+            shingleWidth, numHashes, bands, nBuckets)
+        admitBatchBucketed(spark, batch, corpusDir, indexDir, params,
+          minAgree, threshold, batchId)
+        if (tombstonesDir != null && (batchId + 1) % compactEvery == 0) {
+          val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
+          val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val ip = new org.apache.hadoop.fs.Path(indexDir)
+          if (fs.exists(tp) && fs.exists(ip)) {
+            graft.operators.Dedup.compactSignatureIndexStoreIncremental(
+              spark, indexDir, spark.read.parquet(tombstonesDir))
+            spark.catalog.refreshByPath(indexDir)
+          }
+        }
+    }
+  }
+
+  /** One micro-batch of [[admissionWriterBucketed]] (exposed for the
+    * stream ≡ batch spec and batch-mode backfill). */
+  private[graft] def admitBatchBucketed(
+      spark: SparkSession, batch: DataFrame,
+      corpusDir: String, indexDir: String,
+      params: graft.operators.Dedup.SigParams,
+      minAgree: Int, threshold: Double, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val b = batch.select(col("id"), col("text"))
+    val hasIndex = {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    // decisions are COMPUTED (localCheckpoint) before the appends below
+    // sever any chance of the plan observing its own output
+    val decisions = graft.CacheScope.materializeAndRelease(
+      if (hasIndex)
+        Dedup.admitIncrementalStored(b, "id", "text", spark, indexDir,
+          params.shingleWidth, params.numHashes, params.bands,
+          minAgree, threshold, params.nBuckets, excludeOwnIds = true)
+      else
+        // first batch: no standing index — within-batch stage only
+        Dedup.admitIncremental(b, "id", "text",
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sig",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType))))),
+          params.shingleWidth, params.numHashes, params.bands,
+          minAgree, threshold)) { dec =>
+      dec.localCheckpoint()
+    }
+    val admitted = b
+      .join(decisions.filter(col("status") === "admitted").select("id"),
+        Seq("id"), "left_semi")
+      .persist()
+    // corpus: batch-scoped overwrite (replay rewrites, never duplicates)
+    admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    // index: append-only bucketed layout (replay duplicates absorbed by
+    // the probe's candidate dedup; see admissionWriterBucketed scaladoc)
+    Dedup.appendSignatureIndexStore(admitted, "id", "text", indexDir,
+      params.shingleWidth, params.numHashes, params.bands, params.nBuckets)
+    admitted.unpersist()
+    decisions.unpersist()
+    spark.catalog.refreshByPath(corpusDir)
+    spark.catalog.refreshByPath(indexDir)
   }
 
   /** Chunk-grain RAG ingestion transform — the q157/q158 pipeline

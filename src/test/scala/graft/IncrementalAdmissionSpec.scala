@@ -702,6 +702,78 @@ class IncrementalAdmissionSpec extends SparkSpec {
     }
   }
 
+  test("bucketed streaming admission: decisions ≡ batch=-layout writer; redelivery idempotent even over landed signatures; retirement re-admits") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_admbucketed").toString
+    val textB = "bravo document with its own register sprocket flywheel " +
+      "camshaft piston gasket manifold throttle venturi carburetor"
+    val textC = "charlie document disjoint again lighthouse breakwater " +
+      "quay bollard mooring fathom spindrift gunwale transom keelson"
+    val waves: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> baseText, 2L -> textB),
+      Seq(10L -> (baseText + " echo tail"), // dup_existing of 1 (cross-batch)
+        11L -> textC, 12L -> textC),        // twins: keeper + dup_batch
+      Seq(20L -> (textB + " second echo"))) // dup_existing of 2
+    def drive(writer: (org.apache.spark.sql.DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+        tag: String): Set[Long] = {
+      val (corpus, index) = (s"$dir/$tag/corpus", s"$dir/$tag/index")
+      val src = MemoryStream[(Long, String)]
+      val q = writer(src.toDF.toDF("id", "text"), corpus, index)
+        .option("checkpointLocation", s"$dir/$tag/ckpt").start()
+      try waves.foreach { w => src.addData(w: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.read.parquet(corpus).select("id").as[Long].collect().toSet
+    }
+    val batchLayout = drive((s, c, i) =>
+      graft.streaming.StreamingIngest.admissionWriter(s, c, i), "flat")
+    val bucketed = drive((s, c, i) =>
+      graft.streaming.StreamingIngest.admissionWriterBucketed(s, c, i,
+        nBuckets = 16), "bkt")
+    assert(bucketed == batchLayout && bucketed == Set(1L, 2L, 11L),
+      s"bucketed=$bucketed batch-layout=$batchLayout")
+    val index = s"$dir/bkt/index"
+    assert(Dedup.readSigParams(spark, index)
+      == Some(Dedup.SigParams(3, 12, 4, 16)),
+      "bucketed admission index missing its manifest")
+    assert(new java.io.File(index).listFiles()
+      .map(_.getName).count(_.startsWith("bucket=")) > 1,
+      "index is not bucket-partitioned")
+
+    // WORST-CASE redelivery: the crashed attempt already appended the
+    // batch's own signatures; the re-decision must exclude them (docs
+    // would otherwise fold onto themselves as dup_existing) and the
+    // corpus slice must REWRITE, not duplicate
+    val corpus = s"$dir/bkt/corpus"
+    val params = Dedup.readSigParams(spark, index).get
+    val freshD = "delta document on its own footing astrolabe quadrant " +
+      "nocturnal almucantar alidade torquetum armilla dioptra"
+    val b3 = Seq(30L -> freshD).toDF("id", "text")
+    Dedup.appendSignatureIndexStore(b3, "id", "text", index,
+      params.shingleWidth, params.numHashes, params.bands, params.nBuckets)
+    graft.streaming.StreamingIngest.admitBatchBucketed(
+      spark, b3, corpus, index, params, 9, 0.5, batchId = 3L)
+    graft.streaming.StreamingIngest.admitBatchBucketed(
+      spark, b3, corpus, index, params, 9, 0.5, batchId = 3L)
+    val ids = spark.read.parquet(corpus).select("id").as[Long].collect()
+    assert(ids.count(_ == 30L) == 1 && ids.toSet == Set(1L, 2L, 11L, 30L),
+      s"redelivery broke the corpus: ${ids.toSeq.sorted}")
+
+    // retirement through the INCREMENTAL compactor: retired content
+    // re-admits; the replay-duplicated rows of bucket(s) holding doc 30
+    // fold away when touched
+    Dedup.compactSignatureIndexStoreIncremental(spark, index,
+      Seq(1L).toDF("id"))
+    graft.streaming.StreamingIngest.admitBatchBucketed(
+      spark, Seq(40L -> (baseText + " echo tail")).toDF("id", "text"),
+      corpus, index, params, 9, 0.5, batchId = 4L)
+    val after = spark.read.parquet(corpus).select("id").as[Long].collect().toSet
+    assert(after == Set(1L, 2L, 11L, 30L, 40L),
+      s"retired content did not re-admit through the bucketed loop: $after")
+  }
+
   test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
     val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
     val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")
