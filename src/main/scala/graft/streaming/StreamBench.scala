@@ -450,9 +450,19 @@ object StreamBench {
     // not the sig-array rewrite constant".
     val retireSlabs = sys.env.getOrElse("STREAM_BENCH_RETIRE_SLABS", "8").toInt
     val retireTombs = 20
-    val admProbeDocs = 100
-    val (retIncSec, retFullSec, retRows, admFlatSec, admBucketSec) = {
-      val rDir = s"$dir/sig_retire"       // bucketed layout (64 buckets)
+    // admission study shape: a SMALL micro-batch against a GROWING index
+    // — production's ratio. 10 docs × 4 bands = ≤40 matched band buckets
+    // of 1024, so the bucketed probe's index-side read is bounded by
+    // matched-bucket occupancy while the flat layout re-reads everything;
+    // rows_read is recorded as the deterministic signal (wall-time at
+    // this corpus scale is dominated by the fixed per-decision plan
+    // overhead — the within-batch LSH + converged-components stage —
+    // which is identical for both layouts).
+    val admProbeDocs = 10
+    val admBuckets = 1024
+    val (retIncSec, retFullSec, retRows,
+        admFlatSec, admBucketSec, admFlatRows, admBucketRows) = {
+      val rDir = s"$dir/sig_retire"       // bucketed layout (1024 buckets)
       val rFlat = s"$dir/sig_retire_flat" // batch= layout twin
       import graft.operators.Dedup
       def slabDocs(offset: Long, n: Int) =
@@ -463,8 +473,8 @@ object StreamBench {
             lit(" alpha beta gamma delta epsilon zeta eta theta iota"),
             lit(" kappa lambda mu nu xi omicron pi rho sigma tau")).as("text"))
       // fixed probe batch, built once: near-dups of slab-0 docs + fresh
-      // (decisions are constant across slabs, so time moves only with
-      // the INDEX-side work)
+      // (decisions are constant across slabs, so the index side is the
+      // only thing that moves)
       val probe = slabDocs(30000000L, admProbeDocs / 2)
         .select((col("doc_id") + 90000000L).as("doc_id"),
           concat(col("text"), lit(" admission probe tail")).as("text"))
@@ -474,15 +484,24 @@ object StreamBench {
             col("id").cast("string"),
             lit(" quern millrace sluice weir leat penstock")).as("text")))
         .localCheckpoint()
+      // the probe's matched bucket set (computed once — geometry-fixed)
+      val matchedBuckets = Dedup.signatureIndex(probe, "doc_id", "text")
+        .select(explode(
+          Dedup.bandKeysFromSig(col("sig"), 4, 3)).as("bkey"))
+        .select(Dedup.bandBucket(col("bkey"), admBuckets).as("bucket"))
+        .distinct().collect().map(_.getLong(0))
       val incT = scala.collection.mutable.Buffer[Double]()
       val fullT = scala.collection.mutable.Buffer[Double]()
       val flatDecT = scala.collection.mutable.Buffer[Double]()
       val bktDecT = scala.collection.mutable.Buffer[Double]()
+      val flatRows = scala.collection.mutable.Buffer[Long]()
+      val bktRows = scala.collection.mutable.Buffer[Long]()
       val sizes = scala.collection.mutable.Buffer[Long]()
       (0 until retireSlabs).foreach { i =>
         val off = 30000000L + i.toLong * slabRows
         val slab = slabDocs(off, slabRows).localCheckpoint()
-        Dedup.appendSignatureIndexStore(slab, "doc_id", "text", rDir)
+        Dedup.appendSignatureIndexStore(slab, "doc_id", "text", rDir,
+          nBuckets = admBuckets)
         Dedup.signatureIndex(slab, "doc_id", "text")
           .write.mode("overwrite").parquet(s"$rFlat/batch=$i")
         slab.unpersist()
@@ -490,9 +509,12 @@ object StreamBench {
         spark.catalog.refreshByPath(rFlat)
         sizes += spark.read.parquet(rDir).select("id").distinct().count()
         // ADMISSION growth (admissionWriter vs admissionWriterBucketed
-        // per-batch decision cost): the batch= layout's decision reads
-        // the WHOLE standing index every micro-batch; the bucketed
-        // layout's reads only the probe's matched band buckets
+        // per-batch decision): index-side rows READ per decision —
+        // the flat layout's decision join reads the whole standing
+        // index, the bucketed one only the matched bucket dirs
+        flatRows += spark.read.parquet(rFlat).count()
+        bktRows += spark.read.parquet(rDir)
+          .filter(col("bucket").isin(matchedBuckets.toSeq: _*)).count()
         val tf = System.nanoTime()
         graft.CacheScope.materializeAndRelease(
           Dedup.admitIncremental(probe, "doc_id", "text",
@@ -515,7 +537,8 @@ object StreamBench {
           spark.range(off + 100, off + 100 + retireTombs).toDF("id"))
         fullT += (System.nanoTime() - t1) / 1e9
       }
-      (incT.toSeq, fullT.toSeq, sizes.toSeq, flatDecT.toSeq, bktDecT.toSeq)
+      (incT.toSeq, fullT.toSeq, sizes.toSeq,
+        flatDecT.toSeq, bktDecT.toSeq, flatRows.toSeq, bktRows.toSeq)
     }
 
     val totalRows = rowsPerBatch.toLong * nBatches
@@ -571,8 +594,10 @@ object StreamBench {
       s""""store_docs":${retRows.mkString("[", ",", "]")},""" +
       s""""incremental_sec":${fmt(retIncSec)},"full_sec":${fmt(retFullSec)}},""" +
       s""""admission_study":{"slabs":$retireSlabs,"slab_rows":$slabRows,""" +
-      s""""probe_docs":$admProbeDocs,""" +
+      s""""probe_docs":$admProbeDocs,"nbuckets":$admBuckets,""" +
       s""""store_docs":${retRows.mkString("[", ",", "]")},""" +
+      s""""flat_rows_read":${admFlatRows.mkString("[", ",", "]")},""" +
+      s""""bucketed_rows_read":${admBucketRows.mkString("[", ",", "]")},""" +
       s""""flat_sec":${fmt(admFlatSec)},"bucketed_sec":${fmt(admBucketSec)},""" +
       f""""flatness_flat":${flatness(admFlatSec)}%.3f,""" +
       f""""flatness_bucketed":${flatness(admBucketSec)}%.3f},""" +

@@ -944,6 +944,13 @@ object StreamingIngest {
     * [[ingestWriter]] family's `dedupDelta`) if the source can emit
     * them.
     *
+    * Sizing: the pruning wins when `|batch|·bands ≪ nBuckets` — a
+    * micro-batch's matched-bucket set must be a small fraction of the
+    * directory count, or every probe matches every bucket and the scan
+    * degenerates to the flat layout's. Size nBuckets to ≥ 10× the
+    * expected batch's band-key count (the default 64 suits tens-of-docs
+    * batches; use thousands for larger ones).
+    *
     * @param stream streaming (id BIGINT, text STRING)
     * @param tombstonesDir optional parquet dir of one id column (the
     *        curation side writes it); null = no retirement cadence */
