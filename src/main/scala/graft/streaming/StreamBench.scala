@@ -465,13 +465,18 @@ object StreamBench {
       val rDir = s"$dir/sig_retire"       // bucketed layout (1024 buckets)
       val rFlat = s"$dir/sig_retire_flat" // batch= layout twin
       import graft.operators.Dedup
+      // per-doc UNIQUE word soup (hash-derived tokens): mostly-identical
+      // fixture texts collapse the minhash band-key space — the whole
+      // store lands in a handful of buckets and every probe "matches"
+      // most of it, which is a fixture artifact, not the layout's
+      // behavior (first recording of this study measured exactly that:
+      // 58% of the store matched by a 10-doc probe)
       def slabDocs(offset: Long, n: Int) =
         spark.range(0, n.toLong).select(
           (col("id") + offset).as("doc_id"),
-          concat(lit("retirement payload number "),
-            (col("id") + offset).cast("string"),
-            lit(" alpha beta gamma delta epsilon zeta eta theta iota"),
-            lit(" kappa lambda mu nu xi omicron pi rho sigma tau")).as("text"))
+          concat_ws(" ", (0 until 20).map(j =>
+            substring(sha2(concat((col("id") + offset).cast("string"),
+              lit(s"_w$j")), 256), 1, 8)): _*).as("text"))
       // fixed probe batch, built once: near-dups of slab-0 docs + fresh
       // (decisions are constant across slabs, so the index side is the
       // only thing that moves)
