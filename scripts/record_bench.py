@@ -13,6 +13,7 @@ Usage:
     python3 scripts/record_bench.py <round> [bench_self_path]
 """
 import json
+import subprocess
 import sys
 
 
@@ -47,8 +48,18 @@ def main():
     if errors:
         fail(f"bench recorded errored queries: {errors}")
 
+    # the sha this artifact measured (r15 verdict #5: BENCH_FULL predated
+    # the round's final commits by hours with nothing recording which
+    # code was timed) — run AFTER the last code commit and the artifact
+    # says so
+    try:
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True).stdout.strip()
+    except Exception:
+        head = None
     out = {
         "round": rnd,
+        "head": head,
         "metric": "total",
         "value": self_data.get("value"),
         "value_min": self_data.get("value_min"),
