@@ -115,14 +115,19 @@ object Ann {
       dir: String,
       dim: Int,
       nPlanes: Int): Unit = {
-    graft.sources.Sinks.writePartitioned(
-      docs.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes)),
-      dir, "bucket")
     // the layout parameters travel with the data (r15 verdict #2: this
     // layout trusted the CALLER's nPlanes — a mismatched probe computes
     // different bucket ids, prunes to the wrong directories, and is
     // silently incorrect). nTables = 1 marks the single-table family.
-    writeGeometry(docs.sparkSession, dir, StoreGeometry(dim, nPlanes, 1))
+    // Data + manifest publish in ONE rename (r16 ADVICE #1: an in-place
+    // overwrite then a post-hoc stamp has a crash window exposing a
+    // store rebuilt at a NEW geometry with no manifest).
+    val spark = docs.sparkSession
+    graft.sources.Sinks.publishDir(spark, dir, tmp => {
+      docs.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      writeGeometry(spark, tmp, StoreGeometry(dim, nPlanes, 1))
+    })
   }
 
   /** Stamp the single-table `_GEOMETRY` manifest onto a bucketed-corpus
@@ -134,10 +139,30 @@ object Ann {
   def stampBucketedGeometry(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       dim: Int, nPlanes: Int): Unit = {
-    readGeometry(spark, dir).foreach { g =>
-      require(g == StoreGeometry(dim, nPlanes, 1),
-        s"stamp at geometry (dim=$dim, nPlanes=$nPlanes) against a " +
-          s"bucketed corpus whose manifest says $g: $dir")
+    readGeometry(spark, dir) match {
+      case Some(g) =>
+        require(g == StoreGeometry(dim, nPlanes, 1),
+          s"stamp at geometry (dim=$dim, nPlanes=$nPlanes) against a " +
+            s"bucketed corpus whose manifest says $g: $dir")
+      case None =>
+        // refuse to make an UNVERIFIED geometry authoritative over
+        // pre-existing data (r16 ADVICE #3): restarting a pre-manifest
+        // streamed index under a changed nPlanes would stamp a wrong
+        // manifest here, and the Auto probe would then confidently
+        // prune to the wrong directories — the exact silent-wrongness
+        // the manifest exists to kill. A fresh (empty) target is the
+        // only pre-manifest dir this may stamp.
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(path) && fs.listStatus(path).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        require(!hasData,
+          s"stampBucketedGeometry: $dir already holds bucket= data but " +
+            s"no _GEOMETRY manifest — stamping the caller's geometry " +
+            s"unverified would make a possibly-wrong layout " +
+            s"authoritative; rebuild via Ann.writeBucketedCorpus (which " +
+            s"publishes data + manifest atomically) or re-bucket the " +
+            s"store at a declared geometry first")
     }
     writeGeometry(spark, dir, StoreGeometry(dim, nPlanes, 1))
   }

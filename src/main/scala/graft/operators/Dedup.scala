@@ -1319,16 +1319,20 @@ object Dedup {
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
       nBuckets: Int = 64): Unit = {
     val rowsPerBand = numHashes / bands
-    graft.sources.Sinks.writePartitioned(
-      signatureIndex(docs, idCol, textCol, shingleWidth, numHashes)
-        .select(col("id"), col("sig"),
-          explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
-        .withColumn("bucket", bandBucket(col("bkey"), nBuckets)),
-      dir, "bucket")
-    // the write is a full overwrite, so stamping (possibly new)
-    // parameters is always consistent with the data just published
-    writeSigParams(docs.sparkSession, dir,
-      SigParams(shingleWidth, numHashes, bands, nBuckets))
+    val rows = signatureIndex(docs, idCol, textCol, shingleWidth, numHashes)
+      .select(col("id"), col("sig"),
+        explode(bandKeysFromSig(col("sig"), bands, rowsPerBand)).as("bkey"))
+      .withColumn("bucket", bandBucket(col("bkey"), nBuckets))
+    // data + manifest publish in ONE rename (r16 ADVICE #1: an in-place
+    // overwrite followed by a post-hoc stamp has a crash window that
+    // leaves a store rebuilt at NEW parameters with no manifest, which
+    // pre-manifest fallback then probes at the configured old ones)
+    val spark = docs.sparkSession
+    graft.sources.Sinks.publishDir(spark, dir, tmp => {
+      rows.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      writeSigParams(spark, tmp,
+        SigParams(shingleWidth, numHashes, bands, nBuckets))
+    })
   }
 
   /** Append ONE batch of signatures into a [[writeSignatureIndexStore]]
@@ -1548,13 +1552,106 @@ object Dedup {
       spark, indexDir, partCol + "=", touched.toIndexedSeq,
       _.join(broadcast(retire), Seq("id"), "left_anti"),
       dropEmptied = true)
-    // an all-retired store must stay READABLE (the full form's sentinel
-    // discipline): if every partition directory retired, re-emit one
-    // empty schema-bearing file inside a sentinel partition dir. The
-    // root listing runs ONLY when no touched dir survived its rewrite —
-    // if any did, the store certainly still has a readable partition —
-    // so the common cycle costs O(touched) existence probes, never
-    // O(store dirs)
+    ensureRetireSentinel(spark, indexDir, partCol,
+      touched.toIndexedSeq, df.schema)
+    compacted
+  }
+
+  /** O(tombstones) retirement — [[compactSignatureIndexStoreIncremental]]
+    * with the DISCOVERY scan removed (r16 verdict #2: the scan form's
+    * discovery reads every (partition, id) row in the store per cycle —
+    * column-pruned but O(store), the growth term in retire_study's
+    * 3.7→6.1 s series). A retired id's signatures live in exactly the
+    * band-bucket directories its TEXT hashes to — bucket =
+    * [[bandBucket]]([[bandKeysFromSig]]([[signatureIndex]](text))), a
+    * pure function of the text and the store's `_SIGPARAMS` — so
+    * text-bearing tombstones compute their candidate directories with
+    * ZERO store reads. Each candidate is then VERIFIED with a
+    * column-pruned (id) read of just those directories before any
+    * rewrite, which keeps repeated folds of a CUMULATIVE tombstone set
+    * (the [[graft.streaming.StreamingIngest.admissionWriterBucketed]]
+    * cadence re-reads the same tombstonesDir every cycle) convergent:
+    * once folded, a tombstone's candidate dirs hold none of its rows
+    * and the cycle costs O(tombstone-matched dirs) reads, never a
+    * rewrite — and never O(store) anything. The rewrite itself is the
+    * same touched-dir-only [[graft.sources.Sinks
+    * .compactPartitionDirsExplicit]] fold, decision-equivalent to the
+    * whole-set subtraction (oracle-gated like q197; spec pins byText ≡
+    * scan discovery).
+    *
+    * Contract: tombstone text must be the content the id was ADMITTED
+    * with (curation holds the corpus row it is dropping) — different
+    * text computes different buckets and silently misses the stored
+    * rows; id-only callers use the scan form.
+    *
+    * @param tombstones (id, text) — id typed like the store's id column
+    * @return the rewritten partition directory names */
+  def compactSignatureIndexStoreIncrementalByText(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      tombstones: DataFrame): Seq[String] = {
+    graft.sources.Sinks.recoverSwap(spark, indexDir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, indexDir)
+    val p = readSigParams(spark, indexDir).getOrElse(throw
+      new IllegalArgumentException(
+        s"compactSignatureIndexStoreIncrementalByText: no $SigParamsFile " +
+          s"manifest in $indexDir — text-derived discovery must compute " +
+          s"buckets at the STORE's parameters; pre-manifest stores use " +
+          s"the scan form (compactSignatureIndexStoreIncremental)"))
+    require(p.nBuckets > 0,
+      s"compactSignatureIndexStoreIncrementalByText: $indexDir is not a " +
+        s"band-bucket layout ($SigParamsFile says $p) — text-derived " +
+        s"discovery only maps onto bucket= directories; use the scan form")
+    val retire = tombstones.select(col("id"), col("text")).distinct()
+      .transform(graft.CacheScope.pin) // bucket derivation + verify + fold
+    val rowsPerBand = p.numHashes / p.bands
+    // candidate buckets: pure function of tombstone text + manifest —
+    // O(|tombstones|·bands) values, zero store rows read
+    val candBuckets = signatureIndex(retire, "id", "text",
+        p.shingleWidth, p.numHashes)
+      .select(explode(
+        bandKeysFromSig(col("sig"), p.bands, rowsPerBand)).as("bkey"))
+      .select(bandBucket(col("bkey"), p.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dropEmptied prior fold may have retired a candidate's whole dir
+    val present = candBuckets.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"bucket=$b")))
+    if (present.isEmpty) return Seq.empty
+    // verify before rewriting: a column-pruned (id) read of ONLY the
+    // candidate directories — already-folded tombstones match nothing
+    // here, so cumulative tombstone sets converge to read-only cycles
+    val ids = retire.select("id")
+    val touched = spark.read.option("basePath", indexDir)
+      .parquet(present.map(b => s"$indexDir/bucket=$b").toIndexedSeq: _*)
+      .select(col("bucket"), col("id"))
+      .join(broadcast(ids), Seq("id"), "left_semi")
+      .select("bucket").distinct()
+      .collect().map(r => s"bucket=${r.get(0)}")
+    if (touched.isEmpty) return Seq.empty
+    val schema = spark.read.option("basePath", indexDir)
+      .parquet(present.map(b => s"$indexDir/bucket=$b").toIndexedSeq: _*)
+      .schema
+    val compacted = graft.sources.Sinks.compactPartitionDirsExplicit(
+      spark, indexDir, "bucket=", touched.toIndexedSeq,
+      _.join(broadcast(ids), Seq("id"), "left_anti"),
+      dropEmptied = true)
+    ensureRetireSentinel(spark, indexDir, "bucket",
+      touched.toIndexedSeq, schema)
+    compacted
+  }
+
+  /** An all-retired store must stay READABLE (the full form's sentinel
+    * discipline): if every partition directory retired, re-emit one
+    * empty schema-bearing file inside a sentinel partition dir. The
+    * root listing runs ONLY when no touched dir survived its rewrite —
+    * if any did, the store certainly still has a readable partition —
+    * so the common cycle costs O(touched) existence probes, never
+    * O(store dirs). */
+  private def ensureRetireSentinel(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      partCol: String, touched: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val anyTouchedLeft = touched.exists(n =>
@@ -1562,14 +1659,66 @@ object Dedup {
     val anyLeft = anyTouchedLeft || fs.listStatus(root).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
     if (!anyLeft)
-      // from a FRESH empty frame, not df.limit(0): df's scan would list
-      // the source files at execution time, and they were just removed
+      // from a FRESH empty frame, not store.limit(0): that scan would
+      // list the source files at execution time, just removed
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(
-            df.schema.filterNot(_.name == partCol)))
+            schema.filterNot(_.name == partCol)))
         .write.mode("overwrite").parquet(s"$indexDir/$partCol=-1")
     spark.catalog.refreshByPath(indexDir)
-    compacted
+  }
+
+  /** RE-BUCKET the signature-index store to a new directory count (r16
+    * verdict #1 — the [[graft.operators.Ann.regeometryMultiTableCorpus]]
+    * move on the dedup side): fixed nBuckets means per-decision
+    * rows-read grows linearly with the store (bucket occupancy ≈
+    * indexRows / nBuckets; admission_study recorded 1,488→11,550 rows
+    * per decision over 8× growth at nBuckets=1024 — a constant fraction,
+    * not a constant). The stored `bkey` column already determines the
+    * new layout — bucket = [[bandBucket]](bkey, newBuckets) — so
+    * re-bucketing is ONE repartition of existing rows: no signature
+    * recomputation, no source text, one deliberate O(store) background
+    * pass behind the crash-safe whole-dir swap. The NEW `_SIGPARAMS`
+    * manifest is written into the tmp dir BEFORE the publish rename, so
+    * layout and parameters publish atomically — a probe can never pair
+    * new directories with the old bucket count — and (id, bkey) replay
+    * duplicates from the append-only streaming layout fold away in
+    * passing. Probes through [[admitIncrementalStoredAuto]] and writers
+    * that adopt the manifest continue seamlessly at the new count;
+    * decisions are unchanged by construction (the same (id, sig, bkey)
+    * rows, re-laid-out — oracle-gated by q198). [[graft.streaming
+    * .StreamingIngest.admissionWriterBucketed]]'s `targetRowsPerBucket`
+    * pulls this lever automatically at the occupancy threshold. */
+  def rebucketSignatureIndexStore(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    // heal BOTH swap grains before reading the manifest (the
+    // compactMultiTableCorpus discipline): in a crash window the
+    // manifest sits with the data in the aside slot
+    graft.sources.Sinks.recoverSwap(spark, indexDir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, indexDir)
+    val p = readSigParams(spark, indexDir).getOrElse(throw
+      new IllegalArgumentException(
+        s"rebucketSignatureIndexStore: no $SigParamsFile manifest in " +
+          s"$indexDir — a pre-manifest store's layout is undeclared; " +
+          s"rebuild via writeSignatureIndexStore instead"))
+    require(p.nBuckets > 0,
+      s"rebucketSignatureIndexStore: $indexDir is not a band-bucket " +
+        s"layout ($SigParamsFile says $p)")
+    graft.sources.Sinks.swapInPlace(spark, indexDir, (df, tmp) => {
+      val keep = df.select(col("id"), col("sig"), col("bkey"))
+        .dropDuplicates("id", "bkey") // sig is a pure function of the id's text
+        .withColumn("bucket", bandBucket(col("bkey"), newBuckets))
+      // an all-retired (sentinel-only) store re-buckets to a readable
+      // sentinel again — a partitioned write of zero rows emits nothing
+      if (keep.isEmpty)
+        keep.drop("bucket").write.mode("overwrite").parquet(s"$tmp/bucket=-1")
+      else
+        keep.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      writeSigParams(spark, tmp, p.copy(nBuckets = newBuckets))
+    })
   }
 }

@@ -74,6 +74,100 @@ object Sinks {
     spark.catalog.refreshByPath(dir)
   }
 
+  /** Fold a `batch=`-sliced store's per-batch directories into ONE
+    * `batch=-1` folded slice (r16 verdict #4): the streaming admission
+    * writers land one replay-idempotent overwrite slice per micro-batch,
+    * so a long-lived store's directory count — and every reader's
+    * listing cost — grows with stream lifetime. The fold keeps the
+    * HIGHEST batch id as its own slice, because that is the only one an
+    * at-least-once foreachBatch redelivery can still rewrite (batches
+    * commit in order; once batch N+1 ran, batch N can never replay), so
+    * the replay contract survives the fold. Logical content is
+    * unchanged; the `batch` value of folded rows becomes -1 (slice
+    * identity is a replay mechanism, not data). Root `_` manifest files
+    * (`_SIGPARAMS` on the flat admission index) are carried into the
+    * new store, and the whole publish rides [[swapInPlace]]'s
+    * crash-safe rename-aside. Cost is O(store) per fold — run on a slow
+    * cadence (the retirement multiple), not per batch; between folds
+    * the listing is bounded by the cadence.
+    *
+    * @return true when a fold ran (≥ `minDirs` slices present) */
+  def foldBatchSlices(
+      spark: SparkSession, dir: String, minDirs: Int = 3): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, dir)
+    if (!fs.exists(root)) return false
+    val slices = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    if (slices.length < math.max(minDirs, 2)) return false
+    val maxBatch = slices.max
+    swapInPlace(spark, dir, (df, tmp) => {
+      df.filter(col("batch") =!= lit(maxBatch)).drop("batch")
+        .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+      df.filter(col("batch") === lit(maxBatch)).drop("batch")
+        .write.mode("overwrite").parquet(s"$tmp/batch=$maxBatch")
+      // root manifests travel with the data (the swap discipline)
+      fs.listStatus(root).filter(s => s.isFile &&
+          s.getPath.getName.startsWith("_") &&
+          s.getPath.getName != "_SUCCESS")
+        .foreach { s =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+            new org.apache.hadoop.fs.Path(tmp, s.getPath.getName),
+            false, spark.sparkContext.hadoopConfiguration)
+        }
+    })
+    true
+  }
+
+  /** Crash-safe PUBLISH of a freshly-BUILT parquet directory (the
+    * rebuild twin of [[swapInPlace]], which rewrites from the live
+    * dir's own contents): `write(tmp)` materializes the new store —
+    * data AND any root manifests (`_SIGPARAMS`, `_GEOMETRY`) — into a
+    * sibling tmp dir, which then renames into place, replacing a live
+    * dir via the same rename-aside discipline or plain-renaming in when
+    * the target does not exist. Data and manifests publish in ONE
+    * rename, so no crash window can expose rebuilt data without the
+    * manifest that describes its layout (r16 ADVICE #1: a full
+    * overwrite followed by a post-hoc stamp leaves a store rebuilt at
+    * NEW parameters that pre-manifest fallback then probes at the
+    * CONFIGURED ones — the silent-mispruning class the manifests exist
+    * to kill). Crash windows all heal: stale tmp is debris cleared on
+    * the next attempt; live-missing + aside-present is [[recoverSwap]]'s
+    * window (the complete PREVIOUS store, manifest included, swaps
+    * back). Not atomic for concurrent readers — sequential maintenance
+    * contexts only, like every swap here. */
+  private[graft] def publishDir(
+      spark: SparkSession, dir: String, write: String => Unit): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".swap.tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".swap.old")
+    if (fs.exists(old))
+      require(fs.delete(old, true), s"publishDir: delete of superseded $old failed")
+    if (fs.exists(tmp))
+      require(fs.delete(tmp, true), s"publishDir: delete of stale $tmp failed")
+    write(tmp.toString)
+    if (fs.exists(path)) {
+      require(fs.rename(path, old), s"publishDir: rename $path -> $old failed")
+      if (!fs.rename(tmp, path)) {
+        fs.rename(old, path) // restore: old is the complete previous store
+        throw new IllegalStateException(
+          s"publishDir: rename $tmp -> $path failed (store restored from $old)")
+      }
+      require(fs.delete(old, true) || !fs.exists(old),
+        s"publishDir: delete of superseded $old failed")
+    } else {
+      val parent = path.getParent
+      if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+      require(fs.rename(tmp, path), s"publishDir: rename $tmp -> $path failed")
+    }
+    spark.catalog.refreshByPath(dir)
+  }
+
   /** Heal a crash-interrupted [[swapInPlace]]: live dir missing + aside
     * present → rename the aside (the complete previous store) back in. */
   private[graft] def recoverSwap(spark: SparkSession, dir: String): Unit = {

@@ -774,6 +774,332 @@ class IncrementalAdmissionSpec extends SparkSpec {
       s"retired content did not re-admit through the bucketed loop: $after")
   }
 
+  // ~40 distinct indexed tokens per doc — docs are pairwise far apart,
+  // so retirement/rebucket fixtures control exactly who collides
+  private def distinctText(i: Long): String =
+    (1 to 40).map(w => s"t${i}w$w").mkString(" ")
+
+  test("rebucketSignatureIndexStore: decisions invariant, manifest republished atomically, appends continue at the new count, sentinel store survives (r16 verdict #1)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_rebucket").toString + "/index"
+    val ex = (0L until 8L).map(i => i -> distinctText(i)).toDF("doc_id", "text")
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", dir, nBuckets = 8)
+    val inc = Seq(
+      100L -> (distinctText(3) + " echo"), // dup_existing of 3
+      101L -> distinctText(900L))          // fresh
+      .toDF("doc_id", "text")
+    def decide(frame: org.apache.spark.sql.DataFrame) =
+      Dedup.admitIncrementalStoredAuto(frame, "doc_id", "text", spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+    val before = decide(inc)
+    assert(before(100L) == ("dup_existing", 3L) &&
+      before(101L)._1 == "admitted", s"fixture broken: $before")
+    Dedup.rebucketSignatureIndexStore(spark, dir, 64)
+    assert(Dedup.readSigParams(spark, dir)
+      == Some(Dedup.SigParams(3, 12, 4, 64)),
+      "rebucket did not republish the manifest")
+    assert(decide(inc) == before,
+      "re-bucketing changed admission decisions")
+    // the store keeps WORKING at the new count: append at the adopted
+    // parameters, then a near-dup of the appended doc folds onto it
+    val p = Dedup.readSigParams(spark, dir).get
+    Dedup.appendSignatureIndexStore(
+      Seq(200L -> distinctText(901L)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, p.shingleWidth, p.numHashes, p.bands,
+      p.nBuckets)
+    val d2 = decide(Seq(300L -> (distinctText(901L) + " tail"))
+      .toDF("doc_id", "text"))
+    assert(d2(300L) == ("dup_existing", 200L), s"post-rebucket append: $d2")
+    // a pre-manifest / missing store refuses loudly
+    intercept[IllegalArgumentException] {
+      Dedup.rebucketSignatureIndexStore(spark, dir + "_absent", 16)
+    }
+    // an all-retired (sentinel-only) store re-buckets to a READABLE one
+    Dedup.compactSignatureIndexStore(spark, dir,
+      (Seq(200L) ++ (0L until 8L)).toDF("id"))
+    Dedup.rebucketSignatureIndexStore(spark, dir, 16)
+    assert(spark.read.parquet(dir).count() == 0L,
+      "all-retired store must stay readable through a rebucket")
+    assert(Dedup.readSigParams(spark, dir)
+      == Some(Dedup.SigParams(3, 12, 4, 16)))
+  }
+
+  test("auto-rebucket: the bucketed admission writer grows nBuckets at the occupancy threshold; decisions ≡ a fixed-bucket run; restart adopts the migrated count") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_autorebucket").toString
+    val waves: Seq[Seq[(Long, String)]] =
+      (0 until 4).map(w => (0 until 4).map(i =>
+        (w * 10L + i) -> distinctText(w * 10L + i)).toSeq)
+    def drive(tag: String, target: Long): Set[Long] = {
+      val (corpus, index) = (s"$dir/$tag/corpus", s"$dir/$tag/index")
+      val src = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingIngest.admissionWriterBucketed(
+          src.toDF.toDF("id", "text"), corpus, index,
+          nBuckets = 4, targetRowsPerBucket = target, maxBuckets = 256)
+        .option("checkpointLocation", s"$dir/$tag/ckpt").start()
+      try waves.foreach { w => src.addData(w: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.read.parquet(corpus).select("id").as[Long].collect().toSet
+    }
+    // 16 admitted docs × 4 bands = 64 index rows; target 4 rows/bucket
+    // forces growth past the initial 4 buckets
+    val auto = drive("auto", target = 4L)
+    val fixed = drive("fixed", target = 0L)
+    assert(auto == fixed && auto.size == 16,
+      s"auto=$auto fixed=$fixed")
+    val migrated = Dedup.readSigParams(spark, s"$dir/auto/index").get
+    assert(migrated.nBuckets > 4,
+      s"occupancy threshold never pulled the lever: $migrated")
+    assert(Dedup.readSigParams(spark, s"$dir/fixed/index").get.nBuckets == 4)
+    // the migrated store keeps deciding correctly at its MANIFEST
+    // count (what a restarted writer adopts — the adoptSigParams path
+    // is pinned by the flat-writer adoption test; here we pin that the
+    // manifest now carries the migrated count and decisions at it fold
+    // near-dups of pre-migration docs)
+    graft.streaming.StreamingIngest.admitBatchBucketed(
+      spark, Seq(500L -> (distinctText(0L) + " echo"),
+        501L -> distinctText(777L)).toDF("id", "text"),
+      s"$dir/auto/corpus", s"$dir/auto/index", migrated,
+      9, 0.5, batchId = 100L)
+    val after = spark.read.parquet(s"$dir/auto/corpus")
+      .select("id").as[Long].collect().toSet
+    assert(after == fixed + 501L,
+      s"post-migration batch at the manifest count mis-decided: $after")
+    // a writer that did NOT adopt (configured nBuckets=4) fails loudly
+    // instead of pruning to the wrong directories
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.admitBatchBucketed(
+        spark, Seq(600L -> distinctText(888L)).toDF("id", "text"),
+        s"$dir/auto/corpus", s"$dir/auto/index",
+        Dedup.SigParams(3, 12, 4, 4), 9, 0.5, batchId = 101L)
+    }
+  }
+
+  test("byText retirement ≡ scan discovery; cumulative tombstones converge to zero-rewrite cycles; retired content re-admits (r16 verdict #2)") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_bytext").toString
+    val docs = (0L until 12L).map(i => i -> distinctText(i))
+    val ex = docs.toDF("doc_id", "text")
+    val (scanDir, textDir) = (s"$root/scan", s"$root/bytext")
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", scanDir, nBuckets = 16)
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", textDir, nBuckets = 16)
+    val tomb = Seq(2L -> distinctText(2L), 5L -> distinctText(5L))
+      .toDF("id", "text")
+    val scanTouched = Dedup.compactSignatureIndexStoreIncremental(
+      spark, scanDir, tomb.select("id"))
+    val textTouched = Dedup.compactSignatureIndexStoreIncrementalByText(
+      spark, textDir, tomb)
+    assert(textTouched.toSet == scanTouched.toSet,
+      s"byText touched $textTouched, scan touched $scanTouched")
+    def rows(d: String) = spark.read.parquet(d)
+      .select("id", "bkey", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2).toString)).toSet
+    assert(rows(textDir) == rows(scanDir),
+      "byText and scan folds left different stores")
+    // CONVERGENCE: re-folding the same (cumulative) tombstone set reads
+    // only candidate dirs, verifies they hold nothing, rewrites nothing
+    assert(Dedup.compactSignatureIndexStoreIncrementalByText(
+      spark, textDir, tomb).isEmpty,
+      "already-folded tombstones must not rewrite")
+    // retired content re-admits identically on both stores
+    val inc = Seq(1000L -> (distinctText(2L) + " returning"))
+      .toDF("doc_id", "text")
+    def decide(d: String) =
+      Dedup.admitIncrementalStoredAuto(inc, "doc_id", "text", spark, d)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(decide(textDir) == decide(scanDir)
+      && decide(textDir) == Seq((1000L, "admitted")),
+      "retired content must re-admit")
+    // contract edges: pre-manifest and flat layouts refuse loudly
+    intercept[IllegalArgumentException] {
+      Dedup.compactSignatureIndexStoreIncrementalByText(
+        spark, s"$root/absent", tomb)
+    }
+    // an ALL-retired store stays readable through the byText fold
+    Dedup.compactSignatureIndexStoreIncrementalByText(spark, textDir,
+      docs.toDF("id", "text"))
+    assert(spark.read.parquet(textDir).count() == 0L,
+      "all-retired store must stay readable")
+  }
+
+  test("bucketed chunk admission: zero-growth re-ingest, stream ≡ batch replay, decisions ≡ the batch=-layout chunk writer, redelivery idempotent (r16 verdict #3)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_chunkbkt").toString
+    def longText(tag: String): String =
+      (1 to 60).map(i => s"$tag$i").mkString(" ")
+    val textA = longText("alpha")
+    val textB = longText("beta")
+    val batches = Seq(
+      Seq(1L -> textA),
+      Seq(2L -> textA, 3L -> textB), // doc 2: every chunk dups doc 1's
+      Seq(4L -> textB))              // doc 4 dups doc 3
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIngest
+      .dedupedChunkIndexWriterBucketed(src.toDF.toDF("doc_id", "text"),
+        s"$dir/index", s"$dir/sig", nBuckets = 16)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      val counts = batches.map { b =>
+        src.addData(b: _*); q.processAllAvailable()
+        spark.read.parquet(s"$dir/index").count()
+      }
+      assert(counts == Seq(3, 6, 6), s"index growth: $counts")
+    } finally q.stop()
+    // the signature store is the BUCKETED layout with its manifest
+    assert(Dedup.readSigParams(spark, s"$dir/sig")
+      == Some(Dedup.SigParams(3, 12, 4, 16)),
+      "chunk sig store missing its bucketed manifest")
+    assert(new java.io.File(s"$dir/sig").listFiles()
+      .map(_.getName).count(_.startsWith("bucket=")) > 1,
+      "chunk sig store is not bucket-partitioned")
+    def chunkIds(d: String) = spark.read.parquet(d)
+      .select("chunk_id").as[String].collect().toSet
+    val streamed = chunkIds(s"$dir/index")
+    // ≡ the batch= chunk writer's decisions on the same stream
+    val bdir = Files.createTempDirectory("graft_chunkbkt_b").toString
+    batches.foreach { b =>
+      graft.streaming.StreamingIngest.dedupedChunkIndexBatch(
+        spark, b.toDF("doc_id", "text"), s"$bdir/index", s"$bdir/sig",
+        32, 24, 16, 3, 12, 4, 9, 0.5)
+    }
+    assert(streamed == chunkIds(s"$bdir/index"),
+      "bucketed chunk decisions diverged from the batch= writer's")
+    // ≡ sequential bucketed batch replay, and WORST-CASE redelivery
+    // (own signatures already landed) rewrites rather than duplicates
+    val rdir = Files.createTempDirectory("graft_chunkbkt_r").toString
+    val params = Dedup.SigParams(3, 12, 4, 16)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingIngest.dedupedChunkIndexBatchBucketed(
+        spark, b.toDF("doc_id", "text"), s"$rdir/index", s"$rdir/sig",
+        32, 24, 16, params, 9, 0.5, batchId = i.toLong)
+    }
+    assert(chunkIds(s"$rdir/index") == streamed)
+    graft.streaming.StreamingIngest.dedupedChunkIndexBatchBucketed(
+      spark, batches.last.toDF("doc_id", "text"), s"$rdir/index",
+      s"$rdir/sig", 32, 24, 16, params, 9, 0.5, batchId = 2L)
+    val ids = spark.read.parquet(s"$rdir/index")
+      .select("chunk_id").as[String].collect()
+    assert(ids.length == ids.distinct.length
+      && ids.toSet == streamed,
+      s"redelivery duplicated or re-decided chunks: ${ids.toSeq.sorted}")
+  }
+
+  test("foldBatchSlices: per-batch corpus dirs fold to {batch=-1, max}; content invariant; manifest carried; replay of the kept slice still rewrites (r16 verdict #4)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_fold").toString
+    val texts = (0L until 6L).map(i => i -> distinctText(i))
+    // three flat-layout admission batches: corpus AND index get batch=
+    // slices, and the index carries a root _SIGPARAMS manifest
+    texts.grouped(2).zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingIngest.admitBatch(
+        spark, b.toDF("id", "text"), s"$dir/corpus", s"$dir/index",
+        batchId = Some(i.toLong))
+    }
+    def corpusIds() = spark.read.parquet(s"$dir/corpus")
+      .select("id").as[Long].collect().toSet
+    val beforeIds = corpusIds()
+    def slices(d: String) = new java.io.File(d).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(slices(s"$dir/corpus") == Set("batch=0", "batch=1", "batch=2"))
+    assert(graft.sources.Sinks.foldBatchSlices(spark, s"$dir/corpus"))
+    assert(graft.sources.Sinks.foldBatchSlices(spark, s"$dir/index"))
+    assert(slices(s"$dir/corpus") == Set("batch=-1", "batch=2"),
+      s"fold kept ${slices(s"$dir/corpus")}")
+    assert(corpusIds() == beforeIds, "fold changed the corpus content")
+    assert(Dedup.readSigParams(spark, s"$dir/index")
+      == Some(Dedup.SigParams(3, 12, 4, 0)),
+      "fold dropped the index manifest")
+    // below the threshold: a second fold is a no-op
+    assert(!graft.sources.Sinks.foldBatchSlices(spark, s"$dir/corpus"))
+    // the kept slice is the only replayable one — redelivering it
+    // rewrites (batch-scoped overwrite), never duplicates, and its
+    // decision still excludes its own partition
+    graft.streaming.StreamingIngest.admitBatch(
+      spark, texts.grouped(2).toSeq(2).toDF("id", "text"),
+      s"$dir/corpus", s"$dir/index", batchId = Some(2L))
+    val ids = spark.read.parquet(s"$dir/corpus").select("id").as[Long].collect()
+    assert(ids.length == ids.distinct.length && ids.toSet == beforeIds,
+      s"replay after fold duplicated: ${ids.toSeq.sorted}")
+    // decisions against the folded index are unchanged: a near-dup of a
+    // FOLDED doc still folds onto it
+    val dec = Dedup.admitIncremental(
+      Seq(100L -> (distinctText(0L) + " tail")).toDF("id", "text"),
+      "id", "text",
+      spark.read.parquet(s"$dir/index").select("id", "sig"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(dec.toSeq == Seq((100L, "dup_existing", 0L)), s"got ${dec.toSeq}")
+  }
+
+  test("empty micro-batches: no schema-less index dir is ever created and later batches decide normally (r16 ADVICE #2)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_admempty").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    val params = Dedup.SigParams(3, 12, 4, 16)
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    // an empty FIRST batch used to create indexDir holding only
+    // _SIGPARAMS/_SUCCESS (a partitioned write of zero rows emits no
+    // schema-bearing part files) — the next batch's existence-based
+    // hasIndex then passed and the parquet read crashed the stream
+    graft.streaming.StreamingIngest.admitBatchBucketed(
+      spark, empty, corpus, index, params, 9, 0.5, batchId = 0L)
+    assert(!new java.io.File(index).exists(),
+      "an empty first batch must not create a schema-less index dir")
+    graft.streaming.StreamingIngest.admitBatchBucketed(
+      spark, Seq(1L -> baseText).toDF("id", "text"),
+      corpus, index, params, 9, 0.5, batchId = 1L)
+    // an empty LATER batch against a standing index is a no-op append
+    graft.streaming.StreamingIngest.admitBatchBucketed(
+      spark, empty, corpus, index, params, 9, 0.5, batchId = 2L)
+    // and the standing index still DECIDES: a near-dup of doc 1 folds
+    graft.streaming.StreamingIngest.admitBatchBucketed(
+      spark, Seq(10L -> (baseText + " echo tail")).toDF("id", "text"),
+      corpus, index, params, 9, 0.5, batchId = 3L)
+    val admitted = spark.read.parquet(corpus)
+      .select("id").as[Long].collect().toSet
+    assert(admitted == Set(1L),
+      s"decisions after empty batches wrong: $admitted")
+  }
+
+  test("store rebuild publishes data + _SIGPARAMS in one rename: heals a crash-aside store, republishes at NEW parameters, leaves no swap debris (r16 ADVICE #1)") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_sigpub").toString
+    val dir = s"$root/index"
+    val ex = (0 until 6)
+      .map(i => i.toLong -> (s"publish doc $i " + baseText))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", dir)
+    assert(Dedup.readSigParams(spark, dir)
+      == Some(Dedup.SigParams(3, 12, 4, 64)))
+    // the swapInPlace crash window: live dir renamed aside, nothing
+    // renamed back — data AND manifest sit only in the aside slot
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".swap.old")))
+    // a REBUILD at new parameters as the first post-crash operation
+    // must heal, then publish new data + new manifest in one rename
+    Dedup.writeSignatureIndexStore(ex, "doc_id", "text", dir,
+      shingleWidth = 2, numHashes = 16, bands = 8, nBuckets = 16)
+    assert(Dedup.readSigParams(spark, dir)
+      == Some(Dedup.SigParams(2, 16, 8, 16)),
+      "rebuild did not republish the manifest with the data")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".swap.tmp"))
+      && !fs.exists(new org.apache.hadoop.fs.Path(dir + ".swap.old")),
+      "rebuild left swap debris")
+    // the Auto probe decides at the REBUILT parameters
+    val dec = Dedup.admitIncrementalStoredAuto(
+        Seq(100L -> (s"publish doc 0 " + baseText)).toDF("doc_id", "text"),
+        "doc_id", "text", spark, dir, minAgree = 12)
+      .collect().map(r => r.getString(1)).toSeq
+    assert(dec == Seq("dup_existing"), s"probe after rebuild: $dec")
+  }
+
   test("plan audit: admission joins are equi-joins on band keys / ids — no cartesian, no all-pairs BNLJ") {
     val ex = (0 until 50).map(i => i.toLong -> (s"existing doc $i " + baseText.take(120))).toDF("doc_id", "text")
     val inc = (0 until 10).map(i => (1000L + i) -> (s"incoming doc $i " + baseText.take(120))).toDF("doc_id", "text")

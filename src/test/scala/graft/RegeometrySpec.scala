@@ -118,10 +118,15 @@ class RegeometrySpec extends SparkSpec {
       .localCheckpoint()
     Ann.appendMultiTableBatch(extra, dir, 8, nPlanes = 4, nTables = 3)
     assert(Ann.readGeometry(spark, dir) == Some(Ann.StoreGeometry(8, 4, 3)))
-    assert(probe(dir, queries, 4, 3).toSeq.map(t => (t._1, t._2)).toSet
-        .subsetOf(probe(dir, queries, 4, 3).map(t => (t._1, t._2))) &&
-      before.subsetOf(probe(dir, queries, 4, 3)),
+    assert(before.subsetOf(probe(dir, queries, 4, 3)),
       "append through the crash window lost prior-store candidates")
+    // and the append itself LANDED: probing with the appended doc's own
+    // vector must surface the appended doc (same bucket in every table)
+    val extraId = extra.select("id").collect().head.getString(0)
+    val extraQ = extra.select(col("id").as("qid"),
+      col("embedding").as("qvec")).localCheckpoint()
+    assert(probe(dir, extraQ, 4, 3).exists(_._2 == extraId),
+      "append through the crash window failed to land the appended doc")
 
     // a WHOLE-STORE compaction as the first post-crash operation must
     // heal before its manifest read (r15 ADVICE #1): otherwise the
@@ -229,5 +234,30 @@ class RegeometrySpec extends SparkSpec {
         "the same batches")
     assert(annRows(s"$dir/a_ann") == annRows(s"$dir/m_ann"),
       "auto-migrated store diverged from the manually migrated one")
+  }
+  test("stampBucketedGeometry refuses pre-manifest bucket= data; fresh dirs and matching manifests stamp fine (r16 ADVICE #3)") {
+    val root = Files.createTempDirectory("graft_stamp").toString
+    import spark.implicits._
+    // a pre-manifest bucketed layout: data exists, no _GEOMETRY — the
+    // caller's geometry is UNVERIFIED against it, and stamping it would
+    // make a possibly-wrong layout authoritative for the Auto probe
+    val dir = s"$root/premanifest"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+      .withColumn("bucket", lit(3L))
+      .write.partitionBy("bucket").parquet(dir)
+    intercept[IllegalArgumentException] {
+      Ann.stampBucketedGeometry(spark, dir, 8, 4)
+    }
+    assert(Ann.readGeometry(spark, dir).isEmpty,
+      "refused stamp must not leave a manifest behind")
+    // a FRESH (empty) target stamps; a restart at the same geometry
+    // re-stamps idempotently; a changed geometry fails loudly
+    val fresh = s"$root/fresh"
+    Ann.stampBucketedGeometry(spark, fresh, 8, 4)
+    Ann.stampBucketedGeometry(spark, fresh, 8, 4)
+    assert(Ann.readGeometry(spark, fresh) == Some(Ann.StoreGeometry(8, 4, 1)))
+    intercept[IllegalArgumentException] {
+      Ann.stampBucketedGeometry(spark, fresh, 8, 5)
+    }
   }
 }
