@@ -33,6 +33,25 @@ import sys
 
 GATE = 0.80  # this/prev rows-per-sec ratio below this => regression
 
+# r16 verdict #5: the growth-series flatness ratios (tail-window mean /
+# base-window mean over the slab series) are GATED, not just recorded.
+# Gated arms are the self-managing ones that are DESIGNED to be flat:
+#  - retire_study.flatness_bytext: text-derived retirement discovery
+#    reads zero store rows, so its per-cycle cost must not track store
+#    growth (the scan form's incremental_sec is the contrast arm and
+#    grows at the id-column constant by design — recorded, not gated);
+#  - admission_study.flatness_auto_rows: the occupancy-managed store's
+#    per-decision rows-read is bounded by target occupancy; between
+#    bucket-doublings it drifts up to ~2x, hence the bound;
+#  - growth.flatness_indexed / flatness_indexed_bloom: the indexed
+#    per-batch KNN path has been flat since r14 — now held to it.
+FLATNESS_GATES = {
+    ("retire_study", "flatness_bytext"): 2.0,
+    ("admission_study", "flatness_auto_rows"): 2.5,
+    ("growth", "flatness_indexed"): 2.0,
+    ("growth", "flatness_indexed_bloom"): 2.0,
+}
+
 # r13 had no STREAMBENCH artifact; these are the SCALE.md-recorded numbers
 # (5 batches x 5000 rows, dim 64, local[32]) used as the seed baseline.
 R13_SCALE_MD = {
@@ -120,6 +139,20 @@ def main():
             regressions.append({"arm": k, "prev": pv, "now": cv,
                                 "ratio": round(r, 3)})
 
+    # flatness gates read the canonical (median) run's series — a gated
+    # arm growing past its bound is a regression even when no previous
+    # round exists to compare against
+    flatness_violations = []
+    for (section, key), bound in FLATNESS_GATES.items():
+        v = bench.get(section, {}).get(key) if isinstance(
+            bench.get(section), dict) else None
+        if v is None:
+            continue  # pre-r17 logs lack the field — recorded runs only
+        if v > bound:
+            flatness_violations.append(
+                {"series": f"{section}.{key}", "flatness": v,
+                 "bound": bound})
+
     out = {
         "round": rnd,
         "metric": "stream_ingest_rows_per_sec",
@@ -129,6 +162,9 @@ def main():
         "delta_vs_prev": delta,
         "gate": GATE,
         "regressions_vs_prev": regressions,
+        "flatness_gates": {f"{s}.{k}": b
+                           for (s, k), b in FLATNESS_GATES.items()},
+        "flatness_violations": flatness_violations,
     }
     if len(benches) > 1:
         out["runs"] = {"n": len(benches),
@@ -139,8 +175,11 @@ def main():
         json.dump(out, f, indent=1)
     print("wrote", path)
     print("delta_vs_prev:", json.dumps(delta))
+    if flatness_violations:
+        print("FLATNESS VIOLATIONS:", json.dumps(flatness_violations))
     if regressions:
         print("REGRESSIONS:", json.dumps(regressions))
+    if regressions or flatness_violations:
         sys.exit(1)
 
 

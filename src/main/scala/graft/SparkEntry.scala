@@ -2782,6 +2782,107 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Signature-store RE-BUCKETING lifecycle (q198, r16 verdict #1): the
+    * store is backfilled at a deliberately small bucket count
+    * ([[Dedup.writeSignatureIndexStore]] nBuckets=8), grown by an
+    * append wave at the same layout, then MIGRATED to 64 buckets
+    * ([[Dedup.rebucketSignatureIndexStore]] — one repartition of the
+    * stored (id, sig, bkey) rows behind the crash-safe swap, new
+    * `_SIGPARAMS` published atomically with the data), and the probe
+    * takes the migrated count FROM THE MANIFEST
+    * ([[Dedup.admitIncrementalStoredAuto]]). The oracle states the
+    * plain decision over all corpus signatures, so a migration that
+    * mislays any row into the wrong directory surfaces as a missing
+    * candidate under the pruned probe and hash-mismatches — the q-gate
+    * for occupancy-driven re-bucketing (a store that cannot re-bucket
+    * reads O(store) per decision forever; [[graft.streaming
+    * .StreamingIngest.admissionWriterBucketed]]'s `targetRowsPerBucket`
+    * pulls this lever on cadence). */
+  private def admitRebucketQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // backfill + append + incoming
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" rebucket tail")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 21000000L).as("doc_id"),
+          concat(translate(col("text"), "aeiou", "ioaue"),
+            lit(" rebucket fresh")).as("text")))
+    val storeDir = scratchStoreDir("q198_index", dir)
+    Dedup.writeSignatureIndexStore(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", storeDir, nBuckets = 8)
+    Dedup.appendSignatureIndexStore(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", storeDir, nBuckets = 8)
+    Dedup.rebucketSignatureIndexStore(s, storeDir, 64)
+    Dedup.admitIncrementalStoredAuto(incoming, "doc_id", "text", s, storeDir)
+      .orderBy("id")
+  }
+
+  /** O(tombstones) retirement (q199, r16 verdict #2): q197's lifecycle
+    * with the TEXT-DERIVED discovery —
+    * [[Dedup.compactSignatureIndexStoreIncrementalByText]] computes the
+    * touched bucket directories as a pure function of the tombstones'
+    * text and the store's `_SIGPARAMS` (zero store rows read for
+    * discovery, vs the scan form's column-pruned read of EVERY
+    * (partition, id) row), verifies just those directories, and
+    * rewrites only the verified set. The oracle states the decision
+    * over the corpus signatures MINUS the %9 tombstone family, so the
+    * text-derived fold is proven decision-equivalent to the whole-set
+    * subtraction end-to-end — wrong bucket derivation (the failure mode
+    * this path risks) leaves orphan signatures that flip re-ingested
+    * docs to dup_existing and hash-mismatch. */
+  private def admissionRetireByTextQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // store build + tombstones + incoming
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 22000000L).as("doc_id"),
+        concat(col("text"), lit(" bytext retirement tail")).as("text"))
+    val storeDir = scratchStoreDir("q199_index", dir)
+    Dedup.writeSignatureIndexStore(docs, "doc_id", "text", storeDir)
+    Dedup.compactSignatureIndexStoreIncrementalByText(s, storeDir,
+      docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id").as("id"), col("text")))
+    Dedup.admitIncrementalStoredAuto(incoming, "doc_id", "text", s, storeDir)
+      .orderBy("id")
+  }
+
+  /** CHUNK-grain stored admission (q200, r16 verdict #3): the standing
+    * chunk signature index is the BUCKETED layout over STRING
+    * `doc:idx` chunk ids ([[Dedup.writeSignatureIndexStore]] is
+    * id-type-generic), and an incoming document wave is chunked
+    * (q157's 32/24 windows) and decided per chunk against it through
+    * the manifest-driven pruned probe. Re-crawled docs (%8 ⊂ the %4
+    * corpus) must fold every chunk onto the standing index; fresh
+    * vowel-rotated docs admit (their chunks dedup among themselves
+    * within the batch). This is the oracle gate for [[graft.streaming
+    * .StreamingIngest.dedupedChunkIndexWriterBucketed]]'s decision
+    * path: the string-keyed band bucketing, the pruned scan, and the
+    * min-id (lexicographic) fold must all agree with DuckDB's
+    * statement of the same chain. */
+  private def chunkAdmissionStoredQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // corpus chunks + incoming chunks
+    def chunksOf(d: DataFrame): DataFrame = Chunking
+      .chunkWindows(d, "doc_id", "text", window = 32, stride = 24)
+      .select(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_idx").cast("string")).as("cid"),
+        col("chunk_text"))
+    val storeDir = scratchStoreDir("q200_sig", dir)
+    Dedup.writeSignatureIndexStore(
+      chunksOf(docs.filter(col("doc_id") % 4 === 0)),
+      "cid", "chunk_text", storeDir, nBuckets = 32)
+    val incoming = docs.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + 18000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 27 === 0)
+        .select((col("doc_id") + 19000000L).as("doc_id"),
+          concat(translate(col("text"), "aeiou", "eioua"),
+            lit(" chunk fresh")).as("text")))
+    Dedup.admitIncrementalStoredAuto(chunksOf(incoming), "cid",
+        "chunk_text", s, storeDir)
+      .orderBy("id")
+  }
+
   /** Chunk-pooled document embeddings (q165): the long-document
     * embedding path — embed at the chunk grain (q158's 32/24 windows),
     * mean-pool per document, re-normalize. This is how a production
@@ -3673,6 +3774,10 @@ object SparkEntry {
     "q195_avro_roundtrip" -> ((s, d) => avroRoundtripQ(s, d)),
     "q192_edges_bucketed_lifecycle" -> ((s, d) => edgesBucketedLifecycle(s, d)),
     "q196_admission_manifest" -> ((s, d) => admitManifestQ(s, d)),
+    "q198_admission_rebucket" -> ((s, d) => admitRebucketQ(s, d)),
+    "q199_admission_retirement_bytext" ->
+      ((s, d) => admissionRetireByTextQ(s, d)),
+    "q200_chunk_admission_stored" -> ((s, d) => chunkAdmissionStoredQ(s, d)),
     "q197_admission_incremental_retirement" ->
       ((s, d) => admissionRetireIncrementalQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
@@ -7968,6 +8073,86 @@ object SparkEntry {
          |xsigr2 AS MATERIALIZED (
          |  SELECT xid, sig FROM xsig WHERE xid % 15 <> 0),
          |${admissionDecisionCtes("", "xsigr2")}
+         |SELECT id, status, dup_of FROM dec
+         |ORDER BY id""".stripMargin,
+    "q198_admission_rebucket" ->
+      // Mirror of admitRebucketQ: the PLAIN decision over all corpus
+      // signatures — the engine-side backfill(8) + append + rebucket(64)
+      // lifecycle must be decision-invariant, and a migration that
+      // mislaid any row surfaces as a missing candidate under the
+      // manifest-driven pruned probe.
+      s"""WITH RECURSIVE inc AS MATERIALIZED (
+         |  SELECT doc_id + 20000000 AS id,
+         |    concat(text, ' rebucket tail') AS text
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 21000000,
+         |    concat(translate(text, 'aeiou', 'ioaue'), ' rebucket fresh')
+         |  FROM documents WHERE doc_id % 31 = 0),
+         |$corpusSigCtes,
+         |${admissionDecisionCtes("", "xsig")}
+         |SELECT id, status, dup_of FROM dec
+         |ORDER BY id""".stripMargin,
+    "q199_admission_retirement_bytext" ->
+      // Mirror of admissionRetireByTextQ: the decision chain over the
+      // corpus signatures MINUS the %9 tombstone family — the engine's
+      // TEXT-DERIVED touched-bucket discovery (zero store rows read)
+      // must be decision-equivalent to this whole-set subtraction.
+      s"""WITH RECURSIVE inc AS MATERIALIZED (
+         |  SELECT doc_id + 22000000 AS id,
+         |    concat(text, ' bytext retirement tail') AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |$corpusSigCtes,
+         |xsigr3 AS MATERIALIZED (
+         |  SELECT xid, sig FROM xsig WHERE xid % 9 <> 0),
+         |${admissionDecisionCtes("", "xsigr3")}
+         |SELECT id, status, dup_of FROM dec
+         |ORDER BY id""".stripMargin,
+    "q200_chunk_admission_stored" ->
+      // Mirror of chunkAdmissionStoredQ: the %4 corpus chunked at the
+      // q169 32/24 grain into STRING doc:idx chunk ids → standing chunk
+      // signatures; the incoming wave (%8 re-crawls + %27 vowel-rotated
+      // fresh) chunked the same way and decided per chunk. Chunk text
+      // is the space-joined token slice, so the decision chain's
+      // re-tokenize reproduces the slice exactly (the q169 device);
+      // min-id folds are lexicographic on VARCHAR in both engines.
+      s"""WITH RECURSIVE cd AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         |cdt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM cd),
+         |ccg AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+         |      / 24.0) AS BIGINT))) AS ci
+         |  FROM cdt WHERE len(toks) > 0),
+         |cch AS MATERIALIZED (
+         |  SELECT concat(CAST(doc_id AS VARCHAR), ':',
+         |      CAST(ci AS VARCHAR)) AS xid,
+         |    toks[ci * 24 + 1 : ci * 24 + 32] AS ctoks
+         |  FROM ccg),
+         |cxsh AS (SELECT xid, ${wordShingles("ctoks", 3)} AS sh FROM cch),
+         |cxhb AS (SELECT xid, ${minhashBases("sh")} AS hb
+         |  FROM cxsh WHERE len(sh) > 0),
+         |cxsig AS MATERIALIZED (
+         |  SELECT xid, ${minhashSigFromBases("hb", 12)} AS sig FROM cxhb),
+         |idoc AS (
+         |  SELECT doc_id + 18000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 8 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 19000000,
+         |    concat(translate(text, 'aeiou', 'eioua'), ' chunk fresh')
+         |  FROM documents WHERE doc_id % 27 = 0),
+         |idt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM idoc),
+         |icg AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+         |      / 24.0) AS BIGINT))) AS ci
+         |  FROM idt WHERE len(toks) > 0),
+         |inc AS MATERIALIZED (
+         |  SELECT concat(CAST(doc_id AS VARCHAR), ':',
+         |      CAST(ci AS VARCHAR)) AS id,
+         |    array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ') AS text
+         |  FROM icg),
+         |${admissionDecisionCtes("", "cxsig")}
          |SELECT id, status, dup_of FROM dec
          |ORDER BY id""".stripMargin,
     "q182_shipmode_priority" ->

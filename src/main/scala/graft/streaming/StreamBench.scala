@@ -460,8 +460,17 @@ object StreamBench {
     // which is identical for both layouts).
     val admProbeDocs = 10
     val admBuckets = 1024
-    val (retIncSec, retFullSec, retRows,
-        admFlatSec, admBucketSec, admFlatRows, admBucketRows) = {
+    // r17 arms: (a) byText retirement — discovery is a pure function of
+    // the tombstones' text, so its per-cycle cost should be FLAT where
+    // the scan form grows at the id-column constant; (b) the
+    // AUTO-REBUCKETED store — occupancy-driven nBuckets growth keeps the
+    // per-decision rows-read bounded where the fixed-bucket store's
+    // grows linearly (a constant fraction of the store).
+    val autoTarget = sys.env.getOrElse(
+      "STREAM_BENCH_AUTO_TARGET_ROWS_PER_BUCKET", "40").toLong
+    val (retIncSec, retByTextSec, retFullSec, retRows,
+        admFlatSec, admBucketSec, admFlatRows, admBucketRows,
+        admAutoRows, admAutoBuckets) = {
       val rDir = s"$dir/sig_retire"       // bucketed layout (1024 buckets)
       val rFlat = s"$dir/sig_retire_flat" // batch= layout twin
       import graft.operators.Dedup
@@ -496,12 +505,17 @@ object StreamBench {
         .select(Dedup.bandBucket(col("bkey"), admBuckets).as("bucket"))
         .distinct().collect().map(_.getLong(0))
       val incT = scala.collection.mutable.Buffer[Double]()
+      val btT = scala.collection.mutable.Buffer[Double]()
       val fullT = scala.collection.mutable.Buffer[Double]()
       val flatDecT = scala.collection.mutable.Buffer[Double]()
       val bktDecT = scala.collection.mutable.Buffer[Double]()
       val flatRows = scala.collection.mutable.Buffer[Long]()
       val bktRows = scala.collection.mutable.Buffer[Long]()
+      val autoRows = scala.collection.mutable.Buffer[Long]()
+      val autoNb = scala.collection.mutable.Buffer[Int]()
       val sizes = scala.collection.mutable.Buffer[Long]()
+      val aDir = s"$dir/sig_adm_auto" // occupancy-managed twin
+      var autoBuckets = 64
       (0 until retireSlabs).foreach { i =>
         val off = 30000000L + i.toLong * slabRows
         val slab = slabDocs(off, slabRows).localCheckpoint()
@@ -509,17 +523,41 @@ object StreamBench {
           nBuckets = admBuckets)
         Dedup.signatureIndex(slab, "doc_id", "text")
           .write.mode("overwrite").parquet(s"$rFlat/batch=$i")
+        // the AUTO store appends at its current manifest count, then
+        // pulls the re-bucket lever when occupancy crosses the target
+        // (the admissionWriterBucketed cadence, driven manually because
+        // slabs bypass the writer)
+        Dedup.appendSignatureIndexStore(slab, "doc_id", "text", aDir,
+          nBuckets = autoBuckets)
         slab.unpersist()
         spark.catalog.refreshByPath(rDir)
         spark.catalog.refreshByPath(rFlat)
+        spark.catalog.refreshByPath(aDir)
+        val autoStoreRows = spark.read.parquet(aDir).count()
+        if (autoStoreRows / autoBuckets > autoTarget) {
+          var nb = autoBuckets
+          while (autoStoreRows / nb > autoTarget) nb <<= 1
+          Dedup.rebucketSignatureIndexStore(spark, aDir, nb)
+          autoBuckets = nb
+        }
+        autoNb += autoBuckets
         sizes += spark.read.parquet(rDir).select("id").distinct().count()
         // ADMISSION growth (admissionWriter vs admissionWriterBucketed
         // per-batch decision): index-side rows READ per decision —
         // the flat layout's decision join reads the whole standing
-        // index, the bucketed one only the matched bucket dirs
+        // index, the fixed-bucket one a constant FRACTION of it
+        // (matched buckets × linearly-growing occupancy), and the
+        // auto-rebucketed one an occupancy-BOUNDED set (r16 verdict #1)
         flatRows += spark.read.parquet(rFlat).count()
         bktRows += spark.read.parquet(rDir)
           .filter(col("bucket").isin(matchedBuckets.toSeq: _*)).count()
+        val autoMatched = Dedup.signatureIndex(probe, "doc_id", "text")
+          .select(explode(
+            Dedup.bandKeysFromSig(col("sig"), 4, 3)).as("bkey"))
+          .select(Dedup.bandBucket(col("bkey"), autoBuckets).as("bucket"))
+          .distinct().collect().map(_.getLong(0))
+        autoRows += spark.read.parquet(aDir)
+          .filter(col("bucket").isin(autoMatched.toSeq: _*)).count()
         val tf = System.nanoTime()
         graft.CacheScope.materializeAndRelease(
           Dedup.admitIncremental(probe, "doc_id", "text",
@@ -530,20 +568,32 @@ object StreamBench {
           Dedup.admitIncrementalStoredAuto(
             probe, "doc_id", "text", spark, rDir))(_.count())
         bktDecT += (System.nanoTime() - tb) / 1e9
-        // RETIREMENT cost at this size, both forms on the bucketed store
+        // RETIREMENT cost at this size, all three forms on the bucketed
+        // store, disjoint tombstone windows: scan discovery (reads every
+        // (bucket, id) row), TEXT-DERIVED discovery (zero store rows —
+        // r16 verdict #2; expected FLAT), and the full-store rewrite
         val t0 = System.nanoTime()
         val touched = Dedup.compactSignatureIndexStoreIncremental(
           spark, rDir, spark.range(off, off + retireTombs).toDF("id"))
         incT += (System.nanoTime() - t0) / 1e9
         require(touched.nonEmpty,
           s"retire study slab $i: incremental pass touched no buckets")
+        val t2 = System.nanoTime()
+        val touchedBt = Dedup.compactSignatureIndexStoreIncrementalByText(
+          spark, rDir,
+          slabDocs(off + 200, retireTombs)
+            .select(col("doc_id").as("id"), col("text")))
+        btT += (System.nanoTime() - t2) / 1e9
+        require(touchedBt.nonEmpty,
+          s"retire study slab $i: byText pass touched no buckets")
         val t1 = System.nanoTime()
         Dedup.compactSignatureIndexStore(spark, rDir,
           spark.range(off + 100, off + 100 + retireTombs).toDF("id"))
         fullT += (System.nanoTime() - t1) / 1e9
       }
-      (incT.toSeq, fullT.toSeq, sizes.toSeq,
-        flatDecT.toSeq, bktDecT.toSeq, flatRows.toSeq, bktRows.toSeq)
+      (incT.toSeq, btT.toSeq, fullT.toSeq, sizes.toSeq,
+        flatDecT.toSeq, bktDecT.toSeq, flatRows.toSeq, bktRows.toSeq,
+        autoRows.toSeq, autoNb.toSeq)
     }
 
     val totalRows = rowsPerBatch.toLong * nBatches
@@ -597,12 +647,19 @@ object StreamBench {
       s""""retire_study":{"slabs":$retireSlabs,"slab_rows":$slabRows,""" +
       s""""tombstones_per_cycle":$retireTombs,""" +
       s""""store_docs":${retRows.mkString("[", ",", "]")},""" +
-      s""""incremental_sec":${fmt(retIncSec)},"full_sec":${fmt(retFullSec)}},""" +
+      s""""incremental_sec":${fmt(retIncSec)},""" +
+      s""""bytext_sec":${fmt(retByTextSec)},""" +
+      f""""flatness_bytext":${flatness(retByTextSec)}%.3f,""" +
+      s""""full_sec":${fmt(retFullSec)}},""" +
       s""""admission_study":{"slabs":$retireSlabs,"slab_rows":$slabRows,""" +
       s""""probe_docs":$admProbeDocs,"nbuckets":$admBuckets,""" +
+      s""""auto_target_rows_per_bucket":$autoTarget,""" +
       s""""store_docs":${retRows.mkString("[", ",", "]")},""" +
       s""""flat_rows_read":${admFlatRows.mkString("[", ",", "]")},""" +
       s""""bucketed_rows_read":${admBucketRows.mkString("[", ",", "]")},""" +
+      s""""auto_rows_read":${admAutoRows.mkString("[", ",", "]")},""" +
+      s""""auto_nbuckets":${admAutoBuckets.mkString("[", ",", "]")},""" +
+      f""""flatness_auto_rows":${flatness(admAutoRows.map(_.toDouble))}%.3f,""" +
       s""""flat_sec":${fmt(admFlatSec)},"bucketed_sec":${fmt(admBucketSec)},""" +
       f""""flatness_flat":${flatness(admFlatSec)}%.3f,""" +
       f""""flatness_bucketed":${flatness(admBucketSec)}%.3f},""" +
