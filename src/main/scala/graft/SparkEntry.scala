@@ -620,11 +620,19 @@ object SparkEntry {
     Tables.orders(s, dir)
       .groupBy("o_orderpriority")
       .agg(
-        rnd(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        rnd(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        rnd(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        rnd(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        // ONE array-percentile aggregation, not four scalar ones: each
+        // percentile() keeps its own copy of every group's values in
+        // its buffer, so the 4-quantile form carried the table 4x
+        // (r16 verdict watch item — q27's constant drifted 0.34->1.33 s)
+        expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
+          .as("_ps"),
         count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        rnd(col("_ps")(0), 4).as("p25"),
+        rnd(col("_ps")(1), 4).as("p50"),
+        rnd(col("_ps")(2), 4).as("p75"),
+        rnd(col("_ps")(3), 4).as("p99"),
+        col("n"))
       .transform(graft.CacheScope.pin)
       .orderBy("o_orderpriority")
 
