@@ -1475,6 +1475,19 @@ object Dedup {
     * partition pruning) survives the rewrite.
     *
     * @param retiredIds one column of doc ids to retire (any name) */
+  /** The tombstone frame's id column: a frame carrying an `id` column
+    * keeps it (extra columns — e.g. the text the byText form consumes —
+    * are ignored, so one tombstonesDir can serve both discovery forms);
+    * a single-column frame of any name is taken as ids. */
+  private def tombstoneIds(df: DataFrame): DataFrame =
+    if (df.columns.contains("id")) df.select("id")
+    else {
+      require(df.columns.length == 1,
+        s"retirement tombstones must carry an 'id' column (or be a " +
+          s"single id column of any name); got ${df.columns.toSeq}")
+      df.toDF("id")
+    }
+
   def compactSignatureIndexStore(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       retiredIds: DataFrame): Unit = {
@@ -1484,7 +1497,7 @@ object Dedup {
     // would republish the store without it
     graft.sources.Sinks.recoverSwap(spark, indexDir)
     val params = readSigParams(spark, indexDir) // carried through the swap
-    val retire = retiredIds.toDF("id").select("id").distinct()
+    val retire = tombstoneIds(retiredIds).distinct()
     graft.sources.Sinks.swapInPlace(spark, indexDir, (df, tmp) => {
       val keep = df.join(retire, Seq("id"), "left_anti")
       val partCol = Seq("bucket", "batch").find(df.columns.contains)
@@ -1541,7 +1554,7 @@ object Dedup {
         s"compactSignatureIndexStoreIncremental: $indexDir has no " +
           s"partition grain (bucket/batch) — use " +
           s"compactSignatureIndexStore for flat layouts"))
-    val retire = retiredIds.toDF("id").select("id").distinct()
+    val retire = tombstoneIds(retiredIds).distinct()
       .transform(graft.CacheScope.pin) // discovery scan + anti-join fold
     val touched = df.select(col(partCol), col("id"))
       .join(broadcast(retire), Seq("id"), "left_semi")

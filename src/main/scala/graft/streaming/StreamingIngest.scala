@@ -1402,6 +1402,30 @@ object StreamingIngest {
     }
   }
 
+  /** CHUNK-grain tombstones for DOC-grain drops: curation retires whole
+    * documents, but the chunk signature store is keyed by `doc:idx`
+    * chunk ids — this recomputes a dropped doc's chunks exactly as the
+    * chunk writers produced them ([[chunkEmbed]]'s id scheme over
+    * [[graft.operators.Chunking.chunkWindows]]'s windows), yielding the
+    * (id, text) frame the TEXT-DERIVED retirement consumes with zero
+    * store reads ([[graft.operators.Dedup
+    * .compactSignatureIndexStoreIncrementalByText]]). Pure per-row
+    * derivation, zero shuffle. window/stride MUST match the values the
+    * index was built with — a mismatched grain computes different chunk
+    * texts, hence different band buckets, and silently misses the
+    * stored rows (the same contract as the byText fold itself).
+    *
+    * @param droppedDocs (doc_id, text) of the retired documents */
+  def chunkTombstones(
+      droppedDocs: DataFrame, window: Int = 32, stride: Int = 24)
+      : DataFrame =
+    graft.operators.Chunking
+      .chunkWindows(droppedDocs, "doc_id", "text", window, stride)
+      .select(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_idx").cast("string")).as("id"),
+        col("chunk_text").as("text"))
+
   /** One micro-batch of [[dedupedChunkIndexWriterBucketed]] (exposed
     * for the stream ≡ batch spec and batch-mode backfill).
     * @return the number of admitted CHUNKS (the occupancy feed) */

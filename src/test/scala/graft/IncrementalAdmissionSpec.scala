@@ -990,6 +990,49 @@ class IncrementalAdmissionSpec extends SparkSpec {
       s"redelivery duplicated or re-decided chunks: ${ids.toSeq.sorted}")
   }
 
+  test("chunkTombstones: a doc-grain drop retires its chunks via byText; re-ingested content re-admits; (id,text) tombstones also feed the scan compactor") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_chunktomb").toString
+    def longText(tag: String): String =
+      (1 to 60).map(i => s"$tag$i").mkString(" ")
+    val params = Dedup.SigParams(3, 12, 4, 16)
+    val docs = Seq(1L -> longText("alpha"), 3L -> longText("beta"))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamingIngest.dedupedChunkIndexBatchBucketed(
+      spark, docs, s"$dir/index", s"$dir/sig",
+      32, 24, 16, params, 9, 0.5, batchId = 0L)
+    // a re-crawl of doc 3's content under a new doc_id folds (dup)
+    def reingest(batchId: Long): Set[String] = {
+      graft.streaming.StreamingIngest.dedupedChunkIndexBatchBucketed(
+        spark, Seq((100L + batchId) -> longText("beta")).toDF("doc_id", "text"),
+        s"$dir/index", s"$dir/sig", 32, 24, 16, params, 9, 0.5, batchId)
+      spark.read.parquet(s"$dir/index")
+        .select("doc_id").distinct().as[Long].collect().toSet
+        .map((d: Long) => d.toString)
+    }
+    assert(reingest(1L) == Set("1", "3"),
+      "pre-retirement re-crawl must fold onto the standing chunks")
+    // curation drops doc 3: its chunk tombstones retire the chunk sigs
+    // through the TEXT-DERIVED fold (the grain matches the writer's)
+    val tomb = graft.streaming.StreamingIngest.chunkTombstones(
+      docs.filter(col("doc_id") === 3L))
+    assert(tomb.select("id").as[String].collect().forall(_.startsWith("3:")))
+    val touched = Dedup.compactSignatureIndexStoreIncrementalByText(
+      spark, s"$dir/sig", tomb)
+    assert(touched.nonEmpty, "chunk tombstones touched no buckets")
+    // the same content now re-ADMITS (content genuinely gone from the
+    // decision state), indexed under the new doc id
+    assert(reingest(2L) == Set("1", "3", "102"),
+      "retired chunk content did not re-admit")
+    // and an (id, text) tombstone frame ALSO feeds the scan compactor
+    // (extra columns ignored — one tombstonesDir serves both forms)
+    Dedup.compactSignatureIndexStoreIncremental(spark, s"$dir/sig",
+      graft.streaming.StreamingIngest.chunkTombstones(
+        Seq(102L -> longText("beta")).toDF("doc_id", "text")))
+    assert(reingest(3L) == Set("1", "3", "102", "103"),
+      "scan compactor with (id,text) tombstones did not retire")
+  }
+
   test("foldBatchSlices: per-batch corpus dirs fold to {batch=-1, max}; content invariant; manifest carried; replay of the kept slice still rewrites (r16 verdict #4)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_fold").toString
