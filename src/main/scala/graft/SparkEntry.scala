@@ -2891,6 +2891,95 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Bucketed-corpus RE-GEOMETRY lifecycle (q201, r17 verdict #1 — the
+    * round's one `weak`): the single-table `bucket=` ANN corpus under
+    * its full lifecycle — backfilled at a deliberately coarse geometry
+    * ([[graft.operators.Ann.writeBucketedCorpus]] nPlanes=2, 4 dirs),
+    * grown by a manifest-driven append wave ([[graft.operators.Ann
+    * .appendBucketedBatch]]), MIGRATED to nPlanes=4 ([[graft.operators
+    * .Ann.rebucketBucketedCorpus]] — every stored row re-bucketed from
+    * its stored embedding behind the crash-safe swap, new `_GEOMETRY`
+    * published atomically with the data), then probed at the geometry
+    * the store's own manifest reports ([[graft.operators.Ann
+    * .topKFromBucketedCorpusBatch]], 2 probes). The oracle recomputes
+    * the probe from the raw table at the NEW geometry, so hash equality
+    * pins the whole story: the migration republished every row into its
+    * nPlanes=4 directory exactly once, the manifest is authoritative,
+    * and the pruned batch probe over the migrated layout is
+    * candidate-identical to a fresh nPlanes=4 index.
+    * [[graft.streaming.StreamingIngest.chunkIndexBucketedWriterAuto]]'s
+    * `targetRowsPerBucket` pulls this lever on occupancy cadence. */
+  private def annBucketedRegeomQ(s: SparkSession, dir: String): DataFrame = {
+    val store = scratchStoreDir("q201", dir)
+    deleteTree(new java.io.File(store))
+    val docs = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      .transform(graft.CacheScope.pin) // backfill + append waves
+    graft.operators.Ann.writeBucketedCorpus(
+      docs.filter(col("id").cast("long") % 2 === 0), store,
+      dim = 64, nPlanes = 2)
+    graft.operators.Ann.appendBucketedBatch(
+      docs.filter(col("id").cast("long") % 2 === 1), store)
+    graft.operators.Ann.rebucketBucketedCorpus(s, store, newPlanes = 4)
+    val g = graft.operators.Ann.readGeometry(s, store).getOrElse(
+      sys.error(s"migrated store $store lost its _GEOMETRY manifest"))
+    require(g == graft.operators.Ann.StoreGeometry(64, 4, 1),
+      s"migration published the wrong manifest: $g")
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("string").as("qid"),
+        col("embedding").as("qvec"))
+    graft.operators.Ann.topKFromBucketedCorpusBatch(
+        s, store, queries, k = 5, probes = 2)
+      .select(col("qid"), col("id"), rnd(col("sim"), 6).as("sim"),
+        col("rank").cast("long").as("rnk"))
+      .transform(graft.CacheScope.pin)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Doc-drop → chunk-retirement CASCADE (q202, r17 verdict #3):
+    * curation retires whole DOCUMENTS, but the chunk signature store is
+    * keyed by `doc:idx` chunk ids — [[graft.streaming.StreamingIngest
+    * .chunkTombstones]] recomputes a dropped doc's chunks exactly as
+    * the writers produced them (zero store reads), and the text-derived
+    * fold ([[Dedup.compactSignatureIndexStoreIncrementalByText]])
+    * retires them from the standing index. The oracle states the chunk
+    * admission decision over the chunks of the corpus MINUS the dropped
+    * doc family, so the whole cascade (doc-grain drop → chunk id/text
+    * derivation → bucket discovery → partial rewrite) is proven
+    * decision-equivalent end-to-end: a mis-derived chunk id or text
+    * leaves orphan signatures that flip re-ingested docs to
+    * dup_existing and hash-mismatch. Re-crawls of dropped docs (%40 =
+    * %8 ∩ %20) must come back ADMITTED unless they near-match a
+    * surviving doc's chunks. */
+  private def chunkTombstoneCascadeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .transform(graft.CacheScope.pin) // corpus + dropped + incoming chunks
+    def chunksOf(d: DataFrame): DataFrame = Chunking
+      .chunkWindows(d, "doc_id", "text", window = 32, stride = 24)
+      .select(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_idx").cast("string")).as("cid"),
+        col("chunk_text"))
+    val storeDir = scratchStoreDir("q202_sig", dir)
+    Dedup.writeSignatureIndexStore(
+      chunksOf(docs.filter(col("doc_id") % 4 === 0)),
+      "cid", "chunk_text", storeDir, nBuckets = 32)
+    // the cascade: doc-grain drops (%20 ⊂ the %4 corpus) become
+    // chunk-grain (id, text) tombstones by pure derivation
+    Dedup.compactSignatureIndexStoreIncrementalByText(s, storeDir,
+      graft.streaming.StreamingIngest.chunkTombstones(
+        docs.filter(col("doc_id") % 20 === 0), window = 32, stride = 24))
+    val incoming = docs.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + 23000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 33 === 0)
+        .select((col("doc_id") + 24000000L).as("doc_id"),
+          concat(translate(col("text"), "aeiou", "uaeio"),
+            lit(" cascade fresh")).as("text")))
+    Dedup.admitIncrementalStoredAuto(chunksOf(incoming), "cid",
+        "chunk_text", s, storeDir)
+      .orderBy("id")
+  }
+
   /** Chunk-pooled document embeddings (q165): the long-document
     * embedding path — embed at the chunk grain (q158's 32/24 windows),
     * mean-pool per document, re-normalize. This is how a production
@@ -3786,6 +3875,8 @@ object SparkEntry {
     "q199_admission_retirement_bytext" ->
       ((s, d) => admissionRetireByTextQ(s, d)),
     "q200_chunk_admission_stored" -> ((s, d) => chunkAdmissionStoredQ(s, d)),
+    "q201_ann_bucketed_regeometry" -> ((s, d) => annBucketedRegeomQ(s, d)),
+    "q202_chunk_tombstone_cascade" -> ((s, d) => chunkTombstoneCascadeQ(s, d)),
     "q197_admission_incremental_retirement" ->
       ((s, d) => admissionRetireIncrementalQ(s, d)),
     "q51_asof_join" -> ((s, d) => asOfOrders(s, d)),
@@ -8149,6 +8240,82 @@ object SparkEntry {
          |  SELECT doc_id + 19000000,
          |    concat(translate(text, 'aeiou', 'eioua'), ' chunk fresh')
          |  FROM documents WHERE doc_id % 27 = 0),
+         |idt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM idoc),
+         |icg AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+         |      / 24.0) AS BIGINT))) AS ci
+         |  FROM idt WHERE len(toks) > 0),
+         |inc AS MATERIALIZED (
+         |  SELECT concat(CAST(doc_id AS VARCHAR), ':',
+         |      CAST(ci AS VARCHAR)) AS id,
+         |    array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ') AS text
+         |  FROM icg),
+         |${admissionDecisionCtes("", "cxsig")}
+         |SELECT id, status, dup_of FROM dec
+         |ORDER BY id""".stripMargin,
+    "q201_ann_bucketed_regeometry" ->
+      // Mirror of annBucketedRegeomQ: the batch probe recomputed from
+      // the raw table at the MIGRATED geometry (nPlanes=4, probes=2 —
+      // home bucket + one bit flip). The engine-side backfill(2) +
+      // append + rebucket(4) lifecycle must be probe-invariant vs a
+      // fresh nPlanes=4 index; a migration that mislays any row into
+      // the wrong directory surfaces as a missing candidate under the
+      // pruned manifest-driven probe and hash-mismatches.
+      s"""WITH d AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+         |         ${Ann.sqlLshBucket("embedding", 64, 4)} AS bucket
+         |  FROM embeddings),
+         |q0 AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+         |         ${Ann.sqlLshBucket("embedding", 64, 4)} AS b
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |q AS (
+         |  SELECT qid, qvec,
+         |         unnest([b, xor(b, CAST(1 AS BIGINT))]) AS bucket
+         |  FROM q0),
+         |scored AS (
+         |  SELECT q.qid, d.id, ${dot("q.qvec", "d.embedding")} AS sim
+         |  FROM q JOIN d ON q.bucket = d.bucket),
+         |ranked AS (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored)
+         |SELECT qid, id, ${rnd6("sim")} AS sim, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+    "q202_chunk_tombstone_cascade" ->
+      // Mirror of chunkTombstoneCascadeQ: q200's chunk decision chain
+      // with the standing signatures built over the %4 corpus MINUS the
+      // dropped %20 doc family — the engine's doc-grain-drop →
+      // chunk-tombstone → text-derived retirement cascade must be
+      // decision-equivalent to this whole-family subtraction.
+      s"""WITH RECURSIVE cd AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0),
+         |cdt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM cd),
+         |ccg AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+         |      / 24.0) AS BIGINT))) AS ci
+         |  FROM cdt WHERE len(toks) > 0),
+         |cch AS MATERIALIZED (
+         |  SELECT concat(CAST(doc_id AS VARCHAR), ':',
+         |      CAST(ci AS VARCHAR)) AS xid,
+         |    toks[ci * 24 + 1 : ci * 24 + 32] AS ctoks
+         |  FROM ccg),
+         |cxsh AS (SELECT xid, ${wordShingles("ctoks", 3)} AS sh FROM cch),
+         |cxhb AS (SELECT xid, ${minhashBases("sh")} AS hb
+         |  FROM cxsh WHERE len(sh) > 0),
+         |cxsig AS MATERIALIZED (
+         |  SELECT xid, ${minhashSigFromBases("hb", 12)} AS sig FROM cxhb),
+         |idoc AS (
+         |  SELECT doc_id + 23000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 8 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 24000000,
+         |    concat(translate(text, 'aeiou', 'uaeio'), ' cascade fresh')
+         |  FROM documents WHERE doc_id % 33 = 0),
          |idt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM idoc),
          |icg AS (
          |  SELECT doc_id, toks,

@@ -203,6 +203,102 @@ object Ann {
     })
   }
 
+  /** APPEND one batch into a bucketed (single-table) corpus at the
+    * store's OWN manifest geometry — the incremental-growth half of the
+    * layout's lifecycle (backfill via [[writeBucketedCorpus]], grow via
+    * this, migrate via [[rebucketBucketedCorpus]]). Schema-generic: any
+    * frame with an `embedding` column rides (the streamed chunk index
+    * carries chunk metadata next to it); the computed `bucket` column
+    * must not pre-exist. Rows cluster on bucket before the partitioned
+    * append (~one file per touched directory per batch — the
+    * [[appendMultiTableBatch]] small-files discipline). Requires the
+    * manifest: appending at a GUESSED geometry against files bucketed
+    * differently is the silent-mispruning class the manifest kills. */
+  def appendBucketedBatch(delta: DataFrame, dir: String): Unit = {
+    val spark = delta.sparkSession
+    graft.sources.Sinks.recoverSwap(spark, dir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, dir)
+    val g = readGeometry(spark, dir).getOrElse(throw
+      new IllegalArgumentException(
+        s"appendBucketedBatch: no $GeometryFile manifest in $dir — " +
+          s"backfill via Ann.writeBucketedCorpus (which stamps it) first"))
+    require(g.nTables == 1,
+      s"$dir is a multi-table store ($g) — append through " +
+        s"Ann.appendMultiTableBatch, not the bucketed form")
+    require(!delta.columns.contains("bucket"),
+      "appendBucketedBatch computes `bucket` itself; drop the column")
+    delta.withColumn("bucket", lshBucket(col("embedding"), g.dim, g.nPlanes))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** MIGRATE a bucketed (single-table) corpus to a new plane count —
+    * the [[regeometryMultiTableCorpus]] lever on this layout (r17
+    * verdict #1, the round's one `weak`): fixed nPlanes means per-probe
+    * candidate rows grow linearly with the corpus (bucket occupancy ≈
+    * N / 2^nPlanes), so at 100× a streamed chunk index degrades to a
+    * 1/2^nPlanes-corpus scan per probe. One deliberate O(store)
+    * background pass behind the crash-safe whole-dir swap
+    * ([[graft.sources.Sinks.swapInPlace]]): every stored row's bucket
+    * is recomputed from its STORED embedding at the new plane count
+    * (the plane family is deterministic, so no training state moves),
+    * full-row replay duplicates from the append-only streamed layout
+    * fold away in passing, and the NEW `_GEOMETRY` manifest is written
+    * into the tmp dir BEFORE the publish rename — data and geometry
+    * publish atomically, so no probe can pair new directories with the
+    * old plane count. Schema-generic like [[appendBucketedBatch]].
+    * Probes through the Auto forms and writers that adopt the manifest
+    * ([[graft.streaming.StreamingIngest.chunkIndexBucketedWriterAuto]])
+    * continue seamlessly; results are unchanged by construction
+    * (oracle-gated by q201). */
+  def rebucketBucketedCorpus(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newPlanes: Int): Unit = {
+    require(newPlanes >= 1 && newPlanes <= 62,
+      s"newPlanes must be in [1, 62], got $newPlanes")
+    // heal BOTH swap grains before reading the manifest (the
+    // compactMultiTableCorpus discipline): in a crash window the
+    // manifest sits with the data in the aside slot
+    graft.sources.Sinks.recoverSwap(spark, dir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, dir)
+    val g = readGeometry(spark, dir).getOrElse(throw
+      new IllegalArgumentException(
+        s"rebucketBucketedCorpus: no $GeometryFile manifest in $dir — a " +
+          s"pre-manifest store's layout is undeclared; rebuild via " +
+          s"Ann.writeBucketedCorpus instead"))
+    require(g.nTables == 1,
+      s"$dir is a multi-table store ($g) — migrate through " +
+        s"Ann.regeometryMultiTableCorpus, not the bucketed form")
+    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) => {
+      df.drop("bucket")
+        // at-least-once streamed appends can land a batch's rows twice;
+        // rows are bit-identical (deterministic embed), so the full-row
+        // dedup converges them without knowing the schema's key column
+        .dropDuplicates()
+        .withColumn("bucket", lshBucket(col("embedding"), g.dim, newPlanes))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      writeGeometry(spark, tmp, StoreGeometry(g.dim, newPlanes, 1))
+    })
+  }
+
+  /** INCREMENTAL compaction of a bucketed corpus — the ingest-cadence
+    * form of [[compactBucketedCorpus]] (which is an O(store) rewrite):
+    * rewrite ONLY `bucket=` directories whose data-file count exceeds
+    * `maxFilesPerBucket`, folding full-row replay duplicates away in
+    * passing. Appends add ~one file per touched bucket per batch
+    * ([[appendBucketedBatch]] clusters on bucket), so candidates are
+    * precisely the recently-touched hot buckets; cold directories are
+    * never re-read. Same per-directory crash-safe swaps as the
+    * multi-table twin.
+    * @return the compacted bucket directory names */
+  def compactBucketedCorpusIncremental(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerBucket: Int = 4): Seq[String] =
+    graft.sources.Sinks.compactPartitionDirsIncremental(
+      spark, dir, "bucket=", maxFilesPerBucket, _.dropDuplicates())
+
   /** Multi-probe top-k point lookup against a bucket-partitioned corpus:
     * probe bucket ids (home bucket + single-bit flips, same family as
     * [[topKBucketed]]) are computed driver-side via [[bucketOf]] and
@@ -226,6 +322,13 @@ object Ann {
       .map(p => if (p == 0) home else home ^ (1L << (p - 1)))
     spark.read.parquet(dir)
       .filter(col("bucket").isin(probeIds: _*))
+      // an at-least-once streamed append ([[appendBucketedBatch]] in a
+      // foreachBatch replay window) can hold a row twice until the next
+      // compaction folds it; sim is a pure function of the row, so the
+      // id dedup absorbs that invisibly (candidates are bucket-bounded
+      // — the extra exchange is probe-sized, and TakeOrderedAndProject
+      // still serves the top-k)
+      .dropDuplicates("id")
       .withColumn("sim", dotProduct(col("embedding"), typedLit(qvec)))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
@@ -251,6 +354,76 @@ object Ann {
       s"$dir is a multi-table store ($g) — probe it with " +
         s"multiTableStoreCandidates/topKMultiTable, not the bucketed form")
     topKFromBucketedCorpus(spark, dir, qvec, k, g.dim, g.nPlanes, probes)
+  }
+
+  /** BATCH top-k against a bucket-partitioned corpus, geometry from the
+    * store's `_GEOMETRY` manifest: the [[multiTableStoreCandidates]]
+    * shape on the single-table layout — each query's probe buckets
+    * (home + single-bit flips, the [[topKBucketed]] family) are
+    * computed in-plan, the batch's distinct bucket set is collected
+    * driver-side (bounded by min(|queries|·probes, 2^nPlanes) — layout
+    * geometry, not store size), intersected with the store via
+    * per-bucket existence probes (never a root listing), and handed to
+    * the reader as explicit paths + a belt-and-braces `isin` partition
+    * filter. Store-side replay duplicates are absorbed by the
+    * (qid, id) dedup, exactly like the multi-table probe.
+    * @param queries (qid, qvec)
+    * @param idCol the store's key column (`id` for [[writeBucketedCorpus]]
+    *        layouts, `chunk_id` for the streamed chunk index)
+    * @return (qid, id, sim, rank) — ties broken by id */
+  def topKFromBucketedCorpusBatch(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, probes: Int = 1,
+      idCol: String = "id",
+      conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
+    // heal crash-interrupted maintenance swaps BEFORE the manifest read
+    // and the per-bucket existence probes (a bucket stranded aside, or
+    // a whole store mid-migration, would silently lose candidates)
+    graft.sources.Sinks.recoverSwap(spark, dir)
+    graft.sources.Sinks.recoverPartitionDirSwaps(spark, dir)
+    val g = readGeometry(spark, dir).getOrElse(throw
+      new IllegalArgumentException(
+        s"topKFromBucketedCorpusBatch: no $GeometryFile manifest in $dir " +
+          s"— pre-manifest stores must be rebuilt (Ann.writeBucketedCorpus) " +
+          s"or re-stamped (stampBucketedGeometry) first"))
+    require(g.nTables == 1,
+      s"$dir is a multi-table store ($g) — probe it with " +
+        s"multiTableStoreCandidates/topKMultiTable, not the bucketed form")
+    require(probes >= 1 && probes <= g.nPlanes + 1)
+    val probeCols = (0 until probes).map { p =>
+      val mask = if (p == 0) 0L else 1L << (p - 1)
+      col("_b").bitwiseXOR(lit(mask))
+    }
+    // localCheckpoint ONCE: the bucket set is collected driver-side AND
+    // re-evaluated inside the join — a non-deterministic queries frame
+    // could otherwise probe buckets absent from the collected set and
+    // silently drop candidates (the multiTableStoreCandidates hazard)
+    val q = queries
+      .withColumn("_b", lshBucket(col("qvec"), g.dim, g.nPlanes))
+      .withColumn("bucket", explode(array(probeCols: _*)))
+      .drop("_b")
+      .localCheckpoint()
+    val bks = q.select("bucket").distinct().collect().map(_.getLong(0))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = bks.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"bucket=$b"))).sorted
+    if (matched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "qid STRING, id STRING, sim DOUBLE, rank INT"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    spark.read.option("basePath", dir)
+      .parquet(matched.map(b => s"$dir/bucket=$b").toIndexedSeq: _*)
+      .filter(col("bucket").isin(matched.toSeq: _*))
+      .join(Knn.maybeBroadcast(q, conf), Seq("bucket"))
+      .select(col("qid"), col(idCol).as("id"),
+        dotProduct(col("qvec"), col("embedding")).as("sim"))
+      .dropDuplicates("qid", "id") // store-side replay duplicates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
   }
 
   /** SQL mirror of [[lshBucket]]: dot against the same float plane

@@ -1455,6 +1455,19 @@ object Dedup {
       p.nBuckets, maxBand, excludeOwnIds)
   }
 
+  /** The tombstone frame's id column: a frame carrying an `id` column
+    * keeps it (extra columns — e.g. the text the byText form consumes —
+    * are ignored, so one tombstonesDir can serve both discovery forms);
+    * a single-column frame of any name is taken as ids. */
+  private def tombstoneIds(df: DataFrame): DataFrame =
+    if (df.columns.contains("id")) df.select("id")
+    else {
+      require(df.columns.length == 1,
+        s"retirement tombstones must carry an 'id' column (or be a " +
+          s"single id column of any name); got ${df.columns.toSeq}")
+      df.toDF("id")
+    }
+
   /** Retire signatures from a signature-index store (r11 verdict #2):
     * the admission index otherwise only GROWS — docs dropped by later
     * curation (quality gates, substring removal, cluster folding) leave
@@ -1474,20 +1487,9 @@ object Dedup {
     * rewrite; no step is quadratic and the probe layout (and hence
     * partition pruning) survives the rewrite.
     *
-    * @param retiredIds one column of doc ids to retire (any name) */
-  /** The tombstone frame's id column: a frame carrying an `id` column
-    * keeps it (extra columns — e.g. the text the byText form consumes —
-    * are ignored, so one tombstonesDir can serve both discovery forms);
-    * a single-column frame of any name is taken as ids. */
-  private def tombstoneIds(df: DataFrame): DataFrame =
-    if (df.columns.contains("id")) df.select("id")
-    else {
-      require(df.columns.length == 1,
-        s"retirement tombstones must carry an 'id' column (or be a " +
-          s"single id column of any name); got ${df.columns.toSeq}")
-      df.toDF("id")
-    }
-
+    * @param retiredIds the ids to retire: a frame with an `id` column
+    *        (extra columns — e.g. the text the byText form consumes —
+    *        are ignored) or a single id column of any name */
   def compactSignatureIndexStore(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       retiredIds: DataFrame): Unit = {
@@ -1633,18 +1635,20 @@ object Dedup {
     if (present.isEmpty) return Seq.empty
     // verify before rewriting: a column-pruned (id) read of ONLY the
     // candidate directories — already-folded tombstones match nothing
-    // here, so cumulative tombstone sets converge to read-only cycles
+    // here, so cumulative tombstone sets converge to read-only cycles.
+    // ONE reader frame serves both the touched-set probe and the
+    // sentinel schema (r17 ADVICE #3: a second read of the candidate
+    // dirs just for .schema doubled footer/driver IO per cycle)
     val ids = retire.select("id")
-    val touched = spark.read.option("basePath", indexDir)
+    val candidates = spark.read.option("basePath", indexDir)
       .parquet(present.map(b => s"$indexDir/bucket=$b").toIndexedSeq: _*)
+    val touched = candidates
       .select(col("bucket"), col("id"))
       .join(broadcast(ids), Seq("id"), "left_semi")
       .select("bucket").distinct()
       .collect().map(r => s"bucket=${r.get(0)}")
     if (touched.isEmpty) return Seq.empty
-    val schema = spark.read.option("basePath", indexDir)
-      .parquet(present.map(b => s"$indexDir/bucket=$b").toIndexedSeq: _*)
-      .schema
+    val schema = candidates.schema
     val compacted = graft.sources.Sinks.compactPartitionDirsExplicit(
       spark, indexDir, "bucket=", touched.toIndexedSeq,
       _.join(broadcast(ids), Seq("id"), "left_anti"),
