@@ -45,11 +45,15 @@ GATE = 0.80  # this/prev rows-per-sec ratio below this => regression
 #    bucket-doublings it drifts up to ~2x, hence the bound;
 #  - growth.flatness_indexed / flatness_indexed_bloom: the indexed
 #    per-batch KNN path has been flat since r14 — now held to it.
+#  - chunk_index_study.flatness_auto_rows (r18): the occupancy-managed
+#    single-table bucketed chunk corpus — same bound rationale as
+#    admission_study (up-to-2x drift between plane doublings).
 FLATNESS_GATES = {
     ("retire_study", "flatness_bytext"): 2.0,
     ("admission_study", "flatness_auto_rows"): 2.5,
     ("growth", "flatness_indexed"): 2.0,
     ("growth", "flatness_indexed_bloom"): 2.0,
+    ("chunk_index_study", "flatness_auto_rows"): 2.5,
 }
 
 # r13 had no STREAMBENCH artifact; these are the SCALE.md-recorded numbers

@@ -165,16 +165,102 @@ object GraphBuild {
   private def ebCol(nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("src"), col("dst")), lit(nBuckets)).cast("int")
 
+  // The bucket count of an at-rest edge log is LAYOUT the same way the
+  // ann store's geometry is (Ann.scala's _GEOMETRY rationale) — with one
+  // grade less severity: readers always fold [[latestWins]] over the
+  // WHOLE store, so rows of one edge split across two bucket counts are
+  // still read correctly. What a mismatched append silently costs is
+  // the maintenance contract — per-bucket incremental compaction can
+  // never converge cross-bucket supersedence, so superseded rows
+  // accumulate unfoldably. The store therefore carries `_EDGEBUCKETS`:
+  // appends stamp it on first write and fail loudly on disagreement,
+  // and [[rebucketEdgeLog]] is the one operation that changes it
+  // (atomically with the re-partitioned data).
+
+  private val EdgeBucketsFile = "_EDGEBUCKETS"
+
+  /** The edge log's bucket-count manifest; None for a pre-manifest
+    * store (callers fall back to their configured value — [[
+    * appendEdgeDeltaBucketed]] stamps it on the next append). */
+  def readEdgeBuckets(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[Int] =
+    graft.sources.StoreManifest.readLine(spark, dir, EdgeBucketsFile)
+      .map(l => graft.sources.StoreManifest
+        .intFields(dir, EdgeBucketsFile, l, 1)(0))
+
+  /** The bucket count a (re)starting writer must append at: the store's
+    * own manifest when present (a log migrated by [[rebucketEdgeLog]]
+    * in a previous run must be continued at the migrated count), the
+    * configured value otherwise. Heals crash-interrupted maintenance
+    * swaps first — in the crash window the manifest sits in the aside
+    * slot and "no manifest" would silently regress a migrated store. */
+  def adoptEdgeBuckets(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      configured: Int): Int = {
+    require(configured >= 1, s"nBuckets must be >= 1, got $configured")
+    graft.sources.Sinks.recoverSwap(spark, dir)
+    recoverEdgesBucketed(spark, dir)
+    readEdgeBuckets(spark, dir).getOrElse(configured)
+  }
+
   /** Append an edge delta into the bucketed log. Clustered on eb before
     * the partitioned write (the [[graft.operators.Ann
     * .appendMultiTableBatch]] discipline): a batch adds ~one file per
-    * touched bucket instead of tasks × buckets tiny files. */
+    * touched bucket instead of tasks × buckets tiny files. Stamps the
+    * `_EDGEBUCKETS` manifest on a store that lacks one; an append at a
+    * count disagreeing with the manifest fails loudly (adopt via
+    * [[adoptEdgeBuckets]] or migrate via [[rebucketEdgeLog]] first). */
   def appendEdgeDeltaBucketed(
       delta: DataFrame, dir: String, nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = delta.sparkSession
+    readEdgeBuckets(spark, dir) match {
+      case Some(n) => require(n == nBuckets,
+        s"append at nBuckets=$nBuckets against an edge log whose " +
+          s"$EdgeBucketsFile says $n — adopt the manifest " +
+          s"(GraphBuild.adoptEdgeBuckets) or migrate the store " +
+          s"(GraphBuild.rebucketEdgeLog) first: $dir")
+      case None =>
+        graft.sources.StoreManifest.writeLine(
+          spark, dir, EdgeBucketsFile, nBuckets.toString)
+    }
     delta.withColumn("eb", ebCol(nBuckets))
       .repartition(col("eb"))
       .write.mode("append").partitionBy("eb").parquet(dir)
+  }
+
+  /** MIGRATE the bucketed edge log to a new bucket count — the
+    * occupancy lever on this layout (r17 verdict #7, edge parity with
+    * [[graft.operators.Dedup.rebucketSignatureIndexStore]] and
+    * [[graft.operators.Ann.rebucketBucketedCorpus]]): fixed nBuckets
+    * means per-bucket row count grows linearly with the live graph, so
+    * the incremental compactor's "hot bucket" rewrites converge on
+    * O(store/nBuckets) — a constant fraction of a growing store — and
+    * fold granularity degrades with scale. One deliberate O(live edges)
+    * pass behind the crash-safe whole-dir swap: the log folds to its
+    * [[latestWins]] view in passing (eb is a pure function of the
+    * stored (src, dst), so no other state moves — superseded and
+    * replay-duplicated rows converge away here, exactly as a whole-store
+    * [[compactEdges]] would), re-partitions at the new count, and the
+    * NEW `_EDGEBUCKETS` manifest publishes atomically with the data.
+    * Readers are unchanged by construction (latest-wins over the folded
+    * store ≡ latest-wins over the raw log — oracle-gated by q203);
+    * writers adopt the manifest at restart ([[adoptEdgeBuckets]]). */
+  def rebucketEdgeLog(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    // heal BOTH swap grains before the whole-dir swap reads the store
+    graft.sources.Sinks.recoverSwap(spark, dir)
+    recoverEdgesBucketed(spark, dir)
+    graft.sources.Sinks.swapInPlace(spark, dir, (df, tmp) => {
+      latestWins(df.drop("eb"))
+        .withColumn("eb", ebCol(newBuckets))
+        .repartition(col("eb"))
+        .write.mode("overwrite").partitionBy("eb").parquet(tmp)
+      graft.sources.StoreManifest.writeLine(
+        spark, tmp, EdgeBucketsFile, newBuckets.toString)
+    })
   }
 
   /** Incremental compaction of the bucketed edge log: fold only `eb=`

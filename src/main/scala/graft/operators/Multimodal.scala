@@ -161,6 +161,103 @@ object Multimodal {
     }
   }
 
+  /** FOURTH encoder implementation (r17 verdict #6): a QUANTIZED
+    * LEARNED linear probe over the byte-histogram features — the
+    * closest thing to a real trained model this offline container can
+    * run end-to-end. The projection matrix is LEARNED from data
+    * ([[trainHistogramProjection]]: PCA over a training corpus's
+    * quantized byte-frequency histograms, MLlib's exact SVD path — the
+    * standard "linear probe over frozen features" recipe), then frozen
+    * and quantized to int8 per output row (scale = 127/max|w|, the
+    * standard weight-quantization deployment shape). The factory
+    * carries ONLY the quantized weights (dim × 256 bytes — the
+    * serializable artifact shipped inside the mapPartitions closure);
+    * `create` runs once per partition ON THE EXECUTOR, which is where a
+    * real session-open/weight-load would sit ([[extractFeatures]]'s
+    * model-once-per-partition contract; the spec counts creations).
+    *
+    * Arithmetic: features are the same 1e4-grid quantized histogram as
+    * [[HistogramProjectionEncoderFactory]] (Σq ≤ 10000); weights are
+    * int8 (|w| ≤ 127), so raw(i) = Σ_b w8(i,b)·q(b) is an exact Int64
+    * (|raw| ≤ 1.27e6) and the norm radicand ≤ dim·1.62e12 < 2^53 —
+    * bit-deterministic across executors given the same frozen weights.
+    * Failure contract (E3) identical to every other implementation:
+    * None on null/empty/all-NUL content and on a zero projection. */
+  final case class LearnedProjectionEncoderFactory(
+      weights: Array[Array[Byte]]) extends MediaEncoderFactory {
+    require(weights.nonEmpty && weights.forall(_.length == 256),
+      "weights must be dim rows of 256 int8 values")
+    def create(dim: Int): MediaEncoder = {
+      require(dim <= weights.length,
+        s"encoder trained for ${weights.length} dims, asked for $dim")
+      new QuantizedProjectionModel(weights.take(dim))
+    }
+  }
+
+  /** Learn the projection: PCA over the training corpus's quantized
+    * byte-frequency histograms (rows with un-embeddable content are
+    * excluded, like the serving path drops them), components quantized
+    * to int8 per output row. One distributed pass builds the 256×256
+    * Gramian; the SVD is driver-side (256×256 — constant). At 100 TB
+    * the training input is a SAMPLE anyway (linear probes saturate
+    * quickly); the artifact is dim×256 bytes however big the corpus.
+    * @return row-major int8 weights for [[LearnedProjectionEncoderFactory]] */
+  def trainHistogramProjection(
+      media: DataFrame, contentCol: String, dim: Int): Array[Array[Byte]] = {
+    require(dim >= 1 && dim <= 256, s"dim must be in [1, 256], got $dim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val feats = media.select(col(contentCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap { content =>
+        if (content == null || content.isEmpty || content.forall(_ == 0))
+          None
+        else {
+          val counts = new Array[Long](256)
+          content.foreach(b => counts(b & 0xff) += 1)
+          val len = content.length.toLong
+          Some(counts.map(c => (c * 10000L / len).toDouble))
+        }
+      })
+      .toDF("hist")
+      .select(org.apache.spark.ml.functions.array_to_vector(col("hist"))
+        .as("features"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("proj").setK(dim)
+      .fit(feats)
+    val pc = model.pc // 256 × dim, column j = component j
+    Array.tabulate(dim) { j =>
+      val w = Array.tabulate(256)(b => pc(b, j))
+      val m = w.map(math.abs).max
+      val scale = if (m == 0.0) 0.0 else 127.0 / m
+      w.map(x => math.round(x * scale).toByte)
+    }
+  }
+
+  private final class QuantizedProjectionModel(w8: Array[Array[Byte]])
+      extends MediaEncoder {
+    def embedOpt(content: Array[Byte]): Option[Array[Float]] = {
+      if (content == null || content.isEmpty || content.forall(_ == 0))
+        return None
+      val counts = new Array[Long](256)
+      content.foreach(b => counts(b & 0xff) += 1)
+      val len = content.length.toLong
+      val q = counts.map(c => c * 10000L / len)
+      val raw = w8.map { row =>
+        var acc = 0L
+        var b = 0
+        while (b < 256) { if (q(b) != 0L) acc += row(b) * q(b); b += 1 }
+        acc
+      }
+      var nrmSq = 0L // exact: ≤ dim·(127·10000)² ≈ 4.1e14 < 2^53
+      raw.foreach(r => nrmSq += r * r)
+      if (nrmSq == 0L) None
+      else {
+        val nrm = math.sqrt(nrmSq.toDouble)
+        Some(raw.map(r => (r.toDouble / nrm).toFloat))
+      }
+    }
+  }
+
   /** The per-partition "model": deterministic fake producing the same
     * vector as Embed.embedBinary (embedText of the sha256 hex digest), so
     * the imperative JVM path is bit-checkable against the SQL oracle. */

@@ -596,6 +596,128 @@ object StreamBench {
         autoRows.toSeq, autoNb.toSeq)
     }
 
+    // CHUNK-INDEX growth series (r17 verdict #1's "done" criterion): the
+    // single-table `bucket=` ANN corpus — the streamed chunk index
+    // layout — grows 8×; per-probe candidate rows-read on the
+    // FIXED-geometry store grow linearly (occupancy = rows / 2^nPlanes
+    // at a constant plane count) while the occupancy-managed AUTO store
+    // ([[graft.operators.Ann.rebucketBucketedCorpus]] on the
+    // chunkIndexBucketedWriterAuto cadence, driven manually because
+    // slabs bypass the writer) stays bounded by the target. rows_read is
+    // the deterministic signal, as in admission_study; probe wall time
+    // is recorded for context.
+    val chunkSlabs = sys.env.getOrElse("STREAM_BENCH_CHUNK_SLABS", "8").toInt
+    val chunkDim = 16
+    val chunkTarget = sys.env.getOrElse(
+      "STREAM_BENCH_CHUNK_TARGET_ROWS_PER_BUCKET", "500").toLong
+    val (ciFixedRows, ciAutoRows, ciAutoPlanes, ciFixedSec, ciAutoSec,
+        ciStoreRows) = {
+      import graft.operators.Ann
+      val cConf = GraftConf(dim = chunkDim)
+      val fDir = s"$dir/chunk_fixed"
+      val aDir = s"$dir/chunk_auto"
+      def chunkVecs(offset: Long, n: Int) =
+        graft.operators.Ingest.prepare(
+          spark.range(0, n.toLong).select(
+            lit("text").as("mtype"),
+            concat(lit("chunk corpus payload number "),
+              (col("id") + offset).cast("string")).as("data"),
+            (col("id") + offset).as("seq")),
+          cConf).select("id", "embedding")
+      // fixed probe set, built once (decisions constant across slabs —
+      // only the store side moves); bucketOf needs the driver-side vecs
+      val probeQ = chunkVecs(77000000L, 10)
+        .select(col("id").as("qid"), col("embedding").as("qvec"))
+        .localCheckpoint()
+      val qvecs = probeQ.select("qvec").collect()
+        .map(_.getSeq[Float](0).toArray)
+      def rowsRead(d: String): Long = {
+        val g = Ann.readGeometry(spark, d).getOrElse(
+          sys.error(s"chunk index study: no _GEOMETRY in $d"))
+        val matched = qvecs.map(Ann.bucketOf(_, chunkDim, g.nPlanes))
+          .distinct.toSeq
+        spark.read.parquet(d).filter(col("bucket").isin(matched: _*)).count()
+      }
+      def timedProbe(d: String): Double = {
+        val t0 = System.nanoTime()
+        graft.CacheScope.materializeAndRelease(
+          Ann.topKFromBucketedCorpusBatch(spark, d, probeQ, k = 5))(_.count())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val fRows = scala.collection.mutable.Buffer[Long]()
+      val aRows = scala.collection.mutable.Buffer[Long]()
+      val aPlanes = scala.collection.mutable.Buffer[Int]()
+      val fSec = scala.collection.mutable.Buffer[Double]()
+      val aSec = scala.collection.mutable.Buffer[Double]()
+      val sizes = scala.collection.mutable.Buffer[Long]()
+      (0 until chunkSlabs).foreach { i =>
+        val slab = chunkVecs(70000000L + i.toLong * slabRows, slabRows)
+          .localCheckpoint()
+        if (i == 0) {
+          // fixed arm at the chunk writer's default geometry; auto arm
+          // starts SMALL (p2) so the lever has room to prove itself
+          Ann.writeBucketedCorpus(slab, fDir, chunkDim, nPlanes = 4)
+          Ann.writeBucketedCorpus(slab, aDir, chunkDim, nPlanes = 2)
+        } else {
+          Ann.appendBucketedBatch(slab, fDir)
+          Ann.appendBucketedBatch(slab, aDir)
+        }
+        slab.unpersist()
+        spark.catalog.refreshByPath(fDir)
+        spark.catalog.refreshByPath(aDir)
+        val stored = spark.read.parquet(aDir).count()
+        sizes += stored
+        // the occupancy lever, exactly as chunkIndexBucketedWriterAuto
+        // pulls it (StoreMaintenance.grownCapacity semantics)
+        val g = Ann.readGeometry(spark, aDir).get
+        if (g.nPlanes < 16 && (stored >> g.nPlanes) > chunkTarget) {
+          var np = g.nPlanes + 1
+          while (np < 16 && (stored >> np) > chunkTarget) np += 1
+          Ann.rebucketBucketedCorpus(spark, aDir, np)
+        }
+        aPlanes += Ann.readGeometry(spark, aDir).get.nPlanes
+        fRows += rowsRead(fDir)
+        aRows += rowsRead(aDir)
+        fSec += timedProbe(fDir)
+        aSec += timedProbe(aDir)
+      }
+      require(aPlanes.last > 2,
+        s"chunk index study: occupancy lever never fired (planes " +
+          s"${aPlanes.toSeq})")
+      (fRows.toSeq, aRows.toSeq, aPlanes.toSeq, fSec.toSeq, aSec.toSeq,
+        sizes.toSeq)
+    }
+
+    // LEARNED-ENCODER throughput (r17 verdict #6's "done" criterion):
+    // the quantized learned linear probe (PCA trained in-engine, int8
+    // frozen weights) over synthetic ~1 KiB binary payloads through the
+    // real mapPartitions plumbing — model creation is once per
+    // partition (spec-pinned), so the measured rows/sec is the
+    // executor-side embed arithmetic: the cost shape a real frozen
+    // model would have, with the weight-load amortized identically.
+    val encRows = sys.env.getOrElse("STREAM_BENCH_ENCODER_ROWS", "200000").toInt
+    val (encEmbedded, encTrainSec, encEmbedSec) = {
+      import graft.operators.Multimodal
+      def media(offset: Long, n: Int) =
+        spark.range(0, n.toLong)
+          .select((col("id") + offset).cast("string").as("id"),
+            encode(concat((0 until 16).map(j =>
+              sha2(concat((col("id") + offset).cast("string"),
+                lit(s"_c$j")), 256)): _*), "UTF-8").as("content"))
+      val t0 = System.nanoTime()
+      val w = Multimodal.trainHistogramProjection(
+        media(0L, 2048), "content", dim = 16)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val corpus = media(1000000L, encRows).repartition(32).localCheckpoint()
+      val t1 = System.nanoTime()
+      val n = Multimodal.extractFeatures(corpus, "id", "content",
+        dim = 16,
+        encoder = Multimodal.LearnedProjectionEncoderFactory(w)).count()
+      val embedSec = (System.nanoTime() - t1) / 1e9
+      require(n > 0L, "encoder study embedded zero rows")
+      (n, trainSec, embedSec)
+    }
+
     val totalRows = rowsPerBatch.toLong * nBatches
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
     // every arm records the parameters it actually ran with (r14 verdict
@@ -663,6 +785,20 @@ object StreamBench {
       s""""flat_sec":${fmt(admFlatSec)},"bucketed_sec":${fmt(admBucketSec)},""" +
       f""""flatness_flat":${flatness(admFlatSec)}%.3f,""" +
       f""""flatness_bucketed":${flatness(admBucketSec)}%.3f},""" +
+      s""""chunk_index_study":{"slabs":$chunkSlabs,"slab_rows":$slabRows,""" +
+      s""""dim":$chunkDim,"target_rows_per_bucket":$chunkTarget,""" +
+      s""""store_rows":${ciStoreRows.mkString("[", ",", "]")},""" +
+      s""""fixed_rows_read":${ciFixedRows.mkString("[", ",", "]")},""" +
+      s""""auto_rows_read":${ciAutoRows.mkString("[", ",", "]")},""" +
+      s""""auto_nplanes":${ciAutoPlanes.mkString("[", ",", "]")},""" +
+      s""""fixed_probe_sec":${fmt(ciFixedSec)},""" +
+      s""""auto_probe_sec":${fmt(ciAutoSec)},""" +
+      f""""flatness_fixed_rows":${flatness(ciFixedRows.map(_.toDouble))}%.3f,""" +
+      f""""flatness_auto_rows":${flatness(ciAutoRows.map(_.toDouble))}%.3f},""" +
+      s""""encoder_study":{"rows":$encRows,"embedded":$encEmbedded,""" +
+      f""""train_sec":$encTrainSec%.2f,"embed_sec":$encEmbedSec%.2f,""" +
+      s""""rows_per_sec":${(encEmbedded / encEmbedSec).round},""" +
+      s""""partitions":32},""" +
       s""""compact_sec":${fmt(compactSec.toSeq)},""" +
       s""""cores":32}""")
     spark.stop()

@@ -251,7 +251,8 @@ object StreamingIngest {
       nTables: Int = 8,
       deltaFn: (DataFrame, DataFrame) => DataFrame = Ingest.dedupDelta,
       edgeBuckets: Int = 0,
-      touchedSink: scala.collection.mutable.Set[Int] = null): DataFrame = {
+      touchedSink: scala.collection.mutable.Set[Int] = null,
+      edgeRowsSink: Long => Unit = null): DataFrame = {
     import graft.operators.{Ann, Knn, Retrieval}
     val mbConf = conf.copy(rddFramesAreMicroBatches = true)
     val hadoop = spark.sparkContext.hadoopConfiguration
@@ -336,11 +337,20 @@ object StreamingIngest {
         }
       val knnTagged = knn
         .join(broadcast(queries.select("qid", "qtype", "seq")), Seq("qid"))
-      val edges = GraphBuild.edgeDelta(knnTagged, conf)
+      val edges0 = GraphBuild.edgeDelta(knnTagged, conf)
+      // the occupancy lever needs the appended row count — persist the
+      // micro-batch-sized delta so the count never re-runs the KNN;
+      // with no sink (lever off) the append stays single-pass
+      val edges = if (edgeRowsSink != null) edges0.persist() else edges0
       if (edgeBuckets > 0)
         GraphBuild.appendEdgeDeltaBucketed(edges, edgesDir, edgeBuckets)
       else
         edges.write.mode("append").parquet(edgesDir)
+      if (edgeRowsSink != null) {
+        edgeRowsSink(edges.count())
+        edges.unpersist()
+        ()
+      }
       // with a touched-set sink the append also reports which tb dirs it
       // wrote (one extra batch-sized collect) so the cadence compactor's
       // discovery is O(recently-touched) instead of a root listing
@@ -379,10 +389,14 @@ object StreamingIngest {
       nTables: Int = 8,
       compactEvery: Int = 8,
       maxFilesPerBucket: Int = 4,
-      edgeBuckets: Int = 0)
+      edgeBuckets: Int = 0,
+      targetRowsPerEdgeBucket: Long = 0L,
+      maxEdgeBuckets: Int = 1 << 20)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     var geom: graft.operators.Ann.StoreGeometry = null
+    val elog = new EdgeLogOccupancy(edgesDir, edgeBuckets,
+      targetRowsPerEdgeBucket, maxEdgeBuckets)
     // tb dirs appended since the last compaction cycle — the compactor's
     // candidate set. A checkpoint restart loses the in-memory set, so
     // the FIRST cycle after (re)start falls back to the listing form
@@ -396,15 +410,77 @@ object StreamingIngest {
           geom = adoptGeometry(spark, annDir, conf.dim, nPlanes, nTables)
         processBatchIndexed(spark, batch, batchId, docsDir, edgesDir, annDir,
           conf, geom.nPlanes, geom.nTables,
-          edgeBuckets = edgeBuckets, touchedSink = touched).unpersist()
+          edgeBuckets = elog.bucketsFor(spark), touchedSink = touched,
+          edgeRowsSink = elog.sink).unpersist()
+        elog.maybeRebucket(spark, batchId)
         if ((batchId + 1) % compactEvery == 0) {
           compactIndexedStores(spark, edgesDir, annDir,
-            maxFilesPerBucket, edgeBuckets,
+            maxFilesPerBucket, elog.bucketsFor(spark),
             annTouched = if (coldStart) null else touched.toSeq)
           touched.clear()
           coldStart = false
         }
         ()
+    }
+  }
+
+  /** The edge-log leg of the occupancy discipline, shared by the
+    * indexed writers (r17 verdict #7 — maintenance parity with the ann
+    * corpus and signature stores): adopt the `_EDGEBUCKETS` manifest at
+    * (re)start, count appended edge rows driver-side, and pull
+    * [[graft.operators.GraphBuild.rebucketEdgeLog]] when raw-log
+    * occupancy crosses the target. Reads stay full-fold correct at any
+    * bucket count — what the lever protects is the MAINTENANCE contract
+    * (per-bucket incremental compaction stays O(hot buckets) with
+    * bounded bucket size instead of folding 1/nBuckets of a growing
+    * store per hot bucket). The migration folds latestWins in passing,
+    * so the counter reseeds from the migrated store (an append-only
+    * count would over-migrate — the r17-verdict reseed finding applied
+    * at parity). `configured <= 0` (flat layout) or `target == 0`
+    * disables everything at zero cost. */
+  private final class EdgeLogOccupancy(
+      edgesDir: String, configured: Int, target: Long, maxBuckets: Int) {
+    require(configured <= 0 || target <= 0L || maxBuckets >= configured,
+      s"bad edge-rebucket knobs: target=$target " +
+        s"maxBuckets=$maxBuckets nBuckets=$configured")
+    private val occ = new StoreMaintenance.OccupancyCounter(
+      if (configured > 0) target else 0L)
+    private var buckets = -1
+    /** The bucket count this batch must append at — adopts the manifest
+      * and seeds the occupancy counter on first call. */
+    def bucketsFor(spark: SparkSession): Int = {
+      if (buckets < 0) {
+        buckets =
+          if (configured <= 0) configured
+          else graft.operators.GraphBuild.adoptEdgeBuckets(
+            spark, edgesDir, configured)
+        occ.seed(countEdges(spark))
+      }
+      buckets
+    }
+    /** Per-batch appended-row reporter for [[processBatchIndexed]];
+      * null when the lever is off (the append path then skips the
+      * extra micro-batch-sized count entirely). */
+    def sink: Long => Unit = if (occ.live) occ.grew _ else null
+    def maybeRebucket(spark: SparkSession, batchId: Long): Unit =
+      if (buckets > 0)
+        StoreMaintenance.grownCapacity(occ.rows, buckets.toLong,
+            maxBuckets.toLong, occ.target).foreach { nb =>
+          StoreMaintenance.logAction(edgesDir, batchId,
+            s"auto-rebucket edge log: rawRows=${occ.rows} " +
+              s"occupancy=${occ.rows / buckets} > target=${occ.target} " +
+              s"— re-bucketing $buckets -> $nb")
+          graft.operators.GraphBuild.rebucketEdgeLog(
+            spark, edgesDir, nb.toInt)
+          buckets = nb.toInt
+          occ.seed(countEdges(spark))
+        }
+    private def countEdges(spark: SparkSession): Long = {
+      val p = new org.apache.hadoop.fs.Path(edgesDir)
+      if (p.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(p))
+        spark.read.parquet(edgesDir).count()
+      else 0L
     }
   }
 
@@ -517,14 +593,19 @@ object StreamingIngest {
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01,
       targetRowsPerBucket: Long = 0L,
-      maxPlanes: Int = 16)
+      maxPlanes: Int = 16,
+      targetRowsPerEdgeBucket: Long = 0L,
+      maxEdgeBuckets: Int = 1 << 20)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     require(targetRowsPerBucket >= 0L && maxPlanes >= nPlanes,
       s"bad auto-regeometry knobs: target=$targetRowsPerBucket maxPlanes=$maxPlanes")
     var bloom: org.apache.spark.util.sketch.BloomFilter = null
     var geom: graft.operators.Ann.StoreGeometry = null
-    var storedRows = -1L
+    val occ = new StoreMaintenance.OccupancyCounter(targetRowsPerBucket)
+    var seeded = false
+    val elog = new EdgeLogOccupancy(edgesDir, edgeBuckets,
+      targetRowsPerEdgeBucket, maxEdgeBuckets)
     // writer-fed compaction discovery, as in ingestWriterIndexed; a
     // migration clears it (tb ids are geometry-scoped and the rewrite
     // left ~one file per bucket anyway)
@@ -545,56 +626,57 @@ object StreamingIngest {
             else
               org.apache.spark.util.sketch.BloomFilter
                 .create(expectedItems, fpp)
-        if (storedRows < 0L)
-          storedRows =
-            if (targetRowsPerBucket == 0L) 0L // counter unused
-            else if (fs.exists(docsPath)) spark.read.parquet(docsDir).count()
-            else 0L
+        if (!seeded) {
+          occ.seed(
+            if (fs.exists(docsPath)) spark.read.parquet(docsDir).count()
+            else 0L)
+          seeded = true
+        }
         val delta = processBatchIndexed(spark, batch, batchId, docsDir,
           edgesDir, annDir, conf, geom.nPlanes, geom.nTables,
           deltaFn = Ingest.dedupDeltaBloom(_, _, bloom),
-          edgeBuckets = edgeBuckets, touchedSink = touched)
+          edgeBuckets = elog.bucketsFor(spark), touchedSink = touched,
+          edgeRowsSink = elog.sink)
         // fold the appended ids in AFTER the store append succeeded —
         // distributed build + lossless merge, no driver-side collect.
         // The exact row count is only needed when the occupancy counter
         // is live (targetRowsPerBucket > 0); otherwise keep the
         // short-circuiting isEmpty — a full per-batch aggregation is a
         // real cost and the feature is off by default (r15 ADVICE #4)
-        if (targetRowsPerBucket > 0L) {
+        if (occ.live) {
           val deltaRows = delta.count()
           if (deltaRows > 0L)
             bloom.mergeInPlace(
               delta.stat.bloomFilter("id", expectedItems, fpp))
-          storedRows += deltaRows
+          occ.grew(deltaRows)
         } else if (!delta.isEmpty)
           bloom.mergeInPlace(
             delta.stat.bloomFilter("id", expectedItems, fpp))
         delta.unpersist()
-        val migrated = targetRowsPerBucket > 0L &&
-          geom.nPlanes < maxPlanes &&
-          storedRows > (targetRowsPerBucket << geom.nPlanes) && {
-            // smallest plane count that restores occupancy <= target
-            var p = geom.nPlanes + 1
-            while (p < maxPlanes && (storedRows >> p) > targetRowsPerBucket)
-              p += 1
-            logger.info(s"auto-regeometry at batch=$batchId: " +
-              s"storedRows=$storedRows occupancy=${storedRows >> geom.nPlanes}" +
-              s" > target=$targetRowsPerBucket — migrating " +
+        val migrated = StoreMaintenance.grownCapacity(occ.rows,
+            1L << geom.nPlanes, 1L << maxPlanes, occ.target).exists { cap =>
+          // smallest plane count that restores occupancy <= target
+          val p = java.lang.Long.numberOfTrailingZeros(cap)
+          StoreMaintenance.logAction(annDir, batchId,
+            s"auto-regeometry: storedRows=${occ.rows} " +
+              s"occupancy=${occ.rows >> geom.nPlanes} > " +
+              s"target=${occ.target} — migrating " +
               s"p${geom.nPlanes} -> p$p (t${geom.nTables})")
-            graft.operators.Ann.regeometryMultiTableCorpus(
-              spark, annDir, conf.dim, p, geom.nTables)
-            geom = graft.operators.Ann.StoreGeometry(conf.dim, p, geom.nTables)
-            touched.clear() // tb ids are scoped to the OLD geometry
-            true
-          }
-        if ((batchId + 1) % compactEvery == 0) {
+          graft.operators.Ann.regeometryMultiTableCorpus(
+            spark, annDir, conf.dim, p, geom.nTables)
+          geom = graft.operators.Ann.StoreGeometry(conf.dim, p, geom.nTables)
+          touched.clear() // tb ids are scoped to the OLD geometry
+          true
+        }
+        elog.maybeRebucket(spark, batchId)
+        if (StoreMaintenance.due(compactEvery, batchId)) {
           // the migration rewrite left ~one file per ann bucket — the
           // incremental pass would find nothing hot; the edge store
           // still owes its cadence fold either way
           if (migrated) compactEdgeStore(spark, edgesDir,
-            maxFilesPerBucket, edgeBuckets)
+            maxFilesPerBucket, elog.bucketsFor(spark))
           else compactIndexedStores(spark, edgesDir, annDir,
-            maxFilesPerBucket, edgeBuckets,
+            maxFilesPerBucket, elog.bucketsFor(spark),
             annTouched = if (coldStart) null else touched.toSeq)
           touched.clear()
           coldStart = false
@@ -1000,34 +1082,33 @@ object StreamingIngest {
       s"bad auto-rebucket knobs: target=$targetRowsPerBucket " +
         s"maxBuckets=$maxBuckets nBuckets=$nBuckets")
     var params: graft.operators.Dedup.SigParams = null
-    var storedRows = 0L // index rows (id, bkey grains), tracked driver-side
+    // index rows (id, bkey grains), tracked driver-side
+    val occ = new StoreMaintenance.OccupancyCounter(targetRowsPerBucket)
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (params == null) {
           params = adoptSigParams(spark, indexDir,
             shingleWidth, numHashes, bands, nBuckets)
-          storedRows = seedRowCount(spark, indexDir,
-            live = targetRowsPerBucket > 0L)
+          occ.seed(seedRowCount(spark, indexDir))
         }
         val admittedN = admitBatchBucketed(spark, batch, corpusDir,
           indexDir, params, minAgree, threshold, batchId)
-        if (targetRowsPerBucket > 0L)
-          storedRows += admittedN * params.bands
-        if (tombstonesDir != null && (batchId + 1) % compactEvery == 0) {
+        occ.grew(admittedN * params.bands)
+        if (tombstonesDir != null &&
+            StoreMaintenance.due(compactEvery, batchId)) {
           val retired = retireTombstones(spark, indexDir, tombstonesDir,
             byTextRetire)
           // reseed the occupancy counter after a fold that removed rows
           // (r17 verdict: append-only counting never decrements, so
           // admit/retire churn at constant live size over-migrates) —
           // one store count, the same cost class the fold just paid
-          if (retired.nonEmpty && targetRowsPerBucket > 0L)
-            storedRows = seedRowCount(spark, indexDir, live = true)
+          if (retired.nonEmpty) occ.seed(seedRowCount(spark, indexDir))
         }
-        if (foldCorpusEvery > 0 && (batchId + 1) % foldCorpusEvery == 0)
+        if (StoreMaintenance.due(foldCorpusEvery, batchId))
           graft.sources.Sinks.foldBatchSlices(spark, corpusDir)
-        params = maybeRebucket(spark, indexDir, params, storedRows,
-          targetRowsPerBucket, maxBuckets, batchId)
+        params = maybeRebucket(spark, indexDir, params, occ,
+          maxBuckets, batchId)
     }
   }
 
@@ -1069,35 +1150,35 @@ object StreamingIngest {
   }
 
   /** Occupancy check + migration lever shared by the bucketed admission
-    * writers (the check is driver arithmetic; the migration is one
-    * deliberate O(store) swap, amortized over the growth that triggered
-    * it — the regeometryMultiTableCorpus cadence on the dedup side). */
+    * writers (the check is [[StoreMaintenance.grownCapacity]] driver
+    * arithmetic; the migration is one deliberate O(store) swap,
+    * amortized over the growth that triggered it — the
+    * regeometryMultiTableCorpus cadence on the dedup side). */
   private def maybeRebucket(
       spark: SparkSession, indexDir: String,
-      params: graft.operators.Dedup.SigParams, storedRows: Long,
-      targetRowsPerBucket: Long, maxBuckets: Int, batchId: Long)
-      : graft.operators.Dedup.SigParams = {
-    if (targetRowsPerBucket <= 0L || params.nBuckets >= maxBuckets ||
-        storedRows <= targetRowsPerBucket * params.nBuckets.toLong)
-      return params
-    var nb = params.nBuckets
-    while (nb < maxBuckets && storedRows / nb > targetRowsPerBucket)
-      nb = math.min(nb << 1, maxBuckets)
-    logger.info(s"auto-rebucket at batch=$batchId: " +
-      s"storedRows=$storedRows occupancy=${storedRows / params.nBuckets}" +
-      s" > target=$targetRowsPerBucket — re-bucketing " +
-      s"${params.nBuckets} -> $nb")
-    graft.operators.Dedup.rebucketSignatureIndexStore(spark, indexDir, nb)
-    params.copy(nBuckets = nb)
-  }
+      params: graft.operators.Dedup.SigParams,
+      occ: StoreMaintenance.OccupancyCounter, maxBuckets: Int,
+      batchId: Long): graft.operators.Dedup.SigParams =
+    StoreMaintenance.grownCapacity(occ.rows, params.nBuckets.toLong,
+        maxBuckets.toLong, occ.target) match {
+      case None => params
+      case Some(nb) =>
+        StoreMaintenance.logAction(indexDir, batchId,
+          s"auto-rebucket: storedRows=${occ.rows} " +
+            s"occupancy=${occ.rows / params.nBuckets} > " +
+            s"target=${occ.target} — re-bucketing ${params.nBuckets} -> $nb")
+        graft.operators.Dedup.rebucketSignatureIndexStore(
+          spark, indexDir, nb.toInt)
+        params.copy(nBuckets = nb.toInt)
+    }
 
   /** The occupancy counter's seed: one store row-count at stream
-    * (re)start when the counter is live, the same cost class as the
-    * Bloom build; 0 for a fresh store. */
-  private def seedRowCount(
-      spark: SparkSession, dir: String, live: Boolean): Long = {
+    * (re)start (evaluated lazily by [[StoreMaintenance.OccupancyCounter
+    * .seed]], so an off lever never pays it — the same cost class as
+    * the Bloom build); 0 for a fresh store. */
+  private def seedRowCount(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    if (live && p.getFileSystem(
+    if (p.getFileSystem(
         spark.sparkContext.hadoopConfiguration).exists(p))
       spark.read.parquet(dir).count()
     else 0L
@@ -1294,7 +1375,7 @@ object StreamingIngest {
       s"bad auto-re-geometry knobs: target=$targetRowsPerBucket " +
         s"maxPlanes=$maxPlanes nPlanes=$nPlanes")
     var planes = -1 // resolved from the manifest at first batch
-    var storedRows = 0L
+    val occ = new StoreMaintenance.OccupancyCounter(targetRowsPerBucket)
     docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -1318,8 +1399,7 @@ object StreamingIngest {
                 spark, dir, dim, nPlanes)
               nPlanes
           }
-          storedRows = seedBucketedRowCount(spark, dir,
-            live = targetRowsPerBucket > 0L)
+          occ.seed(seedBucketedRowCount(spark, dir))
         }
         val rows = chunkEmbed(batch, window, stride, dim).persist()
         val n = rows.count()
@@ -1327,20 +1407,17 @@ object StreamingIngest {
         // emits no schema-bearing files — the r16 ADVICE #2 discipline)
         if (n > 0L) graft.operators.Ann.appendBucketedBatch(rows, dir)
         rows.unpersist()
-        storedRows += n
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        occ.grew(n)
+        if (StoreMaintenance.due(compactEvery, batchId))
           graft.operators.Ann.compactBucketedCorpusIncremental(
             spark, dir, maxFilesPerBucket)
-        if (targetRowsPerBucket > 0L && planes < maxPlanes &&
-            storedRows > targetRowsPerBucket * (1L << planes)) {
-          var np = planes
-          while (np < maxPlanes &&
-              storedRows / (1L << np) > targetRowsPerBucket)
-            np += 1
-          logger.info(s"auto-re-geometry at batch=$batchId: " +
-            s"storedRows=$storedRows occupancy=" +
-            s"${storedRows / (1L << planes)} > target=$targetRowsPerBucket" +
-            s" — migrating nPlanes $planes -> $np")
+        StoreMaintenance.grownCapacity(occ.rows, 1L << planes,
+            1L << maxPlanes, occ.target).foreach { cap =>
+          val np = java.lang.Long.numberOfTrailingZeros(cap)
+          StoreMaintenance.logAction(dir, batchId,
+            s"auto-re-geometry: storedRows=${occ.rows} occupancy=" +
+              s"${occ.rows >> planes} > target=${occ.target} — " +
+              s"migrating nPlanes $planes -> $np")
           graft.operators.Ann.rebucketBucketedCorpus(spark, dir, np)
           planes = np
         }
@@ -1353,8 +1430,7 @@ object StreamingIngest {
     * geometry) holds no schema-bearing files, so a plain read would
     * fail inference; count only when `bucket=` data exists. */
   private def seedBucketedRowCount(
-      spark: SparkSession, dir: String, live: Boolean): Long = {
-    if (!live) return 0L
+      spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
@@ -1534,33 +1610,31 @@ object StreamingIngest {
       s"bad auto-rebucket knobs: target=$targetRowsPerBucket " +
         s"maxBuckets=$maxBuckets nBuckets=$nBuckets")
     var params: graft.operators.Dedup.SigParams = null
-    var storedRows = 0L
+    val occ = new StoreMaintenance.OccupancyCounter(targetRowsPerBucket)
     docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (params == null) {
           params = adoptSigParams(spark, sigDir,
             shingleWidth, numHashes, bands, nBuckets)
-          storedRows = seedRowCount(spark, sigDir,
-            live = targetRowsPerBucket > 0L)
+          occ.seed(seedRowCount(spark, sigDir))
         }
         val admittedN = dedupedChunkIndexBatchBucketed(spark, batch,
           indexDir, sigDir, window, stride, dim, params,
           minAgree, threshold, batchId)
-        if (targetRowsPerBucket > 0L)
-          storedRows += admittedN * params.bands
-        if (tombstonesDir != null && (batchId + 1) % compactEvery == 0) {
+        occ.grew(admittedN * params.bands)
+        if (tombstonesDir != null &&
+            StoreMaintenance.due(compactEvery, batchId)) {
           val retired = retireTombstones(spark, sigDir, tombstonesDir,
             byTextRetire)
           // occupancy reseed after a removing fold (see
           // admissionWriterBucketed — same counter, same reason)
-          if (retired.nonEmpty && targetRowsPerBucket > 0L)
-            storedRows = seedRowCount(spark, sigDir, live = true)
+          if (retired.nonEmpty) occ.seed(seedRowCount(spark, sigDir))
         }
-        if (foldIndexEvery > 0 && (batchId + 1) % foldIndexEvery == 0)
+        if (StoreMaintenance.due(foldIndexEvery, batchId))
           graft.sources.Sinks.foldBatchSlices(spark, indexDir)
-        params = maybeRebucket(spark, sigDir, params, storedRows,
-          targetRowsPerBucket, maxBuckets, batchId)
+        params = maybeRebucket(spark, sigDir, params, occ,
+          maxBuckets, batchId)
     }
   }
 
