@@ -71,6 +71,25 @@ private[graft] object StoreMaintenance {
     def rows: Long = n
   }
 
+  /** Slice-count lever for `batch=`-sliced stores (r18 — the fold
+    * analogue of the occupancy lever): the cadence knob folds every N
+    * batches whether or not slices accumulated; this counter folds
+    * when the listing cost is actually DUE — the slice count crossed
+    * `maxSlices`. Seeded from one directory listing at (re)start,
+    * grown per written slice (driver arithmetic — the writer knows it
+    * wrote one), reset to the post-fold remainder after a fold.
+    * `maxSlices` <= 0 = off. */
+  final class SliceCounter(val maxSlices: Int) {
+    private var n = -1
+    def live: Boolean = maxSlices > 0
+    /** Seed from a listing count — lazily evaluated, once, only when
+      * the lever is live. */
+    def seed(count: => Int): Unit = if (live && n < 0) n = count
+    def wrote(): Unit = if (live) n += 1
+    def due: Boolean = live && n > maxSlices
+    def folded(remaining: Int): Unit = if (live) n = remaining
+  }
+
   /** One log line per maintenance action — the audit trail a store
     * operator greps when a migration fired at 3am. */
   def logAction(store: String, batchId: Long, what: String): Unit =

@@ -1068,14 +1068,22 @@ object StreamingIngest {
     *        external reader listing the dir during the swap can hit a
     *        brief missing-directory window; schedule folds in quiet
     *        periods or have readers retry through
-    *        [[graft.sources.Sinks.recoverSwap]] */
+    *        [[graft.sources.Sinks.recoverSwap]]
+    * @param maxCorpusSlices SELF-TUNING fold trigger (r18): fold when
+    *        the corpus's `batch=` slice count crosses this bound —
+    *        fires on actual listing growth, not wall-clock cadence
+    *        (one slice lands per batch, so a bursty stream folds no
+    *        more often and an idle one no less). Composes with
+    *        `foldCorpusEvery` (either trigger folds); 0 = off. The
+    *        same reader-visibility CAUTION applies. */
   def admissionWriterBucketed(
       stream: DataFrame, corpusDir: String, indexDir: String,
       tombstonesDir: String = null, compactEvery: Int = 8,
       shingleWidth: Int = 3, numHashes: Int = 12, bands: Int = 4,
       minAgree: Int = 9, threshold: Double = 0.5, nBuckets: Int = 64,
       targetRowsPerBucket: Long = 0L, maxBuckets: Int = 1 << 20,
-      foldCorpusEvery: Int = 0, byTextRetire: Boolean = true)
+      foldCorpusEvery: Int = 0, byTextRetire: Boolean = true,
+      maxCorpusSlices: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     require(targetRowsPerBucket >= 0L && maxBuckets >= nBuckets,
@@ -1084,6 +1092,7 @@ object StreamingIngest {
     var params: graft.operators.Dedup.SigParams = null
     // index rows (id, bkey grains), tracked driver-side
     val occ = new StoreMaintenance.OccupancyCounter(targetRowsPerBucket)
+    val slices = new StoreMaintenance.SliceCounter(maxCorpusSlices)
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -1091,10 +1100,12 @@ object StreamingIngest {
           params = adoptSigParams(spark, indexDir,
             shingleWidth, numHashes, bands, nBuckets)
           occ.seed(seedRowCount(spark, indexDir))
+          slices.seed(sliceCount(spark, corpusDir))
         }
         val admittedN = admitBatchBucketed(spark, batch, corpusDir,
           indexDir, params, minAgree, threshold, batchId)
         occ.grew(admittedN * params.bands)
+        slices.wrote() // admitBatchBucketed lands one batch= slice
         if (tombstonesDir != null &&
             StoreMaintenance.due(compactEvery, batchId)) {
           val retired = retireTombstones(spark, indexDir, tombstonesDir,
@@ -1105,11 +1116,26 @@ object StreamingIngest {
           // one store count, the same cost class the fold just paid
           if (retired.nonEmpty) occ.seed(seedRowCount(spark, indexDir))
         }
-        if (StoreMaintenance.due(foldCorpusEvery, batchId))
-          graft.sources.Sinks.foldBatchSlices(spark, corpusDir)
+        if (StoreMaintenance.due(foldCorpusEvery, batchId) || slices.due) {
+          if (slices.due)
+            StoreMaintenance.logAction(corpusDir, batchId,
+              s"slice-count fold: batch= slices > ${slices.maxSlices}")
+          if (graft.sources.Sinks.foldBatchSlices(spark, corpusDir))
+            slices.folded(sliceCount(spark, corpusDir))
+        }
         params = maybeRebucket(spark, indexDir, params, occ,
           maxBuckets, batchId)
     }
+  }
+
+  /** `batch=` slice count of a sliced store — the [[StoreMaintenance
+    * .SliceCounter]] seed (one listing at (re)start / post-fold). */
+  private def sliceCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
   }
 
   /** The retirement fold shared by the bucketed writers: text-bearing
@@ -1595,7 +1621,11 @@ object StreamingIngest {
     *        0 = no folding. CAUTION: the fold swaps the SERVED index
     *        dir whole (rename-aside — not atomic for concurrent
     *        readers); schedule folds in quiet periods or have readers
-    *        retry through [[graft.sources.Sinks.recoverSwap]] */
+    *        retry through [[graft.sources.Sinks.recoverSwap]]
+    * @param maxIndexSlices SELF-TUNING fold trigger (r18): fold when
+    *        the served index's `batch=` slice count crosses this bound
+    *        (composes with `foldIndexEvery` — either trigger folds);
+    *        0 = off. Same reader-visibility CAUTION. */
   def dedupedChunkIndexWriterBucketed(
       docs: DataFrame, indexDir: String, sigDir: String,
       window: Int = 32, stride: Int = 24, dim: Int = 16,
@@ -1603,7 +1633,8 @@ object StreamingIngest {
       minAgree: Int = 9, threshold: Double = 0.5, nBuckets: Int = 64,
       tombstonesDir: String = null, compactEvery: Int = 8,
       targetRowsPerBucket: Long = 0L, maxBuckets: Int = 1 << 20,
-      foldIndexEvery: Int = 0, byTextRetire: Boolean = true)
+      foldIndexEvery: Int = 0, byTextRetire: Boolean = true,
+      maxIndexSlices: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     require(targetRowsPerBucket >= 0L && maxBuckets >= nBuckets,
@@ -1611,6 +1642,7 @@ object StreamingIngest {
         s"maxBuckets=$maxBuckets nBuckets=$nBuckets")
     var params: graft.operators.Dedup.SigParams = null
     val occ = new StoreMaintenance.OccupancyCounter(targetRowsPerBucket)
+    val slices = new StoreMaintenance.SliceCounter(maxIndexSlices)
     docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -1618,11 +1650,13 @@ object StreamingIngest {
           params = adoptSigParams(spark, sigDir,
             shingleWidth, numHashes, bands, nBuckets)
           occ.seed(seedRowCount(spark, sigDir))
+          slices.seed(sliceCount(spark, indexDir))
         }
         val admittedN = dedupedChunkIndexBatchBucketed(spark, batch,
           indexDir, sigDir, window, stride, dim, params,
           minAgree, threshold, batchId)
         occ.grew(admittedN * params.bands)
+        slices.wrote() // the served index lands one batch= slice
         if (tombstonesDir != null &&
             StoreMaintenance.due(compactEvery, batchId)) {
           val retired = retireTombstones(spark, sigDir, tombstonesDir,
@@ -1631,8 +1665,13 @@ object StreamingIngest {
           // admissionWriterBucketed — same counter, same reason)
           if (retired.nonEmpty) occ.seed(seedRowCount(spark, sigDir))
         }
-        if (StoreMaintenance.due(foldIndexEvery, batchId))
-          graft.sources.Sinks.foldBatchSlices(spark, indexDir)
+        if (StoreMaintenance.due(foldIndexEvery, batchId) || slices.due) {
+          if (slices.due)
+            StoreMaintenance.logAction(indexDir, batchId,
+              s"slice-count fold: batch= slices > ${slices.maxSlices}")
+          if (graft.sources.Sinks.foldBatchSlices(spark, indexDir))
+            slices.folded(sliceCount(spark, indexDir))
+        }
         params = maybeRebucket(spark, sigDir, params, occ,
           maxBuckets, batchId)
     }

@@ -1079,6 +1079,50 @@ class IncrementalAdmissionSpec extends SparkSpec {
     assert(dec.toSeq == Seq((100L, "dup_existing", 0L)), s"got ${dec.toSeq}")
   }
 
+  test("slice-count fold lever: the bucketed writer folds when batch= " +
+      "slices cross maxCorpusSlices; content invariant; cadence-off") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_slicefold").toString
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    val waves: Seq[Seq[(Long, String)]] =
+      (0 until 6).map(w => Seq((w.toLong, distinctText(w.toLong))))
+    val src = MemoryStream[(Long, String)]
+    // foldCorpusEvery = 0: the ONLY fold trigger is the slice count
+    val q = graft.streaming.StreamingIngest.admissionWriterBucketed(
+        src.toDF.toDF("id", "text"), corpus, index,
+        nBuckets = 16, maxCorpusSlices = 3)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try waves.foreach { w => src.addData(w: _*); q.processAllAvailable() }
+    finally q.stop()
+    def slices() = new java.io.File(corpus).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    // 6 batches, lever at 3: folds fired at batch 3 (4 slices) and
+    // batch 5 (4 again) — the listing is BOUNDED at maxSlices + 1
+    // where the cadence-off writer would have accumulated 6 dirs
+    assert(slices() == Set("batch=-1", "batch=5"),
+      s"slice lever left ${slices()}")
+    val ids = spark.read.parquet(corpus).select("id").as[Long].collect()
+    assert(ids.sorted.toSeq == (0L until 6L) && ids.length == 6,
+      s"folds changed the corpus content: ${ids.toSeq.sorted}")
+    // restart: the counter reseeds from ONE listing and keeps folding
+    val q2 = graft.streaming.StreamingIngest.admissionWriterBucketed(
+        src.toDF.toDF("id", "text"), corpus, index,
+        nBuckets = 16, maxCorpusSlices = 3)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      (6 until 9).foreach { w =>
+        src.addData(Seq((w.toLong, distinctText(w.toLong))): _*)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    assert(slices().size <= 4,
+      s"restarted writer lost the slice lever: ${slices()}")
+    assert(spark.read.parquet(corpus).select("id").as[Long].collect()
+      .sorted.toSeq == (0L until 9L))
+  }
+
   test("empty micro-batches: no schema-less index dir is ever created and later batches decide normally (r16 ADVICE #2)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_admempty").toString
