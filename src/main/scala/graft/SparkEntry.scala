@@ -2776,7 +2776,12 @@ object SparkEntry {
           concat(rot(col("text"), "ouaei"), lit(" wave one fresh")).as("text")))
       .transform(graft.CacheScope.pin) // admission + admitted-slice join
     val idx1 = Dedup.signatureIndex(docs, "doc_id", "text",
-      shingleWidth = 3, numHashes = 12)
+        shingleWidth = 3, numHashes = 12)
+      // pinned: the CORPUS signature pass feeds round 1's decision AND
+      // round 2's extended index (idx2 = idx1 ∪ sigs(adm1)) — unpinned,
+      // the full-corpus shingle+minhash ran once per round (guide §1.2:
+      // don't compute things twice)
+      .transform(graft.CacheScope.pin)
     val dec1 = Dedup.admitIncremental(i1, "doc_id", "text", idx1)
       .transform(graft.CacheScope.pin) // output + admitted-slice filter
     val adm1 = i1.join(

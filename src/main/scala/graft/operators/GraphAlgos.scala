@@ -84,7 +84,15 @@ object GraphAlgos {
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      // hop: min over own label and all neighbors' labels
+      // hop: min over own label and all neighbors' labels. The node's
+      // OWN row additionally carries its previous label (`_prev` — null
+      // on neighbor rows, so max() recovers the single self value),
+      // which rides through the jump and makes the convergence check a
+      // narrow filter over the already-checkpointed superstep result
+      // instead of a third shuffle-join job per superstep (optimization
+      // guide §2.4 — the check re-joined next against labels on id,
+      // one full exchange per superstep just to ask "did anything
+      // move?").
       val neighborLabels = sym.as("e")
         .join(labels.as("l"), col("e.u") === col("l.id"))
         .select(col("e.v").as("id"), col("l.component"))
@@ -93,23 +101,28 @@ object GraphAlgos {
       // double computation), and a raw self-join over the union plan
       // trips Catalyst's Union constraint rewrite (key-not-found on the
       // deduplicated attribute ids — hit in testing)
-      val hop = labels.unionByName(neighborLabels)
+      val hop = labels
+        .select(col("id"), col("component"), col("component").as("_prev"))
+        .unionByName(neighborLabels
+          .select(col("id"), col("component"),
+            lit(null).cast(labels.schema("component").dataType).as("_prev")))
         .groupBy("id")
-        .agg(min("component").as("component"))
+        .agg(min("component").as("component"), max("_prev").as("_prev"))
         .localCheckpoint()
       // jump: component := component's component. Inner join is safe:
       // every component value is a node id present in hop (invariant
       // above), and comp(comp) ≤ comp keeps the result monotone.
       val next = hop.as("a")
         .join(hop.as("b"), col("a.component") === col("b.id"))
-        .select(col("a.id"), col("b.component").as("component"))
+        .select(col("a.id"), col("b.component").as("component"),
+          col("a._prev").as("_prev"))
         .localCheckpoint() // truncate lineage (see scaladoc)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.component") =!= col("p.component"))
+      // in-memory scan of the checkpointed frame — no join, no exchange
+      val changed = next
+        .filter(col("component") =!= col("_prev"))
         .limit(1).count()
       converged = changed == 0
-      labels = next
+      labels = next.select("id", "component")
       i += 1
     }
     CcResult(labels, i, converged)
@@ -249,14 +262,19 @@ object GraphAlgos {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select("id", "label")
+      // the round's join already has the previous label in hand (_old):
+      // carry it into the checkpoint so the convergence check is a
+      // narrow in-memory filter, not another id-keyed join job per
+      // round (optimization guide §2.4)
       val next = nodes
         .join(adopted.withColumnRenamed("label", "_new"), Seq("id"), "left")
         .join(labels.withColumnRenamed("label", "_old"), Seq("id"))
-        .select(col("id"), coalesce(col("_new"), col("_old")).as("label"))
+        .select(col("id"), coalesce(col("_new"), col("_old")).as("label"),
+          col("_old"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("p"), Seq("id"))
-        .filter(col("n.label") =!= col("p.label")).limit(1).count() == 0
-      labels = next
+      converged = next
+        .filter(col("label") =!= col("_old")).limit(1).count() == 0
+      labels = next.select("id", "label")
       i += 1
     }
     labels.select(col("id"), col("label").as("community"))

@@ -314,7 +314,30 @@ object SubstringDedup {
   def removeDuplicateSpans(
       docs: DataFrame, minLen: Int,
       k: Int = 20, w: Int = 6,
-      idCol: String = "id", textCol: String = "text"): DataFrame = {
+      idCol: String = "id", textCol: String = "text"): DataFrame =
+    removeDuplicateSpansPass(docs, minLen, k, w, idCol, textCol, None).out
+
+  /** One removal pass plus the state a FOLLOWING pass can reuse:
+    * the round's output, the winnowed fingerprint rows of this pass's
+    * keepers (valid for any doc this pass did not cut), and the keeper
+    * id set. */
+  private[graft] final case class RemovalPass(
+      out: DataFrame, fp: DataFrame, keeperIds: DataFrame)
+
+  /** Carried-forward state for an INCREMENTAL pass (see
+    * [[removeDuplicateSpansIterated]]): `fp` — the previous pass's
+    * keeper fingerprints; `stableIds` — ids that were keepers in the
+    * previous pass AND were not cut by it (their text, keeper status
+    * and fingerprints are all unchanged, so stable×stable candidate
+    * pairs were already fully resolved and cannot cut again). */
+  private[graft] final case class RemovalCarry(
+      fp: DataFrame, stableIds: DataFrame)
+
+  private[graft] def removeDuplicateSpansPass(
+      docs: DataFrame, minLen: Int,
+      k: Int = 20, w: Int = 6,
+      idCol: String = "id", textCol: String = "text",
+      carry: Option[RemovalCarry]): RemovalPass = {
     require(k >= 2 && w >= 1, s"degenerate fingerprint params k=$k w=$w")
     require(minLen >= k + w - 1,
       s"winnowing guarantees detection only at >= k + w - 1 = ${k + w - 1} " +
@@ -344,13 +367,37 @@ object SubstringDedup {
           .otherwise(col(textCol)).as(textCol),
         when(length(col(textCol)) >= minLen, length(col(textCol)))
           .otherwise(lit(0)).as("n_cut"))
-    val fp = fingerprints(keepers, idCol, textCol, k, w)
+    // the winnowing stage is the pass's dominant cost (posexplode to
+    // one row per character + a per-doc window); an incremental pass
+    // (carry != None) recomputes it ONLY for keepers that are not
+    // carried stable — the stable keepers' text is unchanged, so their
+    // cached fingerprint rows are byte-identical by construction
+    val fpFlagged = (carry match {
+      case None =>
+        fingerprints(keepers, idCol, textCol, k, w)
+          .withColumn("_stab", lit(false))
+      case Some(c) =>
+        val stable = c.stableIds.toDF("_sid")
+        c.fp.join(stable, col("_id") === col("_sid"), "left_semi")
+          .select(col("_id"), col("fp"), lit(true).as("_stab"))
+          .unionByName(fingerprints(
+              keepers.join(stable, col(idCol) === col("_sid"), "left_anti"),
+              idCol, textCol, k, w)
+            .withColumn("_stab", lit(false)))
+    }).transform(graft.CacheScope.pin) // both pair-join sides + the carry
+    val fp = fpFlagged.select("_id", "fp")
     // ids keep their native type through the `<` order (numeric ids
     // must order numerically) and only flatten to string for the
-    // typed groupByKey
-    val pairs = fp.as("a")
-      .join(fp.as("b"),
-        col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
+    // typed groupByKey. Incremental pass: a stable×stable pair was
+    // fully resolved by the previous pass (same texts, same
+    // fingerprints → same candidate, and the late side was not cut →
+    // no qualifying interval exists), so only pairs touching a
+    // non-stable doc can cut — the `_st` flags filter them inside the
+    // equi-join, no extra shuffle.
+    val pairs = fpFlagged.as("a")
+      .join(fpFlagged.as("b"),
+        col("a.fp") === col("b.fp") && col("a._id") < col("b._id") &&
+          !(col("a._stab") && col("b._stab")))
       .select(col("a._id").as("_early"), col("b._id").as("_late"))
       .distinct()
     val cands = pairs
@@ -375,12 +422,13 @@ object SubstringDedup {
       .toDF("_sid", "_st", "_en")
       .groupBy("_sid")
       .agg(collect_list(struct(col("_st"), col("_en"))).as("_ivs"))
-    keepers
+    val out = keepers
       .join(intervals, col(idCol).cast("string") === col("_sid"), "left")
       .withColumn("_cut", cutUdf(col(textCol), col("_ivs")))
       .select(col(idCol), col("_cut._1").as(textCol),
         col("_cut._2").as("n_cut"))
       .unionByName(dupDone)
+    RemovalPass(out, fp, keepers.select(col(idCol)))
   }
 
   /** Cross-corpus decontamination REMOVAL — the *action* the q61/q73/
@@ -490,6 +538,19 @@ object SubstringDedup {
     * reconstruct an earlier doc's run — rare outside adversarial
     * corpora), so `maxIter` is a backstop, not a tuning knob.
     *
+    * Passes after the first are INCREMENTAL (optimization guide §1.2 —
+    * don't recompute what cannot have changed): a pass carries forward
+    * its keepers' winnowed fingerprints and the set of STABLE docs
+    * (keeper last pass, not cut by it). The next pass re-fingerprints
+    * only non-stable keepers and skips stable×stable candidate pairs —
+    * both exact: a stable doc's text is unchanged (same fingerprints),
+    * and a stable×stable pair was already resolved by the previous
+    * pass with identical inputs, whose cut left the late side intact,
+    * i.e. no qualifying interval exists. Output is byte-identical to
+    * re-running the full pass (spec-pinned; q146's oracle gates it
+    * end-to-end), while pass n ≥ 2 costs O(changed docs + their
+    * collisions) instead of O(corpus).
+    *
     * @return (idCol, textCol, n_cut) — n_cut totalled across passes */
   def removeDuplicateSpansIterated(
       docs: DataFrame, minLen: Int, maxIter: Int = 5,
@@ -499,12 +560,19 @@ object SubstringDedup {
     var cur = docs
       .select(col(idCol), col(textCol), lit(0L).as("n_cut"))
       .localCheckpoint()
+    var carry: Option[RemovalCarry] = None
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val (next, roundCut) = graft.CacheScope.materializeAndRelease {
-        removeDuplicateSpans(
-            cur.select(col(idCol), col(textCol)), minLen, k, w, idCol, textCol)
+      // threads the pass's reusable state from the scope body (which
+      // must return a DataFrame) to the action; local to this call
+      var passRef: RemovalPass = null
+      val (next, roundCut, nextCarry) = graft.CacheScope.materializeAndRelease {
+        val pass = removeDuplicateSpansPass(
+          cur.select(col(idCol), col(textCol)), minLen, k, w, idCol, textCol,
+          carry)
+        passRef = pass
+        pass.out
           .withColumnRenamed("n_cut", "_round_cut")
           .join(cur.select(col(idCol), col("n_cut").as("_prev")), Seq(idCol))
           .select(col(idCol), col(textCol),
@@ -514,9 +582,21 @@ object SubstringDedup {
         val ck = df.localCheckpoint()
         val mx = ck.agg(coalesce(max(col("_round_cut")), lit(0)))
           .head.getInt(0)
-        (ck.drop("_round_cut"), mx)
+        // checkpoint the next pass's carry (fingerprints + stable ids)
+        // BEFORE the scope releases the pass's pins, and only when
+        // there will BE a next pass
+        val c =
+          if (mx == 0 || it + 1 >= maxIter) None
+          else Some(RemovalCarry(
+            passRef.fp.localCheckpoint(),
+            passRef.keeperIds
+              .join(ck.filter(col("_round_cut") === 0)
+                .select(col(idCol)), Seq(idCol), "left_semi")
+              .localCheckpoint()))
+        (ck.drop("_round_cut"), mx, c)
       }
       cur = next
+      carry = nextCarry
       converged = roundCut == 0
       it += 1
     }

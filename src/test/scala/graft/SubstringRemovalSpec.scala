@@ -215,6 +215,47 @@ class SubstringRemovalSpec extends SparkSpec {
     assert(fixed == once, "fixpoint == single pass on a seam-free corpus")
   }
 
+  test("incremental fixpoint == naive full-pass loop (r18 optimization)") {
+    import spark.implicits._
+    // adversarial multi-pass corpus exercising every carry seam:
+    //  - a seam re-match needing pass 2 (docs 1/2/3 — the q146 device);
+    //  - exact-dup churn: doc 4 duplicates doc 3's ORIGINAL text, so
+    //    pass 1 cuts doc 4 to "" via the hash shortcut while doc 3 is
+    //    cut by the pair machinery (both leave the stable set);
+    //  - an untouched bystander (doc 5) that stays stable throughout.
+    val P = "alphabravo"
+    val Q = "charliedel"
+    val Z = "zuluxrayzulu"
+    val b = "55555#" + P + Z + Q + "#66666"
+    val docs = Seq(
+      (1L, "33333%" + Z + "%44444"),
+      (2L, "11111%" + P + Q + "%22222"),
+      (3L, b),
+      (4L, b),
+      (5L, "qqqwwweeerrrtttyyyuuuiiiooo"))
+      .toDF("id", "text")
+    // naive reference: re-run the FULL single pass until nothing cuts
+    var ref = docs.select($"id", $"text", org.apache.spark.sql.functions.lit(0L).as("n_cut"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    var changed = true
+    while (changed) {
+      val in = ref.toSeq.map { case (id, (t, _)) => (id, t) }.toDF("id", "text")
+      val out = cleanMap(SubstringDedup.removeDuplicateSpans(
+        in, minLen = 12, k = 4, w = 5))
+      changed = false
+      ref = ref.map { case (id, (t, n)) =>
+        val (t2, cut) = out(id.toString)
+        if (cut > 0) changed = true
+        (id, (t2, n + cut))
+      }
+    }
+    val got = SubstringDedup.removeDuplicateSpansIterated(
+        docs, minLen = 12, maxIter = 6, k = 4, w = 5)
+      .collect().map(r => (r.getAs[Long]("id"),
+        (r.getAs[String]("text"), r.getAs[Long]("n_cut")))).toMap
+    assert(got == ref, s"incremental diverged from naive loop:\n$got\nvs\n$ref")
+  }
+
   test("idempotence: clean(clean(x)) == clean(x) on planted and random corpora") {
     import spark.implicits._
     // 3-letter alphabet: sparse natural overlaps, so cut seams are
