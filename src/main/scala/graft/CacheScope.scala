@@ -67,6 +67,22 @@ object CacheScope {
       if (drop) df.unpersist(true)
     }
 
+  /** Best-effort release of a `localCheckpoint`'s persisted blocks once
+    * no plan will read them again (r18 ADVICE: superseded iterative
+    * state — fixpoint carries, per-superstep label frames — otherwise
+    * lingers until the ContextCleaner GCs the dereferenced RDDs, which
+    * is real storage pressure inside a multi-pass query's own window).
+    * A local checkpoint has no recompute path, so callers must
+    * guarantee the frame is dead before freeing; non-checkpoint frames
+    * (anything whose root is not the checkpoint's LogicalRDD) are a
+    * safe no-op. */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Caller-side: build a plan with `body` (operator pins recorded), run
     * the terminal `action` on it, then unpersist exactly the recorded
     * pins (blocking, so a following cache-emptiness check is

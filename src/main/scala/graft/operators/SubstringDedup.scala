@@ -315,21 +315,29 @@ object SubstringDedup {
       docs: DataFrame, minLen: Int,
       k: Int = 20, w: Int = 6,
       idCol: String = "id", textCol: String = "text"): DataFrame =
-    removeDuplicateSpansPass(docs, minLen, k, w, idCol, textCol, None).out
+    removeDuplicateSpansPass(docs, minLen, k, w, idCol, textCol, None,
+      needCarry = false).out.drop("_keeper")
 
-  /** One removal pass plus the state a FOLLOWING pass can reuse:
-    * the round's output, the winnowed fingerprint rows of this pass's
-    * keepers (valid for any doc this pass did not cut), and the keeper
-    * id set. */
-  private[graft] final case class RemovalPass(
-      out: DataFrame, fp: DataFrame, keeperIds: DataFrame)
+  /** One removal pass plus the state a FOLLOWING pass can reuse: the
+    * round's output — (id, text, n_cut, _keeper), the flag marking
+    * which rows went through the pair machinery as keepers — and the
+    * winnowed fingerprint rows of this pass's keepers (valid for any
+    * doc this pass did not cut). When `needCarry` was set, `fp` is
+    * already materialized (one `localCheckpoint`) and the returned
+    * plan reads that checkpoint, so the fingerprinting ran exactly
+    * once; otherwise `fp` is the lazy plan (the self-join reuses its
+    * exchange, so a single-pass caller never materializes it at all). */
+  private[graft] final case class RemovalPass(out: DataFrame, fp: DataFrame)
 
   /** Carried-forward state for an INCREMENTAL pass (see
     * [[removeDuplicateSpansIterated]]): `fp` — the previous pass's
-    * keeper fingerprints; `stableIds` — ids that were keepers in the
-    * previous pass AND were not cut by it (their text, keeper status
-    * and fingerprints are all unchanged, so stable×stable candidate
-    * pairs were already fully resolved and cannot cut again). */
+    * keeper fingerprints (checkpointed); `stableIds` — ids that were
+    * keepers in the previous pass AND were not cut by it (their text,
+    * keeper status and fingerprints are all unchanged, so
+    * stable×stable candidate pairs were already fully resolved and
+    * cannot cut again). `stableIds` is a narrow filter over the
+    * previous pass's already-checkpointed output — never a separate
+    * materialization. */
   private[graft] final case class RemovalCarry(
       fp: DataFrame, stableIds: DataFrame)
 
@@ -337,7 +345,8 @@ object SubstringDedup {
       docs: DataFrame, minLen: Int,
       k: Int = 20, w: Int = 6,
       idCol: String = "id", textCol: String = "text",
-      carry: Option[RemovalCarry]): RemovalPass = {
+      carry: Option[RemovalCarry],
+      needCarry: Boolean): RemovalPass = {
     require(k >= 2 && w >= 1, s"degenerate fingerprint params k=$k w=$w")
     require(minLen >= k + w - 1,
       s"winnowing guarantees detection only at >= k + w - 1 = ${k + w - 1} " +
@@ -371,8 +380,19 @@ object SubstringDedup {
     // one row per character + a per-doc window); an incremental pass
     // (carry != None) recomputes it ONLY for keepers that are not
     // carried stable — the stable keepers' text is unchanged, so their
-    // cached fingerprint rows are byte-identical by construction
-    val fpFlagged = (carry match {
+    // cached fingerprint rows are byte-identical by construction.
+    //
+    // Materialization policy (r18 regression fix — q146 anti-scaled
+    // 0.25 at 32 cores): the fingerprint frame is NEVER cache-pinned.
+    // In the single-pass shape the self-join's two sides are the
+    // identical subtree, so Spark's ReusedExchange computes the
+    // winnowing once regardless — a pin only added a full cache
+    // write+read of the fingerprint stream per pass. When a following
+    // pass needs the fingerprints (needCarry), ONE localCheckpoint
+    // serves the self-join's both sides AND the carry — the pass's
+    // single extra materialization, replacing r18's pin + separate
+    // carry checkpoint + stable-id double-join checkpoint.
+    val fpLazy = carry match {
       case None =>
         fingerprints(keepers, idCol, textCol, k, w)
           .withColumn("_stab", lit(false))
@@ -384,8 +404,20 @@ object SubstringDedup {
               keepers.join(stable, col(idCol) === col("_sid"), "left_anti"),
               idCol, textCol, k, w)
             .withColumn("_stab", lit(false)))
-    }).transform(graft.CacheScope.pin) // both pair-join sides + the carry
-    val fp = fpFlagged.select("_id", "fp")
+    }
+    // Single-pass path: LAZY, no pin (r18 regression fix). At bench
+    // scale the self-join plans as a BroadcastHashJoin whose build side
+    // recomputes the winnowing subtree — but the recompute measured
+    // EQUAL to the pin's cache write+read (q138 @32c: 3.60 s lazy vs
+    // 3.59 s pinned, r19 A/B; a forced sort-merge was worse, 4.46 s).
+    // At real scale the size estimates exceed the broadcast threshold,
+    // the join is a sort-merge whose two identical fp-keyed Exchanges
+    // collapse into one ReusedExchange — the winnowing runs once with
+    // no materialization — while a pin of corpus-wide fingerprints
+    // would be storage pressure proportional to the corpus.
+    val fpFlagged =
+      if (needCarry) fpLazy.localCheckpoint()
+      else fpLazy
     // ids keep their native type through the `<` order (numeric ids
     // must order numerically) and only flatten to string for the
     // typed groupByKey. Incremental pass: a stable×stable pair was
@@ -422,14 +454,21 @@ object SubstringDedup {
       .toDF("_sid", "_st", "_en")
       .groupBy("_sid")
       .agg(collect_list(struct(col("_st"), col("_en"))).as("_ivs"))
+    // `_keeper` flags the rows that went through the pair machinery:
+    // the iterated caller derives the next pass's stable set from it
+    // (keeper AND uncut) with a filter over its own checkpoint — no
+    // separate keeper-id materialization
     val out = keepers
       .join(intervals, col(idCol).cast("string") === col("_sid"), "left")
       .withColumn("_cut", cutUdf(col(textCol), col("_ivs")))
       .select(col(idCol), col("_cut._1").as(textCol),
-        col("_cut._2").as("n_cut"))
-      .unionByName(dupDone)
-    RemovalPass(out, fp, keepers.select(col(idCol)))
+        col("_cut._2").as("n_cut"), lit(true).as("_keeper"))
+      .unionByName(dupDone.withColumn("_keeper", lit(false)))
+    RemovalPass(out, fpFlagged)
   }
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    graft.CacheScope.freeLocalCheckpoint(df)
 
   /** Cross-corpus decontamination REMOVAL — the *action* the q61/q73/
     * q131 detection surface reports on (GPT-3 appendix C / Lee et al.
@@ -564,42 +603,55 @@ object SubstringDedup {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
+      val prevCur = cur
+      val prevCarry = carry
+      // a pass only pays the fingerprint checkpoint when a next pass
+      // can exist to consume it
+      val wantCarry = it + 1 < maxIter
       // threads the pass's reusable state from the scope body (which
       // must return a DataFrame) to the action; local to this call
       var passRef: RemovalPass = null
-      val (next, roundCut, nextCarry) = graft.CacheScope.materializeAndRelease {
+      val (ck, roundCut) = graft.CacheScope.materializeAndRelease {
         val pass = removeDuplicateSpansPass(
           cur.select(col(idCol), col(textCol)), minLen, k, w, idCol, textCol,
-          carry)
+          carry, needCarry = wantCarry)
         passRef = pass
         pass.out
           .withColumnRenamed("n_cut", "_round_cut")
           .join(cur.select(col(idCol), col("n_cut").as("_prev")), Seq(idCol))
           .select(col(idCol), col(textCol),
             (col("_prev") + col("_round_cut").cast("long")).as("n_cut"),
-            col("_round_cut"))
+            col("_round_cut"), col("_keeper"))
       } { df =>
-        val ck = df.localCheckpoint()
-        val mx = ck.agg(coalesce(max(col("_round_cut")), lit(0)))
-          .head.getInt(0)
-        // checkpoint the next pass's carry (fingerprints + stable ids)
-        // BEFORE the scope releases the pass's pins, and only when
-        // there will BE a next pass
-        val c =
-          if (mx == 0 || it + 1 >= maxIter) None
-          else Some(RemovalCarry(
-            passRef.fp.localCheckpoint(),
-            passRef.keeperIds
-              .join(ck.filter(col("_round_cut") === 0)
-                .select(col(idCol)), Seq(idCol), "left_semi")
-              .localCheckpoint()))
-        (ck.drop("_round_cut"), mx, c)
+        // the pass's ONE driver-visible materialization: output, round
+        // cuts, keeper flags all land in a single checkpoint; the
+        // convergence scalar is an in-memory aggregate over it
+        val c = df.localCheckpoint()
+        (c, c.agg(coalesce(max(col("_round_cut")), lit(0))).head.getInt(0))
       }
-      cur = next
-      carry = nextCarry
+      // next pass's carry: the pass's fingerprint checkpoint plus the
+      // stable set as a NARROW FILTER over ck (keeper and uncut) — no
+      // separate stable-id materialization (r18 paid a double-join +
+      // localCheckpoint per pass for the same set)
+      carry =
+        if (roundCut == 0 || !wantCarry) {
+          // a checkpointed fingerprint frame with no next pass to read
+          // it is dead on arrival — free it now
+          if (wantCarry) freeCheckpoint(passRef.fp)
+          None
+        } else Some(RemovalCarry(passRef.fp,
+          ck.filter(col("_keeper") && col("_round_cut") === 0)
+            .select(col(idCol))))
+      cur = ck
+      // superseded checkpoints are dead as of this point: prevCur was
+      // folded into ck, prevCarry.fp into this pass's fingerprint
+      // checkpoint (and prevCarry.stableIds filtered the now-dead
+      // prev-prev ck). Free their blocks instead of waiting for GC.
+      freeCheckpoint(prevCur)
+      prevCarry.foreach(c => freeCheckpoint(c.fp))
       converged = roundCut == 0
       it += 1
     }
-    cur
+    cur.select(col(idCol), col(textCol), col("n_cut"))
   }
 }
