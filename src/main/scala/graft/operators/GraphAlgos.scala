@@ -78,9 +78,10 @@ object GraphAlgos {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
-    var labels = sym.select(col("u").as("id")).distinct()
+    var ck = sym.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    var labels = ck
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -96,11 +97,18 @@ object GraphAlgos {
       val neighborLabels = sym.as("e")
         .join(labels.as("l"), col("e.u") === col("l.id"))
         .select(col("e.v").as("id"), col("l.component"))
-      // hop is checkpointed, not just the superstep result: the jump
-      // reads it on BOTH join sides (one materialization instead of a
-      // double computation), and a raw self-join over the union plan
-      // trips Catalyst's Union constraint rewrite (key-not-found on the
-      // deduplicated attribute ids — hit in testing)
+      // hop stays LAZY (r18 verdict #7: one materialization per
+      // superstep, not two): the jump shortcuts through the PREVIOUS
+      // round's checkpointed labels instead of through hop itself, so
+      // hop is consumed exactly once and the whole superstep lands in
+      // a single localCheckpoint. Reach analysis: hop extends the
+      // previous reach by one edge, the jump composes with the previous
+      // round's pointers — r_k = 2·r_{k−1} + 1 = 2^k − 1, still
+      // doubling (the two-checkpoint form's 2^{k+1} − 2 costs one
+      // superstep less but materializes twice per step). Joining hop
+      // (a union plan) against the checkpointed labels is the same
+      // shape as neighborLabels above — the Catalyst Union-constraint
+      // self-join rewrite hazard needs BOTH sides to be the union.
       val hop = labels
         .select(col("id"), col("component"), col("component").as("_prev"))
         .unionByName(neighborLabels
@@ -108,12 +116,12 @@ object GraphAlgos {
             lit(null).cast(labels.schema("component").dataType).as("_prev")))
         .groupBy("id")
         .agg(min("component").as("component"), max("_prev").as("_prev"))
-        .localCheckpoint()
-      // jump: component := component's component. Inner join is safe:
-      // every component value is a node id present in hop (invariant
-      // above), and comp(comp) ≤ comp keeps the result monotone.
+      // jump: component := previous round's component(component). Inner
+      // join is safe: every component value is a node id present in
+      // labels (invariant above), and comp(comp) ≤ comp keeps the
+      // result monotone.
       val next = hop.as("a")
-        .join(hop.as("b"), col("a.component") === col("b.id"))
+        .join(labels.as("b"), col("a.component") === col("b.id"))
         .select(col("a.id"), col("b.component").as("component"),
           col("a._prev").as("_prev"))
         .localCheckpoint() // truncate lineage (see scaladoc)
@@ -122,6 +130,10 @@ object GraphAlgos {
         .filter(col("component") =!= col("_prev"))
         .limit(1).count()
       converged = changed == 0
+      // the previous round's checkpoint is dead once next landed —
+      // free its blocks instead of waiting for the ContextCleaner
+      graft.CacheScope.freeLocalCheckpoint(ck)
+      ck = next
       labels = next.select("id", "component")
       i += 1
     }
@@ -249,7 +261,8 @@ object GraphAlgos {
       .unionByName(canon.select(col("b").as("u"), col("a").as("v"), col("w")))
       .localCheckpoint()
     val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint()
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    var ck = nodes.withColumn("label", col("id")).localCheckpoint()
+    var labels = ck
     var converged = false
     var i = 0
     val w = org.apache.spark.sql.expressions.Window
@@ -274,6 +287,9 @@ object GraphAlgos {
         .localCheckpoint()
       converged = next
         .filter(col("label") =!= col("_old")).limit(1).count() == 0
+      // free the superseded round's checkpoint blocks eagerly
+      graft.CacheScope.freeLocalCheckpoint(ck)
+      ck = next
       labels = next.select("id", "label")
       i += 1
     }
