@@ -2777,13 +2777,22 @@ object SparkEntry {
       .transform(graft.CacheScope.pin) // admission + admitted-slice join
     val idx1 = Dedup.signatureIndex(docs, "doc_id", "text",
         shingleWidth = 3, numHashes = 12)
-      // pinned: the CORPUS signature pass feeds round 1's decision AND
-      // round 2's extended index (idx2 = idx1 ∪ sigs(adm1)) — unpinned,
-      // the full-corpus shingle+minhash ran once per round (guide §1.2:
-      // don't compute things twice)
-      .transform(graft.CacheScope.pin)
+      // localCheckpoint, not a cache pin (r19, fixing the r18 q174
+      // regression): the corpus signature pass feeds round 1's decision
+      // AND round 2's extended index, so it must compute once — but the
+      // r18 pin kept the full signature SUBTREE in every downstream
+      // logical plan, and q174's two-round chain re-nests round 1's
+      // whole tree inside round 2's (the r18 before-plan is 7.4k lines
+      // with the same subtree four times). The admission path runs
+      // several EAGER driver actions while the plan is being built (the
+      // hot-band collects), each re-analyzing that giant tree. The
+      // checkpoint truncates it to a LogicalRDD (guide §3.3: very large
+      // plans — materialize an intermediate), collapsing both rounds'
+      // planning work; the signature pass still runs exactly once.
+      .localCheckpoint()
     val dec1 = Dedup.admitIncremental(i1, "doc_id", "text", idx1)
-      .transform(graft.CacheScope.pin) // output + admitted-slice filter
+      .localCheckpoint() // output + admitted-slice filter; truncates
+                         // round 1's decision tree out of round 2's plan
     val adm1 = i1.join(
       dec1.filter(col("status") === "admitted").select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
