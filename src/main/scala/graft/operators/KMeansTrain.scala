@@ -85,12 +85,11 @@ object KMeansTrain {
     val seeds = scala.collection.mutable.ArrayBuffer(
       first.map(_.getSeq[Long](0).toArray): _*)
     while (initFarthest && seeds.length < k) {
-      val minDist = array_min(array(seeds.toSeq.map { c =>
-        aggregate(
-          zip_with(col("ue"), typedLit(c.toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v)
-      }: _*))
+      // codegen k×dim loop (graft.expressions.GridKmScore), replacing
+      // the interpreted aggregate(zip_with(...)) per seed — identical
+      // Int64 left-fold arithmetic, measured ~10× on the init pass (r19)
+      val minDist = graft.expressions.GridKmScore.minSqDist(
+        col("ue"), seeds.toArray)
       val next = ue.select(col("_kid"), col("ue"), minDist.as("mind"))
         .orderBy(col("mind").desc, col("_kid"))
         .limit(1)
@@ -135,17 +134,14 @@ object KMeansTrain {
     *    worth measurable recall at equal probes. */
   def assignGrid(
       ue: DataFrame, cents: Array[Array[Long]],
-      byDot: Boolean = false): DataFrame = {
-    val scores = array(cents.map { c =>
-      val dot = aggregate(
-        zip_with(col("ue"), typedLit(c), (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
-      if (byDot) lit(-1L) * dot
-      else lit(c.map(u => u * u).sum) - lit(2L) * dot
-    }: _*)
+      byDot: Boolean = false): DataFrame =
+    // codegen k×dim argmin (graft.expressions.GridKmScore) — the same
+    // scores and the same first-minimum tie rule as the previous
+    // array_position(scores, array_min(scores)) over per-centroid
+    // aggregate(zip_with(...)) columns, without the interpreted-lambda
+    // cost (r19; guide step 4)
     ue.withColumn("cid",
-      array_position(scores, array_min(scores)).cast("int"))
-  }
+      graft.expressions.GridKmScore.assign(col("ue"), cents, byDot))
 
   /** Exact Int64 quantization cost of a codebook over a corpus:
     * Σ_x min_c (‖c‖² − 2·x·c) in grid units — the k-means objective up
@@ -158,12 +154,7 @@ object KMeansTrain {
       transform(col(embCol),
         x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
           .cast("long")).as("ue"))
-    val scores = array(cents.map { c =>
-      lit(c.map(u => u * u).sum) - lit(2L) * aggregate(
-        zip_with(col("ue"), typedLit(c), (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
-    }: _*)
-    ue.select(array_min(scores).as("m"))
+    ue.select(graft.expressions.GridKmScore.minL2Score(col("ue"), cents).as("m"))
       .agg(sum("m")).collect().head.getLong(0)
   }
 
