@@ -109,11 +109,7 @@ object Sinks {
       // scanned the whole store, doubling the O(store) fold's read):
       // non-max rows fold to batch=-1, the max slice keeps its id, and
       // a single partitioned write lands both directories
-      df.withColumn("batch",
-          org.apache.spark.sql.functions.when(
-            col("batch") === lit(maxBatch), col("batch"))
-            .otherwise(lit(-1L).cast(df.schema("batch").dataType)))
-        .repartition(col("batch"))
+      foldedSlices(df, maxBatch)
         .write.mode("overwrite").partitionBy("batch").parquet(tmp)
       // root manifests travel with the data (the swap discipline)
       fs.listStatus(root).filter(s => s.isFile &&
@@ -126,6 +122,25 @@ object Sinks {
         }
     })
     true
+  }
+
+  /** The fold's row transform, shuffle-free by construction (exposed
+    * for the spec's plan assertion). r18 verdict #5: the previous
+    * `repartition(col("batch"))` hash-partitioned essentially every row
+    * to the single `batch=-1` value — ONE writer task rewrote the whole
+    * store per fold, a §2.5 skew scale-killer in the maintenance path.
+    * Without the repartition the partitioned write runs one writer per
+    * scan split (each opens at most the two live batch values), so the
+    * fold parallelizes with store size and output files track the scan
+    * split size (maxPartitionBytes — the guide's 128 MB–1 GB file
+    * target) instead of one monolith. Logical content is unchanged;
+    * only the row→file assignment differs. */
+  private[graft] def foldedSlices(
+      df: org.apache.spark.sql.DataFrame, maxBatch: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    df.withColumn("batch",
+      when(col("batch") === lit(maxBatch), col("batch"))
+        .otherwise(lit(-1L).cast(df.schema("batch").dataType)))
   }
 
   /** Crash-safe PUBLISH of a freshly-BUILT parquet directory (the

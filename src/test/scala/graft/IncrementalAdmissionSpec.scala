@@ -1079,6 +1079,33 @@ class IncrementalAdmissionSpec extends SparkSpec {
     assert(dec.toSeq == Seq((100L, "dup_existing", 0L)), s"got ${dec.toSeq}")
   }
 
+  test("fold write is shuffle-free: no Exchange in the fold transform, " +
+      "so writer parallelism tracks the scan (r18 verdict #5 skew fix)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_foldplan").toString
+    (0L until 6L).map(j => (j, distinctText(j), j / 2))
+      .toDF("id", "text", "batch")
+      .write.mode("overwrite").partitionBy("batch").parquet(dir)
+    // sanity reuse of the real entry point: content-invariant fold
+    val before = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    // plan assertion on the transform the fold writes: zero shuffle
+    // exchanges between the scan and the partitioned write — the old
+    // repartition(col("batch")) funnelled ~every row into the one
+    // batch=-1 hash partition (single writer task at any store size)
+    val folded = graft.sources.Sinks.foldedSlices(spark.read.parquet(dir), 2L)
+    val exchanges = folded.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"fold transform must stay shuffle-free, found: $exchanges")
+    assert(graft.sources.Sinks.foldBatchSlices(spark, dir, minDirs = 2))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet
+      == before, "fold changed logical content")
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(names == Set("batch=-1", "batch=2"), s"got $names")
+  }
+
   test("slice-count fold lever: the bucketed writer folds when batch= " +
       "slices cross maxCorpusSlices; content invariant; cadence-off") {
     import java.nio.file.Files
