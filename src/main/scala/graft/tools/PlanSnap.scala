@@ -24,12 +24,18 @@ object PlanSnap {
     val outDir = Paths.get(args(0))
     val tag = args(1)
     val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // session shape mirrors Bench.scala exactly (same cpus default, same
+    // split size) so captured plans are the ones the bench times (ADVICE
+    // r18: a diverging default can change scan split counts / exchange
+    // partitioning in the dump)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(outDir)
