@@ -52,7 +52,27 @@ final case class GraftConf(
       * trusting the caller — so a genuinely large RDD-backed corpus can
       * neither grab the broadcast hint (driver OOM) nor slip past
       * `failOnOversizeBruteKnn` (r13 ADVICE #1). */
-    rddFramesAreMicroBatches: Boolean = false
+    rddFramesAreMicroBatches: Boolean = false,
+    /** The exact-scoring cross joins (brute KNN, the PQ/SQ/prefix rerank
+      * shortlists, recall ground truths) read the corpus side straight
+      * off a scan or cache whose partition count tracks INPUT BYTES, not
+      * the O(|queries| x |docs|) work about to run on it — a corpus
+      * small enough to be one or two file splits serializes millions of
+      * dot products on one core while the rest of the cluster idles
+      * (guide §2.6; measured 75 s -> 6 s at 32 cores on the q17-shaped
+      * sf1 search KNN, tools/KnnParProbe). [[graft.operators.Knn
+      * .spreadForScoring]] repartitions such a corpus to
+      * `defaultParallelism` when its Catalyst estimate says it carries
+      * fewer natural splits than the session has cores — but only at or
+      * above this floor: below it single-task scoring costs less than
+      * the repartition exchange itself (an 8 MiB dim-16 corpus scores a
+      * few hundred queries in well under the ~100 ms a small shuffle
+      * costs). The check is pure plan arithmetic (estimate /
+      * files.maxPartitionBytes) — no job, and on a real multi-split
+      * corpus it is a no-op. Floor, not a tuning constant: production
+      * corpora either sit far above it (spread engages until the scan's
+      * own splits reach core count) or far below (per-batch frames). */
+    spreadScoringMinBytes: Long = 8L << 20
 )
 
 object GraftConf {

@@ -863,6 +863,10 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val docs = emb
       .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      // spread BEFORE the pin so the cache itself is machine-wide: the
+      // brute ground truths and every IVF probe arm score against it
+      // (Knn.spreadForScoring scaladoc; a no-op under the size floor)
+      .transform(d => Knn.spreadForScoring(d, GraftConf.default))
       .transform(graft.CacheScope.pin) // every retrieval arm scans it
     def qset(m: Long): DataFrame = emb.filter(col("vec_id") % 20 === m)
       .select(col("vec_id").cast("string").as("qid"),
@@ -1998,7 +2002,8 @@ object SparkEntry {
       .select(col("qid"), col("id"), lit(1L).as("hit"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    val brute = docs.crossJoin(broadcast(qs)) // deliberate exact arm: tiny query side
+    val brute = Knn.spreadForScoring(docs, GraftConf.default)
+      .crossJoin(broadcast(qs)) // deliberate exact arm: tiny query side
       .withColumn("sim", graft.functions.VectorFunctions.dotProduct(
         col("qvec"), col("embedding")))
       .withColumn("rnk", row_number().over(w))
@@ -3224,7 +3229,7 @@ object SparkEntry {
       .select(col("doc_id").as("qdoc"), col("embedding").as("qvec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qdoc").orderBy(col("sim").desc, col("id"))
-    chunks
+    Knn.spreadForScoring(chunks, GraftConf.default)
       .crossJoin(broadcast(queries))
       .filter(col("cdoc") =!= col("qdoc"))
       .withColumn("sim",

@@ -562,7 +562,8 @@ object Ann {
     require(shortlist >= k && prefixDim >= 1)
     val wPre = Window.partitionBy("qid").orderBy(col("psim").desc, col("id"))
     val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    docs.crossJoin(Knn.maybeBroadcast(queries, conf))
+    Knn.spreadForScoring(docs, conf)
+      .crossJoin(Knn.maybeBroadcast(queries, conf))
       .withColumn("psim", dotProduct(
         slice(col("qvec"), 1, prefixDim), slice(col("embedding"), 1, prefixDim)))
       .withColumn("_pr", row_number().over(wPre))

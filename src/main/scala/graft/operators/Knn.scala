@@ -113,6 +113,45 @@ object Knn {
     over
   }
 
+  /** §2.6 idle-capacity guard on the exact-scoring cross joins: the
+    * corpus side arrives straight from a scan or cache whose partition
+    * count tracks input BYTES (file splits), not the O(|queries| ×
+    * |docs|) work the cross join is about to run on it. A corpus small
+    * enough to be one or two 128 MB splits serializes every dot product
+    * on one or two cores while the rest of the machine idles — measured
+    * on the q17-shaped sf1 search KNN at 32 cores: 75 s at 2 partitions
+    * vs 6 s spread ([[graft.tools.KnnParProbe]]), identical result hash
+    * (scoring is per-row and every rank window orders by a proven total
+    * order, so results are partitioning-invariant).
+    *
+    * The decision is pure plan arithmetic — Catalyst's free size
+    * estimate divided by `files.maxPartitionBytes` approximates the
+    * scan's natural split count; below `conf.spreadScoringMinBytes`
+    * nothing happens (the shuffle would cost more than the scoring),
+    * and at real corpus sizes the estimated split count reaches
+    * `defaultParallelism` and this is a no-op. Never inspects
+    * `df.rdd`: materializing the RDD of an AQE-planned frame can
+    * EXECUTE its shuffle stages just to read a partition count.
+    * RDD-backed leaves (localCheckpoint frames) estimate 0 bytes and
+    * therefore never spread — the conservative direction (status quo,
+    * no behavior change). */
+  private[graft] def spreadForScoring(
+      docs: DataFrame, conf: GraftConf): DataFrame = {
+    val spark = docs.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val est = Retrieval.knownSizeEstimate(docs)
+    if (est < BigInt(conf.spreadScoringMinBytes)) return docs
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    val estSplits = (est + splitBytes - 1) / splitBytes
+    if (estSplits >= BigInt(target)) docs
+    else {
+      log.info(s"spreadForScoring: corpus estimate $est bytes ~ $estSplits " +
+        s"split(s) < defaultParallelism=$target => repartition($target)")
+      docs.repartition(target)
+    }
+  }
+
   /** Similarity of a doc row to the query row: dot product on normalized
     * vectors (cosine ≡ dot, app.py:14-15), with the reference's self-match
     * clamp (main.py:223-224). The reference round-trips through distance
@@ -135,8 +174,10 @@ object Knn {
     val overFetch = k * conf.overFetch
 
     // docs is the (potentially 100 TB) side: never shuffle it for the
-    // join — broadcast the query batch instead (size-gated).
-    val scored = docs
+    // join — broadcast the query batch instead (size-gated). Exception:
+    // a corpus PROVEN small but under-split (spreadForScoring) moves
+    // once so the quadratic scoring stage runs machine-wide.
+    val scored = spreadForScoring(docs, conf)
       .crossJoin(maybeBroadcast(queries, conf))
       .withColumn(
         "sim",
@@ -202,7 +243,7 @@ object Knn {
       conf: GraftConf = GraftConf.default): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     bruteGuard(docs, conf)
-    val scored = docs
+    val scored = spreadForScoring(docs, conf)
       .crossJoin(maybeBroadcast(queries, conf))
       .select(col("qid"), col(idCol).as("id"),
         dotProduct(col("qvec"), col("embedding")).as("sim"))
@@ -227,7 +268,7 @@ object Knn {
   ): DataFrame = {
     bruteGuard(docs, conf)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
-    docs
+    spreadForScoring(docs, conf)
       .crossJoin(maybeBroadcast(queries, conf))
       .withColumn("sim", dotProduct(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))

@@ -87,7 +87,10 @@ object Pq {
     // the code column is what a 100 TB store would have materialized;
     // keeping the embedding alongside stands in for the exact-rescore
     // fetch (in production: a second narrow store keyed by id)
-    val coded = docs.withColumn("code", encode(col("embedding"), dim, nSub, nCodes))
+    // spread before encode: the per-row PQ encoding and the ADC scoring
+    // stage both inherit the corpus side's split count (Knn scaladoc)
+    val coded = Knn.spreadForScoring(docs, conf)
+      .withColumn("code", encode(col("embedding"), dim, nSub, nCodes))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
     val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     coded.crossJoin(Knn.maybeBroadcast(queries, conf))
@@ -210,7 +213,8 @@ object Pq {
       shortlist: Int = 50,
       conf: graft.GraftConf = graft.GraftConf.default): DataFrame = {
     require(shortlist >= k)
-    val coded = docs.withColumn("code", encodeWith(col("embedding"), dim, cbs))
+    val coded = Knn.spreadForScoring(docs, conf)
+      .withColumn("code", encodeWith(col("embedding"), dim, cbs))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
     val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     coded.crossJoin(Knn.maybeBroadcast(queries, conf))

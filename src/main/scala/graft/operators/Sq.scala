@@ -70,7 +70,7 @@ object Sq {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val wPre = Window.partitionBy("qid").orderBy(col("asim").desc, col("id"))
     val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    encode(docs, "embedding")
+    encode(Knn.spreadForScoring(docs, conf), "embedding")
       .crossJoin(Knn.maybeBroadcast(queries, conf))
       .withColumn("asim",
         approxSim(col("qvec"), col("sq_codes"), col("sq_scale")))
